@@ -1,0 +1,22 @@
+"""cses2humio_spark — a PySpark-native analytics engine.
+
+Re-expresses the capabilities of the reference connector
+(Trifork-Security/cses2humio, see /root/reference/cses2humio/app.py) as an
+idiomatic Spark engine:
+
+- ``streaming/``  — the connector pipeline (R1-R16 of SURVEY.md §2.1)
+  rebuilt on Structured Streaming.
+- ``sources/``    — batch/stream source adapters (parquet catalog, NDJSON
+  event source with the Falcon envelope schema).
+- ``functions/``  — scalar/text/vector function library (JVM-side built-ins
+  first; Pandas UDFs only where unavoidable).
+- ``operators/``  — composable DataFrame -> DataFrame operators (joins,
+  aggregations, windows, dedup, similarity search).
+- ``queries/``    — the registered query surface consumed by
+  ``__spark_entry__.py`` (each query paired with a DuckDB oracle).
+- ``plans/``      — plan-inspection helpers (pushdown / broadcast asserts).
+"""
+
+__version__ = "0.1.0"
+
+from cses2humio_spark.session import get_spark  # noqa: F401

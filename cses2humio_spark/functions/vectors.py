@@ -1,0 +1,35 @@
+"""Vector math over ``array<float>`` embedding columns.
+
+Built on higher-order functions (``zip_with`` + ``aggregate``) — the whole
+dot product runs JVM-side inside codegen; no Python, no UDF serialization.
+Doubles accumulate left-to-right over the array, which is a *deterministic*
+order (array element order is data, not partitioning), so results are
+reproducible and oracle-checkable after rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

@@ -1,0 +1,59 @@
+"""Aggregation operators: timechart (Humio's flagship visualization agg),
+top-k, grouped stats. All built on ``groupBy().agg()`` so Catalyst plans
+hash aggregation with map-side partial aggregation — each executor
+pre-aggregates before the shuffle, so shuffle volume is O(groups), not
+O(rows), which is what makes these viable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def timechart(
+    df: DataFrame,
+    ts_col: str,
+    span: str,
+    aggs: Sequence[Column],
+    dims: Sequence[str] = (),
+    slide: str | None = None,
+) -> DataFrame:
+    """Humio-style ``timechart(span=..., by=dims, function=aggs)``.
+
+    Emits ``bucket_start`` as epoch seconds (engine-portable, avoids
+    timestamp-repr drift between engines). Tumbling by default; pass
+    ``slide`` for sliding windows.
+    """
+    win = F.window(F.col(ts_col), span, slide) if slide else F.window(F.col(ts_col), span)
+    grouped = df.groupBy(win.alias("__w"), *[F.col(d) for d in dims])
+    out = grouped.agg(*aggs)
+    return out.select(
+        F.unix_timestamp(F.col("__w.start")).alias("bucket_start"),
+        *[F.col(d) for d in dims],
+        *[F.col(c) for c in out.columns if c != "__w" and c not in dims],
+    )
+
+
+def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
+    """Global top-k. ``orderBy().limit(k)`` compiles to TakeOrderedAndProject:
+    each partition keeps only its local top-k, the driver merges k*P rows —
+    no full sort, no full shuffle. Safe at any scale for small k."""
+    return df.orderBy(*order).limit(k)
+
+
+def grouped_stats(
+    df: DataFrame, dims: Sequence[str], value_col: str
+) -> DataFrame:
+    """count / sum / avg / min / max / stddev per group, deterministic
+    float handling (see queries/registry.py docstring)."""
+    v = F.col(value_col)
+    return df.groupBy(*[F.col(d) for d in dims]).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(v.cast("decimal(18,4)")).cast("double").alias("sum_v"),
+        (F.sum(v.cast("decimal(18,4)")).cast("double") / F.count(v)).alias("avg_v"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+    )

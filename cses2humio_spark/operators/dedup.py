@@ -1,0 +1,185 @@
+"""Deduplication operators: exact + near-dup families (SURVEY.md §2.2,
+"LLM-data-pipeline extensions"; motivated by the reference's at-least-once
+replay semantics, SURVEY.md §2.1 invariant 5).
+
+Scale design:
+- ``dedup_exact_by_key`` / ``dedup_exact_content``: one shuffle on the key
+  (or content hash — hashing first keeps the shuffle narrow when the
+  content column is wide: shuffle moves a 16-byte digest + id, not the
+  document body).
+- ``minhash_near_dups``: shingle → per-band min-hash signature →
+  self-join on (band, signature). The self-join is an equi-join on the
+  band bucket, so candidate generation is O(pairs-in-bucket), never the
+  O(n^2) cross join. Verification (exact Jaccard) runs only on candidates.
+- ``simhash_buckets``: 16/32/64-bit simhash; near-dup candidates share a
+  band of the fingerprint.
+All hashing uses md5 (available and bit-identical in Spark and DuckDB, so
+every step stays oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _md5_i64(col: Column, salt: str = "") -> Column:
+    """Deterministic 63-bit integer hash via md5 hex prefix (engine-portable:
+    DuckDB reproduces it as ``('x' || substr(md5(...),1,15))::BIT``-free
+    arithmetic — we use conv of the first 15 hex chars, < 2^60)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def dedup_exact_by_key(
+    df: DataFrame, keys: Sequence[str], order: Sequence[Column]
+) -> DataFrame:
+    """Keep exactly one row per key, deterministically (first under
+    ``order``). ``dropDuplicates`` keeps an *arbitrary* row — fine for
+    idempotence, wrong for reproducible pipelines — so this is the
+    window-based formulation."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_exact_content(
+    df: DataFrame, content_col: str, id_col: str
+) -> DataFrame:
+    """Exact content dedup: group by md5(content), keep the lowest id.
+    Shuffles (digest, id) only — at 100 TB the document bodies never move;
+    the surviving ids are joined back (broadcast if small, shuffle
+    otherwise)."""
+    digests = df.select(
+        F.md5(F.col(content_col)).alias("__digest"), F.col(id_col)
+    )
+    keep = digests.groupBy("__digest").agg(F.min(id_col).alias(id_col))
+    return df.join(keep.select(id_col), on=id_col, how="left_semi")
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a whitespace-tokenized text column
+    (array<string>), via higher-order functions — stays in codegen."""
+    return _shingles_expr(F.split(F.trim(col), r"\s+"), n)
+
+
+def _shingles_expr(toks: Column, n: int) -> Column:
+    size = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(size - F.lit(n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, bands: int = 8
+) -> DataFrame:
+    """Per-document MinHash signature: one min-hash per band, each band
+    salting the shingle hash differently. Returns (id, band, sig)."""
+    sh = df.select(
+        F.col(id_col), F.explode(_shingles_expr(F.split(F.trim(F.col(text_col)), r"\s+"), n)).alias("__sh")
+    )
+    per_band = []
+    for b in range(bands):
+        per_band.append(
+            sh.groupBy(id_col)
+            .agg(F.min(_md5_i64(F.col("__sh"), salt=f"b{b}:")).alias("sig"))
+            .withColumn("band", F.lit(b))
+        )
+    out = per_band[0]
+    for other in per_band[1:]:
+        out = out.unionByName(other)
+    return out.select(id_col, "band", "sig")
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, bands: int = 8
+) -> DataFrame:
+    """Candidate near-dup pairs: documents sharing any (band, sig) bucket.
+    Equi self-join on the bucket — linear shuffle, no cross join."""
+    sigs = minhash_signatures(df, id_col, text_col, n=n, bands=bands)
+    a = sigs.select(F.col(id_col).alias("id_a"), "band", "sig")
+    b = sigs.select(F.col(id_col).alias("id_b"), "band", "sig")
+    return (
+        a.join(b, on=["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (verification stage).
+    Joins each side's distinct-shingle set sizes + intersection counts —
+    all equi-joins on document id / shingle."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                _shingles_expr(F.split(F.trim(F.col(text_col)), r"\s+"), n)
+            )
+        ).alias("sh"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a_sh = sh.select(F.col(id_col).alias("id_a"), F.col("sh"))
+    b_sh = sh.select(F.col(id_col).alias("id_b"), F.col("sh"))
+    inter = (
+        pairs.join(a_sh, on="id_a")
+        .join(b_sh, on=["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), on="id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+    )
+    return out.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint: per-token hash, majority vote per bit position.
+    Kept to ``bits`` <= 32 so the oracle SQL stays exact (bit extraction via
+    integer division, engine-portable)."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    )
+    hashed = toks.withColumn("h", _md5_i64(F.col("tok")))
+    bit_idx = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    per_bit = (
+        hashed.select(F.col(id_col), F.col("h"), bit_idx)
+        .withColumn(
+            "bitval",
+            ((F.col("h") / F.pow(F.lit(2.0), F.col("bit")).cast("bigint")).cast("bigint") % 2),
+        )
+        .groupBy(id_col, "bit")
+        .agg(
+            F.sum(F.when(F.col("bitval") == 1, 1).otherwise(-1)).alias("vote")
+        )
+        .withColumn(
+            "bit_on", F.when(F.col("vote") > 0, F.lit(1)).otherwise(F.lit(0))
+        )
+    )
+    return per_bit.groupBy(id_col).agg(
+        F.sum(
+            F.col("bit_on") * F.pow(F.lit(2.0), F.col("bit")).cast("bigint")
+        ).cast("bigint").alias("simhash")
+    )

@@ -1,0 +1,111 @@
+"""Join operators beyond plain equi-joins.
+
+The reference has no joins (SURVEY.md §2.3); these implement the
+engine-target surface of SURVEY.md §2.2. All are compositions of built-in
+DataFrame ops so Catalyst keeps planning freedom (broadcast vs shuffle,
+AQE skew splitting).
+
+Scale notes (100 TB posture):
+- ``asof_join`` shuffles both sides once on the equi-keys, then resolves
+  "latest right row ≤ left ts" with a window over the union — no
+  BroadcastNestedLoop, no per-left-row scan of the right side. Cost is
+  O(shuffle(L) + shuffle(R) + sort within key) which is the same order as a
+  sort-merge join.
+- ``range_join`` keeps the equi-key in the join condition so the planner
+  uses a hash/sort-merge join with the range as a residual filter; a pure
+  range (no equi-key) would be a nested-loop — callers must bucket first
+  (see ``bucketize_range``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    condition: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join on ``on`` with an extra non-equi ``condition`` residual.
+
+    Keeping at least one equi key means Catalyst plans a shuffled hash /
+    sort-merge join (scales linearly) instead of a nested loop.
+    """
+    cond = None
+    for k in on:
+        c = left[k] == right[k]
+        cond = c if cond is None else (cond & c)
+    cond = condition if cond is None else (cond & condition)
+    return left.join(right, cond, how)
+
+
+def bucketize_range(df: DataFrame, col: str, bucket_width: str | float) -> DataFrame:
+    """Add a ``__bucket`` column for banded range joins at scale: join on
+    bucket equality (plus neighbors) to turn a nested-loop range join into
+    an equi-join. Width should be >= the largest range span queried."""
+    if isinstance(bucket_width, str):
+        # interval strings for timestamps, e.g. "1 hour"
+        return df.withColumn(
+            "__bucket", F.window(F.col(col), bucket_width)["start"]
+        )
+    return df.withColumn("__bucket", F.floor(F.col(col) / F.lit(bucket_width)))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, attach the latest right row with the
+    same ``on`` keys and ``right_ts <= left_ts``.
+
+    Implemented as union + window (a single shuffle on ``on`` keys):
+    tag each side, union the key/ts columns, and carry right-side values
+    forward with ``last(..., ignorenulls=True)`` ordered by time. This is
+    the scalable formulation — both inputs shuffle exactly once on the join
+    keys, and the per-key work is a sort, identical to a sort-merge join.
+
+    Ties (right_ts == left_ts) take the right row, matching the
+    "state as of event time, inclusive" convention.
+    """
+    on = list(on)
+    right_cols = list(right_cols)
+
+    lhs = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+    for c in right_cols:
+        lhs = lhs.withColumn(c, F.lit(None))
+    rhs = right.select(
+        *[F.col(k) for k in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c) for c in right_cols],
+    )
+    left_payload = [c for c in left.columns]
+    lhs = lhs.select(*on, "__ts", "__side", *right_cols, *[c for c in left_payload if c not in on])
+    rhs = rhs.select(*on, "__ts", "__side", *right_cols, *[F.lit(None).alias(c) for c in left_payload if c not in on])
+
+    unioned = lhs.unionByName(rhs)
+    # right rows sort before left rows at equal ts => inclusive as-of
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned
+    for c in right_cols:
+        filled = filled.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    out = filled.filter(F.col("__side") == 1).drop("__side", "__ts")
+    if tolerance is not None:
+        raise NotImplementedError("tolerance not yet supported")
+    return out

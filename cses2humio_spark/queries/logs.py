@@ -1,0 +1,325 @@
+"""Log-analytics query surface over the ``events`` table — the Humio-class
+capabilities the reference *delegates* to Humio (SURVEY.md §2.2): free-text
+search, field extraction (JSON / regex), timechart, sessionization,
+string/date/conditional/cast functions.
+
+All narrow transforms here are map-side (no shuffle); aggregations shuffle
+only post-combine group rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cses2humio_spark.operators.aggregates import timechart, top_k
+from cses2humio_spark.operators.windows import sessionize
+from cses2humio_spark.queries.registry import query
+from cses2humio_spark.sources.catalog import load_table
+
+
+@query(
+    "timechart_errors",
+    oracle="""
+    SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_start,
+           COUNT(*) AS n_errors,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events WHERE event_type = 'error'
+    GROUP BY date_trunc('hour', ts)
+    """,
+)
+def timechart_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP (SURVEY.md §7.1): error-event timechart. Scan → pushed
+    filter → 1h tumbling window agg. The window key is derived map-side;
+    one shuffle of (bucket, partial agg)."""
+    ev = load_table(spark, sf_dir, "events")
+    return timechart(
+        ev.filter(F.col("event_type") == "error"),
+        ts_col="ts",
+        span="1 hour",
+        aggs=[
+            F.count(F.lit(1)).alias("n_errors"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        ],
+    )
+
+
+@query(
+    "timechart_sliding_by_type",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             to_timestamp(FLOOR(epoch(ts)/1800)*1800) AS b0, ts
+      FROM events
+    ), exploded AS (
+      SELECT event_type, UNNEST([b0, b0 - INTERVAL 30 MINUTE]) AS bucket
+      FROM b
+    )
+    SELECT CAST(FLOOR(epoch(bucket)) AS BIGINT) AS bucket_start,
+           event_type, COUNT(*) AS n
+    FROM exploded GROUP BY bucket, event_type
+    """,
+)
+def timechart_sliding_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window timechart (1h window, 30m slide, by dimension).
+    Spark expands each row into window/slide buckets map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    return timechart(
+        ev,
+        ts_col="ts",
+        span="1 hour",
+        slide="30 minutes",
+        dims=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n")],
+    )
+
+
+@query(
+    "free_text_search",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_hits
+    FROM documents
+    WHERE text LIKE '%spark%' AND regexp_matches(text, 'fast|slow')
+    GROUP BY lang
+    """,
+)
+def free_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Humio-style grep: substring + regex over the raw text. Both predicates
+    evaluate inside the scan stage (codegen'd), no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").contains("spark") & F.col("text").rlike("fast|slow"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+@query(
+    "regex_extract_histogram",
+    oracle=r"""
+    SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k_val,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def regex_extract_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Humio regex()/parse: capture-group extraction from the raw string."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1)
+            .cast("bigint")
+            .alias("k_val")
+        )
+        .groupBy("k_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "json_field_stats",
+    oracle=r"""
+    SELECT event_type,
+           CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def json_field_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction (Humio ``parseJson``) + agg. Spark side uses a
+    real JSON path (get_json_object); the oracle mirrors values via regex to
+    avoid DuckDB extension dependence — same extracted integers."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "map_field_access",
+    oracle=r"""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k_val
+    FROM events WHERE event_id < 100
+    """,
+)
+def map_field_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless access pattern: parse JSON into MAP<STRING,BIGINT> (the
+    engine's portable VariantType stand-in, SURVEY.md §7.5) and element_at
+    a key."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return ev.select(
+        "event_id", F.element_at(m, "k").alias("k_val")
+    )
+
+
+@query(
+    "string_funcs_showcase",
+    oracle="""
+    SELECT DISTINCT event_type,
+      upper(event_type) AS up, lower(event_type) AS lo,
+      length(event_type) AS len, substring(event_type, 1, 3) AS pre,
+      concat(event_type, ':', 'evt') AS tagged,
+      replace(event_type, 'e', '3') AS leet,
+      reverse(event_type) AS rev,
+      lpad(event_type, 10, '_') AS padded,
+      split_part(event_type, 'i', 1) AS first_seg
+    FROM events
+    """,
+)
+def string_funcs_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t = F.col("event_type")
+    return ev.select(
+        t.alias("event_type"),
+        F.upper(t).alias("up"),
+        F.lower(t).alias("lo"),
+        F.length(t).alias("len"),
+        F.substring(t, 1, 3).alias("pre"),
+        F.concat(t, F.lit(":"), F.lit("evt")).alias("tagged"),
+        F.replace(t, F.lit("e"), F.lit("3")).alias("leet"),
+        F.reverse(t).alias("rev"),
+        F.lpad(t, 10, "_").alias("padded"),
+        F.split_part(t, F.lit("i"), F.lit(1)).alias("first_seg"),
+    ).distinct()
+
+
+@query(
+    "datetime_breakdown",
+    oracle="""
+    SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hr, COUNT(*) AS n,
+           MIN(strftime(ts, '%Y-%m-%d')) AS first_date
+    FROM events GROUP BY 1, 2
+    """,
+)
+def datetime_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time extraction + bucketing (dow aligned to Spark's 1=Sunday)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.date_format("ts", "yyyy-MM-dd")).alias("first_date"),
+    )
+
+
+@query(
+    "case_value_bands",
+    oracle="""
+    SELECT event_type,
+      CASE WHEN value < 10 THEN 'low'
+           WHEN value < 50 THEN 'mid'
+           ELSE 'high' END AS band,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def case_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    band = (
+        F.when(F.col("value") < 10, "low")
+        .when(F.col("value") < 50, "mid")
+        .otherwise("high")
+    )
+    return ev.groupBy("event_type", band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "casts_and_trycasts",
+    oracle="""
+    SELECT event_id,
+      TRY_CAST(event_type AS BIGINT) AS bad_cast,
+      CAST(TRUNC(value) AS BIGINT) AS value_int,
+      CAST(value AS VARCHAR) AS value_str
+    FROM events WHERE event_id < 50
+    """,
+)
+def casts_and_trycasts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cast / try_cast semantics (try_cast -> NULL on failure; double->int
+    truncates toward zero in Spark, mirrored via TRUNC in the oracle)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 50)
+    return ev.select(
+        "event_id",
+        F.col("event_type").try_cast("bigint").alias("bad_cast"),
+        F.col("value").cast("bigint").alias("value_int"),
+        F.col("value").cast("string").alias("value_str"),
+    )
+
+
+@query(
+    "sessionize_users",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+        CASE WHEN LAG(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) — lag + cumulative-sum window, the
+    batch twin of streaming session_window."""
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, part_by=["user_id"], ts_col="ts", gap_seconds=1800)
+    return s.groupBy(
+        "user_id", F.col("session_id").cast("bigint").alias("session_id")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@query(
+    "token_explode_top20",
+    oracle="""
+    SELECT tok, COUNT(*) AS n
+    FROM (SELECT UNNEST(string_split_regex(trim(text), '\\s+')) AS tok FROM documents)
+    GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+    """,
+)
+def token_explode_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode + agg + deterministic global top-k (TakeOrdered)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    agg = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    return top_k(agg, [F.col("n").desc(), F.col("tok").asc()], 20)
+
+
+@query(
+    "array_funcs_docs",
+    oracle="""
+    SELECT doc_id,
+      len(string_split_regex(trim(text), '\\s+')) AS n_toks,
+      len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct,
+      array_to_string(string_split_regex(trim(text), '\\s+')[1:3], ' ') AS first3,
+      list_contains(string_split_regex(trim(text), '\\s+'), 'spark') AS has_spark
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def array_funcs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops: size / distinct / slice / join / contains over token
+    arrays, all higher-order-function built-ins."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+    )

@@ -1,0 +1,618 @@
+"""Relational query surface: scan/filter/project, joins (all shapes),
+aggregation, window functions, sort/limit/top-k, set ops, dedup
+(SURVEY.md §2.2). Every query has an exact DuckDB oracle.
+
+Scale notes per query are inline; the common posture: facts shuffle at most
+once per agg/join key, dimensions broadcast, top-k is TakeOrdered (no full
+sort), windows always partition by a high-cardinality key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cses2humio_spark.operators.aggregates import top_k
+from cses2humio_spark.operators.dedup import dedup_exact_by_key
+from cses2humio_spark.operators.joins import asof_join, range_join
+from cses2humio_spark.operators.windows import running_total, top_k_per_group
+from cses2humio_spark.queries._util import avg_exact, fmt_date, frac, money, sum_money
+from cses2humio_spark.queries.registry import query
+from cses2humio_spark.sources.catalog import load_table
+
+_DEC1 = 'CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))'
+
+
+# --- aggregation ---------------------------------------------------------
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM({_DEC1}) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM({_DEC1} * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → pushed-down filter → hash agg (partial+final).
+    Shuffle carries only (2 group keys x ~4 groups) after map-side combine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = money("l_extendedprice") * (one - frac("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
+            sum_money("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(disc_price * (one + frac("l_tax"))).cast("double").alias("sum_charge"),
+            avg_exact("l_quantity", "avg_qty"),
+            avg_exact("l_extendedprice", "avg_price"),
+            avg_exact("l_discount", "avg_disc", scale="decimal(3,2)"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "grouped_stats_orders",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+      COUNT(*) AS cnt,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(o_totalprice) AS avg_price,
+      MIN(o_totalprice) AS min_price,
+      MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderpriority, o_orderstatus
+    """,
+)
+def grouped_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            sum_money("o_totalprice", "sum_price"),
+            avg_exact("o_totalprice", "avg_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@query(
+    "rollup_returns",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: Spark expands to a union of grouping sets in one pass
+    (Expand operator) — still a single shuffle."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "cube_order_status",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "distinct_users_per_type",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct — Spark plans a two-stage partial-distinct agg."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "percentile_order_price",
+    oracle="""
+    SELECT o_orderpriority,
+      ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentile_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentile (matches DuckDB quantile_cont)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        )
+    )
+
+
+# --- joins ---------------------------------------------------------------
+
+@query(
+    "top_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+      CAST(SUM({_DEC1}) AS DOUBLE) AS revenue,
+      strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def top_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → agg → top-k.
+    customer is broadcast (under threshold); top-k is TakeOrdered."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-03-15 00:00:00"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-03-15 00:00:00"
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(money("l_extendedprice") * (one - frac("l_discount")))
+        .cast("double")
+        .alias("revenue")
+    )
+    return top_k(
+        agg, [F.col("revenue").desc(), F.col("l_orderkey").asc()], 10
+    ).select(
+        "l_orderkey",
+        "revenue",
+        fmt_date("o_orderdate", "orderdate"),
+        "o_orderpriority",
+    )
+
+
+@query(
+    "revenue_by_nation",
+    oracle=f"""
+    SELECT n_name, r_name,
+      CAST(SUM({_DEC1}) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact × 3 broadcast dims — zero fact-side shuffles before
+    the final agg; Catalyst collapses to one stage of broadcast hash joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.sum(money("l_extendedprice") * (one - frac("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "brand_revenue_broadcast",
+    oracle="""
+    SELECT p_brand,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS gross,
+      COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def brand_revenue_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            sum_money("l_extendedprice", "gross"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "customers_with_orders_semi",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment
+    """,
+)
+def customers_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "customers_without_orders_anti",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_customers
+    FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    GROUP BY c_nationkey
+    """,
+)
+def customers_without_orders_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "full_outer_nation_activity",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    j = cust.join(sup, on="nk", how="full_outer")
+    return j.select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "events_range_self_join",
+    oracle="""
+    SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def events_range_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join with an equi anchor (user_id): hash-partitioned join with
+    the time window as residual — linear shuffle, no nested loop."""
+    a = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"), F.col("ts").alias("ts_a"), F.col("event_type").alias("type_a")
+    )
+    b = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"), F.col("ts").alias("ts_b"), F.col("event_type").alias("type_b")
+    )
+    joined = range_join(
+        a,
+        b,
+        on=["user_id"],
+        condition=(F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
+    )
+    return joined.groupBy("type_a", "type_b").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "asof_latest_order",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey,
+             MAX(o_totalprice) AS o_totalprice
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ), j AS (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC) AS rn
+      FROM events e JOIN o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id, o_orderkey, o_totalprice
+    FROM j WHERE rn = 1
+    """,
+)
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the user's latest order at event time.
+    Union+window formulation — both sides shuffle once on user_id
+    (operators/joins.py:asof_join)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders")
+    # deterministic: one row per (custkey, orderdate) before the as-of
+    o = (
+        orders.groupBy(
+            F.col("o_custkey").alias("user_id"), F.col("o_orderdate")
+        )
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max("o_totalprice").alias("o_totalprice"),
+        )
+    )
+    out = asof_join(
+        ev,
+        o,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+    )
+    return out.filter(F.col("o_orderkey").isNotNull()).select(
+        "event_id", "user_id", "o_orderkey", "o_totalprice"
+    )
+
+
+# --- window functions ----------------------------------------------------
+
+@query(
+    "top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return top_k_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        part_by=["o_custkey"],
+        order=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    )
+
+
+@query(
+    "customer_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+           OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS running_total
+    FROM orders
+    """,
+)
+def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    out = running_total(
+        orders,
+        part_by=["o_custkey"],
+        order=[F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        value=money("o_totalprice"),
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("running_total").cast("double").alias("running_total"),
+    )
+
+
+@query(
+    "order_gap_days",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+      date_diff('day',
+        LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        o_orderdate) AS gap_days
+    FROM orders
+    """,
+)
+def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    prev = F.lag("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), prev).alias("gap_days"),
+    )
+
+
+@query(
+    "rank_parts_by_size",
+    oracle="""
+    SELECT p_brand, p_partkey, p_size,
+      RANK() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS size_rank,
+      DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS size_dense_rank,
+      NTILE(4) OVER (PARTITION BY p_brand ORDER BY p_size DESC, p_partkey) AS quartile
+    FROM part
+    """,
+)
+def rank_parts_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_size").desc())
+    wt = Window.partitionBy("p_brand").orderBy(
+        F.col("p_size").desc(), F.col("p_partkey").asc()
+    )
+    return part.select(
+        "p_brand",
+        "p_partkey",
+        "p_size",
+        F.rank().over(w).alias("size_rank"),
+        F.dense_rank().over(w).alias("size_dense_rank"),
+        F.ntile(4).over(wt).alias("quartile"),
+    )
+
+
+# --- sort / limit / set ops / dedup --------------------------------------
+
+@query(
+    "top20_orders_global",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def top20_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k → TakeOrderedAndProject: per-partition heap of 20, no
+    full sort even at 100 TB."""
+    return top_k(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        20,
+    )
+
+
+@query(
+    "setop_union_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.union(s).distinct()
+
+
+@query(
+    "setop_intersect_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@query(
+    "setop_except_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.subtract(s)  # EXCEPT (distinct) semantics
+
+
+@query(
+    "dedup_first_event",
+    oracle="""
+    SELECT user_id, event_type, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s FROM (
+      SELECT user_id, event_type, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact dedup (first row per key under a total order) —
+    the reproducible alternative to dropDuplicates."""
+    ev = load_table(spark, sf_dir, "events")
+    out = dedup_exact_by_key(
+        ev,
+        keys=["user_id", "event_type"],
+        order=[F.col("ts").asc(), F.col("event_id").asc()],
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_timestamp("ts").cast("bigint").alias("ts_s"),
+    )

@@ -1,0 +1,45 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default ``local[*]``),
+but every conf below is chosen for the 1000-executor / 100 TB posture:
+
+- AQE on (runtime partition coalescing, skew-join splitting, dynamic
+  join-strategy demotion) so plans re-optimize from real stats.
+- Broadcast threshold high enough that TPC-H-style dimension tables
+  (region/nation/supplier/part at any SF where they fit) broadcast instead
+  of shuffling the fact side.
+- Arrow enabled for the few Pandas-UDF code paths (vector math, stateful
+  streaming) so Python transfer is columnar, never per-row pickling.
+- Shuffle partitions sized for the local harness; on a real cluster this is
+  overridden (and AQE coalescing makes the initial number far less
+  critical than static Spark).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+
+def get_spark(app_name: str = "cses2humio_spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,60 @@
+"""Parquet table catalog over the driver-generated testdata directories.
+
+At 100 TB these tables would be partitioned parquet/iceberg datasets; the
+reads stay identical (``spark.read.parquet`` on a directory). Filters and
+column selections expressed downstream reach the scan via Catalyst
+pushdown — verified by ``plans/explain.py`` helpers.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Self-defending runtime confs: queries must produce identical results
+    # under ANY caller session (the driver builds its own SparkSession).
+    # UTC pins every tz-dependent function (unix_timestamp, date_format) to
+    # the oracle's tz-naive arithmetic.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by
+        # default; read it as int64 nanos and floor-truncate to microsecond
+        # timestamps (bit-identical to DuckDB's ns->us handling).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL surface."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

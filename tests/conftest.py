@@ -1,0 +1,14 @@
+from __future__ import annotations
+
+import pytest
+
+from cses2humio_spark.session import get_spark
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests")
+    yield s
