@@ -72,8 +72,11 @@ def shingles(col: Column, n: int = 3) -> Column:
 
 def _shingles_expr(toks: Column, n: int) -> Column:
     size = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(size - F.lit(n - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    idx = F.sequence(F.lit(1), size - F.lit(n - 1))
+    return F.when(
+        size >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_signatures(
@@ -84,17 +87,27 @@ def minhash_signatures(
     sh = df.select(
         F.col(id_col), F.explode(_shingles_expr(F.split(F.trim(F.col(text_col)), r"\s+"), n)).alias("__sh")
     )
-    per_band = []
-    for b in range(bands):
-        per_band.append(
-            sh.groupBy(id_col)
-            .agg(F.min(_md5_i64(F.col("__sh"), salt=f"b{b}:")).alias("sig"))
-            .withColumn("band", F.lit(b))
+    # one pass: explode the band dimension, hash (salt || shingle), min per
+    # (doc, band). Signatures are md5 hex strings — min over strings is
+    # portable (identical lexicographic order in any engine).
+    banded = sh.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        F.col("__sh"),
+    )
+    return (
+        banded.groupBy(id_col, "band")
+        .agg(
+            F.min(
+                F.md5(
+                    F.concat(
+                        F.lit("b"), F.col("band").cast("string"), F.lit(":"), F.col("__sh")
+                    )
+                )
+            ).alias("sig")
         )
-    out = per_band[0]
-    for other in per_band[1:]:
-        out = out.unionByName(other)
-    return out.select(id_col, "band", "sig")
+        .select(id_col, "band", "sig")
+    )
 
 
 def minhash_candidate_pairs(
@@ -156,30 +169,36 @@ def jaccard_pairs(
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
-    """SimHash fingerprint: per-token hash, majority vote per bit position.
-    Kept to ``bits`` <= 32 so the oracle SQL stays exact (bit extraction via
-    integer division, engine-portable)."""
+    """SimHash fingerprint: per-token md5, majority vote per bit position.
+
+    Bits come straight off the md5 hex digits (4 bits per digit, extracted
+    with integer shifts) — pure integer arithmetic, bit-identical in any
+    engine, so the whole operator is oracle-checkable. ``bits`` <= 32.
+    """
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
     )
-    hashed = toks.withColumn("h", _md5_i64(F.col("tok")))
+    hashed = toks.withColumn("hx", F.md5(F.col("tok")))
     bit_idx = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    # hex digit for bit i is char (i div 4) of the md5 (1-indexed); the bit
+    # within the digit is (i mod 4); digit value = position in hex alphabet
     per_bit = (
-        hashed.select(F.col(id_col), F.col("h"), bit_idx)
+        hashed.select(F.col(id_col), F.col("hx"), bit_idx)
         .withColumn(
-            "bitval",
-            ((F.col("h") / F.pow(F.lit(2.0), F.col("bit")).cast("bigint")).cast("bigint") % 2),
+            "hv",
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(F.col("hx"), F.expr("(bit div 4) + 1").cast("int"), 1),
+            )
+            - F.lit(1),
         )
+        .withColumn("bitval", F.expr("(hv >> (bit % 4)) & 1"))
         .groupBy(id_col, "bit")
-        .agg(
-            F.sum(F.when(F.col("bitval") == 1, 1).otherwise(-1)).alias("vote")
-        )
-        .withColumn(
-            "bit_on", F.when(F.col("vote") > 0, F.lit(1)).otherwise(F.lit(0))
-        )
+        .agg(F.sum(F.when(F.col("bitval") == 1, 1).otherwise(-1)).alias("vote"))
+        .withColumn("bit_on", F.when(F.col("vote") > 0, F.lit(1)).otherwise(F.lit(0)))
     )
     return per_bit.groupBy(id_col).agg(
-        F.sum(
-            F.col("bit_on") * F.pow(F.lit(2.0), F.col("bit")).cast("bigint")
-        ).cast("bigint").alias("simhash")
+        F.sum(F.col("bit_on").cast("bigint") * F.expr("cast(1 as bigint) << bit"))
+        .cast("bigint")
+        .alias("simhash")
     )

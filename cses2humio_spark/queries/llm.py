@@ -1,1 +1,378 @@
-"""placeholder — populated in a later milestone."""
+"""LLM-training-data pipeline queries (SURVEY.md §2.2 extensions):
+dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard), similarity search
+over embeddings, text analysis (token stats, quality, language-ID,
+fingerprinting), TF-IDF.
+
+Every operator here is deterministic and (unless noted) has an exact DuckDB
+oracle — including the hash-based ones, because signatures are md5 (hex
+string) and bit extraction is integer arithmetic, identical in both
+engines. Cosine oracles mirror Spark's left-to-right double fold with
+DuckDB list_reduce (verified bit-exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cses2humio_spark.functions.text import (
+    STOPWORDS,
+    bpe_ish_token_count,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+from cses2humio_spark.functions.vectors import l2_norm
+from cses2humio_spark.operators.dedup import (
+    dedup_exact_content,
+    jaccard_pairs,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from cses2humio_spark.operators.similarity import cosine_topk_bruteforce, lsh_topk
+from cses2humio_spark.queries.registry import query
+from cses2humio_spark.sources.catalog import load_table
+
+# ---- shared SQL fragments (keep oracle text in lockstep with operators) --
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+_SHINGLES_CTE = f"""
+t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
+       FROM t, UNNEST(generate_series(1, len(toks)-2)) AS u(i)
+       WHERE len(toks) >= 3)
+"""
+_SIG_CTE = (
+    _SHINGLES_CTE
+    + """,
+sig AS (SELECT doc_id, band, MIN(md5('b' || band || ':' || sh)) AS sig
+        FROM sh, (SELECT UNNEST(generate_series(0,7)) AS band) b
+        GROUP BY doc_id, band)
+"""
+)
+_CAND_CTE = (
+    _SIG_CTE
+    + """,
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+                               AND a.doc_id < b.doc_id)
+"""
+)
+
+_DOUBLE_VEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+_FOLD_SUM = "list_reduce({expr}, (a, b) -> a + b)"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return _FOLD_SUM.format(expr=f"list_transform(generate_series(1, len({a})), i -> {a}[i]*{b}[i])")
+
+
+def _norm_sql(v: str) -> str:
+    return f"sqrt({_FOLD_SUM.format(expr=f'list_transform({v}, x -> x*x)')})"
+
+
+# ---- text analysis ------------------------------------------------------
+
+@query(
+    "doc_token_stats",
+    oracle=rf"""
+    SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+      SUM(len({_TOKS})) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens,
+      CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+        AS total_bpe_ish,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) aggregated per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(t)).cast("bigint").alias("total_tokens"),
+        (F.sum(token_count(t)) / F.count(F.lit(1)).cast("double")).alias("avg_tokens"),
+        F.sum(bpe_ish_token_count(t)).cast("bigint").alias("total_bpe_ish"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@query(
+    "doc_quality_scores",
+    oracle=rf"""
+    SELECT doc_id,
+      ROUND(
+        0.4 * least(len({_TOKS}) / 200.0, 1.0)
+        + 0.3 * (1.0 - length(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g'))
+                        / greatest(CAST(length(text) AS DOUBLE), 1.0))
+        + 0.3 * (len(list_distinct({_TOKS}))
+                 / greatest(CAST(len({_TOKS}) AS DOUBLE), 1.0)),
+      6) AS quality
+    FROM documents
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic (length / punctuation / diversity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def _lang_ratio_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter({_TOKS}, x -> list_contains([{words}], x)))"
+        f" / CAST(greatest(len({_TOKS}), 1) AS DOUBLE)"
+    )
+
+
+def _lang_pred_sql() -> str:
+    langs = sorted(STOPWORDS)
+    ratios = {lg: f"r_{lg}" for lg in langs}
+    all_r = ", ".join(ratios.values())
+    # mirror functions/text.py:language_id — strict > scan in sorted order
+    # means the EARLIEST lang holding the max wins; all-zero -> 'und'
+    cases = []
+    for i, lg in enumerate(langs):
+        later = [ratios[o] for o in langs[i + 1 :]]
+        cond = " AND ".join(f"{ratios[lg]} >= {o}" for o in later) or "TRUE"
+        cases.append(f"WHEN {cond} THEN '{lg}'")
+    return (
+        f"CASE WHEN greatest({all_r}) <= 0 THEN 'und' "
+        + " ".join(cases[:-1])
+        + f" ELSE '{langs[-1]}' END"
+    )
+
+
+@query(
+    "language_id_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang, {", ".join(f"{_lang_ratio_sql(lg)} AS r_{lg}" for lg in sorted(STOPWORDS))}
+      FROM documents
+    )
+    SELECT lang, {_lang_pred_sql()} AS pred_lang, COUNT(*) AS n
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID vs the labeled lang — confusion-matrix counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", language_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle=r"""
+    SELECT doc_id,
+      md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# ---- dedup --------------------------------------------------------------
+
+@query(
+    "exact_dedup_survivors",
+    oracle="""
+    SELECT d.doc_id, d.source FROM documents d
+    JOIN (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+      ON d.doc_id = k.doc_id
+    """,
+)
+def exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: min doc_id per content digest survives. The
+    shuffle carries (digest, id) only — bodies never move."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact_content(docs, "text", "doc_id").select("doc_id", "source")
+
+
+@query(
+    "minhash_band_signatures",
+    oracle=f"WITH {_SIG_CTE} SELECT doc_id, band, sig FROM sig WHERE doc_id < 50",
+)
+def minhash_band_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature matrix (8 bands, 3-gram shingles, md5 min-hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs, "doc_id", "text", n=3, bands=8).filter(
+        F.col("doc_id") < 50
+    )
+
+
+@query(
+    "minhash_candidates",
+    oracle=f"WITH {_CAND_CTE} SELECT id_a, id_b FROM cand",
+)
+def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: near-dup candidate pairs share a (band, signature)
+    bucket — equi self-join, no O(n^2) cross product."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(docs, "doc_id", "text", n=3, bands=8)
+
+
+@query(
+    "jaccard_near_dups",
+    oracle=f"""
+    WITH {_CAND_CTE},
+    dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY 1),
+    inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+              FROM cand c
+              JOIN dsh a ON a.doc_id = c.id_a
+              JOIN dsh b ON b.doc_id = c.id_b AND b.sh = a.sh
+              GROUP BY 1, 2)
+    SELECT i.id_a, i.id_b,
+           ROUND(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
+    """,
+)
+def jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: MinHash candidates -> exact shingle Jaccard
+    verification -> threshold. Verification cost is O(candidates), not
+    O(n^2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = minhash_candidate_pairs(docs, "doc_id", "text", n=3, bands=8)
+    j = jaccard_pairs(docs, cands, "doc_id", "text", n=3)
+    return j.filter(
+        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")) >= 0.5
+    ).select("id_a", "id_b", "jaccard")
+
+
+@query(
+    "simhash_fingerprints",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+                  FROM documents),
+    h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+    bits AS (SELECT doc_id, hx, UNNEST(generate_series(0, 15)) AS bit FROM h),
+    v AS (SELECT doc_id, bit,
+            SUM(CASE WHEN ((strpos('0123456789abcdef', substr(hx, (bit // 4) + 1, 1)) - 1)
+                           >> (bit % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM bits GROUP BY 1, 2)
+    SELECT doc_id,
+      CAST(SUM(CASE WHEN vote > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
+    FROM v GROUP BY doc_id
+    """,
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (majority vote over token-hash bits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", bits=16)
+
+
+# ---- similarity search --------------------------------------------------
+
+@query(
+    "cosine_topk",
+    oracle=f"""
+    WITH p AS (SELECT vec_id AS probe_id, {_DOUBLE_VEC} AS pv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, {_DOUBLE_VEC} AS cv FROM embeddings),
+    scored AS (
+      SELECT probe_id, vec_id,
+             ROUND({_dot_sql('cv', 'pv')}
+                   / ({_norm_sql('cv')} * {_norm_sql('pv')}), 6) AS cos_sim
+      FROM p, c
+    ), ranked AS (
+      SELECT probe_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT probe_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for 10 probe vectors. Probes
+    broadcast; corpus streams once; fold order mirrors the oracle's
+    list_reduce (verified bit-exact)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding")
+    )
+    return cosine_topk_bruteforce(emb, probes, k=5)
+
+
+@query("cosine_topk_lsh")  # approximate (recall < 1) -> rows-only check
+def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k — the 100 TB scale path: candidates
+    share a random-hyperplane signature; exact re-rank inside buckets.
+    Deterministic but approximate, so no SQL oracle (driver rows-only)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding")
+    )
+    return lsh_topk(emb, probes, k=5, dim=64, n_planes=8)
+
+
+@query(
+    "embedding_norms_by_label",
+    oracle=f"""
+    WITH e AS (SELECT label, {_norm_sql(_DOUBLE_VEC)} AS nrm FROM embeddings)
+    SELECT label, COUNT(*) AS n, ROUND(MIN(nrm), 6) AS min_norm,
+           ROUND(MAX(nrm), 6) AS max_norm
+    FROM e GROUP BY label
+    """,
+)
+def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", l2_norm(F.col("embedding")).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
+
+
+@query(
+    "tfidf_top50",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, UNNEST({_TOKS}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             ROUND(tf * ln(n_docs / CAST(df AS DOUBLE)), 6) AS tfidf
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf FROM scored
+    ORDER BY tfidf DESC, doc_id, tok LIMIT 50
+    """,
+)
+def tfidf_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF via explode + two aggregations + broadcast of the (small)
+    document-frequency table; global top-50 is TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df_), on="tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")), 6
+        ).alias("tfidf"),
+    )
+    return scored.orderBy(
+        F.col("tfidf").desc(), F.col("doc_id").asc(), F.col("tok").asc()
+    ).limit(50)
