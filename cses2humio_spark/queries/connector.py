@@ -1,1 +1,159 @@
-"""placeholder — populated in a later milestone."""
+"""Driver-visible connector queries: the enrichment pipeline (SURVEY.md
+§2.1 R4-R8) exercised batch-mode over deterministic NDJSON synthesized
+in-query from events.parquet. Because the JSON is built from base columns,
+the DuckDB oracle recomputes expected envelopes directly from those columns
+— no JSON support needed oracle-side, yet the Spark side runs the REAL
+parse_events/enrich_events path used by the streaming pipeline.
+
+Streaming mechanics (micro-batch, checkpoint resume, watermark dedup,
+session windows) are non-SQL-expressible; they are covered by
+tests/test_streaming.py and the rows-only ``streaming_pipeline_demo``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cses2humio_spark.queries.registry import query
+from cses2humio_spark.sources.catalog import load_table
+from cses2humio_spark.streaming.pipeline import enrich_events, parse_events
+
+
+def _synth_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Falcon-shaped NDJSON lines from events.parquet:
+    offset=event_id, eventCreationTime=epoch-ms(ts), payload carries
+    user_id/value plus an AuditKeyValues list that collides with payload
+    key 'vt' (exercises last-wins) and lifts k from props."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    payload = F.struct(
+        F.col("user_id"),
+        F.col("value").alias("vt"),
+        F.array(
+            F.struct(F.lit("vt").alias("Key"), F.lit("override").alias("ValueString")),
+            F.struct(
+                F.lit("k_lifted").alias("Key"),
+                F.get_json_object(F.col("props"), "$.k").alias("ValueString"),
+            ),
+        ).alias("AuditKeyValues"),
+    )
+    line = F.to_json(
+        F.struct(
+            F.struct(
+                F.col("event_id").alias("offset"),
+                F.unix_millis(F.col("ts")).alias("eventCreationTime"),
+                F.col("event_type").alias("eventType"),
+            ).alias("metadata"),
+            payload.alias("event"),
+        )
+    )
+    return ev.select(line.alias("value"))
+
+
+@query(
+    "connector_enrich_envelope",
+    oracle=r"""
+    SELECT event_id AS offset,
+           epoch_ms(ts) AS timestamp,
+           event_type AS eventType,
+           CAST(user_id AS VARCHAR) AS user_id_str,
+           'override' AS vt,
+           regexp_extract(props, '"k":\s*(\d+)', 1) AS k_lifted
+    FROM events WHERE event_id < 1000
+    """,
+)
+def connector_enrich_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4-R7 through the real pipeline: parse -> envelope -> KV flatten
+    (last-wins 'override' beats payload 'vt'; values stringly)."""
+    enveloped = enrich_events(parse_events(_synth_lines(spark, sf_dir)))
+    ev = F.col("attributes.event")
+    return enveloped.select(
+        F.col("attributes.metadata.offset").alias("offset"),
+        F.col("timestamp"),
+        F.col("attributes.metadata.eventType").alias("eventType"),
+        ev["user_id"].alias("user_id_str"),
+        ev["vt"].alias("vt"),
+        ev["k_lifted"].alias("k_lifted"),
+    )
+
+
+@query(
+    "connector_static_metadata",
+    oracle="""
+    SELECT COUNT(*) AS n, 'h1' AS host, 's1' AS stream
+    FROM events WHERE event_id < 1000
+    """,
+)
+def connector_static_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8: constant-column enrichment (@host/@stream, app.py:129-130)."""
+    enveloped = enrich_events(
+        parse_events(_synth_lines(spark, sf_dir)),
+        app_id="s1",
+        with_metadata=True,
+        host="h1",
+    )
+    return enveloped.groupBy(
+        F.col("attributes.@host").alias("host"),
+        F.col("attributes.@stream").alias("stream"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "connector_malformed_drop_rate",
+    oracle="""
+    SELECT COUNT(*) AS n_parsed,
+           CAST(MAX(event_id) AS BIGINT) AS max_offset
+    FROM events WHERE event_id < 1000 AND event_id % 7 != 0
+    """,
+)
+def connector_malformed_drop_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 + invariant 2: corrupt every 7th line; parsed count and max
+    committable offset must come from surviving records only."""
+    lines = _synth_lines(spark, sf_dir)
+    off = F.get_json_object(F.col("value"), "$.metadata.offset").cast("bigint")
+    corrupted = lines.select(
+        F.when(off % 7 == 0, F.substring(F.col("value"), 1, 20))
+        .otherwise(F.col("value"))
+        .alias("value")
+    )
+    parsed = parse_events(corrupted)
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_parsed"),
+        F.max("metadata.offset").alias("max_offset"),
+    )
+
+
+@query("streaming_pipeline_demo")  # streaming mechanics -> rows-only check
+def streaming_pipeline_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Structured Streaming run (file source -> parse -> enrich
+    -> memory sink) over a small synthesized NDJSON drop dir. Returns the
+    enveloped rows; non-SQL-expressible (micro-batch/checkpoint mechanics),
+    so the driver records a rows-only check."""
+    lines = _synth_lines(spark, sf_dir).limit(200).collect()
+    tmpdir = tempfile.mkdtemp(prefix="sgraft_stream_")
+    src = os.path.join(tmpdir, "src")
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "a.ndjson"), "w") as f:
+        f.write("\n".join(r.value for r in lines) + "\n")
+
+    from cses2humio_spark.sources.event_source import ndjson_stream
+
+    enveloped = enrich_events(parse_events(ndjson_stream(spark, src)))
+    name = "streaming_pipeline_demo_sink"
+    q = (
+        enveloped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(
+        f"SELECT timestamp, rawstring, attributes.metadata.offset AS offset "
+        f"FROM {name}"
+    )

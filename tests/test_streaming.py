@@ -1,0 +1,199 @@
+"""Streaming mechanics: micro-batching, sink chunking (bulk_max_size),
+checkpoint resume (at-least-once, no reprocessing), replay dedup
+(SURVEY.md §2.1 R9-R12, invariant 5; §7.3 kill/restart test)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from cses2humio_spark.sources.event_source import ndjson_stream
+from cses2humio_spark.streaming.pipeline import (
+    enrich_events,
+    parse_events,
+    run_pipeline,
+    with_replay_dedup,
+)
+from cses2humio_spark.streaming.sinks import chunked_sink
+
+
+def _write_lines(path: str, lines: list[str]) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.rename(tmp, path)
+
+
+def _mk_lines(offsets, partition=0):
+    return [
+        json.dumps(
+            {
+                "metadata": {"offset": o, "eventCreationTime": 1723500000000 + o},
+                "event": {"n": o},
+            }
+        )
+        for o in offsets
+    ]
+
+
+def _spooled(spool):
+    out = []
+    for p in sorted(glob.glob(os.path.join(spool, "*.json"))):
+        with open(p) as f:
+            out.append(json.load(f))
+    return out
+
+
+def test_stream_end_to_end_chunked(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    spool = str(tmp_path / "spool")
+    ckpt = str(tmp_path / "ckpt")
+    _write_lines(str(src / "a.ndjson"), _mk_lines(range(25)))
+
+    q = run_pipeline(
+        ndjson_stream(spark, str(src)),
+        sink=chunked_sink(spool, bulk_max_size=10),
+        checkpoint_dir=ckpt,
+        app_id="t",
+        host="h",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    posts = _spooled(spool)
+    events = [e for p in posts for e in p["body"][0]["events"]]
+    assert len(events) == 25
+    # R9: no POST exceeds bulk_max_size
+    assert max(len(p["body"][0]["events"]) for p in posts) <= 10
+    offs = sorted(e["attributes"]["metadata"]["offset"] for e in events)
+    assert offs == list(range(25))
+    # envelope fields present end-to-end
+    assert all(e["attributes"]["@stream"] == "t" for e in events)
+
+
+def test_checkpoint_resume_no_reprocessing(spark, tmp_path):
+    """Kill/restart (SURVEY §7.3): after restart with the same checkpoint,
+    only NEW files are processed — offsets resume, old data not re-posted."""
+    src = tmp_path / "src"
+    src.mkdir()
+    spool = str(tmp_path / "spool")
+    ckpt = str(tmp_path / "ckpt")
+    _write_lines(str(src / "a.ndjson"), _mk_lines(range(10)))
+
+    def start():
+        return run_pipeline(
+            ndjson_stream(spark, str(src)),
+            sink=chunked_sink(spool, bulk_max_size=200),
+            checkpoint_dir=ckpt,
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    n_after_first = len(_spooled(spool))
+
+    _write_lines(str(src / "b.ndjson"), _mk_lines(range(10, 15)))
+    q = start()  # fresh query object, same checkpoint = process restart
+    q.processAllAvailable()
+    q.stop()
+
+    posts = _spooled(spool)
+    events = [e for p in posts for e in p["body"][0]["events"]]
+    offs = sorted(e["attributes"]["metadata"]["offset"] for e in events)
+    # at-least-once with NO duplicate deliveries on clean restart, and the
+    # second run posted only the new file's 5 events
+    assert offs == list(range(15))
+    assert len(posts) == n_after_first + 1
+
+
+def test_malformed_mid_stream_does_not_block(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    spool = str(tmp_path / "spool")
+    good = _mk_lines([0, 1])
+    lines = [good[0], '{"metadata": {"offset": 99, "bad', good[1]]
+    _write_lines(str(src / "a.ndjson"), lines)
+    q = run_pipeline(
+        ndjson_stream(spark, str(src)),
+        sink=chunked_sink(spool),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    events = [e for p in _spooled(spool) for e in p["body"][0]["events"]]
+    assert sorted(e["attributes"]["metadata"]["offset"] for e in events) == [0, 1]
+
+
+def test_replay_dedup_within_watermark(spark, tmp_path):
+    """Invariant 5: duplicate (partition, offset) deliveries — the
+    reference's retry artifact — are removed by
+    dropDuplicatesWithinWatermark."""
+    src = tmp_path / "src"
+    src.mkdir()
+    # same offsets delivered twice (two files = two deliveries)
+    _write_lines(str(src / "a.ndjson"), _mk_lines([1, 2, 3]))
+    _write_lines(str(src / "b.ndjson"), _mk_lines([2, 3, 4]))
+
+    lines = ndjson_stream(spark, str(src))
+    enveloped = enrich_events(parse_events(lines.withColumn("partition", F.lit(0))))
+    deduped = with_replay_dedup(enveloped)
+
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select attributes.metadata.offset as o from dedup_test").collect()
+    offs = sorted(r.o for r in rows)
+    assert offs == [1, 2, 3, 4], f"duplicates survived: {offs}"
+
+
+def test_session_window_agg_streaming(spark, tmp_path):
+    """Streaming session-window aggregation (SURVEY §2.2 streaming-only):
+    gap-based sessions per user over event-time with watermark."""
+    src = tmp_path / "src"
+    src.mkdir()
+    base = 1723500000000
+    lines = []
+    for u, offs in {1: [0, 10, 2000], 2: [5, 8]}.items():  # ms gaps
+        for i, ms in enumerate(offs):
+            lines.append(
+                json.dumps(
+                    {
+                        "metadata": {"offset": u * 100 + i, "eventCreationTime": base + ms * 1000},
+                        "event": {"user": str(u)},
+                    }
+                )
+            )
+    _write_lines(str(src / "a.ndjson"), lines)
+
+    enveloped = enrich_events(parse_events(ndjson_stream(spark, str(src))))
+    sessions = (
+        enveloped.withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
+        .withColumn("user", F.col("attributes.event")["user"])
+        .withWatermark("event_time", "1 minute")
+        .groupBy(F.session_window("event_time", "5 minutes"), F.col("user"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select user, n from sess_test order by user, n").collect()
+    got = [(r.user, r.n) for r in rows]
+    # user 1: events at +0s,+10s (one session) and +2000s (second session);
+    # user 2: both events in one session
+    assert got == [("1", 1), ("1", 2), ("2", 2)], got
