@@ -1,0 +1,56 @@
+"""The UDF/UDAF/UDTF surface (SURVEY.md §2.2) — used ONLY where built-ins
+can't express the semantics, always Arrow-batched (pandas_udf), never
+row-at-a-time Python.
+
+This module is imported by executor Python workers (UDTF classes pickle by
+reference), so it must stay side-effect-free: UDF objects are built by
+factory functions, never at module import time.
+
+Determinism discipline for oracle-checked UDAFs: accumulate in integers
+(money scaled ×100) so results are independent of pandas' visit order —
+the same rule the decimal-sum helpers follow JVM-side.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def weighted_mean_cents():
+    """Grouped-agg pandas UDF factory: weight-averaged 2-decimal value.
+    Scaling to integer cents makes the sum exact in any visit order; one
+    double division at the end."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _wmean(value: pd.Series, weight: pd.Series) -> float:  # type: ignore[misc]
+        cents = (value * 100).round().astype("int64")
+        w = weight.astype("int64")
+        tw = int(w.sum())
+        if tw == 0:
+            return float("nan")
+        return float((cents * w).sum()) / (100.0 * tw)
+
+    return _wmean
+
+
+def token_stats_udtf_class():
+    """Python UDTF (Spark 3.5+): one input row (doc_id, text) -> one row
+    per distinct token with its count. The class is defined INSIDE this
+    factory so cloudpickle serializes it by value — executor workers never
+    import this package (see streaming/sinks.py for the same rule).
+
+    The UDTF shape exists for extensibility parity; production token stats
+    use explode+groupBy (queries/logs.py:token_explode_top20), JVM-side."""
+
+    class TokenStatsUDTF:
+        def eval(self, doc_id: int, text: str):
+            if text is None:
+                return
+            counts: dict[str, int] = {}
+            for tok in text.strip().split():
+                counts[tok] = counts.get(tok, 0) + 1
+            for tok in sorted(counts):
+                yield doc_id, tok, counts[tok]
+
+    return TokenStatsUDTF

@@ -1,0 +1,89 @@
+"""Physical-plan assertions — the 100 TB design contract, machine-checked.
+
+Correctness says a query returns the right rows at sf0.01; these assertions
+say it would still be the right PLAN at 1000 executors:
+
+- filters reach the parquet scan (``PushedFilters``) — a scan that filters
+  post-read ships 100 TB to filter 1 GB;
+- projections prune the read schema (``ReadSchema``) — wide-table scans
+  that read every column pay full I/O for 2-column queries;
+- dimension joins broadcast (``BroadcastHashJoin``) — a shuffled fact side
+  is the single most expensive accident at scale;
+- aggregations partial-aggregate map-side (``partial_``/HashAggregate
+  before the exchange) — shuffle bytes proportional to groups, not rows;
+- global top-k is ``TakeOrderedAndProject`` — no full sort;
+- and nothing degenerates into a cartesian/nested-loop product.
+
+Used by tests/test_plans.py over the registered queries.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _plan(df: DataFrame) -> str:
+    try:
+        return formatted_plan(df)
+    except Exception:  # noqa: BLE001 - fall back to the public API
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+
+def assert_pushed_filters(df: DataFrame, *fragments: str) -> None:
+    plan = _plan(df)
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    for frag in fragments:
+        assert frag in pushed, f"filter {frag!r} not pushed to scan; pushed={pushed!r}"
+
+
+def assert_pruned_schema(df: DataFrame, table_hint: str, max_cols: int) -> None:
+    """The scan whose ReadSchema mentions ``table_hint`` must read at most
+    ``max_cols`` columns."""
+    plan = _plan(df)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, f"no ReadSchema found in plan:\n{plan}"
+    for s in schemas:
+        if table_hint in s:
+            ncols = len([c for c in s.split(",") if ":" in c])
+            assert ncols <= max_cols, (
+                f"scan reads {ncols} cols (> {max_cols}): {s}"
+            )
+            return
+    raise AssertionError(f"no scan with column {table_hint!r} in plan")
+
+
+def assert_broadcast_join(df: DataFrame, at_least: int = 1) -> None:
+    plan = _plan(df)
+    n = plan.count("BroadcastHashJoin")
+    assert n >= at_least, f"expected >= {at_least} BroadcastHashJoin, got {n}"
+
+
+def assert_no_cartesian(df: DataFrame) -> None:
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, "plan contains CartesianProduct"
+
+
+def assert_partial_aggregation(df: DataFrame) -> None:
+    """Map-side combine: a HashAggregate with partial functions must appear
+    (Spark prints partial_<fn> in the functions list)."""
+    plan = _plan(df)
+    assert re.search(r"partial_\w+", plan), f"no partial aggregation in plan:\n{plan[:2000]}"
+
+
+def assert_take_ordered(df: DataFrame) -> None:
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, "global top-k did not plan as TakeOrderedAndProject"

@@ -376,3 +376,126 @@ def tfidf_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("tfidf").desc(), F.col("doc_id").asc(), F.col("tok").asc()
     ).limit(50)
+
+
+# ---- multimodal columns -------------------------------------------------
+
+@query(
+    "multimodal_decode_features",
+    oracle="""
+    SELECT doc_id,
+      ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      CAST(length(text) AS BIGINT) AS n_chars,
+      CAST(unicode(text) AS BIGINT) AS first_code,
+      CAST(list_sum(list_transform(generate_series(1, length(text)),
+                                   i -> unicode(text[i]))) % 997 AS BIGINT)
+        AS char_checksum
+    FROM documents
+    """,
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column -> Arrow-batched mapInPandas decode/feature
+    extraction (operators/multimodal.py). The 'decode' is the deterministic
+    fake codec; the Spark plumbing (binary schema, repartition, batch
+    iterator) is the real production shape."""
+    from cses2humio_spark.operators.multimodal import (
+        decode_media,
+        repartition_for_media,
+        synthesize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = repartition_for_media(synthesize_media(docs), 8)
+    return decode_media(media)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH m AS (SELECT doc_id,
+                 ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+                 octet_length(encode(text)) AS n_bytes
+               FROM documents),
+    f AS (SELECT doc_id, media_type,
+                 UNNEST(generate_series(0, greatest(n_bytes - 1, 0), 64)) AS byte_offset
+          FROM m)
+    SELECT doc_id, media_type,
+           CAST(byte_offset // 64 AS INT) AS frame_idx,
+           CAST(byte_offset AS INT) AS byte_offset
+    FROM f WHERE media_type = 'video'
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling shape: 1 media row -> N frame rows (posexplode over
+    computed offsets); the decode-at-offset step is where a real video
+    codec plugs in."""
+    from cses2humio_spark.operators.multimodal import frame_sample, synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs).filter(F.col("media_type") == "video")
+    out = frame_sample(media, every_n_bytes=64)
+    return out.select(
+        "doc_id",
+        "media_type",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("byte_offset").cast("int").alias("byte_offset"),
+    )
+
+
+# ---- UDF / UDAF / UDTF surface ------------------------------------------
+
+@query(
+    "udaf_weighted_value",
+    oracle=r"""
+    SELECT event_type,
+      CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
+               * CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS DOUBLE)
+        / (100.0 * CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS DOUBLE))
+        AS wmean
+    FROM events GROUP BY event_type
+    """,
+)
+def udaf_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (Arrow-batched UDAF): k-weighted mean of
+    value. Integer-cents accumulation keeps it order-independent, so the
+    oracle can reproduce it exactly."""
+    from cses2humio_spark.functions.udfs import weighted_mean_cents
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    wmean = weighted_mean_cents()
+    return (
+        ev.select("event_type", "value", k.alias("k"))
+        .groupBy("event_type")
+        .agg(wmean(F.col("value"), F.col("k")).alias("wmean"))
+    )
+
+
+@query(
+    "udtf_token_stats",
+    oracle=r"""
+    SELECT doc_id, tok, COUNT(*) AS cnt
+    FROM (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+          FROM documents WHERE doc_id < 20)
+    GROUP BY doc_id, tok
+    """,
+)
+def udtf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) surface: one row in -> token rows out,
+    joined laterally. Exists for extensibility parity — the JVM-side
+    equivalent (token_explode_top20) is the production path."""
+    from pyspark.sql.functions import udtf
+
+    from cses2humio_spark.functions.udfs import token_stats_udtf_class
+
+    token_stats = udtf(
+        token_stats_udtf_class(), returnType="doc_id bigint, tok string, cnt bigint"
+    )
+    spark.udtf.register("token_stats", token_stats)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    docs.createOrReplaceTempView("udtf_docs_in")
+    return spark.sql(
+        "SELECT t.doc_id, t.tok, t.cnt "
+        "FROM udtf_docs_in, LATERAL token_stats(doc_id, text) t"
+    )

@@ -1,0 +1,62 @@
+"""Custom stateful per-key streaming operators (SURVEY.md §2.2
+"stateful per-key processing") via ``applyInPandasWithState``.
+
+``running_user_totals`` keeps a per-user (count, sum-cents) accumulator
+across micro-batches — the shape of any custom sessionization / rate
+tracking the built-in windows can't express. State lives in the state
+store (RocksDB/HDFS-backed on a cluster), partitioned by key: scale-out is
+by key hash, identical to a streaming aggregation.
+
+The state function is self-contained (stdlib+pandas only inside) so
+executor workers never need this package on sys.path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+OUTPUT_SCHEMA = "user string, batch_events bigint, total_events bigint, total_cents bigint"
+STATE_SCHEMA = "total_events bigint, total_cents bigint"
+
+
+def running_user_totals(enveloped: DataFrame) -> DataFrame:
+    """Per-user running totals over the enriched envelope stream.
+    Input needs columns: attributes.event['user'] and timestamp."""
+    from pyspark.sql import functions as F
+
+    keyed = enveloped.select(
+        F.col("attributes.event")["user"].alias("user"),
+        F.coalesce(
+            F.col("attributes.event")["cents"].cast("bigint"), F.lit(0)
+        ).alias("cents"),
+    )
+
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        total_events, total_cents = (
+            state.get if state.exists else (0, 0)
+        )
+        batch_events = 0
+        for pdf in pdfs:
+            batch_events += len(pdf)
+            total_events += len(pdf)
+            total_cents += int(pdf["cents"].sum())
+        state.update((total_events, total_cents))
+        yield _pd.DataFrame(
+            {
+                "user": [key[0]],
+                "batch_events": [batch_events],
+                "total_events": [total_events],
+                "total_cents": [total_cents],
+            }
+        )
+
+    return keyed.groupBy("user").applyInPandasWithState(
+        update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,86 @@
+"""Physical-plan contracts for the headline queries — the "would this
+survive 100x scale" gate (SURVEY.md §7.5 scale posture)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cses2humio_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_partial_aggregation,
+    assert_pruned_schema,
+    assert_pushed_filters,
+    assert_take_ordered,
+)
+from cses2humio_spark.queries import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark):
+    df = QUERIES["pricing_summary"](spark, SF_SMALL)
+    assert_pushed_filters(df, "LessThanOrEqual(l_shipdate")
+    assert_partial_aggregation(df)
+    # 7 value columns + 2 group keys; scan must not read l_orderkey etc.
+    assert_pruned_schema(df, "l_returnflag", 7)
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    df = QUERIES["revenue_by_nation"](spark, SF_SMALL)
+    assert_broadcast_join(df, at_least=3)
+    assert_no_cartesian(df)
+
+
+def test_q3_shape(spark):
+    df = QUERIES["top_shipping_priority"](spark, SF_SMALL)
+    assert_pushed_filters(df, "EqualTo(c_mktsegment,BUILDING)")
+    assert_broadcast_join(df, at_least=1)
+    assert_take_ordered(df)
+
+
+def test_global_topk_no_full_sort(spark):
+    df = QUERIES["top20_orders_global"](spark, SF_SMALL)
+    assert_take_ordered(df)
+    assert_pruned_schema(df, "o_totalprice", 3)
+
+
+def test_free_text_filter_reaches_scan(spark):
+    df = QUERIES["free_text_search"](spark, SF_SMALL)
+    # contains() pushes as StringContains; rlike stays as a post-scan
+    # filter (not pushable) — assert the pushable half reached the scan
+    assert_pushed_filters(df, "StringContains(text,spark)")
+
+
+def test_minhash_join_is_equi_not_cross(spark):
+    df = QUERIES["minhash_candidates"](spark, SF_SMALL)
+    assert_no_cartesian(df)
+
+
+def test_range_join_keeps_equi_anchor(spark):
+    df = QUERIES["events_range_self_join"](spark, SF_SMALL)
+    assert_no_cartesian(df)
+
+
+def test_timechart_partial_agg(spark):
+    df = QUERIES["timechart_errors"](spark, SF_SMALL)
+    assert_partial_aggregation(df)
+    assert_pushed_filters(df, "EqualTo(event_type,error)")
+
+
+def test_brute_force_topk_broadcasts_probes(spark):
+    from cses2humio_spark.plans.explain import formatted_plan
+
+    df = QUERIES["cosine_topk"](spark, SF_SMALL)
+    # the probe side must broadcast (hash or nested-loop — probe set is
+    # tiny); the corpus must NOT shuffle for the join
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:1500]
+    assert_no_cartesian(df)
+
+
+def test_dedup_window_partitions_by_key(spark):
+    df = QUERIES["dedup_first_event"](spark, SF_SMALL)
+    # row_number window must partition (no global sort of the fact table)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" in plan
+    assert_no_cartesian(df)

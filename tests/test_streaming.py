@@ -197,3 +197,45 @@ def test_session_window_agg_streaming(spark, tmp_path):
     # user 1: events at +0s,+10s (one session) and +2000s (second session);
     # user 2: both events in one session
     assert got == [("1", 1), ("1", 2), ("2", 2)], got
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-user accumulator persists across
+    micro-batches (maxFilesPerTrigger=1 forces one batch per file)."""
+    from cses2humio_spark.streaming.stateful import running_user_totals
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def mk(uid, off, cents):
+        return json.dumps(
+            {
+                "metadata": {"offset": off, "eventCreationTime": 1723500000000 + off},
+                "event": {"user": str(uid), "cents": cents},
+            }
+        )
+
+    _write_lines(str(src / "a.ndjson"), [mk(1, 0, 100), mk(1, 1, 50), mk(2, 2, 10)])
+    _write_lines(str(src / "b.ndjson"), [mk(1, 3, 25), mk(2, 4, 40)])
+
+    lines = ndjson_stream(spark, str(src), max_files_per_trigger=1)
+    enveloped = enrich_events(parse_events(lines))
+    totals = running_user_totals(enveloped)
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("stateful_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "select user, total_events, total_cents from stateful_test"
+    ).collect()
+    # final state per user = the LAST emitted update row
+    final = {}
+    for r in rows:
+        final[r.user] = (r.total_events, r.total_cents)
+    assert final["1"] == (3, 175), final
+    assert final["2"] == (2, 50), final
