@@ -27,6 +27,8 @@ HEADLINE = [
     "sessionize_users",
     "token_explode_top20",
     "distinct_users_per_type",
+    "jaccard_near_dups",
+    "cosine_topk",
 ]
 
 

@@ -79,43 +79,94 @@ def _shingles_expr(toks: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, bands: int = 8
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """Per-document MinHash signature: one min-hash per band, each band
-    salting the shingle hash differently. Returns (id, band, sig)."""
-    sh = df.select(
-        F.col(id_col), F.explode(_shingles_expr(F.split(F.trim(F.col(text_col)), r"\s+"), n)).alias("__sh")
+    """Exploded (id, shingle) table — the shared input of the whole near-dup
+    pipeline (signatures, set sizes, intersections). Callers running more
+    than one downstream op should ``.persist()`` it: at 100 TB the shingle
+    explosion (~tokens x 1 row each) is the dominant cost and must not be
+    recomputed per consumer."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            _shingles_expr(F.split(F.trim(F.col(text_col)), r"\s+"), n)
+        ).alias("__sh"),
     )
-    # one pass: explode the band dimension, hash (salt || shingle), min per
-    # (doc, band). Signatures are md5 hex strings — min over strings is
-    # portable (identical lexicographic order in any engine).
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    shingles_df: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document banded MinHash signature. A band's signature is the
+    CONCATENATION of ``rows_per_band`` independent min-hashes — the classic
+    (b, r) LSH construction: candidate probability = 1-(1-J^r)^b. With one
+    hash per band (r=1) every Jaccard-J pair collides with probability
+    ~J·b, flooding candidates with J~0.1 noise; r=2 suppresses them
+    quadratically while keeping recall ~99.9% at J>=0.8.
+
+    Returns (id, band, sig); sig is a hex string (md5-based, min over
+    strings — identical lexicographic order in any engine, so the oracle
+    reproduces it exactly).
+    """
+    sh = shingles_df if shingles_df is not None else shingle_table(df, id_col, text_col, n)
+    # one pass: explode the band dimension, compute r salted hashes per
+    # row, take r mins per (doc, band), concatenate.
     banded = sh.select(
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
         F.col("__sh"),
     )
+    mins = [
+        F.min(
+            F.md5(
+                F.concat(
+                    F.lit("b"),
+                    F.col("band").cast("string"),
+                    F.lit(f"h{j}:"),
+                    F.col("__sh"),
+                )
+            )
+        ).alias(f"__m{j}")
+        for j in range(rows_per_band)
+    ]
     return (
         banded.groupBy(id_col, "band")
-        .agg(
-            F.min(
-                F.md5(
-                    F.concat(
-                        F.lit("b"), F.col("band").cast("string"), F.lit(":"), F.col("__sh")
-                    )
-                )
-            ).alias("sig")
+        .agg(*mins)
+        .select(
+            id_col,
+            "band",
+            F.concat(*[F.col(f"__m{j}") for j in range(rows_per_band)]).alias("sig"),
         )
-        .select(id_col, "band", "sig")
     )
 
 
 def minhash_candidate_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, bands: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: documents sharing any (band, sig) bucket.
     Equi self-join on the bucket — linear shuffle, no cross join."""
-    sigs = minhash_signatures(df, id_col, text_col, n=n, bands=bands)
+    sigs = minhash_signatures(
+        df,
+        id_col,
+        text_col,
+        n=n,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        shingles_df=shingles_df,
+    )
     a = sigs.select(F.col(id_col).alias("id_a"), "band", "sig")
     b = sigs.select(F.col(id_col).alias("id_b"), "band", "sig")
     return (
@@ -132,18 +183,17 @@ def jaccard_pairs(
     id_col: str,
     text_col: str,
     n: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (verification stage).
     Joins each side's distinct-shingle set sizes + intersection counts —
     all equi-joins on document id / shingle."""
-    sh = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(
-                _shingles_expr(F.split(F.trim(F.col(text_col)), r"\s+"), n)
-            )
-        ).alias("sh"),
+    base = (
+        shingles_df
+        if shingles_df is not None
+        else shingle_table(df, id_col, text_col, n)
     )
+    sh = base.select(F.col(id_col), F.col("__sh").alias("sh")).distinct()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a_sh = sh.select(F.col(id_col).alias("id_a"), F.col("sh"))
     b_sh = sh.select(F.col(id_col).alias("id_b"), F.col("sh"))

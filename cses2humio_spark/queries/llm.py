@@ -47,8 +47,10 @@ sh AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
 _SIG_CTE = (
     _SHINGLES_CTE
     + """,
-sig AS (SELECT doc_id, band, MIN(md5('b' || band || ':' || sh)) AS sig
-        FROM sh, (SELECT UNNEST(generate_series(0,7)) AS band) b
+sig AS (SELECT doc_id, band,
+               MIN(md5('b' || band || 'h0:' || sh))
+               || MIN(md5('b' || band || 'h1:' || sh)) AS sig
+        FROM sh, (SELECT UNNEST(generate_series(0,3)) AS band) b
         GROUP BY doc_id, band)
 """
 )
@@ -202,9 +204,9 @@ def exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"WITH {_SIG_CTE} SELECT doc_id, band, sig FROM sig WHERE doc_id < 50",
 )
 def minhash_band_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signature matrix (8 bands, 3-gram shingles, md5 min-hash)."""
+    """MinHash signature matrix (4 bands x 2 rows, 3-gram shingles)."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_signatures(docs, "doc_id", "text", n=3, bands=8).filter(
+    return minhash_signatures(docs, "doc_id", "text", n=3, bands=4, rows_per_band=2).filter(
         F.col("doc_id") < 50
     )
 
@@ -217,7 +219,7 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: near-dup candidate pairs share a (band, signature)
     bucket — equi self-join, no O(n^2) cross product."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_candidate_pairs(docs, "doc_id", "text", n=3, bands=8)
+    return minhash_candidate_pairs(docs, "doc_id", "text", n=3, bands=4, rows_per_band=2)
 
 
 @query(
@@ -242,10 +244,17 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup pipeline: MinHash candidates -> exact shingle Jaccard
     verification -> threshold. Verification cost is O(candidates), not
-    O(n^2)."""
+    O(n^2). The shingle table is computed ONCE and persisted — signatures,
+    set sizes, and intersections all read the cached copy instead of
+    re-exploding the corpus (the dominant cost at scale)."""
+    from cses2humio_spark.operators.dedup import shingle_table
+
     docs = load_table(spark, sf_dir, "documents")
-    cands = minhash_candidate_pairs(docs, "doc_id", "text", n=3, bands=8)
-    j = jaccard_pairs(docs, cands, "doc_id", "text", n=3)
+    sh = shingle_table(docs, "doc_id", "text", n=3).persist()
+    cands = minhash_candidate_pairs(
+        docs, "doc_id", "text", n=3, bands=4, rows_per_band=2, shingles_df=sh
+    )
+    j = jaccard_pairs(docs, cands, "doc_id", "text", n=3, shingles_df=sh)
     return j.filter(
         F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")) >= 0.5
     ).select("id_a", "id_b", "jaccard")
