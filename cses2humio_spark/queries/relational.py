@@ -616,3 +616,141 @@ def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.unix_timestamp("ts").cast("bigint").alias("ts_s"),
     )
+
+
+@query(
+    "grouping_sets_flags",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def grouping_sets_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube) — single Expand + one
+    shuffle, same cost shape as a plain groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@query(
+    "setop_intersect_all_priorities",
+    oracle="""
+    SELECT o_orderpriority AS prio FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def setop_intersect_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset semantics — kept distinct from INTERSECT)."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("prio")
+    )
+    op = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderpriority").alias("prio")
+    )
+    return f.intersectAll(op)
+
+
+@query(
+    "setop_except_all_priorities",
+    oracle="""
+    SELECT o_orderpriority AS prio FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def setop_except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("prio")
+    )
+    p = o.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_orderpriority").alias("prio")
+    )
+    return f.exceptAll(p)
+
+
+@query(
+    "union_by_name_parties",
+    oracle="""
+    SELECT name, nationkey, kind FROM (
+      SELECT c_name AS name, c_nationkey AS nationkey, 'customer' AS kind FROM customer
+      UNION ALL
+      SELECT s_name, s_nationkey, 'supplier' FROM supplier
+    ) WHERE nationkey < 3
+    """,
+)
+def union_by_name_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName: schema-aligned union regardless of column order."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.lit("customer").alias("kind"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"),  # deliberately different order
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_name").alias("name"),
+    )
+    return c.unionByName(s).filter(F.col("nationkey") < 3)
+
+
+@query(
+    "cross_join_region_priority",
+    oracle="""
+    SELECT r_name, o_orderpriority AS prio FROM region
+    CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
+    """,
+)
+def cross_join_region_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join — legitimate ONLY for tiny-x-tiny dimension
+    grids like this (5 x 5); the planner is free to broadcast."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    p = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio")
+    ).distinct()
+    return r.crossJoin(p)
+
+
+@query(
+    "filter_in_between_like",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'P')
+      AND o_totalprice BETWEEN 100000 AND 200000
+      AND o_orderpriority LIKE '%URGENT%'
+    """,
+)
+def filter_in_between_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / BETWEEN / LIKE predicate surface — all pushable to the scan."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("F", "P")
+        & F.col("o_totalprice").between(100000, 200000)
+        & F.col("o_orderpriority").like("%URGENT%")
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+@query("approx_distinct_users")  # HLL sketch differs per engine -> rows-only
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) + approx percentile — the
+    sketch-based path for 100 TB cardinalities where exact distinct is a
+    full shuffle of the key universe. Sketches are engine-specific, so no
+    SQL oracle (rows-only); tests/test_approx.py bounds the relative error
+    against the exact values instead."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50_value"),
+    )
