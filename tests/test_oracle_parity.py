@@ -27,5 +27,9 @@ def test_every_query_has_oracle_or_is_flagged():
     missing = sorted(set(QUERIES) - set(ORACLES))
     # non-SQL-expressible ops are allowed to be oracle-free, but keep the
     # list explicit so additions are deliberate
-    allowed_rows_only = {"cosine_topk_lsh", "streaming_pipeline_demo"}
+    allowed_rows_only = {
+        "cosine_topk_lsh",        # approximate by design (LSH recall < 1)
+        "streaming_pipeline_demo",  # streaming mechanics, not SQL-expressible
+        "approx_distinct_users",  # HLL/KLL sketches are engine-specific
+    }
     assert set(missing) <= allowed_rows_only, f"queries without oracle: {missing}"
