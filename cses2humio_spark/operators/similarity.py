@@ -119,3 +119,123 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(probe_id_col, id_col, "cos_sim", "rank")
     )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup detection (the vector-space member of the
+    dedup family, alongside MinHash/SimHash/Jaccard in operators/dedup.py).
+
+    Candidates are pairs sharing a random-hyperplane LSH bucket — an
+    equi self-join on the signature, never the O(n^2) cross product — then
+    exact cosine is computed for candidates only and thresholded. The
+    threshold applies to the UNROUNDED cosine; ``cos_sim`` is rounded for
+    stable cross-engine comparison. At 100 TB the bucket join shuffles
+    (signature, id, vector); per-bucket pair expansion is bounded by bucket
+    occupancy (tune ``n_planes`` up to keep buckets small)."""
+    sigs = lsh_signatures(df, dim, n_planes, vec_col)
+    a = sigs.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "lsh_sig"
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "lsh_sig"
+    )
+    cos = cosine_similarity(F.col("__va"), F.col("__vb"))
+    return (
+        a.join(b, on="lsh_sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= threshold)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+) -> DataFrame:
+    """IVF coarse quantization: assign every corpus vector to its nearest
+    centroid by cosine (ties -> lowest centroid id). Centroids are broadcast
+    (tiny by construction); the argmax is a row_number over the per-vector
+    candidate list, so the shuffle carries one row per (vector, centroid)
+    pair and collapses to one row per vector."""
+    c = centroids.select(F.col(cid_col), F.col(vec_col).alias("__cvec"))
+    scored = corpus.join(F.broadcast(c)).select(
+        F.col(id_col),
+        F.col(cid_col),
+        cosine_similarity(F.col(vec_col), F.col("__cvec")).alias("__cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__cos").desc(), F.col(cid_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, cid_col)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    cid_col: str = "cid",
+) -> DataFrame:
+    """IVF approximate nearest neighbor: the classic inverted-file index as
+    a dataflow. (1) corpus vectors are bucketed into per-centroid inverted
+    lists (``ivf_assign``); (2) each probe ranks the centroids and keeps its
+    ``nprobe`` nearest; (3) candidates = those centroids' lists, fetched by
+    an equi-join on centroid id; (4) exact cosine re-rank, top-k.
+
+    Scale shape: the expensive pass over the corpus happens once (the
+    assignment — a broadcast join + narrow argmax); each query then touches
+    only ~nprobe/n_centroids of the corpus via the centroid-id equi-join.
+    Recall < 1 by design (like FAISS IVF with small nprobe)."""
+    assign = ivf_assign(corpus, centroids, id_col, vec_col, cid_col)
+    c = centroids.select(F.col(cid_col), F.col(vec_col).alias("__cvec"))
+    p = probes.select(F.col(probe_id_col), F.col(vec_col).alias("__pvec"))
+    probe_cent = p.join(F.broadcast(c)).select(
+        probe_id_col,
+        cid_col,
+        "__pvec",
+        cosine_similarity(F.col("__pvec"), F.col("__cvec")).alias("__cos"),
+    )
+    wp = Window.partitionBy(probe_id_col).orderBy(
+        F.col("__cos").desc(), F.col(cid_col).asc()
+    )
+    probe_lists = (
+        probe_cent.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= nprobe)
+        .select(probe_id_col, cid_col, "__pvec")
+    )
+    cand = probe_lists.join(assign, on=cid_col).select(
+        probe_id_col, id_col, "__pvec"
+    )
+    scored = cand.join(corpus.select(id_col, vec_col), on=id_col).select(
+        F.col(probe_id_col),
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), F.col("__pvec")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    wk = Window.partitionBy(probe_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(probe_id_col, id_col, "cos_sim", "rank")
+    )

@@ -508,3 +508,108 @@ def udtf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.doc_id, t.tok, t.cnt "
         "FROM udtf_docs_in, LATERAL token_stats(doc_id, text) t"
     )
+
+
+# ---- embedding-space dedup + IVF ANN (similarity scale paths) -----------
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)}))"
+
+
+def _planes_values_sql(dim: int, n_planes: int) -> str:
+    from cses2humio_spark.operators.similarity import _hyperplane
+
+    return ", ".join(
+        "({}, [{}])".format(i, ", ".join(repr(v) for v in _hyperplane(dim, i)))
+        for i in range(n_planes)
+    )
+
+
+_LSH_SIG_CTE = f"""
+ev AS (SELECT vec_id, {_DOUBLE_VEC} AS v FROM embeddings),
+planes AS (SELECT pid, pv FROM (VALUES {_planes_values_sql(64, 8)}) AS t(pid, pv)),
+sigs AS (SELECT e.vec_id,
+                CAST(SUM(CASE WHEN {_dot_sql('e.v', 'pv')} > 0
+                              THEN (CAST(1 AS BIGINT) << pid) ELSE 0 END) AS BIGINT)
+                  AS lsh_sig
+         FROM ev e CROSS JOIN planes
+         GROUP BY e.vec_id)
+"""
+
+
+@query(
+    "embedding_near_dups",
+    oracle=f"""
+    WITH {_LSH_SIG_CTE},
+    pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM sigs a JOIN sigs b
+                ON a.lsh_sig = b.lsh_sig AND a.vec_id < b.vec_id),
+    pv AS (SELECT p.id_a, p.id_b, ea.v AS va, eb.v AS vb
+           FROM pairs p
+           JOIN ev ea ON ea.vec_id = p.id_a
+           JOIN ev eb ON eb.vec_id = p.id_b),
+    c AS (SELECT id_a, id_b, {_cos_sql('va', 'vb')} AS cos FROM pv)
+    SELECT id_a, id_b, ROUND(cos, 6) AS cos_sim FROM c WHERE cos >= 0.3
+    """,
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: random-hyperplane LSH bucketing ->
+    equi self-join on the 8-bit signature -> exact cosine >= 0.3 on
+    candidates only. The oracle reproduces the hyperplanes as SQL literals,
+    so the whole pipeline (bucketing included) is hash-checked."""
+    from cses2humio_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, dim=64, threshold=0.3, n_planes=8)
+
+
+@query(
+    "ivf_topk",
+    oracle=f"""
+    WITH ev AS (SELECT vec_id, {_DOUBLE_VEC} AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM ev WHERE vec_id < 16),
+    probes AS (SELECT vec_id AS probe_id, v AS pv FROM ev WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e.v', 'c.cv')} DESC, c.cid)
+                 AS rn
+        FROM ev e CROSS JOIN cent c) WHERE rn = 1),
+    plist AS (
+      SELECT probe_id, cid FROM (
+        SELECT p.probe_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY p.probe_id
+                                  ORDER BY {_cos_sql('p.pv', 'c.cv')} DESC, c.cid)
+                 AS rn
+        FROM probes p CROSS JOIN cent c) WHERE rn <= 2),
+    scored AS (
+      SELECT pl.probe_id, a.vec_id,
+             ROUND({_cos_sql('e.v', 'p.pv')}, 6) AS cos_sim
+      FROM plist pl
+      JOIN assign a ON a.cid = pl.cid
+      JOIN ev e ON e.vec_id = a.vec_id
+      JOIN probes p ON p.probe_id = pl.probe_id)
+    SELECT probe_id, vec_id, cos_sim, rank FROM (
+      SELECT probe_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+)
+def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbor over the embeddings table:
+    16 centroid vectors (deterministic: vec_id < 16), nprobe=2, exact
+    cosine re-rank to top-5 for 8 probe vectors. The full inverted-file
+    dataflow (coarse assign -> probe centroid ranking -> inverted-list
+    fetch -> re-rank) is oracle-checked."""
+    from cses2humio_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return ivf_topk(emb, probes, cent, k=5, nprobe=2)

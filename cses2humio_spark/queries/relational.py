@@ -754,3 +754,70 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.percentile_approx("value", 0.5, 10000).alias("p50_value"),
     )
+
+
+@query(
+    "collect_statuses_per_priority",
+    oracle="""
+    SELECT o_orderpriority,
+      list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+      list_sort(list(o_orderstatus)) AS status_multiset,
+      COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def collect_statuses_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set / collect_list surface. Both are wrapped in sort_array
+    so the result is a deterministic value regardless of task/partition
+    arrival order — the only way collection aggs are reproducible on a
+    cluster. Partial aggregation applies: each task collects locally, the
+    shuffle carries one partial list per (task, key)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.sort_array(F.collect_list("o_orderstatus")).alias("status_multiset"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "order_timeline_analytics",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+      date_diff('day', o_orderdate,
+        LEAD(o_orderdate) OVER w) AS days_to_next,
+      CAST(FIRST_VALUE(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+        AS first_price,
+      CAST(LAST_VALUE(CAST(o_totalprice AS DECIMAL(12,2)))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS DOUBLE) AS last_price,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS moving_sum3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def order_timeline_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function surface: lead / first_value / last_value (full
+    frame) / moving frame agg, all over one customer-partitioned sort —
+    Catalyst collapses the four frames into a single Window exchange+sort.
+    Money goes through DECIMAL so the moving sum is order-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_mov = w.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.lead("o_orderdate").over(w), F.col("o_orderdate")).alias(
+            "days_to_next"
+        ),
+        F.first(money("o_totalprice")).over(w).cast("double").alias("first_price"),
+        F.last(money("o_totalprice")).over(w_full).cast("double").alias("last_price"),
+        F.sum(money("o_totalprice")).over(w_mov).cast("double").alias("moving_sum3"),
+    )
