@@ -87,6 +87,9 @@ def shingle_table(
     than one downstream op should ``.persist()`` it: at 100 TB the shingle
     explosion (~tokens x 1 row each) is the dominant cost and must not be
     recomputed per consumer."""
+    from cses2humio_spark.sources.catalog import fan_out
+
+    df = fan_out(df)
     return df.select(
         F.col(id_col),
         F.explode(
@@ -225,7 +228,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     with integer shifts) — pure integer arithmetic, bit-identical in any
     engine, so the whole operator is oracle-checkable. ``bits`` <= 32.
     """
-    toks = df.select(
+    from cses2humio_spark.sources.catalog import fan_out
+
+    toks = fan_out(df).select(
         F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
     )
     hashed = toks.withColumn("hx", F.md5(F.col("tok")))

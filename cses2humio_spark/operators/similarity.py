@@ -35,10 +35,12 @@ def cosine_topk_bruteforce(
     ``probes`` (probe_id, embedding) is broadcast; ranking is
     row_number over (probe) ordered by (-cos, id) — a total order, so
     results are deterministic."""
+    from cses2humio_spark.sources.catalog import fan_out
+
     p = probes.select(
         F.col(probe_id_col), F.col(vec_col).alias("__pvec")
     )
-    scored = corpus.join(F.broadcast(p)).select(
+    scored = fan_out(corpus).join(F.broadcast(p)).select(
         F.col(probe_id_col),
         F.col(id_col),
         F.round(
@@ -74,6 +76,9 @@ def lsh_signatures(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Append an integer LSH signature: bit i = sign(v . plane_i)."""
+    from cses2humio_spark.sources.catalog import fan_out
+
+    df = fan_out(df)
     sig = F.lit(0).cast("bigint")
     for i in range(n_planes):
         plane = F.array(*[F.lit(v) for v in _hyperplane(dim, i)])
@@ -167,8 +172,10 @@ def ivf_assign(
     (tiny by construction); the argmax is a row_number over the per-vector
     candidate list, so the shuffle carries one row per (vector, centroid)
     pair and collapses to one row per vector."""
+    from cses2humio_spark.sources.catalog import fan_out
+
     c = centroids.select(F.col(cid_col), F.col(vec_col).alias("__cvec"))
-    scored = corpus.join(F.broadcast(c)).select(
+    scored = fan_out(corpus).join(F.broadcast(c)).select(
         F.col(id_col),
         F.col(cid_col),
         cosine_similarity(F.col(vec_col), F.col("__cvec")).alias("__cos"),

@@ -58,3 +58,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the SQL surface."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Ensure at least default-parallelism partitions before CPU-heavy
+    per-row map work (shingling, per-token hashing, vector math).
+
+    Local/bench reality: a small single-row-group parquet file scans as ONE
+    task, serializing the expensive map phase no matter how many cores the
+    machine has. Cluster reality: 100 TB inputs arrive as thousands of
+    splits, so the condition below is false and this is a NO-OP — no shuffle
+    is ever added at scale. When it does fire, the round-robin repartition
+    moves only the raw input rows (the cheap side — the row explosion
+    happens downstream of it)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
