@@ -84,3 +84,35 @@ def test_dedup_window_partitions_by_key(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "row_number" in plan
     assert_no_cartesian(df)
+
+
+def test_ivf_broadcasts_centroids_and_stays_equi(spark):
+    df = QUERIES["ivf_topk"](spark, SF_SMALL)
+    # centroid joins broadcast; inverted-list fetch is an equi-join
+    assert_broadcast_join(df, at_least=2)
+    assert_no_cartesian(df)
+
+
+def test_embedding_near_dups_is_bucket_equi_join(spark):
+    df = QUERIES["embedding_near_dups"](spark, SF_SMALL)
+    # candidate generation must be the signature equi-join, never a cross
+    # product over the corpus
+    assert_no_cartesian(df)
+
+
+def test_order_timeline_single_window_exchange(spark):
+    from cses2humio_spark.plans.explain import formatted_plan
+
+    df = QUERIES["order_timeline_analytics"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    # all four analytic frames share one partitioning: exactly one
+    # hashpartitioning exchange on o_custkey
+    import re
+
+    exchanges = re.findall(r"hashpartitioning\(o_custkey", plan)
+    assert len(exchanges) == 1, f"expected 1 window exchange, got {len(exchanges)}:\n{plan[:2000]}"
+
+
+def test_collect_aggs_partial_aggregate(spark):
+    df = QUERIES["collect_statuses_per_priority"](spark, SF_SMALL)
+    assert_partial_aggregation(df)

@@ -239,3 +239,109 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
         final[r.user] = (r.total_events, r.total_cents)
     assert final["1"] == (3, 175), final
     assert final["2"] == (2, 50), final
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream interval join (SURVEY §2.2): alerts join
+    events of the same user that arrive within 5 minutes after the alert."""
+    from cses2humio_spark.streaming.joins import stream_interval_join
+
+    ev_dir = tmp_path / "events"
+    al_dir = tmp_path / "alerts"
+    ev_dir.mkdir()
+    al_dir.mkdir()
+    base = 1723500000000
+
+    def ev(uid, off, sec):
+        return json.dumps(
+            {
+                "metadata": {"offset": off, "eventCreationTime": base + sec * 1000},
+                "event": {"user": str(uid)},
+            }
+        )
+
+    # user 1: alert at t=0, events at +10s (join) and +600s (outside bound);
+    # user 2: alert at t=0 but only user-1 events exist -> no match
+    _write_lines(str(ev_dir / "a.ndjson"), [ev(1, 0, 10), ev(1, 1, 600)])
+    _write_lines(str(al_dir / "a.ndjson"), [ev(1, 100, 0), ev(2, 101, 0)])
+
+    events = enrich_events(parse_events(ndjson_stream(spark, str(ev_dir))))
+    alerts = enrich_events(parse_events(ndjson_stream(spark, str(al_dir))))
+
+    e = events.select(
+        F.col("attributes.event")["user"].alias("user"),
+        F.timestamp_millis(F.col("timestamp")).alias("probe_time"),
+        F.col("attributes.metadata.offset").alias("event_offset"),
+    )
+    a = alerts.select(
+        F.col("attributes.event")["user"].alias("user"),
+        F.timestamp_millis(F.col("timestamp")).alias("event_time"),
+        F.col("attributes.metadata.offset").alias("alert_offset"),
+    )
+    joined = stream_interval_join(
+        a, e, key="user", left_ts="event_time", right_ts="probe_time",
+        watermark="1 minute", upper="5 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "select alert_offset, event_offset from ssjoin_test"
+    ).collect()
+    got = sorted((r.alert_offset, r.event_offset) for r in rows)
+    assert got == [(100, 0)], got
+
+
+def test_tumbling_window_drops_late_data(spark, tmp_path):
+    """Watermark semantics: in append mode a tumbling-window agg emits a
+    window only once the watermark passes it, and data later than the
+    watermark is dropped (SURVEY §2.2 streaming-only: late-data handling)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    base = 1723500000000
+
+    def ev(off, sec):
+        return json.dumps(
+            {
+                "metadata": {"offset": off, "eventCreationTime": base + sec * 1000},
+                "event": {"user": "u"},
+            }
+        )
+
+    # batch 1: two events in window [0,60) and one at +600s that advances
+    # the watermark (600s - 60s watermark = +540s >> window end 60s)
+    _write_lines(str(src / "a.ndjson"), [ev(0, 1), ev(1, 2), ev(2, 600)])
+
+    lines = ndjson_stream(spark, str(src), max_files_per_trigger=1)
+    enveloped = enrich_events(parse_events(lines))
+    counts = (
+        enveloped.withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
+        .withWatermark("event_time", "1 minute")
+        .groupBy(F.window("event_time", "1 minute"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").cast("long").alias("win_start"), "n")
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # now that the watermark sits at +540s, deliver a LATE event for the
+    # already-finalized [0,60) window — it must be dropped, not re-emitted
+    _write_lines(str(src / "b.ndjson"), [ev(3, 5)])
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select win_start, n from late_test").collect()
+    got = {r.win_start: r.n for r in rows}
+    # the [0,60) window was finalized with 2 events; the late ev(3) did not
+    # reopen it (no duplicate emission, count stays 2)
+    assert got.get(1723500000) == 2, got
