@@ -157,3 +157,44 @@ def test_property_flatten_roundtrip(spark):
         off = r.attributes.metadata.offset
         got = dict(r.attributes.event) if r.attributes.event else {}
         assert got == expect[off], f"offset {off}: {got} != {expect[off]}"
+
+
+def test_hypothesis_malformed_injection_count_conservation(spark):
+    """SURVEY §5.5: for ANY mix of valid events and garbage lines,
+    parsed + dropped == total — malformed input can shrink but never
+    block or duplicate the stream."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    valid = st.builds(
+        lambda off, ect: json.dumps(
+            {"metadata": {"offset": off, "eventCreationTime": ect}, "event": {}}
+        ),
+        st.integers(0, 2**40),
+        st.integers(0, 2**40),
+    )
+    # garbage: truncated JSON, non-JSON text, valid JSON missing the
+    # envelope, unicode noise — everything the chunked feed can produce
+    garbage = st.one_of(
+        st.just('{"metadata": {'),
+        st.text(min_size=1, max_size=40).filter(lambda s: not s.strip().startswith("{")),
+        st.just('{"no_metadata": 1}'),
+        st.just("[1, 2, 3]"),
+    )
+
+    def model_valid(line):
+        try:
+            d = json.loads(line)
+        except (ValueError, TypeError):
+            return False
+        return isinstance(d, dict) and isinstance(d.get("metadata"), dict)
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(st.lists(st.one_of(valid, garbage), min_size=1, max_size=30))
+    def run(lines):
+        n_valid = sum(1 for l in lines if model_valid(l))
+        df = spark.createDataFrame([(l,) for l in lines if l.strip()], ["value"])
+        parsed = parse_events(df)
+        assert parsed.count() == n_valid
+
+    run()

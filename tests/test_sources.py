@@ -1,0 +1,89 @@
+"""Source-format coverage (SURVEY §2.2 sources): JSON / CSV / text batch
+scans behave like the parquet path — explicit schemas (never inference at
+scale: a schema-inference pass over 100 TB is a full extra read), filters
+pushed where the format supports it, permissive corrupt handling for JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", StringType()),
+    ]
+)
+
+ROWS = [
+    {"id": i, "kind": "error" if i % 3 == 0 else "info", "payload": f"p{i}"}
+    for i in range(90)
+]
+
+
+def test_json_scan_with_schema_and_corrupt_record(spark, tmp_path):
+    p = str(tmp_path / "ev.json")
+    with open(p, "w") as f:
+        for r in ROWS:
+            f.write(json.dumps(r) + "\n")
+        f.write('{"id": broken\n')  # malformed line
+    # NB StructType.add mutates in place — build a fresh copy instead
+    schema = StructType(
+        list(SCHEMA.fields) + [StructField("_corrupt_record", StringType())]
+    )
+    df = spark.read.schema(schema).option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(p)
+    # Spark disallows queries touching ONLY the corrupt column on the raw
+    # scan (the parser would prune away the data that defines it) — cache
+    # the parsed result first, per the documented contract.
+    df = df.cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 90
+    assert bad.count() == 1  # dropped-not-blocking, same contract as R4
+
+
+def test_csv_scan_with_schema(spark, tmp_path):
+    p = str(tmp_path / "ev.csv")
+    with open(p, "w") as f:
+        f.write("id,kind,payload\n")
+        for r in ROWS:
+            f.write(f"{r['id']},{r['kind']},{r['payload']}\n")
+    df = spark.read.schema(SCHEMA).option("header", "true").csv(p)
+    errs = df.filter(F.col("kind") == "error")
+    assert errs.count() == 30
+    assert [f.name for f in df.schema.fields] == ["id", "kind", "payload"]
+
+
+def test_text_scan_line_framing(spark, tmp_path):
+    from cses2humio_spark.sources.event_source import ndjson_batch
+
+    p = str(tmp_path / "ev.txt")
+    with open(p, "w") as f:
+        f.write("line1\n\nline2\n\n\nline3\n")  # keep-alive empties (R2)
+    df = ndjson_batch(spark, p)
+    assert df.count() == 3  # empties dropped, framing = newline
+
+
+def test_json_written_by_engine_reads_back(spark, tmp_path):
+    """Sink side: DataFrame -> json dir -> scan round-trip, partitioned
+    write preserved (the layout a 100 TB dataset would use)."""
+    out = str(tmp_path / "out")
+    src = spark.createDataFrame(ROWS, SCHEMA)
+    src.write.partitionBy("kind").json(out)
+    back = spark.read.schema(SCHEMA).json(out)
+    assert back.count() == 90
+    # partition pruning: reading one kind dir touches only that partition
+    errs = spark.read.schema(SCHEMA).json(os.path.join(out, "kind=error"))
+    assert errs.count() == 30
