@@ -821,3 +821,68 @@ def order_timeline_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(money("o_totalprice")).over(w_full).cast("double").alias("last_price"),
         F.sum(money("o_totalprice")).over(w_mov).cast("double").alias("moving_sum3"),
     )
+
+
+@query(
+    "global_math_stats",
+    oracle="""
+    SELECT COUNT(*) AS n_items,
+      ROUND(SQRT(SUM(POW(l_quantity, 2)) / COUNT(*)), 6) AS rms_qty,
+      ROUND(LN(1 + SUM(l_quantity)), 6) AS ln_total_qty,
+      ROUND(LOG10(SUM(l_quantity)), 6) AS log10_total_qty,
+      CAST(FLOOR(SUM(l_quantity) / COUNT(*)) AS BIGINT) AS floor_avg_qty,
+      CAST(CEIL(SUM(l_quantity) / COUNT(*)) AS BIGINT) AS ceil_avg_qty,
+      ROUND(ABS(MIN(l_discount) - MAX(l_discount)), 6) AS disc_spread
+    FROM lineitem
+    """,
+)
+def global_math_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-group) aggregation + math-function surface: sqrt/pow/
+    ln/log10/floor/ceil/abs. Sums of integral-valued doubles are exactly
+    representable, so the math is order-independent and oracle-exact.
+    A global agg is a two-stage plan: partial per partition, one final
+    reducer — never a single-node bottleneck on rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = F.sum("l_quantity")
+    n = F.count(F.lit(1))
+    return li.agg(
+        n.alias("n_items"),
+        F.round(F.sqrt(F.sum(F.pow("l_quantity", F.lit(2))) / n), 6).alias("rms_qty"),
+        F.round(F.log(F.lit(1) + s), 6).alias("ln_total_qty"),
+        F.round(F.log10(s), 6).alias("log10_total_qty"),
+        F.floor(s / n).cast("bigint").alias("floor_avg_qty"),
+        F.ceil(s / n).cast("bigint").alias("ceil_avg_qty"),
+        F.round(F.abs(F.min("l_discount") - F.max("l_discount")), 6).alias(
+            "disc_spread"
+        ),
+    )
+
+
+@query(
+    "right_join_top_with_nulls_first",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC NULLS FIRST, c.c_custkey, o.o_orderkey
+    LIMIT 50
+    """,
+)
+def right_join_top_with_nulls_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT outer join + explicit NULLS FIRST placement under a
+    descending sort + limit: customers with no orders surface first (their
+    price is null), then the biggest orders. The (price, custkey, orderkey)
+    key is a total order, so the limited set is deterministic. Catalyst
+    plans the right join as a broadcast/shuffled hash join with the
+    build side flipped — no special-casing needed."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "right")
+        .orderBy(
+            F.col("o_totalprice").desc_nulls_first(),
+            F.col("c_custkey").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(50)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+    )
