@@ -1,0 +1,57 @@
+"""Reshape operators: dynamic map → columns (SURVEY.md §7.5) and the
+relational value pivot.
+
+The reference flattens AuditKeyValues into top-level event keys per record
+(app.py:123-127) — a row-local operation with no fixed schema. A DataFrame
+needs one schema for all rows, so the streaming path keeps attributes as
+``map<string,string>`` and this batch operator performs the promised
+two-pass pivot: pass 1 discovers the key universe, pass 2 projects one
+column per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pivot_map_to_columns(
+    df: DataFrame,
+    map_col: str,
+    max_keys: int = 1000,
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Batch flatten of a ``map<string,string>`` column into one column per
+    distinct key (SURVEY.md §7.5 "pivot-to-columns only in batch via
+    two-pass key discovery").
+
+    Pass 1 (distributed): ``explode(map_keys) -> distinct`` — a shuffle of
+    the key universe only, never the values. The collected key set IS the
+    output schema, so it must be driver-sized: ``max_keys`` guards against
+    unbounded-cardinality maps (at 100 TB a million-key map is a data bug,
+    not a schema). Pass 2: one ``element_at`` projection per key — a single
+    narrow map stage over the data.
+
+    Keys become columns in sorted order (deterministic schema regardless of
+    partition layout). ``keep`` lists pass-through columns (default: all
+    non-map columns)."""
+    keys_rows = (
+        df.select(F.explode(F.map_keys(F.col(map_col))).alias("__k"))
+        .distinct()
+        .limit(max_keys + 1)
+        .collect()
+    )
+    keys = sorted(r["__k"] for r in keys_rows)
+    if len(keys) > max_keys:
+        raise ValueError(
+            f"{map_col!r} has more than max_keys={max_keys} distinct keys; "
+            "refusing to build an unbounded schema"
+        )
+    base = keep if keep is not None else [c for c in df.columns if c != map_col]
+    return df.select(
+        *base,
+        *[
+            F.element_at(F.col(map_col), F.lit(k)).alias(k)
+            for k in keys
+        ],
+    )

@@ -157,3 +157,28 @@ def streaming_pipeline_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT timestamp, rawstring, attributes.metadata.offset AS offset "
         f"FROM {name}"
     )
+
+
+@query(
+    "connector_event_map_pivot",
+    oracle=r"""
+    SELECT event_id AS offset,
+           regexp_extract(props, '"k":\s*(\d+)', 1) AS k_lifted,
+           CAST(user_id AS VARCHAR) AS user_id,
+           'override' AS vt
+    FROM events WHERE event_id < 1000
+    """,
+)
+def connector_event_map_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §7.5: the streaming path keeps flattened attributes as
+    map<string,string>; this is the batch pivot-to-columns — key universe
+    discovered in a first pass (NOT hardcoded), one column per key in a
+    second. Key order is sorted, so the schema is deterministic."""
+    from cses2humio_spark.operators.reshape import pivot_map_to_columns
+
+    enveloped = enrich_events(parse_events(_synth_lines(spark, sf_dir)))
+    flat = enveloped.select(
+        F.col("attributes.metadata.offset").alias("offset"),
+        F.col("attributes.event").alias("event"),
+    )
+    return pivot_map_to_columns(flat, "event")

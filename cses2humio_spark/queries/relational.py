@@ -886,3 +886,33 @@ def right_join_top_with_nulls_first(spark: SparkSession, sf_dir: str) -> DataFra
         .limit(50)
         .select("c_custkey", "o_orderkey", "o_totalprice")
     )
+
+
+@query(
+    "pivot_status_counts",
+    oracle="""
+    SELECT o_orderpriority,
+      SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_cnt,
+      SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o_cnt,
+      SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p_cnt
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational value pivot (crosstab): order counts per priority x
+    status. Pivot values are EXPLICIT — with them, Spark skips the extra
+    distinct-values discovery job and the pivot compiles to one hash agg
+    with CASE expressions, exactly the oracle's shape. At scale, always
+    pass the value list."""
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("f_cnt"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("o_cnt"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("p_cnt"),
+    )

@@ -116,3 +116,26 @@ def test_order_timeline_single_window_exchange(spark):
 def test_collect_aggs_partial_aggregate(spark):
     df = QUERIES["collect_statuses_per_priority"](spark, SF_SMALL)
     assert_partial_aggregation(df)
+
+
+def test_no_query_degenerates_to_cartesian(spark):
+    """Fleet-wide plan lint: NO registered query may plan a
+    CartesianProduct, and BroadcastNestedLoopJoin is allowed only where a
+    broadcast cross join is the design (tiny probe/centroid sides, or the
+    explicitly-registered cross join). Catches silent join-condition
+    regressions across the whole surface."""
+    from cses2humio_spark.plans.explain import formatted_plan
+
+    BNLJ_BY_DESIGN = {
+        "cosine_topk",            # tiny probe set broadcast against corpus
+        "ivf_topk",               # tiny centroid set broadcast
+        "cross_join_region_priority",  # the cross join op itself
+    }
+    offenders = []
+    for name, fn in QUERIES.items():
+        plan = formatted_plan(fn(spark, SF_SMALL))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_BY_DESIGN:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
