@@ -109,3 +109,33 @@ def asof_join(
     if tolerance is not None:
         raise NotImplementedError("tolerance not yet supported")
     return out
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 16,
+    left_unique: str | None = None,
+) -> DataFrame:
+    """Skew-beating equi-join: when one key carries a disproportionate
+    share of the left side, a plain shuffle join lands that key on one
+    reducer. Salting splits it: the left side gets a deterministic salt in
+    [0, salt) (hash of ``left_unique`` if given, else of all left columns),
+    the right side is replicated ``salt`` times, and the join key becomes
+    (key, salt) — the hot key now spreads over ``salt`` reducers.
+
+    Result set is IDENTICAL to ``left.join(right, key)``; cost is
+    ``salt``x replication of the right side, so use with a small-ish right
+    side that still exceeds the broadcast threshold. (When AQE's skew-join
+    split can act — both sides plain shuffle, no agg fusion — prefer it;
+    this operator covers the cases it can't.)"""
+    if left_unique is not None:
+        salt_col = F.pmod(F.hash(F.col(left_unique)), F.lit(salt))
+    else:
+        salt_col = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(salt))
+    l_salted = left.withColumn("__salt", salt_col)
+    r_rep = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return l_salted.join(r_rep, on=[key, "__salt"]).drop("__salt")

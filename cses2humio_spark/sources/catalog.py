@@ -76,3 +76,27 @@ def fan_out(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    key: str,
+    buckets: int = 8,
+    sorted_by: str | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sort-ordered) table.
+
+    Bucketing is the pre-shuffle: rows are hash-distributed into ``buckets``
+    files by ``key`` at WRITE time, so every subsequent join or aggregation
+    on ``key`` between co-bucketed tables runs with ZERO exchange — the
+    single biggest repeated-cost eliminator for a 100 TB fact table that is
+    joined on the same key daily. Requires saveAsTable (bucket metadata
+    lives in the catalog, not the parquet files)."""
+    w = df.write.bucketBy(buckets, key)
+    if sorted_by:
+        w = w.sortBy(sorted_by)
+    if path:
+        w = w.option("path", path)  # external table (warehouse-free)
+    w.format("parquet").mode("overwrite").saveAsTable(name)

@@ -1,0 +1,77 @@
+"""Scale-mechanism contracts: bucketed co-located joins eliminate the
+shuffle; salted joins spread skewed keys without changing results."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from cses2humio_spark.operators.joins import salted_join
+from cses2humio_spark.plans.explain import formatted_plan
+from cses2humio_spark.sources.catalog import load_table, write_bucketed
+from tests.conftest import SF_SMALL
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-bucketed tables join with zero Exchange nodes — the write-time
+    pre-shuffle replaces the per-query shuffle."""
+    orders = load_table(spark, SF_SMALL, "orders")
+    customer = load_table(spark, SF_SMALL, "customer")
+    write_bucketed(
+        orders, "b_orders", "o_custkey", buckets=4, path=str(tmp_path / "bo")
+    )
+    write_bucketed(
+        customer.withColumnRenamed("c_custkey", "o_custkey"),
+        "b_customer",
+        "o_custkey",
+        buckets=4,
+        path=str(tmp_path / "bc"),
+    )
+    bo, bc = spark.table("b_orders"), spark.table("b_customer")
+    # force a non-broadcast join so the exchange (or its absence) is visible
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bo.join(bc, on="o_custkey").select("o_orderkey", "c_name")
+        plan = formatted_plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:1500]
+    assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:2000]}"
+    # sanity: same row count as the plain join
+    plain = load_table(spark, SF_SMALL, "orders").join(
+        load_table(spark, SF_SMALL, "customer").withColumnRenamed(
+            "c_custkey", "o_custkey"
+        ),
+        on="o_custkey",
+    )
+    assert joined.count() == plain.count()
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join result set == plain join; the hot key is spread over
+    `salt` reducers instead of one."""
+    orders = load_table(spark, SF_SMALL, "orders")
+    nation = load_table(spark, SF_SMALL, "nation")
+    # fabricate skew: 80% of rows share one key
+    skewed = orders.withColumn(
+        "n_nationkey",
+        F.when(F.col("o_orderkey") % 5 != 0, F.lit(7)).otherwise(
+            F.col("o_orderkey") % 25
+        ),
+    )
+    plain = skewed.join(nation, on="n_nationkey").select(
+        "o_orderkey", "n_name"
+    )
+    salted = salted_join(
+        skewed, nation, "n_nationkey", salt=8, left_unique="o_orderkey"
+    ).select("o_orderkey", "n_name")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+    # the replicated side really is exploded `salt` times pre-join
+    plan = formatted_plan(salted)
+    assert re.search(r"Generate|explode", plan), plan[:1500]
