@@ -257,3 +257,58 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
         .cast("bigint")
         .alias("simhash")
     )
+
+
+def near_dup_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs — the step that turns
+    pairwise detection into dedup decisions (every member of a component is
+    a duplicate of the component's representative = its minimum id).
+
+    Min-label propagation: each round, every node adopts the minimum label
+    among itself and its neighbors; converges in O(component diameter)
+    rounds. Near-dup components are overwhelmingly tiny (pairs/triples), so
+    the loop exits after 2-3 rounds via the distributed convergence check
+    (a count, not a collect of labels). Each round is one equi-join + one
+    partial-aggregated groupBy — all shuffle-bounded; nothing driver-sized.
+
+    Returns (id_col, cluster_rep): every input id, singletons mapping to
+    themselves."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .persist()
+    )
+    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["id"] == neigh["src"], "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist() if hasattr(labels, "unpersist") else None
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_rep"))

@@ -613,3 +613,56 @@ def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"), "embedding"
     )
     return ivf_topk(emb, probes, cent, k=5, nprobe=2)
+
+
+@query(
+    "near_dup_cluster_reps",
+    oracle=f"""
+    WITH RECURSIVE {_CAND_CTE},
+    dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY 1),
+    inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+              FROM cand c
+              JOIN dsh a ON a.doc_id = c.id_a
+              JOIN dsh b ON b.doc_id = c.id_b AND b.sh = a.sh
+              GROUP BY 1, 2),
+    jac AS (SELECT i.id_a, i.id_b
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5),
+    bi AS (SELECT id_a AS src, id_b AS dst FROM jac
+           UNION ALL SELECT id_b, id_a FROM jac),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS label FROM documents
+      UNION
+      SELECT b.src, r.label FROM reach r JOIN bi b ON b.dst = r.id
+    )
+    SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_rep
+    FROM reach GROUP BY id
+    """,
+)
+def near_dup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup decision pipeline: MinHash candidates -> exact Jaccard
+    verify (>= 0.5) -> connected components -> every document mapped to its
+    cluster representative (min doc_id; singletons map to themselves).
+    The Spark side is iterative min-label propagation (converges in
+    O(component diameter) joins); the oracle computes the same components
+    with a recursive CTE."""
+    from cses2humio_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_candidate_pairs,
+        near_dup_clusters,
+        shingle_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs, "doc_id", "text", n=3).persist()
+    cands = minhash_candidate_pairs(
+        docs, "doc_id", "text", n=3, bands=4, rows_per_band=2, shingles_df=sh
+    )
+    j = jaccard_pairs(docs, cands, "doc_id", "text", n=3, shingles_df=sh)
+    pairs = j.filter(
+        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")) >= 0.5
+    ).select("id_a", "id_b")
+    return near_dup_clusters(docs.select("doc_id"), pairs)
