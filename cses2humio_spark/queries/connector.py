@@ -182,3 +182,37 @@ def connector_event_map_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("attributes.event").alias("event"),
     )
     return pivot_map_to_columns(flat, "event")
+
+
+@query(
+    "connector_variant_extract",
+    oracle=r"""
+    SELECT event_id AS offset,
+           epoch_ms(ts) AS ts_ms,
+           event_type AS eventType,
+           user_id,
+           ROUND(value, 2) AS vt,
+           'override' AS akv0
+    FROM events WHERE event_id < 1000
+    """,
+)
+def connector_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType path (SURVEY §1.7): the schemaless payload is
+    kept as ONE binary variant column — no declared schema — and every
+    path (scalars, array elements) is extracted with variant_get. Typed
+    extraction from the variant is oracle-checked against the base
+    columns the JSON was synthesized from."""
+    from cses2humio_spark.streaming.pipeline import parse_events_variant
+
+    parsed = parse_events_variant(_synth_lines(spark, sf_dir))
+    ev = F.col("event_variant")
+    return parsed.select(
+        F.col("offset"),
+        F.col("timestamp").alias("ts_ms"),
+        F.col("eventType"),
+        F.variant_get(ev, "$.user_id", "bigint").alias("user_id"),
+        F.round(F.variant_get(ev, "$.vt", "double"), 2).alias("vt"),
+        F.variant_get(ev, "$.AuditKeyValues[0].ValueString", "string").alias(
+            "akv0"
+        ),
+    )

@@ -162,3 +162,38 @@ def run_pipeline(
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def parse_events_variant(df: DataFrame, raw_col: str = "value") -> DataFrame:
+    """Spark 4 VariantType formulation of R4 (SURVEY.md §1.7: "Spark 4's
+    VariantType/parse_json is the ideal fit for the schemaless payload").
+
+    ``try_parse_json`` keeps the drop-malformed contract (null on bad
+    input, never an error); the whole event stays one binary-encoded
+    variant column — no schema declared, every path still reachable with
+    ``variant_get`` at read time, and shredding/pushdown improves as the
+    Spark variant reader does. The envelope paths the reference probes are
+    surfaced as typed columns; everything else rides in ``event_variant``.
+    """
+    v = F.try_parse_json(F.col(raw_col))
+    return (
+        df.withColumn("__v", v)
+        .filter(
+            F.col("__v").isNotNull()
+            & F.variant_get(F.col("__v"), "$.metadata", "string").isNotNull()
+        )
+        .select(
+            F.col(raw_col).alias("rawstring"),
+            F.variant_get(F.col("__v"), "$.metadata.offset", "bigint").alias(
+                "offset"
+            ),
+            F.variant_get(
+                F.col("__v"), "$.metadata.eventCreationTime", "bigint"
+            ).alias("timestamp"),
+            F.variant_get(F.col("__v"), "$.metadata.eventType", "string").alias(
+                "eventType"
+            ),
+            F.variant_get(F.col("__v"), "$.event", "variant").alias("event_variant"),
+            *[c for c in df.columns if c != raw_col],
+        )
+    )

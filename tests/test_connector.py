@@ -198,3 +198,17 @@ def test_hypothesis_malformed_injection_count_conservation(spark):
         assert parsed.count() == n_valid
 
     run()
+
+
+def test_variant_parse_drops_malformed(spark):
+    """Spark 4 variant path keeps the R4 drop-malformed contract:
+    try_parse_json -> null -> filtered, envelope paths still required."""
+    from cses2humio_spark.streaming.pipeline import parse_events_variant
+
+    df = spark.createDataFrame(
+        [(GOOD_LINE,), (MALFORMED_LINE,), ('{"no_metadata": 1}',)], ["value"]
+    )
+    out = parse_events_variant(df)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0].offset == 101
