@@ -345,3 +345,37 @@ def test_tumbling_window_drops_late_data(spark, tmp_path):
     # the [0,60) window was finalized with 2 events; the late ev(3) did not
     # reopen it (no duplicate emission, count stays 2)
     assert got.get(1723500000) == 2, got
+
+
+def test_rate_source_smoke(spark, tmp_path):
+    """Rate source (SURVEY §2.2 sources): synthetic load generator for
+    streaming tests — rows carry (timestamp, value) at rowsPerSecond."""
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 100)
+        .option("numPartitions", 2)
+        .load()
+    )
+    q = (
+        stream.withColumn("bucket", F.col("value") % 10)
+        .writeStream.format("memory")
+        .queryName("rate_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 20
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("select count(*) c from rate_test").collect()[0].c
+            if n > 0:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert n > 0
+    schema = {f.name for f in stream.schema.fields}
+    assert schema == {"timestamp", "value"}
