@@ -13,6 +13,8 @@ the same rule the decimal-sum helpers follow JVM-side.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 
 
@@ -54,3 +56,35 @@ def token_stats_udtf_class():
                 yield doc_id, tok, counts[tok]
 
     return TokenStatsUDTF
+
+
+def scalar_norm_udf():
+    """Vectorized SCALAR pandas UDF: l2 norm of array<float> embeddings,
+    one Arrow batch per call. Exists for UDF-surface parity; the production
+    path is functions/vectors.py (JVM-side, no Python transfer)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _norm(vecs: pd.Series) -> pd.Series:  # type: ignore[misc]
+        return vecs.map(lambda v: float(np.sqrt(np.dot(v, v))))
+
+    return _norm
+
+
+def iter_norm_udf():
+    """ITERATOR pandas UDF (Iterator[Series] -> Iterator[Series]): same
+    l2 norm, but the per-worker setup runs ONCE per partition before the
+    batch loop — the shape every model-backed LLM-pipeline UDF needs
+    (load tokenizer/model once, then stream Arrow batches through it)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _norm_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:  # type: ignore[misc]
+        # expensive one-time init would go here (model/tokenizer load)
+        sq = np.sqrt
+        for vecs in batches:
+            yield vecs.map(lambda v: float(sq(np.dot(v, v))))
+
+    return _norm_iter
