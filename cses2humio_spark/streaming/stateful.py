@@ -60,3 +60,59 @@ def running_user_totals(enveloped: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_user_totals_tws(enveloped: DataFrame) -> DataFrame:
+    """Spark 4 ``transformWithStateInPandas`` formulation of the same
+    per-user accumulator — the successor API to applyInPandasWithState:
+    typed state handles (ValueState here; List/Map available), explicit
+    init/close lifecycle, and timer support for timeout-driven emission.
+    Kept alongside the classic form so both stateful surfaces are pinned.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    keyed = enveloped.select(
+        F.col("attributes.event")["user"].alias("user"),
+        F.coalesce(
+            F.col("attributes.event")["cents"].cast("bigint"), F.lit(0)
+        ).alias("cents"),
+    )
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "total_events bigint, total_cents bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            if self._totals.exists():
+                total_events, total_cents = self._totals.get()
+            else:
+                total_events, total_cents = 0, 0
+            batch_events = 0
+            for pdf in rows:
+                batch_events += len(pdf)
+                total_events += len(pdf)
+                total_cents += int(pdf["cents"].sum())
+            self._totals.update((total_events, total_cents))
+            yield _pd.DataFrame(
+                {
+                    "user": [key[0]],
+                    "batch_events": [batch_events],
+                    "total_events": [total_events],
+                    "total_cents": [total_cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return keyed.groupBy("user").transformWithStateInPandas(
+        statefulProcessor=_Totals(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -8,6 +8,8 @@ import glob
 import json
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cses2humio_spark.sources.event_source import ndjson_stream
@@ -379,3 +381,87 @@ def test_rate_source_smoke(spark, tmp_path):
     assert n > 0
     schema = {f.name for f in stream.schema.fields}
     assert schema == {"timestamp", "value"}
+
+
+def test_parquet_sink_append(spark, tmp_path):
+    """Streaming parquet sink (SURVEY §2.2 sinks): enveloped events land
+    as parquet files readable by a batch scan — the archive path a 100 TB
+    pipeline writes next to the HTTP sink."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_lines(str(src / "a.ndjson"), _mk_lines(range(12)))
+    out = str(tmp_path / "out")
+    enveloped = enrich_events(parse_events(ndjson_stream(spark, str(src))))
+    flat = enveloped.select(
+        "timestamp",
+        F.col("attributes.metadata.offset").alias("offset"),
+        "rawstring",
+    )
+    q = (
+        flat.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    back = spark.read.parquet(out)
+    assert sorted(r.offset for r in back.collect()) == list(range(12))
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas: same per-user accumulator
+    semantics as the applyInPandasWithState path, on the typed-state API.
+    Requires google.protobuf (the TWS state-server protocol); skipped
+    where the container lacks it — the applyInPandasWithState test above
+    pins the same semantics either way."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from cses2humio_spark.streaming.stateful import running_user_totals_tws
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def mk(uid, off, cents):
+        return json.dumps(
+            {
+                "metadata": {"offset": off, "eventCreationTime": 1723500000000 + off},
+                "event": {"user": str(uid), "cents": cents},
+            }
+        )
+
+    _write_lines(str(src / "a.ndjson"), [mk(1, 0, 100), mk(1, 1, 50), mk(2, 2, 10)])
+    _write_lines(str(src / "b.ndjson"), [mk(1, 3, 25), mk(2, 4, 40)])
+
+    lines = ndjson_stream(spark, str(src), max_files_per_trigger=1)
+    enveloped = enrich_events(parse_events(lines))
+    totals = running_user_totals_tws(enveloped)
+    # transformWithState requires the RocksDB state store provider
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            totals.writeStream.format("memory")
+            .queryName("tws_test")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    rows = spark.sql(
+        "select user, total_events, total_cents from tws_test"
+    ).collect()
+    final = {}
+    for r in rows:
+        final[r.user] = (r.total_events, r.total_cents)
+    assert final["1"] == (3, 175), final
+    assert final["2"] == (2, 50), final
