@@ -75,6 +75,31 @@ def _norm_sql(v: str) -> str:
     return f"sqrt({_FOLD_SUM.format(expr=f'list_transform({v}, x -> x*x)')})"
 
 
+def _cos_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)}))"
+
+
+def _planes_values_sql(dim: int, n_planes: int) -> str:
+    from cses2humio_spark.operators.similarity import _hyperplane
+
+    return ", ".join(
+        "({}, [{}])".format(i, ", ".join(repr(v) for v in _hyperplane(dim, i)))
+        for i in range(n_planes)
+    )
+
+
+_LSH_SIG_CTE = f"""
+ev AS (SELECT vec_id, {_DOUBLE_VEC} AS v FROM embeddings),
+planes AS (SELECT pid, pv FROM (VALUES {_planes_values_sql(64, 8)}) AS t(pid, pv)),
+sigs AS (SELECT e.vec_id,
+                CAST(SUM(CASE WHEN {_dot_sql('e.v', 'pv')} > 0
+                              THEN (CAST(1 AS BIGINT) << pid) ELSE 0 END) AS BIGINT)
+                  AS lsh_sig
+         FROM ev e CROSS JOIN planes
+         GROUP BY e.vec_id)
+"""
+
+
 # ---- text analysis ------------------------------------------------------
 
 @query(
@@ -315,11 +340,30 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(emb, probes, k=5)
 
 
-@query("cosine_topk_lsh")  # approximate (recall < 1) -> rows-only check
+@query(
+    "cosine_topk_lsh",
+    oracle=f"""
+    WITH {_LSH_SIG_CTE},
+    p AS (SELECT s.vec_id AS probe_id, s.lsh_sig, e.v AS pv
+          FROM sigs s JOIN ev e ON e.vec_id = s.vec_id WHERE s.vec_id < 10),
+    c AS (SELECT s.vec_id, s.lsh_sig, e.v AS cv
+          FROM sigs s JOIN ev e ON e.vec_id = s.vec_id),
+    scored AS (SELECT p.probe_id, c.vec_id,
+                      ROUND({_cos_sql('c.cv', 'p.pv')}, 6) AS cos_sim
+               FROM p JOIN c ON c.lsh_sig = p.lsh_sig),
+    ranked AS (SELECT probe_id, vec_id, cos_sim,
+                      ROW_NUMBER() OVER (PARTITION BY probe_id
+                                         ORDER BY cos_sim DESC, vec_id) AS rank
+               FROM scored)
+    SELECT probe_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
 def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k — the 100 TB scale path: candidates
     share a random-hyperplane signature; exact re-rank inside buckets.
-    Deterministic but approximate, so no SQL oracle (driver rows-only)."""
+    Approximate relative to TRUE top-k (recall < 1), but exactly
+    reproducible: the oracle replicates the hyperplanes as SQL literals, so
+    even the approximation is hash-checked."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding")
@@ -512,29 +556,6 @@ def udtf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- embedding-space dedup + IVF ANN (similarity scale paths) -----------
 
-def _cos_sql(a: str, b: str) -> str:
-    return f"({_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)}))"
-
-
-def _planes_values_sql(dim: int, n_planes: int) -> str:
-    from cses2humio_spark.operators.similarity import _hyperplane
-
-    return ", ".join(
-        "({}, [{}])".format(i, ", ".join(repr(v) for v in _hyperplane(dim, i)))
-        for i in range(n_planes)
-    )
-
-
-_LSH_SIG_CTE = f"""
-ev AS (SELECT vec_id, {_DOUBLE_VEC} AS v FROM embeddings),
-planes AS (SELECT pid, pv FROM (VALUES {_planes_values_sql(64, 8)}) AS t(pid, pv)),
-sigs AS (SELECT e.vec_id,
-                CAST(SUM(CASE WHEN {_dot_sql('e.v', 'pv')} > 0
-                              THEN (CAST(1 AS BIGINT) << pid) ELSE 0 END) AS BIGINT)
-                  AS lsh_sig
-         FROM ev e CROSS JOIN planes
-         GROUP BY e.vec_id)
-"""
 
 
 @query(

@@ -28,7 +28,6 @@ def test_every_query_has_oracle_or_is_flagged():
     # non-SQL-expressible ops are allowed to be oracle-free, but keep the
     # list explicit so additions are deliberate
     allowed_rows_only = {
-        "cosine_topk_lsh",        # approximate by design (LSH recall < 1)
         "streaming_pipeline_demo",  # streaming mechanics, not SQL-expressible
         "approx_distinct_users",  # HLL/KLL sketches are engine-specific
     }
