@@ -197,3 +197,42 @@ def parse_events_variant(df: DataFrame, raw_col: str = "value") -> DataFrame:
             *[c for c in df.columns if c != raw_col],
         )
     )
+
+
+def supervise_pipeline(
+    start_query,
+    max_restarts: int = 3,
+    backoff_seconds: float = 0.0,
+    sleep=None,
+) -> int:
+    """R15 supervisor (reference: controller thread restarting dead
+    partition consumers, app.py:305-326). ``start_query`` is a factory
+    returning a STARTED StreamingQuery against the SAME checkpoint dir —
+    a restart is a fresh query object resuming from the WAL, exactly like
+    the reference re-spawning a thread from the offset file.
+
+    Drains all available input; on a failed micro-batch the query is
+    restarted (the failed batch replays from the checkpoint — the
+    at-least-once contract, invariant 1) up to ``max_restarts`` times.
+    Returns the number of restarts used; re-raises once the budget is
+    exhausted."""
+    import time as _time
+
+    do_sleep = sleep or _time.sleep
+    restarts = 0
+    while True:
+        q = start_query()
+        try:
+            q.processAllAvailable()
+            q.stop()
+            return restarts
+        except Exception:
+            try:
+                q.stop()
+            except Exception:  # noqa: BLE001 - already failed; best effort
+                pass
+            restarts += 1
+            if restarts > max_restarts:
+                raise
+            if backoff_seconds:
+                do_sleep(backoff_seconds)

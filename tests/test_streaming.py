@@ -465,3 +465,61 @@ def test_transform_with_state_running_totals(spark, tmp_path):
         final[r.user] = (r.total_events, r.total_cents)
     assert final["1"] == (3, 175), final
     assert final["2"] == (2, 50), final
+
+
+def test_supervisor_restarts_failed_batch(spark, tmp_path):
+    """R15 + invariant 1: a sink crash fails the micro-batch; the
+    supervisor restarts the query from the same checkpoint and the batch
+    REPLAYS (at-least-once). The poison marker makes the sink succeed on
+    retry; every event is delivered exactly once downstream because the
+    failed attempt spooled nothing."""
+    from cses2humio_spark.streaming.pipeline import supervise_pipeline
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_lines(str(src / "a.ndjson"), _mk_lines(range(8)))
+    spool = str(tmp_path / "spool")
+    ckpt = str(tmp_path / "ckpt")
+    poison = tmp_path / "poison"
+    poison.touch()
+    inner = chunked_sink(spool, bulk_max_size=200)
+
+    def flaky_sink(batch_df, batch_id):
+        if poison.exists():
+            poison.unlink()
+            raise RuntimeError("injected sink outage")
+        inner(batch_df, batch_id)
+
+    def start():
+        return run_pipeline(
+            ndjson_stream(spark, str(src)),
+            sink=flaky_sink,
+            checkpoint_dir=ckpt,
+        )
+
+    restarts = supervise_pipeline(start, max_restarts=3)
+    assert restarts == 1
+    events = [e for p in _spooled(spool) for e in p["body"][0]["events"]]
+    offs = sorted(e["attributes"]["metadata"]["offset"] for e in events)
+    assert offs == list(range(8)), offs
+
+
+def test_supervisor_exhausts_budget_and_raises(spark, tmp_path):
+    from cses2humio_spark.streaming.pipeline import supervise_pipeline
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_lines(str(src / "a.ndjson"), _mk_lines(range(3)))
+
+    def always_fail(batch_df, batch_id):
+        raise RuntimeError("permanent sink outage")
+
+    def start():
+        return run_pipeline(
+            ndjson_stream(spark, str(src)),
+            sink=always_fail,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+
+    with pytest.raises(Exception):
+        supervise_pipeline(start, max_restarts=2)
