@@ -55,3 +55,28 @@ def pivot_map_to_columns(
             for k in keys
         ],
     )
+
+
+def compact_for_scan(
+    df: DataFrame,
+    out_path: str,
+    sort_col: str,
+    n_files: int | None = None,
+) -> None:
+    """Write a scan-optimized parquet layout: range-partition by
+    ``sort_col`` then sort within partitions before writing.
+
+    Each output file then covers a DISJOINT range of ``sort_col``, so its
+    parquet min/max statistics become effective zone maps: a reader with a
+    ``sort_col`` predicate skips every non-overlapping file/row-group
+    without touching data. This is the write-side half of predicate
+    pushdown — at 100 TB, time-range queries over an events table laid out
+    this way read only the matching slice. (The daily compaction job shape:
+    ``repartitionByRange(ts).sortWithinPartitions(ts).write``.)"""
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )

@@ -75,3 +75,41 @@ def test_salted_join_matches_plain_join(spark):
     # the replicated side really is exploded `salt` times pre-join
     plan = formatted_plan(salted)
     assert re.search(r"Generate|explode", plan), plan[:1500]
+
+
+def test_compact_for_scan_produces_disjoint_zone_maps(spark, tmp_path):
+    """Write-side pruning: after compact_for_scan(ts), every parquet file
+    covers a disjoint ts range (verified from the files' own min/max
+    statistics) — a time-range predicate can skip all non-matching files."""
+    import pyarrow.parquet as pq
+
+    from cses2humio_spark.operators.reshape import compact_for_scan
+
+    # sort key: event_id (bigint) — pyarrow does not surface min/max for
+    # Spark's timestamp_ntz, but the mechanism is identical for ts
+    events = load_table(spark, SF_SMALL, "events")
+    out = str(tmp_path / "events_sorted")
+    compact_for_scan(events, out, "event_id", n_files=8)
+
+    ranges = []
+    for root, _dirs, files in __import__("os").walk(out):
+        for fname in files:
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(f"{root}/{fname}").metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            lo = min(
+                md.row_group(g).column(idx["event_id"]).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(g).column(idx["event_id"]).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            ranges.append((lo, hi))
+    assert len(ranges) >= 2, "expected multiple output files"
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
+    # and the data round-trips completely
+    assert spark.read.parquet(out).count() == events.count()
