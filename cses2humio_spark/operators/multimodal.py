@@ -109,3 +109,38 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         "media_type",
         F.posexplode(offsets).alias("frame_idx", "byte_offset"),
     )
+
+
+RESIZED_SCHEMA = (
+    "doc_id bigint, media_type string, payload binary, "
+    "meta struct<n_bytes: bigint, codec: string, scale: bigint>"
+)
+
+
+def resize_media(df: DataFrame, factor: int = 4) -> DataFrame:
+    """Resize/downsample stand-in via mapInPandas: keep every ``factor``-th
+    byte of the payload (where a real implementation calls PIL
+    ``Image.resize`` / audio resampling). Binary in -> binary out, so the
+    result is again a media column that downstream stages (decode,
+    frame-sample, storage) consume unchanged — the composability that makes
+    media transforms pipeline stages rather than terminal steps. Arrow
+    moves the bytes; Python touches each blob once per batch."""
+
+    def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            resized = [bytes(bytes(b)[::factor]) for b in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": resized,
+                    "meta": [
+                        {"n_bytes": len(r), "codec": "fake/v1", "scale": factor}
+                        for r in resized
+                    ],
+                }
+            )
+
+    return df.mapInPandas(_resize_batches, schema=RESIZED_SCHEMA)

@@ -1,0 +1,44 @@
+"""Multimodal binary-column plumbing: resize composes with decode and
+frame-sample (binary in -> binary out), checked against a pure-Python model
+of the same byte math."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cses2humio_spark.operators.multimodal import (
+    decode_media,
+    frame_sample,
+    resize_media,
+    synthesize_media,
+)
+from cses2humio_spark.sources.catalog import load_table
+from tests.conftest import SF_SMALL
+
+
+def test_resize_matches_python_model(spark):
+    docs = load_table(spark, SF_SMALL, "documents").filter(F.col("doc_id") < 50)
+    media = synthesize_media(docs)
+    out = {r.doc_id: r for r in resize_media(media, factor=4).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        expect = r.text.encode("utf-8")[::4]
+        got = out[r.doc_id]
+        assert bytes(got.payload) == expect, r.doc_id
+        assert got.meta.n_bytes == len(expect)
+        assert got.meta.scale == 4
+
+
+def test_resize_composes_with_decode_and_frame_sample(spark):
+    """resize output is a valid media column: frame_sample consumes it
+    directly, and its n_bytes metadata is consistent with the payload."""
+    docs = load_table(spark, SF_SMALL, "documents").filter(F.col("doc_id") < 30)
+    media = synthesize_media(docs)
+    resized = resize_media(media, factor=2)
+    frames = frame_sample(resized, every_n_bytes=16)
+    n_frames = frames.count()
+    assert n_frames > 0
+    # every sampled offset is inside the RESIZED payload
+    joined = frames.join(
+        resized.select("doc_id", F.col("meta.n_bytes").alias("nb")), on="doc_id"
+    )
+    assert joined.filter(F.col("byte_offset") >= F.col("nb")).count() == 0
