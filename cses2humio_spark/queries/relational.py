@@ -916,3 +916,38 @@ def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0)).alias("o_cnt"),
         F.coalesce(F.col("P"), F.lit(0)).alias("p_cnt"),
     )
+
+
+@query(
+    "sql_exists_and_scalar_subquery",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_totalprice > (SELECT AVG(o2.o_totalprice) * 1.8 FROM orders o2)
+    )
+    """,
+)
+def sql_exists_and_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: the engine's tables registered as views and queried
+    through spark.sql with a correlated EXISTS + an uncorrelated scalar
+    subquery. Catalyst rewrites EXISTS into a left-semi join and evaluates
+    the scalar subquery once (a broadcast single-row plan) — same physical
+    shapes as the DataFrame formulations elsewhere in this module."""
+    from cses2humio_spark.sources.catalog import load_table as _lt
+
+    _lt(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _lt(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > (SELECT AVG(o2.o_totalprice) * 1.8 FROM orders o2)
+        )
+        """
+    )
