@@ -119,34 +119,27 @@ def minhash_signatures(
     reproduces it exactly).
     """
     sh = shingles_df if shingles_df is not None else shingle_table(df, id_col, text_col, n)
-    # one pass: explode the band dimension, compute r salted hashes per
-    # row, take r mins per (doc, band), concatenate.
-    banded = sh.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-        F.col("__sh"),
-    )
+    # One pass, no band explode: all bands*rows_per_band min-hashes are
+    # independent aggregates over the SAME shingle rows, so compute them as
+    # bands*r columns in a single groupBy(id) (partial-aggregated map-side,
+    # one shuffle row per doc instead of `bands`), then unpivot to
+    # (id, band, sig) with stack — a free narrow projection.
     mins = [
         F.min(
-            F.md5(
-                F.concat(
-                    F.lit("b"),
-                    F.col("band").cast("string"),
-                    F.lit(f"h{j}:"),
-                    F.col("__sh"),
-                )
-            )
-        ).alias(f"__m{j}")
+            F.md5(F.concat(F.lit(f"b{b}h{j}:"), F.col("__sh")))
+        ).alias(f"__m_{b}_{j}")
+        for b in range(bands)
         for j in range(rows_per_band)
     ]
-    return (
-        banded.groupBy(id_col, "band")
-        .agg(*mins)
-        .select(
-            id_col,
-            "band",
-            F.concat(*[F.col(f"__m{j}") for j in range(rows_per_band)]).alias("sig"),
-        )
+    agged = sh.groupBy(id_col).agg(*mins)
+    stack_args = ", ".join(
+        f"{b}, concat("
+        + ", ".join(f"__m_{b}_{j}" for j in range(rows_per_band))
+        + ")"
+        for b in range(bands)
+    )
+    return agged.selectExpr(
+        id_col, f"stack({bands}, {stack_args}) AS (band, sig)"
     )
 
 
