@@ -271,12 +271,20 @@ def near_dup_clusters(
 
     Returns (id_col, cluster_rep): every input id, singletons mapping to
     themselves."""
+    # Pin the iteration partitioning explicitly: persisted iteration state
+    # bypasses AQE coalescing, so an inherited 200+-partition default would
+    # cost (partitions x rounds) empty tasks. defaultParallelism is the
+    # right granularity on any cluster size.
+    n_part = ids.sparkSession.sparkContext.defaultParallelism
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .repartition(n_part, "dst")
         .persist()
     )
-    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("label")).repartition(
+        n_part, "id"
+    )
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges["dst"] == labels["id"])
