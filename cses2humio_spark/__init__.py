@@ -20,3 +20,35 @@ idiomatic Spark engine:
 __version__ = "0.1.0"
 
 from cses2humio_spark.session import get_spark  # noqa: F401
+from cses2humio_spark.operators.joins import (  # noqa: F401
+    asof_join,
+    range_join,
+    salted_join,
+)
+from cses2humio_spark.operators.dedup import (  # noqa: F401
+    dedup_exact_by_key,
+    dedup_exact_content,
+    jaccard_pairs,
+    minhash_candidate_pairs,
+    near_dup_clusters,
+    simhash,
+)
+from cses2humio_spark.operators.similarity import (  # noqa: F401
+    cosine_topk_bruteforce,
+    embedding_near_dup_pairs,
+    ivf_topk,
+    lsh_topk,
+)
+from cses2humio_spark.operators.reshape import (  # noqa: F401
+    compact_for_scan,
+    pivot_map_to_columns,
+)
+from cses2humio_spark.streaming.joins import stream_interval_join  # noqa: F401
+from cses2humio_spark.streaming.pipeline import (  # noqa: F401
+    enrich_events,
+    parse_events,
+    parse_events_variant,
+    run_pipeline,
+    supervise_pipeline,
+    with_replay_dedup,
+)
