@@ -44,18 +44,18 @@ def main() -> None:
     from cses2humio_spark.queries import QUERIES
 
     spark = get_spark("bench")
-    # Warm the JVM: run every headline plan once at the SMALLEST scale
+    # baseline JVM warm (always): first action absorbs session startup
+    spark.range(1).collect()
+    # Warm the plans: run every headline query once at the SMALLEST scale
     # factor (different files than the measured run, so no input caching —
     # this absorbs one-time codegen compilation, Arrow init, and parquet
     # reader setup, which are fixed costs, not per-query work).
     if os.path.isdir(WARMUP_SF_DIR) and os.path.abspath(
         WARMUP_SF_DIR
     ) != os.path.abspath(sf_dir):
-        from cses2humio_spark.queries import QUERIES as _Q
-
         for name in HEADLINE:
-            if name in _Q:
-                _Q[name](spark, WARMUP_SF_DIR).collect()
+            if name in QUERIES:
+                QUERIES[name](spark, WARMUP_SF_DIR).collect()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -311,5 +311,13 @@ def near_dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"near_dup_clusters did not converge within max_iter={max_iter} "
+            "rounds (a component's diameter exceeds the budget); raise "
+            "max_iter — returning partial labels would silently violate the "
+            "one-representative-per-component contract"
+        )
     edges.unpersist()
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_rep"))

@@ -125,6 +125,8 @@ def resize_media(df: DataFrame, factor: int = 4) -> DataFrame:
     frame-sample, storage) consume unchanged — the composability that makes
     media transforms pipeline stages rather than terminal steps. Arrow
     moves the bytes; Python touches each blob once per batch."""
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
 
     def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd

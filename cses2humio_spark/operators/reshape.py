@@ -48,10 +48,16 @@ def pivot_map_to_columns(
             "refusing to build an unbounded schema"
         )
     base = keep if keep is not None else [c for c in df.columns if c != map_col]
+    # a map key may collide with a pass-through column (arbitrary event
+    # attributes vs envelope columns) — deterministically prefix those so
+    # the output never carries duplicate names
+    taken = set(base)
     return df.select(
         *base,
         *[
-            F.element_at(F.col(map_col), F.lit(k)).alias(k)
+            F.element_at(F.col(map_col), F.lit(k)).alias(
+                k if k not in taken else f"{map_col}_{k}"
+            )
             for k in keys
         ],
     )

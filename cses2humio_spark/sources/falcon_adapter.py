@@ -125,6 +125,10 @@ def kafka_source_options(
     """R19: map a stream descriptor onto Kafka source options (the
     production ingestion path, SURVEY §1.7). The session token becomes the
     SASL secret; one topic partition per stream partition."""
+    def _jaas_escape(s: str) -> str:
+        # JAAS string values: backslash then double quote must be escaped
+        return s.replace("\\", "\\\\").replace('"', '\\"')
+
     return {
         "kafka.bootstrap.servers": bootstrap_servers,
         "subscribe": f"{topic_prefix}.{desc.app_id}",
@@ -133,7 +137,8 @@ def kafka_source_options(
         "kafka.sasl.mechanism": "PLAIN",
         "kafka.sasl.jaas.config": (
             "org.apache.kafka.common.security.plain.PlainLoginModule required "
-            f'username="{desc.app_id}" password="{desc.token}";'
+            f'username="{_jaas_escape(desc.app_id)}" '
+            f'password="{_jaas_escape(desc.token)}";'
         ),
     }
 
@@ -148,7 +153,9 @@ def redact_config(
     out: dict[str, object] = {}
     for k, v in cfg.items():
         if k in secrets and isinstance(v, str) and v:
-            out[k] = "*" * max(len(v) - 2, 0) + v[-2:]
+            # short secrets are masked entirely — keeping a 2-char tail of a
+            # 2-3 char value would leak most or all of it
+            out[k] = "*" * len(v) if len(v) <= 4 else "*" * (len(v) - 2) + v[-2:]
         else:
             out[k] = v
     return out

@@ -193,7 +193,10 @@ def test_hypothesis_malformed_injection_count_conservation(spark):
     @given(st.lists(st.one_of(valid, garbage), min_size=1, max_size=30))
     def run(lines):
         n_valid = sum(1 for l in lines if model_valid(l))
-        df = spark.createDataFrame([(l,) for l in lines if l.strip()], ["value"])
+        # explicit schema: the kept list may be empty (all-whitespace input)
+        df = spark.createDataFrame(
+            [(l,) for l in lines if l.strip()], "value string"
+        )
         parsed = parse_events(df)
         assert parsed.count() == n_valid
 

@@ -102,3 +102,16 @@ def test_descriptor_is_frozen():
     d = StreamDescriptor("u", "t", 10, "a", 0, 8.5)
     with pytest.raises(Exception):
         d.token = "x"  # type: ignore[misc]
+
+
+def test_redaction_fully_masks_short_secrets():
+    red = redact_config({"humio_token": "ab", "token": "abc"})
+    assert red["humio_token"] == "**"
+    assert red["token"] == "***"
+
+
+def test_jaas_config_escapes_quotes_and_backslashes():
+    d = parse_stream_descriptor(_resource(token='to"k\\en'), 'ap"p')
+    jaas = kafka_source_options(d, "b:9092")["kafka.sasl.jaas.config"]
+    assert 'password="to\\"k\\\\en"' in jaas
+    assert 'username="ap\\"p"' in jaas

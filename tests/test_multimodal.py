@@ -42,3 +42,26 @@ def test_resize_composes_with_decode_and_frame_sample(spark):
         resized.select("doc_id", F.col("meta.n_bytes").alias("nb")), on="doc_id"
     )
     assert joined.filter(F.col("byte_offset") >= F.col("nb")).count() == 0
+
+
+def test_resize_rejects_bad_factor(spark):
+    import pytest
+
+    from cses2humio_spark.operators.multimodal import synthesize_media
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(1)
+    media = synthesize_media(docs)
+    with pytest.raises(ValueError):
+        resize_media(media, factor=0)
+
+
+def test_pivot_map_prefixes_colliding_keys(spark):
+    from pyspark.sql import functions as F
+
+    from cses2humio_spark.operators.reshape import pivot_map_to_columns
+
+    df = spark.createDataFrame([(1, {"offset": "x", "fresh": "y"})], "offset bigint, m map<string,string>")
+    out = pivot_map_to_columns(df, "m")
+    assert out.columns == ["offset", "fresh", "m_offset"]
+    row = out.collect()[0]
+    assert row.offset == 1 and row.m_offset == "x" and row.fresh == "y"

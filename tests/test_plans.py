@@ -131,8 +131,18 @@ def test_no_query_degenerates_to_cartesian(spark):
         "ivf_topk",               # tiny centroid set broadcast
         "cross_join_region_priority",  # the cross join op itself
     }
+    # building these queries runs heavy side effects (a full streaming
+    # query, a driver-side iteration loop, a key-discovery collect) just to
+    # produce the DataFrame — their plans are covered by their own tests
+    SIDE_EFFECTING = {
+        "streaming_pipeline_demo",
+        "near_dup_cluster_reps",
+        "connector_event_map_pivot",
+    }
     offenders = []
     for name, fn in QUERIES.items():
+        if name in SIDE_EFFECTING:
+            continue
         plan = formatted_plan(fn(spark, SF_SMALL))
         if "CartesianProduct" in plan:
             offenders.append((name, "CartesianProduct"))

@@ -343,10 +343,10 @@ def test_tumbling_window_drops_late_data(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     rows = spark.sql("select win_start, n from late_test").collect()
-    got = {r.win_start: r.n for r in rows}
-    # the [0,60) window was finalized with 2 events; the late ev(3) did not
-    # reopen it (no duplicate emission, count stays 2)
-    assert got.get(1723500000) == 2, got
+    first_win = [(r.win_start, r.n) for r in rows if r.win_start == 1723500000]
+    # the [0,60) window was finalized ONCE with 2 events; the late ev(3)
+    # neither reopened it nor re-emitted it (a duplicate row would also fail)
+    assert first_win == [(1723500000, 2)], rows
 
 
 def test_rate_source_smoke(spark, tmp_path):
