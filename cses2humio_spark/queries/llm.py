@@ -687,3 +687,54 @@ def near_dup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")) >= 0.5
     ).select("id_a", "id_b")
     return near_dup_clusters(docs.select("doc_id"), pairs)
+
+
+@query(
+    "deterministic_split_counts",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT % 100 AS bucket
+      FROM documents
+    )
+    SELECT lang,
+      CAST(SUM(CASE WHEN bucket < 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+      CAST(SUM(CASE WHEN bucket >= 80 AND bucket < 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+      CAST(SUM(CASE WHEN bucket >= 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+    FROM h GROUP BY lang
+    """,
+)
+def deterministic_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test split — the sampling a training-data
+    pipeline actually needs: membership is a PURE FUNCTION of the document
+    id (md5 bucket), so the split is stable across runs, engines, cluster
+    sizes, and data re-partitioning, and any row's assignment can be
+    recomputed from its id alone. Contrast df.sample(): partition-order
+    RNG, irreproducible across engines. No shuffle beyond the final
+    count aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return (
+        docs.withColumn("bucket", bucket)
+        .groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("bucket") < 80, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(
+                F.when((F.col("bucket") >= 80) & (F.col("bucket") < 90), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_val"),
+            F.sum(F.when(F.col("bucket") >= 90, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_test"),
+        )
+    )
