@@ -951,3 +951,26 @@ def sql_exists_and_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFram
         )
         """
     )
+
+
+@query(
+    "median_price_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+      ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+      ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95_price,
+      COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def median_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (interpolated median + p95 per group) —
+    the per-key latency/price distribution view. Exact percentile sorts
+    within each group; at 100 TB cardinality the approx variant
+    (percentile_approx, also in approx_distinct_users) is the scale path."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
