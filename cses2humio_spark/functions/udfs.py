@@ -26,8 +26,15 @@ def weighted_mean_cents():
 
     @pandas_udf("double")
     def _wmean(value: pd.Series, weight: pd.Series) -> float:  # type: ignore[misc]
-        cents = (value * 100).round().astype("int64")
-        w = weight.astype("int64")
+        import numpy as np
+
+        # SQL aggregate semantics: NULL in either operand skips the pair
+        # (astype on NaN would instead crash the whole query)
+        mask = value.notna() & weight.notna()
+        v = value[mask].to_numpy(dtype="float64")
+        w = weight[mask].to_numpy(dtype="float64").astype("int64")
+        # half-away-from-zero to match SQL ROUND (pandas .round is half-even)
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).astype("int64")
         tw = int(w.sum())
         if tw == 0:
             return float("nan")

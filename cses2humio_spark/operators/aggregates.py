@@ -48,7 +48,9 @@ def grouped_stats(
     df: DataFrame, dims: Sequence[str], value_col: str
 ) -> DataFrame:
     """count / sum / avg / min / max / stddev per group, deterministic
-    float handling (see queries/registry.py docstring)."""
+    float handling (see queries/registry.py docstring). ``stddev_v`` is
+    sample stddev; being a second-moment statistic it is float-rounded —
+    round it before any cross-engine comparison."""
     v = F.col(value_col)
     return df.groupBy(*[F.col(d) for d in dims]).agg(
         F.count(F.lit(1)).alias("cnt"),
@@ -56,4 +58,5 @@ def grouped_stats(
         (F.sum(v.cast("decimal(18,4)")).cast("double") / F.count(v)).alias("avg_v"),
         F.min(v).alias("min_v"),
         F.max(v).alias("max_v"),
+        F.stddev(v).alias("stddev_v"),
     )

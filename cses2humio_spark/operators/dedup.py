@@ -11,8 +11,8 @@ Scale design:
   self-join on (band, signature). The self-join is an equi-join on the
   band bucket, so candidate generation is O(pairs-in-bucket), never the
   O(n^2) cross join. Verification (exact Jaccard) runs only on candidates.
-- ``simhash_buckets``: 16/32/64-bit simhash; near-dup candidates share a
-  band of the fingerprint.
+- ``simhash``: up-to-32-bit simhash fingerprints; near-dup candidates
+  share a band of the fingerprint.
 All hashing uses md5 (available and bit-identical in Spark and DuckDB, so
 every step stays oracle-checkable).
 """
@@ -24,15 +24,6 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-
-
-def _md5_i64(col: Column, salt: str = "") -> Column:
-    """Deterministic 63-bit integer hash via md5 hex prefix (engine-portable:
-    DuckDB reproduces it as ``('x' || substr(md5(...),1,15))::BIT``-free
-    arithmetic — we use conv of the first 15 hex chars, < 2^60)."""
-    return F.conv(F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 15), 16, 10).cast(
-        "bigint"
-    )
 
 
 def dedup_exact_by_key(
@@ -199,15 +190,34 @@ def jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    # LEFT joins from the caller's pairs: a candidate pair with zero shared
+    # shingles (or an empty shingle set) must surface with jaccard=0, not
+    # silently vanish — callers can't distinguish "dissimilar" from
+    # "not computed" otherwise. (MinHash-generated pairs always share a
+    # shingle, so this only matters for externally supplied pairs.)
     out = (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), on="id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), on="id_b")
+        pairs.select("id_a", "id_b")
+        .join(inter, on=["id_a", "id_b"], how="left")
+        .join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
+            on="id_a",
+            how="left",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")),
+            on="id_b",
+            how="left",
+        )
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+        .withColumn("n_a", F.coalesce(F.col("n_a"), F.lit(0)))
+        .withColumn("n_b", F.coalesce(F.col("n_b"), F.lit(0)))
+        .withColumn(
+            "__denom", F.col("n_a") + F.col("n_b") - F.col("n_inter")
+        )
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
+            F.when(F.col("__denom") <= 0, F.lit(0.0)).otherwise(
+                F.round(F.col("n_inter") / F.col("__denom"), 6)
             ),
         )
     )
@@ -221,6 +231,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     with integer shifts) — pure integer arithmetic, bit-identical in any
     engine, so the whole operator is oracle-checkable. ``bits`` <= 32.
     """
+    if not 1 <= bits <= 32:
+        raise ValueError(f"bits must be in [1, 32], got {bits}")
     from cses2humio_spark.sources.catalog import fan_out
 
     toks = fan_out(df).select(

@@ -71,8 +71,10 @@ def asof_join(
     same ``on`` keys and ``right_ts <= left_ts``.
 
     Implemented as union + window (a single shuffle on ``on`` keys):
-    tag each side, union the key/ts columns, and carry right-side values
-    forward with ``last(..., ignorenulls=True)`` ordered by time. This is
+    tag each side, union the key/ts columns, and carry the latest right-side
+    ROW forward as one struct with ``last(struct, ignorenulls=True)``
+    ordered by time — filling per-column would stitch together values from
+    DIFFERENT right rows whenever the latest row has a NULL field. This is
     the scalable formulation — both inputs shuffle exactly once on the join
     keys, and the per-key work is a sort, identical to a sort-merge join.
 
@@ -81,19 +83,33 @@ def asof_join(
     """
     on = list(on)
     right_cols = list(right_cols)
+    overlap = set(right_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"right_cols {sorted(overlap)} already exist on the left side; "
+            "rename one side before the as-of join"
+        )
 
     lhs = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
-    for c in right_cols:
-        lhs = lhs.withColumn(c, F.lit(None))
+    lhs = lhs.withColumn(
+        "__rrow",
+        F.lit(None).cast(
+            "struct<"
+            + ", ".join(
+                f"{c}: {right.schema[c].dataType.simpleString()}" for c in right_cols
+            )
+            + ">"
+        ),
+    )
     rhs = right.select(
         *[F.col(k) for k in on],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c) for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("__rrow"),
     )
     left_payload = [c for c in left.columns]
-    lhs = lhs.select(*on, "__ts", "__side", *right_cols, *[c for c in left_payload if c not in on])
-    rhs = rhs.select(*on, "__ts", "__side", *right_cols, *[F.lit(None).alias(c) for c in left_payload if c not in on])
+    lhs = lhs.select(*on, "__ts", "__side", "__rrow", *[c for c in left_payload if c not in on])
+    rhs = rhs.select(*on, "__ts", "__side", "__rrow", *[F.lit(None).alias(c) for c in left_payload if c not in on])
 
     unioned = lhs.unionByName(rhs)
     # right rows sort before left rows at equal ts => inclusive as-of
@@ -102,10 +118,17 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned
-    for c in right_cols:
-        filled = filled.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
-    out = filled.filter(F.col("__side") == 1).drop("__side", "__ts")
+    filled = unioned.withColumn(
+        "__rrow", F.last(F.col("__rrow"), ignorenulls=True).over(w)
+    )
+    out = (
+        filled.filter(F.col("__side") == 1)
+        .select(
+            *on,
+            *[F.col(f"__rrow.{c}").alias(c) for c in right_cols],
+            *[c for c in left_payload if c not in on],
+        )
+    )
     if tolerance is not None:
         raise NotImplementedError("tolerance not yet supported")
     return out

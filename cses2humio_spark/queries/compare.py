@@ -69,8 +69,9 @@ def compare_query(
     scols = sdf.columns
     result = {"rows": len(srows), "cols": sorted(scols)}
     if oracle is None:
-        result["status"] = "rows-only"
-        result["ok"] = len(srows) >= 0
+        # a regression to an empty result must not pass the gate silently
+        result["status"] = "rows-only" if srows else "rows-only-EMPTY"
+        result["ok"] = len(srows) > 0
         return result
     ocols, orows = run_oracle(sf_dir, oracle)
     result["oracle_rows"] = len(orows)

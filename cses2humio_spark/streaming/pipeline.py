@@ -49,6 +49,9 @@ def parse_events(df: DataFrame, raw_col: str = "value") -> DataFrame:
     """R4: permissive JSON parse; malformed lines are dropped (reference
     app.py:107-114) but never interrupt the stream. Adds typed ``metadata``
     and the raw ``event`` payload columns."""
+    # Needed ONLY for from_json on raw payloads whose JSON text itself
+    # repeats a key (dict-update semantics like the reference); the KV
+    # flatten below is conf-independent (explicit fold in _flatten_event).
     df.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     parsed = F.from_json(
         F.col(raw_col),
@@ -77,14 +80,27 @@ def parse_events(df: DataFrame, raw_col: str = "value") -> DataFrame:
 def _flatten_event(event_map: Column, akv: Column) -> Column:
     """R6+R7: lift AuditKeyValues [{Key,ValueString}] into event.*
     (last-wins, stringly — app.py:123-127) and drop the array itself.
-    map_concat under LAST_WIN gives the reference's dict-update order."""
-    akv_map = F.map_from_entries(
-        F.transform(akv, lambda x: F.struct(x["Key"], x["ValueString"]))
-    )
+
+    Last-wins is implemented as an explicit left fold (remove key, then add
+    it back) so the semantics do NOT depend on the session's
+    ``spark.sql.mapKeyDedupPolicy`` — the accumulator never holds a
+    duplicate key, under any conf. Null-keyed entries (no ``Key`` field)
+    are dropped, as a JSON object cannot round-trip them either."""
     base = F.map_filter(
         F.coalesce(event_map, _empty_map()), lambda k, _: k != "AuditKeyValues"
     )
-    return F.when(akv.isNull(), base).otherwise(F.map_concat(base, akv_map))
+    entries = F.filter(
+        F.coalesce(akv, F.array().cast("array<struct<Key string, ValueString string>>")),
+        lambda x: x["Key"].isNotNull(),
+    )
+    return F.aggregate(
+        entries,
+        base,
+        lambda acc, e: F.map_concat(
+            F.map_filter(acc, lambda k, _: k != e["Key"]),
+            F.create_map(e["Key"], e["ValueString"]),
+        ),
+    )
 
 
 def enrich_events(

@@ -113,3 +113,28 @@ def test_compact_for_scan_produces_disjoint_zone_maps(spark, tmp_path):
         assert hi1 <= lo2, f"overlapping file ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
     # and the data round-trips completely
     assert spark.read.parquet(out).count() == events.count()
+
+
+def test_asof_join_no_chimera_rows(spark):
+    """The latest right row's NULL field must stay NULL — per-column
+    forward fill would stitch values from different right rows."""
+    from cses2humio_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 3)], "k int, lts int")
+    right = spark.createDataFrame(
+        [(1, 1, 10, 5.0), (1, 2, 20, None)],
+        "k int, rts int, rid int, price double",
+    )
+    row = asof_join(left, right, ["k"], "lts", "rts", ["rid", "price"]).collect()[0]
+    assert row.rid == 20 and row.price is None
+
+
+def test_asof_join_rejects_column_overlap(spark):
+    import pytest as _pytest
+
+    from cses2humio_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 3, 9.9)], "k int, lts int, price double")
+    right = spark.createDataFrame([(1, 1, 5.0)], "k int, rts int, price double")
+    with _pytest.raises(ValueError):
+        asof_join(left, right, ["k"], "lts", "rts", ["price"])
