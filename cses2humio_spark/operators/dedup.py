@@ -171,10 +171,16 @@ def jaccard_pairs(
     text_col: str,
     n: int = 3,
     shingles_df: DataFrame | None = None,
+    assume_overlap: bool = False,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (verification stage).
     Joins each side's distinct-shingle set sizes + intersection counts —
-    all equi-joins on document id / shingle."""
+    all equi-joins on document id / shingle.
+
+    ``assume_overlap=True`` is the fast path for pairs that PROVABLY share
+    at least one shingle (e.g. MinHash band candidates): inner joins, two
+    fewer join stages. Leave False for arbitrary pairs so zero-overlap
+    pairs surface with jaccard=0 instead of vanishing."""
     base = (
         shingles_df
         if shingles_df is not None
@@ -190,6 +196,26 @@ def jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    if assume_overlap:
+        out = (
+            inter.join(
+                sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
+                on="id_a",
+            )
+            .join(
+                sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")),
+                on="id_b",
+            )
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_inter")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                    6,
+                ),
+            )
+        )
+        return out.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
     # LEFT joins from the caller's pairs: a candidate pair with zero shared
     # shingles (or an empty shingle set) must surface with jaccard=0, not
     # silently vanish — callers can't distinguish "dissimilar" from

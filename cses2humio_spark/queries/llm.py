@@ -279,7 +279,7 @@ def jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = minhash_candidate_pairs(
         docs, "doc_id", "text", n=3, bands=4, rows_per_band=2, shingles_df=sh
     )
-    j = jaccard_pairs(docs, cands, "doc_id", "text", n=3, shingles_df=sh)
+    j = jaccard_pairs(docs, cands, "doc_id", "text", n=3, shingles_df=sh, assume_overlap=True)
     return j.filter(
         F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")) >= 0.5
     ).select("id_a", "id_b", "jaccard")
@@ -682,7 +682,7 @@ def near_dup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = minhash_candidate_pairs(
         docs, "doc_id", "text", n=3, bands=4, rows_per_band=2, shingles_df=sh
     )
-    j = jaccard_pairs(docs, cands, "doc_id", "text", n=3, shingles_df=sh)
+    j = jaccard_pairs(docs, cands, "doc_id", "text", n=3, shingles_df=sh, assume_overlap=True)
     pairs = j.filter(
         F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")) >= 0.5
     ).select("id_a", "id_b")
