@@ -738,3 +738,52 @@ def deterministic_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_test"),
         )
     )
+
+
+_QUALITY_SQL = rf"""ROUND(
+  0.4 * least(len({_TOKS}) / 200.0, 1.0)
+  + 0.3 * (1.0 - length(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g'))
+                 / greatest(CAST(length(text) AS DOUBLE), 1.0))
+  + 0.3 * (len(list_distinct({_TOKS}))
+           / greatest(CAST(len({_TOKS}) AS DOUBLE), 1.0)),
+6)"""
+
+
+@query(
+    "curation_pipeline_stats",
+    oracle=f"""
+    WITH q AS (SELECT doc_id, lang, text, {_QUALITY_SQL} AS quality
+               FROM documents),
+    gated AS (SELECT * FROM q WHERE quality >= 0.5 AND lang <> 'und'),
+    survivors AS (
+      SELECT g.* FROM gated g
+      JOIN (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)) k
+        ON g.doc_id = k.doc_id)
+    SELECT lang,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+        AS total_tokens,
+      ROUND(SUM(quality) / COUNT(*), 6) AS avg_quality
+    FROM survivors GROUP BY lang
+    """,
+)
+def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data curation pass, end to end: quality gate
+    (score >= 0.5) -> language filter (drop unlabeled) -> exact content
+    dedup (min-id survivor per md5) -> per-language corpus stats. Each
+    stage is the registered operator used elsewhere; this query pins their
+    COMPOSITION, the shape an actual data-curation job runs. One narrow
+    scan feeds everything; dedup shuffles (digest, id) only; stats are one
+    partial-aggregated groupBy."""
+    from cses2humio_spark.operators.dedup import dedup_exact_content
+
+    docs = load_table(spark, sf_dir, "documents")
+    gated = docs.select(
+        "doc_id", "lang", "text", quality_score(F.col("text")).alias("quality")
+    ).filter((F.col("quality") >= 0.5) & (F.col("lang") != "und"))
+    survivors = dedup_exact_content(gated, "text", "doc_id")
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
+        F.round(F.sum("quality") / F.count(F.lit(1)), 6).alias("avg_quality"),
+    )
