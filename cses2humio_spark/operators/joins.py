@@ -80,6 +80,14 @@ def asof_join(
 
     Ties (right_ts == left_ts) take the right row, matching the
     "state as of event time, inclusive" convention.
+
+    ``tolerance`` (a duration Column — ``F.expr("INTERVAL 30 DAYS")`` for
+    timestamps, a numeric literal for numeric time axes) bounds how stale
+    the match may be: a left row whose latest right row satisfies
+    ``right_ts < left_ts - tolerance`` gets NULL right columns instead
+    (pandas ``merge_asof(tolerance=...)`` semantics). Because the latest
+    right row is also the nearest, "latest overall, if within tolerance"
+    equals "latest within tolerance" — no second pass needed.
     """
     on = list(on)
     right_cols = list(right_cols)
@@ -90,13 +98,17 @@ def asof_join(
             "rename one side before the as-of join"
         )
 
+    # the matched row's own timestamp rides along in the struct so the
+    # tolerance check can see it after the forward fill
+    struct_fields = [(right_ts, "__rts"), *[(c, c) for c in right_cols]]
     lhs = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
     lhs = lhs.withColumn(
         "__rrow",
         F.lit(None).cast(
             "struct<"
             + ", ".join(
-                f"{c}: {right.schema[c].dataType.simpleString()}" for c in right_cols
+                f"{alias}: {right.schema[src].dataType.simpleString()}"
+                for src, alias in struct_fields
             )
             + ">"
         ),
@@ -105,7 +117,9 @@ def asof_join(
         *[F.col(k) for k in on],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        F.struct(*[F.col(c) for c in right_cols]).alias("__rrow"),
+        F.struct(
+            *[F.col(src).alias(alias) for src, alias in struct_fields]
+        ).alias("__rrow"),
     )
     left_payload = [c for c in left.columns]
     lhs = lhs.select(*on, "__ts", "__side", "__rrow", *[c for c in left_payload if c not in on])
@@ -121,7 +135,15 @@ def asof_join(
     filled = unioned.withColumn(
         "__rrow", F.last(F.col("__rrow"), ignorenulls=True).over(w)
     )
-    out = (
+    if tolerance is not None:
+        filled = filled.withColumn(
+            "__rrow",
+            F.when(
+                F.col("__ts") <= F.col("__rrow.__rts") + tolerance,
+                F.col("__rrow"),
+            ),
+        )
+    return (
         filled.filter(F.col("__side") == 1)
         .select(
             *on,
@@ -129,9 +151,6 @@ def asof_join(
             *[c for c in left_payload if c not in on],
         )
     )
-    if tolerance is not None:
-        raise NotImplementedError("tolerance not yet supported")
-    return out
 
 
 def salted_join(

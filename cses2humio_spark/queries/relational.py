@@ -416,6 +416,54 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "asof_order_with_staleness_bound",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey,
+             MAX(o_totalprice) AS o_totalprice
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ), j AS (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC) AS rn
+      FROM events e
+      LEFT JOIN o ON e.user_id = o.o_custkey
+                 AND o.o_orderdate <= e.ts
+                 AND o.o_orderdate >= e.ts - INTERVAL 90 DAY
+    )
+    SELECT event_id, user_id, o_orderkey, o_totalprice
+    FROM j WHERE rn = 1
+    """,
+)
+def asof_order_with_staleness_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance: the matched order may be at most 90
+    days older than the event, else the right side is NULL (pandas
+    ``merge_asof(tolerance=...)`` semantics). Same single-shuffle
+    union+window plan as ``asof_latest_order`` — the staleness check is a
+    post-fill projection, not a second join."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders")
+    o = (
+        orders.groupBy(
+            F.col("o_custkey").alias("user_id"), F.col("o_orderdate")
+        )
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max("o_totalprice").alias("o_totalprice"),
+        )
+    )
+    return asof_join(
+        ev,
+        o,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+        tolerance=F.expr("INTERVAL 90 DAYS"),
+    ).select("event_id", "user_id", "o_orderkey", "o_totalprice")
+
+
 # --- window functions ----------------------------------------------------
 
 @query(

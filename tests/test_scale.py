@@ -129,6 +129,29 @@ def test_asof_join_no_chimera_rows(spark):
     assert row.rid == 20 and row.price is None
 
 
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    """A match staler than the tolerance yields NULL right columns; a
+    fresh match survives; the left row itself is never dropped."""
+    from pyspark.sql import functions as F
+
+    from cses2humio_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10), (1, 5), (2, 7)], "k int, lts int")
+    right = spark.createDataFrame(
+        [(1, 1, 100), (1, 4, 400)], "k int, rts int, rid int"
+    )
+    rows = {
+        (r.k, r.lts): r.rid
+        for r in asof_join(
+            left, right, ["k"], "lts", "rts", ["rid"], tolerance=F.lit(3)
+        ).collect()
+    }
+    assert rows[(1, 10)] is None  # latest match rts=4 is 6 stale > 3
+    assert rows[(1, 5)] == 400  # rts=4 is 1 stale <= 3
+    assert rows[(2, 7)] is None  # no right rows at all
+    assert len(rows) == 3
+
+
 def test_asof_join_rejects_column_overlap(spark):
     import pytest as _pytest
 
