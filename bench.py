@@ -19,6 +19,7 @@ HEADLINE = [
     "pricing_summary",
     "top_shipping_priority",
     "revenue_by_nation",
+    "nation_trade_volume",
     "brand_revenue_broadcast",
     "asof_latest_order",
     "top3_orders_per_customer",

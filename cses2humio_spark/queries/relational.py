@@ -464,6 +464,71 @@ def asof_order_with_staleness_bound(spark: SparkSession, sf_dir: str) -> DataFra
     ).select("event_id", "user_id", "o_orderkey", "o_totalprice")
 
 
+@query(
+    "nation_trade_volume",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, CAST(SUM(vol) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(year FROM l_shipdate) AS l_year,
+             {_DEC1} AS vol
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year — the classic 6-table join-reordering stress. Scale posture: the
+    two-nation filter lands on the broadcast nation dims BEFORE the joins,
+    so supplier and customer shrink to the selected nations first and the
+    fact tables join against pre-pruned sides; only the cross-pair OR
+    remains as a residual. Nation broadcasts; the planner (AQE) picks
+    broadcast vs shuffle for the pruned supplier/customer sides."""
+    pair = ["NATION_1", "NATION_2"]
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    n1 = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(pair))
+        .select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(pair))
+        .select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .select("c_custkey", "cust_nation")
+    )
+    vol = money("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - frac("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+    )
+
+
 # --- window functions ----------------------------------------------------
 
 @query(
