@@ -20,6 +20,7 @@ HEADLINE = [
     "top_shipping_priority",
     "revenue_by_nation",
     "nation_trade_volume",
+    "large_order_customers",
     "brand_revenue_broadcast",
     "asof_latest_order",
     "top3_orders_per_customer",

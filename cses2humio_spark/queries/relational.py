@@ -529,6 +529,59 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "large_order_customers",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey,
+      strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      CAST(o_totalprice AS DOUBLE) AS totalprice,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate → HAVING filter → semi-join back into the
+    fact join. Scale posture: lineitem shuffles once on l_orderkey for the
+    HAVING aggregate (map-side partial combine first), and only the ~1% of
+    qualifying keys survive; that small key set broadcasts into a left-semi
+    join so orders is pruned before the wide customer/lineitem joins ever
+    run. Final top-100 is TakeOrdered (per-partition heap + driver merge),
+    never a global sort. Unique o_orderkey tiebreak keeps the LIMIT
+    deterministic across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(money("l_quantity")).alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(money("l_quantity")).cast("double").alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            fmt_date("o_orderdate", "orderdate"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
 # --- window functions ----------------------------------------------------
 
 @query(
