@@ -1120,6 +1120,42 @@ def sql_exists_and_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "not_in_customers_outside_region",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    WHERE c_nationkey NOT IN (
+        SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'AFRICA')
+    GROUP BY c_mktsegment
+    """,
+)
+def not_in_customers_outside_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery — the null-aware anti-join, a different physical
+    operator from left_anti (a NULL key or a NULL in the subquery must
+    yield UNKNOWN, not a match). Catalyst plans it as a null-aware
+    broadcast anti-join when the subquery side is small, as here: the
+    nation-in-region key set is tiny and broadcasts, so customer is
+    filtered in its scan stage with no shuffle before the aggregate."""
+    from cses2humio_spark.sources.catalog import load_table as _lt
+
+    for t in ("customer", "nation", "region"):
+        _lt(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_customers,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+        FROM customer
+        WHERE c_nationkey NOT IN (
+            SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'AFRICA')
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@query(
     "median_price_by_priority",
     oracle="""
     SELECT o_orderpriority,
