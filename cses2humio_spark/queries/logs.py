@@ -323,3 +323,42 @@ def array_funcs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
         F.array_contains(toks, "spark").alias("has_spark"),
     )
+
+
+@query(
+    "kv_parse_extract",
+    oracle="""
+    SELECT event_type AS etype, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE user_id % 10 = 3
+    GROUP BY event_type
+    """,
+)
+def kv_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Humio kvParse: split a raw ``k=v k=v`` log line into a map, then
+    filter and aggregate on the EXTRACTED fields only. The raw line is
+    materialized here from the typed columns, so the oracle aggregates the
+    originals directly — the hash match proves parse-extract is a faithful
+    inverse of formatting. str_to_map is a JVM built-in; the whole
+    build -> parse -> extract -> filter chain is one narrow map stage
+    feeding the usual partial+final hash aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    raw = F.concat_ws(
+        " ",
+        F.concat(F.lit("type="), F.col("event_type")),
+        F.concat(F.lit("user="), F.col("user_id").cast("string")),
+        F.concat(F.lit("val="), F.col("value").cast("string")),
+    )
+    kv = F.str_to_map(raw, F.lit(" "), F.lit("="))
+    return (
+        ev.select(kv.alias("kv"))
+        .filter(F.element_at("kv", "user").cast("bigint") % 10 == 3)
+        .groupBy(F.element_at("kv", "type").alias("etype"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.element_at("kv", "val").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
