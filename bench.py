@@ -38,6 +38,61 @@ HEADLINE = [
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
 
+def bench_connector(spark, sf_dir: str) -> tuple[float, int]:
+    """Connector-pipeline throughput: the sf events table rendered as
+    CrowdStrike-style NDJSON (off the clock), then parse → enrich →
+    foreachBatch counted through an availableNow streaming run with a
+    checkpoint — the full R1-R11 path. Returns (wall_seconds, n_events);
+    events/s compares against BASELINE.md's ≥20 events/s/partition floor."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cses2humio_spark.sources.catalog import load_table
+    from cses2humio_spark.sources.event_source import ndjson_stream
+    from cses2humio_spark.streaming.pipeline import run_pipeline
+
+    scratch = tempfile.mkdtemp(prefix="bench_connector_")
+    src = os.path.join(scratch, "src")
+    ckpt = os.path.join(scratch, "ckpt")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        lines = ev.select(
+            F.to_json(
+                F.struct(
+                    F.struct(
+                        F.col("event_id").alias("offset"),
+                        F.unix_millis(F.col("ts")).alias("eventCreationTime"),
+                        F.col("event_type").alias("eventType"),
+                    ).alias("metadata"),
+                    F.struct("user_id", "value", "props").alias("event"),
+                )
+            ).alias("value")
+        )
+        lines.write.mode("overwrite").text(src)
+        n_expected = ev.count()
+
+        counted = {"n": 0}
+
+        def sink(batch_df, batch_id) -> None:
+            counted["n"] += batch_df.count()
+
+        t0 = time.perf_counter()
+        q = run_pipeline(
+            ndjson_stream(spark, src), sink, ckpt, available_now=True
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        if counted["n"] != n_expected:
+            raise RuntimeError(
+                f"connector bench delivered {counted['n']} of {n_expected} events"
+            )
+        return wall, counted["n"]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -70,6 +125,10 @@ def main() -> None:
         timings[name] = dt
         total += dt
 
+    connector_wall, connector_events = bench_connector(spark, sf_dir)
+    timings["connector_pipeline"] = round(connector_wall, 3)
+    total += connector_wall
+
     print(
         json.dumps(
             {
@@ -78,6 +137,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "connector_events_per_sec": round(connector_events / connector_wall),
             }
         )
     )

@@ -156,6 +156,7 @@ def run_pipeline(
     with_metadata: bool = True,
     host: str | None = None,
     trigger_seconds: int | None = None,
+    available_now: bool = False,
     partition_col_expr: Column | None = None,
 ):
     """Wire source → parse → enrich → foreachBatch(sink) with checkpoint.
@@ -175,7 +176,9 @@ def run_pipeline(
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(sink)
     )
-    if trigger_seconds:
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
 
