@@ -1155,6 +1155,38 @@ def not_in_customers_outside_region(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+_Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_returnflag = 'R')
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+
+@query("sole_blame_suppliers", oracle=_Q21_SQL)
+def sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to this schema's columns): suppliers solely
+    responsible for a returned line on a finished multi-supplier order —
+    a correlated EXISTS and a correlated NOT EXISTS against the SAME fact
+    table. Catalyst rewrites them into a left-semi and a left-anti join on
+    l_orderkey, so lineitem is shuffled on one key for all three sides
+    (self-joins reuse the exchange under AQE); supplier broadcasts. The
+    unique s_name tiebreak keeps LIMIT deterministic cross-engine."""
+    from cses2humio_spark.sources.catalog import load_table as _lt
+
+    for t in ("supplier", "lineitem", "orders"):
+        _lt(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q21_SQL)
+
+
 @query(
     "median_price_by_priority",
     oracle="""
