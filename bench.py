@@ -21,6 +21,7 @@ HEADLINE = [
     "revenue_by_nation",
     "nation_trade_volume",
     "large_order_customers",
+    "sole_blame_suppliers",
     "brand_revenue_broadcast",
     "asof_latest_order",
     "top3_orders_per_customer",
