@@ -1187,6 +1187,34 @@ def sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q21_SQL)
 
 
+_Q22_SQL = """
+SELECT c_mktsegment, COUNT(*) AS numcust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+GROUP BY c_mktsegment
+"""
+
+
+@query("dormant_rich_customers", oracle=_Q22_SQL)
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: an uncorrelated scalar aggregate subquery feeding a
+    filter, plus a correlated NOT EXISTS against a filtered fact —
+    above-average-balance customers with no finished order, per segment.
+    Catalyst evaluates the scalar subquery once (single-row broadcast),
+    rewrites NOT EXISTS to a left-anti join on o_custkey with the status
+    predicate pushed into the orders scan, and the surviving sliver of
+    customer feeds one partial+final hash aggregate."""
+    from cses2humio_spark.sources.catalog import load_table as _lt
+
+    for t in ("customer", "orders"):
+        _lt(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q22_SQL)
+
+
 @query(
     "median_price_by_priority",
     oracle="""
