@@ -362,3 +362,64 @@ def kv_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+@query(
+    "user_gap_stats_grouped_map",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ), g AS (
+      SELECT user_id,
+             us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
+      FROM e
+    )
+    SELECT user_id, COUNT(*) + 1 AS n_events,
+      CAST(SUM(gap) AS DOUBLE) / COUNT(gap) AS mean_gap_us,
+      MAX(gap) AS max_gap_us
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def user_gap_stats_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-user event inter-arrival stats
+    computed imperatively inside each group (the API mode for per-key
+    logic that outgrows window functions — sequence models, per-entity
+    curve fitting). One shuffle on user_id; each group arrives as one
+    Arrow batch. Gaps are integer microseconds so sums are exact and the
+    window-function oracle hashes identically; ties on ts break by
+    event_id on both sides. Users with a single event are dropped (no
+    gaps), matching the oracle's WHERE gap IS NOT NULL."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+
+    def gaps(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["us", "event_id"])
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                columns=["user_id", "n_events", "mean_gap_us", "max_gap_us"]
+            ).astype(
+                {
+                    "user_id": "int64",
+                    "n_events": "int64",
+                    "mean_gap_us": "float64",
+                    "max_gap_us": "int64",
+                }
+            )
+        d = pdf["us"].diff().dropna().astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "mean_gap_us": [float(d.sum()) / len(d)],
+                "max_gap_us": [int(d.max())],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        gaps,
+        schema="user_id bigint, n_events bigint, mean_gap_us double, max_gap_us bigint",
+    )
