@@ -100,15 +100,32 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus rows sharing the probe's LSH
     signature bucket; exact cosine re-rank within bucket. Recall < 1 by
     design; the bucket equi-join is the scale path (shuffle on signature
-    instead of a full cross product)."""
+    instead of a full cross product).
+
+    ``multiprobe=1`` additionally probes every bucket at Hamming distance 1
+    from the probe's signature (n_planes extra buckets per probe — the
+    standard recall/cost dial: the probe side fans out, the corpus side
+    is untouched, and each (probe, corpus) pair still matches at most one
+    signature variant, so no candidate dedup is needed)."""
     c = lsh_signatures(corpus, dim, n_planes, vec_col)
     p = lsh_signatures(
         probes.select(F.col(probe_id_col), F.col(vec_col)), dim, n_planes, vec_col
     ).select(F.col(probe_id_col), F.col(vec_col).alias("__pvec"), "lsh_sig")
+    if multiprobe == 1:
+        variants = F.array(
+            F.col("lsh_sig"),
+            *[F.col("lsh_sig").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+        p = p.select(
+            probe_id_col, "__pvec", F.explode(variants).alias("lsh_sig")
+        )
+    elif multiprobe != 0:
+        raise ValueError("multiprobe must be 0 or 1")
     scored = c.join(p, on="lsh_sig").select(
         F.col(probe_id_col),
         F.col(id_col),

@@ -344,8 +344,12 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cosine_topk_lsh",
     oracle=f"""
     WITH {_LSH_SIG_CTE},
-    p AS (SELECT s.vec_id AS probe_id, s.lsh_sig, e.v AS pv
-          FROM sigs s JOIN ev e ON e.vec_id = s.vec_id WHERE s.vec_id < 10),
+    p0 AS (SELECT s.vec_id AS probe_id, s.lsh_sig, e.v AS pv
+           FROM sigs s JOIN ev e ON e.vec_id = s.vec_id WHERE s.vec_id < 10),
+    p AS (SELECT probe_id, pv,
+                 CASE WHEN t.i = 0 THEN lsh_sig
+                      ELSE xor(lsh_sig, CAST(1 << (t.i - 1) AS BIGINT)) END AS lsh_sig
+          FROM p0, generate_series(0, 8) AS t(i)),
     c AS (SELECT s.vec_id, s.lsh_sig, e.v AS cv
           FROM sigs s JOIN ev e ON e.vec_id = s.vec_id),
     scored AS (SELECT p.probe_id, c.vec_id,
@@ -360,15 +364,19 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k — the 100 TB scale path: candidates
-    share a random-hyperplane signature; exact re-rank inside buckets.
-    Approximate relative to TRUE top-k (recall < 1), but exactly
-    reproducible: the oracle replicates the hyperplanes as SQL literals, so
-    even the approximation is hash-checked."""
+    share a random-hyperplane signature (multiprobe=1 also scans the
+    n_planes Hamming-distance-1 buckets; tests/test_approx.py pins the
+    recall floor and the multiprobe gain — on this synthetic corpus the
+    neighbors are near-orthogonal, which bounds achievable hyperplane-LSH
+    recall; fewer planes + multiprobe is the dial); exact re-rank inside
+    buckets. Approximate relative to TRUE top-k (recall < 1), but exactly
+    reproducible: the oracle replicates the hyperplanes AND the multiprobe
+    expansion as SQL, so even the approximation is hash-checked."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding")
     )
-    return lsh_topk(emb, probes, k=5, dim=64, n_planes=8)
+    return lsh_topk(emb, probes, k=5, dim=64, n_planes=8, multiprobe=1)
 
 
 @query(

@@ -48,3 +48,44 @@ def test_pandas_udf_scalar_and_iterator_match_jvm_norm(spark):
     for r in rows:
         assert abs(r.jvm - r.scalar) < 1e-6
         assert abs(r.jvm - r.it) < 1e-6
+
+
+def test_ann_recall_floors(spark):
+    """The approximate ANN paths must stay useful approximations of the
+    exact brute force: IVF (nprobe=2 of 16 lists) holds high recall; LSH
+    recall is bounded by this synthetic corpus's near-orthogonal neighbor
+    geometry, so the test pins (a) an absolute floor and (b) that
+    Hamming-1 multiprobe strictly improves over exact-signature probing
+    at equal plane count — the documented recall/cost dial."""
+    from pyspark.sql import functions as F
+
+    from cses2humio_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        lsh_topk,
+    )
+    from cses2humio_spark.queries import QUERIES
+    from cses2humio_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    pairs = lambda df: {(r.probe_id, r.vec_id) for r in df.collect()}
+
+    exact = pairs(QUERIES["cosine_topk"](spark, sf))
+    emb = load_table(spark, sf, "embeddings")
+    probes10 = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+
+    lsh_exact_sig = pairs(lsh_topk(emb, probes10, k=5, dim=64, n_planes=8))
+    lsh_mp = pairs(QUERIES["cosine_topk_lsh"](spark, sf))
+    r_exact_sig = len(exact & lsh_exact_sig) / len(exact)
+    r_mp = len(exact & lsh_mp) / len(exact)
+    assert r_mp > r_exact_sig, (r_mp, r_exact_sig)
+    assert r_mp >= 0.25, r_mp
+
+    probes8 = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    truth8 = pairs(cosine_topk_bruteforce(emb, probes8, k=5))
+    ivf = pairs(QUERIES["ivf_topk"](spark, sf))
+    r_ivf = len(truth8 & ivf) / len(truth8)
+    assert r_ivf >= 0.8, r_ivf
