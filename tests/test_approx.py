@@ -89,3 +89,46 @@ def test_ann_recall_floors(spark):
     ivf = pairs(QUERIES["ivf_topk"](spark, sf))
     r_ivf = len(truth8 & ivf) / len(truth8)
     assert r_ivf >= 0.8, r_ivf
+
+
+def test_minhash_neardup_recall(spark):
+    """End-to-end near-dup recall: every pair with exact 3-shingle Jaccard
+    >= 0.5 (ground truth computed all-pairs in DuckDB) must be recovered
+    by the banded-MinHash candidate + exact-verify pipeline. The (b=4,
+    r=2) banding plus the provable-overlap fast path recovers all true
+    pairs on this corpus; the floor is set at 0.9 to allow the banding's
+    probabilistic margin if the corpus shifts."""
+    import duckdb
+
+    from cses2humio_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    rows = con.sql(r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM toks WHERE len(t) >= 3
+    ), e AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS ni
+      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT ia, ib FROM inter
+    JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+    WHERE ni / (sa.n + sb.n - ni) >= 0.5
+    """).fetchall()
+    truth = {(int(a), int(b)) for a, b in rows}
+    assert truth, "ground-truth near-dup set unexpectedly empty"
+
+    got = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+        for r in QUERIES["jaccard_near_dups"](spark, sf).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, (recall, len(truth), len(got))
