@@ -569,10 +569,18 @@ def udtf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_near_dups",
     oracle=f"""
-    WITH {_LSH_SIG_CTE},
-    pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-              FROM sigs a JOIN sigs b
-                ON a.lsh_sig = b.lsh_sig AND a.vec_id < b.vec_id),
+    WITH ev AS (SELECT vec_id, {_DOUBLE_VEC} AS v FROM embeddings),
+    bplanes AS (SELECT pid, pv FROM (VALUES {_planes_values_sql(64, 60)}) AS t(pid, pv)),
+    bsigs AS (SELECT e.vec_id, pid // 4 AS band,
+                     CAST(SUM(CASE WHEN {_dot_sql('e.v', 'pv')} > 0
+                                   THEN (CAST(1 AS BIGINT) << (pid % 4))
+                                   ELSE 0 END) AS BIGINT) AS band_sig
+              FROM ev e CROSS JOIN bplanes
+              GROUP BY e.vec_id, pid // 4),
+    pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM bsigs a JOIN bsigs b
+                ON a.band = b.band AND a.band_sig = b.band_sig
+                   AND a.vec_id < b.vec_id),
     pv AS (SELECT p.id_a, p.id_b, ea.v AS va, eb.v AS vb
            FROM pairs p
            JOIN ev ea ON ea.vec_id = p.id_a
@@ -582,14 +590,19 @@ def udtf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup dedup: random-hyperplane LSH bucketing ->
-    equi self-join on the 8-bit signature -> exact cosine >= 0.3 on
-    candidates only. The oracle reproduces the hyperplanes as SQL literals,
-    so the whole pipeline (bucketing included) is hash-checked."""
+    """Embedding-cosine near-dup dedup via banded hyperplane LSH
+    (15 bands x 4 bits — the OR-construction; a single band recalls ~2%
+    of cos>=0.3 pairs, the banded join ~85%+, pinned in
+    test_approx.py::test_embedding_neardup_recall) -> DISTINCT candidate
+    pairs -> exact cosine on candidates only. The band join shuffles ids,
+    not vectors. The oracle reproduces the hyperplanes AND the banding as
+    SQL, so the whole pipeline is hash-checked."""
     from cses2humio_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, dim=64, threshold=0.3, n_planes=8)
+    return embedding_near_dup_pairs(
+        emb, dim=64, threshold=0.3, n_planes=4, n_bands=15
+    )
 
 
 @query(

@@ -132,3 +132,34 @@ def test_minhash_neardup_recall(spark):
     }
     recall = len(truth & got) / len(truth)
     assert recall >= 0.9, (recall, len(truth), len(got))
+
+
+def test_embedding_neardup_recall(spark):
+    """Banded hyperplane LSH (15 bands x 4 bits) must recover the large
+    majority of true cos >= 0.3 pairs — the single-signature formulation
+    recalled ~2% on this corpus; banding measures ~0.89. Truth is the
+    exact all-pairs cross join at sf0.01 (500 vectors, cheap)."""
+    from pyspark.sql import functions as F
+
+    from cses2humio_spark.functions.vectors import cosine_similarity
+    from cses2humio_spark.queries import QUERIES
+    from cses2humio_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_similarity(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= 0.3)
+    )
+    truth = {(r.id_a, r.id_b) for r in exact.collect()}
+    assert truth
+    got = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["embedding_near_dups"](spark, sf).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, (recall, len(truth), len(got))
