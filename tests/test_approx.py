@@ -163,3 +163,32 @@ def test_embedding_neardup_recall(spark):
     }
     recall = len(truth & got) / len(truth)
     assert recall >= 0.8, (recall, len(truth), len(got))
+
+
+def test_lsh_signature_paths_identical(spark):
+    """The vectorized (Arrow/numpy) LSH signature path must agree
+    bit-for-bit with the pure-JVM fold on every row — both accumulate the
+    dot dimension-by-dimension in float64, so this is exact equality, not
+    tolerance. Guards the oracle contract: DuckDB's list_reduce fold is
+    the same order."""
+    from pyspark.sql import functions as F
+
+    from cses2humio_spark.operators.similarity import (
+        lsh_signatures,
+        lsh_signatures_fold,
+    )
+    from cses2humio_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    for planes in (8, 60):
+        j = (
+            lsh_signatures(emb, 64, planes)
+            .select("vec_id", F.col("lsh_sig").alias("s1"))
+            .join(
+                lsh_signatures_fold(emb, 64, planes).select(
+                    "vec_id", F.col("lsh_sig").alias("s2")
+                ),
+                "vec_id",
+            )
+        )
+        assert j.filter(F.col("s1") != F.col("s2")).count() == 0, planes
