@@ -239,20 +239,36 @@ def embedding_near_dup_pairs(
             .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
         )
     mask = (1 << n_planes) - 1
+    band_sig = lambda b: (  # noqa: E731
+        F.shiftright(F.col("lsh_sig"), b * n_planes).bitwiseAND(F.lit(mask))
+    )
+    sig_arr = F.array(*[band_sig(b) for b in range(n_bands)])
     bands = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(F.col("lsh_sig"), b * n_planes)
-                .bitwiseAND(F.lit(mask))
-                .alias("band_sig"),
-            )
+            F.struct(F.lit(b).alias("band"), band_sig(b).alias("band_sig"))
             for b in range(n_bands)
         ]
     )
     entries = sigs.select(
-        F.col(id_col), F.explode(bands).alias("__b")
-    ).select(id_col, F.col("__b.band").alias("band"), F.col("__b.band_sig").alias("band_sig"))
+        F.col(id_col), sig_arr.alias("sig_arr"), F.explode(bands).alias("__b")
+    ).select(
+        id_col,
+        "sig_arr",
+        F.col("__b.band").alias("band"),
+        F.col("__b.band_sig").alias("band_sig"),
+    )
+    # first-match-only emission: a pair sharing several bands would emerge
+    # once per shared band; instead of a 10M+-row DISTINCT shuffle, emit it
+    # only from the LOWEST matching band (no earlier band slice may agree),
+    # which yields each pair exactly once with a narrow map-side filter
+    no_earlier_match = ~F.exists(
+        F.zip_with(
+            F.slice(F.col("ea.sig_arr"), F.lit(1), F.col("ea.band")),
+            F.slice(F.col("eb.sig_arr"), F.lit(1), F.col("eb.band")),
+            lambda x, y: x == y,
+        ),
+        lambda m: m,
+    )
     cand = (
         entries.alias("ea")
         .join(
@@ -261,10 +277,10 @@ def embedding_near_dup_pairs(
             & (F.col("ea.band_sig") == F.col("eb.band_sig"))
             & (F.col(f"ea.{id_col}") < F.col(f"eb.{id_col}")),
         )
+        .filter(no_earlier_match)
         .select(
             F.col(f"ea.{id_col}").alias("id_a"), F.col(f"eb.{id_col}").alias("id_b")
         )
-        .distinct()
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
