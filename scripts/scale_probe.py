@@ -24,11 +24,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 PROBES = [
     "pricing_summary",
     "revenue_by_nation",
+    "large_order_customers",
+    "sole_blame_suppliers",
     "timechart_errors",
     "top3_orders_per_customer",
     "token_explode_top20",
     "distinct_users_per_type",
 ]
+# near-dup probes are intentionally absent: replicated copies are perfect
+# duplicates of each other, so the true pair count grows K^2 — the probe
+# would measure that synthetic artifact, not the plan (same reason fact
+# keys are remapped below).
 
 # fact tables: per-copy shift of the ENTITY keys (order/customer/event/doc
 # ids); foreign keys into single-copy dimensions (nationkey, partkey,
