@@ -681,6 +681,37 @@ def rank_parts_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "order_price_distribution_rank",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+      ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice, o_orderkey), 6)
+        AS price_prank,
+      ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey), 6)
+        AS price_cume
+    FROM orders WHERE o_orderkey % 50 = 0
+    """,
+)
+def order_price_distribution_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank ((rank-1)/(n-1)) and
+    cume_dist (rows<=current / n) per priority group — exact rationals in
+    double, identical in any engine; the unique o_orderkey tiebreak makes
+    ranks deterministic. One shuffle on the partition key, same as any
+    ranking window."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("price_prank"),
+        F.round(F.cume_dist().over(w), 6).alias("price_cume"),
+    )
+
+
 # --- sort / limit / set ops / dedup --------------------------------------
 
 @query(
