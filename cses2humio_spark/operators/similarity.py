@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 from cses2humio_spark.functions.vectors import cosine_similarity
 
 
-def cosine_topk_bruteforce(
+def cosine_topk_bruteforce_fold(
     corpus: DataFrame,
     probes: DataFrame,
     k: int,
@@ -32,11 +32,10 @@ def cosine_topk_bruteforce(
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
 ) -> DataFrame:
-    """Exact cosine top-k neighbors for each probe vector.
-
-    ``probes`` (probe_id, embedding) is broadcast; ranking is
-    row_number over (probe) ordered by (-cos, id) — a total order, so
-    results are deterministic."""
+    """Pure-JVM exact cosine top-k: broadcast cross join + fold-based
+    cosine per pair + ranking window. Reference semantics for the
+    vectorized path below (and the no-Arrow fallback) — the folds evaluate
+    interpreted, so this pays ~µs per array element."""
     from cses2humio_spark.sources.catalog import fan_out
 
     p = probes.select(
@@ -54,6 +53,108 @@ def cosine_topk_bruteforce(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_id_col, id_col, "cos_sim", "rank")
+    )
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each probe vector, Arrow path.
+
+    One mapInPandas over the corpus: each batch computes its full
+    (batch x probes) cosine matrix in numpy — accumulated
+    dimension-by-dimension in float64, the same addition order as the JVM
+    fold and the DuckDB list_reduce oracle, so scores are bit-identical —
+    and emits only its LOCAL top candidates per probe. The batch keeps
+    every row with unrounded cos >= (k-th best in batch) - 1e-6: rounding
+    to 6 decimals moves a value by < 5e-7, so any row that could still
+    reach the global rounded-then-id-tiebroken top-k survives the cut
+    (if k batch rows beat it by > 1e-6 unrounded, they strictly beat it
+    rounded too). The final window then ranks batches*k-ish rows instead
+    of |corpus| x |probes| — the shuffle shrinks from the cross product to
+    the candidate set, which is what lets brute force serve as the exact
+    baseline at scale. Rows whose vector is NULL are skipped (the fold
+    path yields NULL cos, which likewise never ranks).
+    """
+    import math
+
+    from cses2humio_spark.sources.catalog import fan_out
+
+    probe_rows = probes.select(probe_id_col, vec_col).collect()
+    if not probe_rows:
+        return cosine_topk_bruteforce_fold(
+            corpus, probes, k, id_col, vec_col, probe_id_col
+        )
+    pids = [r[0] for r in probe_rows]
+    pvecs = [list(r[1]) for r in probe_rows]
+    dim = len(pvecs[0])
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    pid_type = probes.schema[probe_id_col].dataType.simpleString()
+    out_schema = (
+        f"{probe_id_col} {pid_type}, {id_col} {id_type}, cos_sim double"
+    )
+
+    def batch_topk(batches):
+        import numpy as np
+        import pandas as pd
+
+        P = np.asarray(pvecs, dtype=np.float64)  # (p, dim)
+        np_norm = np.zeros(P.shape[0], dtype=np.float64)
+        for j in range(dim):
+            np_norm += P[:, j] * P[:, j]
+        np_norm = np.sqrt(np_norm)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keep = pdf[vec_col].notna().to_numpy()
+            pdf = pdf[keep]
+            if pdf.empty:
+                continue
+            v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)  # (n, dim)
+            ids = pdf[id_col].to_numpy()
+            dotm = np.zeros((v.shape[0], P.shape[0]), dtype=np.float64)
+            na = np.zeros(v.shape[0], dtype=np.float64)
+            for j in range(dim):
+                dotm += v[:, j : j + 1] * P[:, j]
+                na += v[:, j] * v[:, j]
+            cos = dotm / (np.sqrt(na)[:, None] * np_norm[None, :])
+            out_pid, out_id, out_cos = [], [], []
+            for pi in range(P.shape[0]):
+                col = cos[:, pi]
+                valid = ~np.isnan(col)
+                cvals = col[valid]
+                cids = ids[valid]
+                if cvals.size == 0:
+                    continue
+                if cvals.size > k:
+                    kth = np.partition(cvals, cvals.size - k)[cvals.size - k]
+                    sel = cvals >= kth - 1e-6
+                    cvals, cids = cvals[sel], cids[sel]
+                out_pid.extend([pids[pi]] * cvals.size)
+                out_id.extend(cids.tolist())
+                out_cos.extend(cvals.tolist())
+            if out_pid:
+                yield pd.DataFrame(
+                    {probe_id_col: out_pid, id_col: out_id, "cos_sim": out_cos}
+                )
+
+    assert math.isfinite(k) and k >= 1
+    cand = fan_out(corpus).select(id_col, vec_col).mapInPandas(
+        batch_topk, schema=out_schema
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("cos_sim", F.round(F.col("cos_sim"), 6))
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(probe_id_col, id_col, "cos_sim", "rank")
     )

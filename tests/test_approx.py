@@ -192,3 +192,27 @@ def test_lsh_signature_paths_identical(spark):
             )
         )
         assert j.filter(F.col("s1") != F.col("s2")).count() == 0, planes
+
+
+def test_cosine_topk_paths_identical(spark):
+    """The Arrow brute-force top-k (per-batch partial top-k with the
+    1e-6 rounding margin) must return EXACTLY the fold path's rows —
+    same ids, same rounded scores, same ranks — since both feed the same
+    rounded-then-id-tiebroken ranking."""
+    from pyspark.sql import functions as F
+
+    from cses2humio_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_bruteforce_fold,
+    )
+    from cses2humio_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    probes = emb.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    a = sorted(map(tuple, cosine_topk_bruteforce(emb, probes, k=7).collect()))
+    b = sorted(
+        map(tuple, cosine_topk_bruteforce_fold(emb, probes, k=7).collect())
+    )
+    assert a == b and len(a) == 25 * 7

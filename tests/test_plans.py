@@ -67,14 +67,19 @@ def test_timechart_partial_agg(spark):
     assert_pushed_filters(df, "EqualTo(event_type,error)")
 
 
-def test_brute_force_topk_broadcasts_probes(spark):
+def test_brute_force_topk_no_join_mapside_limit(spark):
     from cses2humio_spark.plans.explain import formatted_plan
 
     df = QUERIES["cosine_topk"](spark, SF_SMALL)
-    # the probe side must broadcast (hash or nested-loop — probe set is
-    # tiny); the corpus must NOT shuffle for the join
+    # Arrow path: probes ride in the mapInPandas closure — NO join at
+    # all, and the only exchange over data proportional to the corpus is
+    # avoided because each batch emits just its local top candidates.
+    # The ranking window must apply its group-limit map-side (Partial)
+    # before the probe_id exchange.
     plan = formatted_plan(df)
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:1500]
+    assert "MapInPandas" in plan, plan[:1500]
+    assert "Join" not in plan, plan[:1500]
+    assert "WindowGroupLimit" in plan, plan[:1500]
     assert_no_cartesian(df)
 
 
