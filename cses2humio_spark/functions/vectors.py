@@ -9,6 +9,8 @@ reproducible and oracle-checkable after rounding.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -33,3 +35,38 @@ def l2_norm(a: Column) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_pairs(a: Column, b: Column) -> Column:
+    """Arrow-vectorized cosine between two vector columns.
+
+    One pandas UDF computes dot + both norms for the whole batch,
+    accumulated dimension-by-dimension in float64 — the SAME
+    left-to-right addition order as the ``cosine_similarity`` fold and
+    DuckDB's list_reduce, so all three agree bit-for-bit (pinned by
+    tests/test_approx.py). Use on candidate-pair hot paths where the
+    interpreted fold costs ~µs per array element; NULL in either input
+    yields NULL, matching the fold."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        mask = (va.notna() & vb.notna()).to_numpy()
+        out = pd.Series([None] * len(va), dtype=object)
+        if not mask.any():
+            return out
+        A = np.asarray(va[mask].tolist(), dtype=np.float64)
+        B = np.asarray(vb[mask].tolist(), dtype=np.float64)
+        d = np.zeros(A.shape[0], dtype=np.float64)
+        na = np.zeros(A.shape[0], dtype=np.float64)
+        nb = np.zeros(A.shape[0], dtype=np.float64)
+        for j in range(A.shape[1]):
+            d += A[:, j] * B[:, j]
+            na += A[:, j] * A[:, j]
+            nb += B[:, j] * B[:, j]
+        out[mask] = (d / (np.sqrt(na) * np.sqrt(nb))).tolist()
+        return out
+
+    return _cos(a, b)

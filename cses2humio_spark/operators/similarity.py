@@ -17,11 +17,11 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cses2humio_spark.functions.vectors import cosine_similarity
+from cses2humio_spark.functions.vectors import cosine_pairs, cosine_similarity
 
 
 def cosine_topk_bruteforce_fold(
@@ -343,7 +343,6 @@ def embedding_near_dup_pairs(
     band_sig = lambda b: (  # noqa: E731
         F.shiftright(F.col("lsh_sig"), b * n_planes).bitwiseAND(F.lit(mask))
     )
-    sig_arr = F.array(*[band_sig(b) for b in range(n_bands)])
     bands = F.array(
         *[
             F.struct(F.lit(b).alias("band"), band_sig(b).alias("band_sig"))
@@ -351,25 +350,22 @@ def embedding_near_dup_pairs(
         ]
     )
     entries = sigs.select(
-        F.col(id_col), sig_arr.alias("sig_arr"), F.explode(bands).alias("__b")
+        F.col(id_col), F.col("lsh_sig"), F.explode(bands).alias("__b")
     ).select(
         id_col,
-        "sig_arr",
+        "lsh_sig",
         F.col("__b.band").alias("band"),
         F.col("__b.band_sig").alias("band_sig"),
     )
     # first-match-only emission: a pair sharing several bands would emerge
     # once per shared band; instead of a 10M+-row DISTINCT shuffle, emit it
-    # only from the LOWEST matching band (no earlier band slice may agree),
-    # which yields each pair exactly once with a narrow map-side filter
-    no_earlier_match = ~F.exists(
-        F.zip_with(
-            F.slice(F.col("ea.sig_arr"), F.lit(1), F.col("ea.band")),
-            F.slice(F.col("eb.sig_arr"), F.lit(1), F.col("eb.band")),
-            lambda x, y: x == y,
-        ),
-        lambda m: m,
-    )
+    # only from the LOWEST matching band. Band b matches iff field b of
+    # x = sig_a XOR sig_b is all-zero, so the lowest matching band is the
+    # lowest zero field of x — found with pure int64 arithmetic (SWAR
+    # zero-field detection), which stays inside whole-stage codegen; the
+    # old formulation sliced+zipped per-band arrays per joined pair,
+    # allocating interpreted HOFs in the join's hottest loop, and shuffled
+    # a 15-element array per entry where one bigint now rides along.
     cand = (
         entries.alias("ea")
         .join(
@@ -378,20 +374,61 @@ def embedding_near_dup_pairs(
             & (F.col("ea.band_sig") == F.col("eb.band_sig"))
             & (F.col(f"ea.{id_col}") < F.col(f"eb.{id_col}")),
         )
-        .filter(no_earlier_match)
+        .filter(
+            first_matching_band(
+                F.col("ea.lsh_sig"), F.col("eb.lsh_sig"), n_planes, n_bands
+            )
+            == F.col("ea.band")
+        )
         .select(
             F.col(f"ea.{id_col}").alias("id_a"), F.col(f"eb.{id_col}").alias("id_b")
         )
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    cos = cosine_similarity(F.col("__va"), F.col("__vb"))
+    cos = cosine_pairs(F.col("__va"), F.col("__vb"))
     return (
         cand.join(va, on="id_a")
         .join(vb, on="id_b")
-        .filter(cos >= threshold)
-        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= threshold)
+        .select("id_a", "id_b", F.round(F.col("__cos"), 6).alias("cos_sim"))
     )
+
+
+def first_matching_band(
+    sig_a: Column, sig_b: Column, n_planes: int, n_bands: int
+) -> Column:
+    """Index of the lowest band whose ``n_planes``-bit field agrees
+    between two LSH signatures, as a codegen-friendly int64 expression.
+
+    Field b agrees iff field b of ``x = sig_a XOR sig_b`` is zero. The
+    lowest zero field is found with the SWAR trick: for field width w >= 2,
+    ``t = (x - L1) & ~x & LH`` (L1 = low bit of every field, LH = high bit
+    of every field) sets the high marker bit of a field iff it is zero —
+    exactly, for every field up to and including the lowest zero one
+    (borrow propagation only starts there, and a nonzero field below it
+    can never have both ``~x`` high bit and a borrow-free ``-1`` carry
+    into its high bit). The lowest marker's bit index div w is the band.
+    Returns an undefined band (from garbage high bits) only when NO band
+    matches — callers compare against a band that is known to match.
+    """
+    w = n_planes
+    x = sig_a.bitwiseXOR(sig_b)
+    if w == 1:
+        # field == bit: lowest zero bit among the band fields
+        fields = sum(1 << b for b in range(n_bands))
+        t = F.bitwise_not(x).bitwiseAND(F.lit(fields))
+    else:
+        low1 = sum(1 << (b * w) for b in range(n_bands))
+        high1 = sum(1 << (b * w + w - 1) for b in range(n_bands))
+        t = (
+            (x - F.lit(low1))
+            .bitwiseAND(F.bitwise_not(x))
+            .bitwiseAND(F.lit(high1))
+        )
+    lowest = t.bitwiseAND(-t)
+    return (F.bit_count(lowest - F.lit(1)) / F.lit(w)).cast("int")
 
 
 def ivf_assign(

@@ -216,3 +216,73 @@ def test_cosine_topk_paths_identical(spark):
         map(tuple, cosine_topk_bruteforce_fold(emb, probes, k=7).collect())
     )
     assert a == b and len(a) == 25 * 7
+
+
+def test_cosine_pairs_matches_fold_bitwise(spark):
+    """The Arrow pair-cosine must equal the JVM fold bit-for-bit on real
+    vectors (same per-dimension accumulation order), and yield NULL where
+    either input is NULL, exactly like the fold."""
+    from pyspark.sql import functions as F
+
+    from cses2humio_spark.functions.vectors import (
+        cosine_pairs,
+        cosine_similarity,
+    )
+    from cses2humio_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(
+        (F.col("vec_id") + 1).alias("id_a"),
+        F.when(F.col("vec_id") % 97 == 0, F.lit(None))
+        .otherwise(F.col("embedding"))
+        .alias("vb"),
+    )
+    j = a.join(b, on="id_a").select(
+        cosine_pairs(F.col("va"), F.col("vb")).alias("arrow"),
+        cosine_similarity(F.col("va"), F.col("vb")).alias("fold"),
+    )
+    assert j.count() > 0
+    mismatch = j.filter(
+        ~(
+            (F.col("arrow").isNull() & F.col("fold").isNull())
+            | (F.col("arrow") == F.col("fold"))
+        )
+    ).count()
+    assert mismatch == 0
+
+
+def test_first_matching_band_matches_python_reference(spark):
+    """SWAR lowest-zero-field extraction vs a plain Python loop, over
+    random signature pairs that are guaranteed to share >= 1 band, for
+    several field widths (incl. the degenerate w=1)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cses2humio_spark.operators.similarity import first_matching_band
+
+    rng = random.Random(7)
+    for w, nb in [(4, 15), (6, 10), (2, 31), (1, 30), (5, 12)]:
+        rows = []
+        for _ in range(500):
+            sa = rng.getrandbits(w * nb)
+            sb = rng.getrandbits(w * nb)
+            shared = rng.randrange(nb)
+            # force band `shared` to agree so a first match always exists
+            field = ((1 << w) - 1) << (shared * w)
+            sb = (sb & ~field) | (sa & field)
+            expect = next(
+                b
+                for b in range(nb)
+                if (sa >> (b * w)) & ((1 << w) - 1)
+                == (sb >> (b * w)) & ((1 << w) - 1)
+            )
+            rows.append((sa, sb, expect))
+        df = spark.createDataFrame(rows, "sa long, sb long, expect int")
+        got = df.select(
+            first_matching_band(F.col("sa"), F.col("sb"), w, nb).alias("got"),
+            "expect",
+        )
+        bad = got.filter(F.col("got") != F.col("expect")).count()
+        assert bad == 0, (w, nb)
