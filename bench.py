@@ -22,6 +22,7 @@ HEADLINE = [
     "nation_trade_volume",
     "large_order_customers",
     "sole_blame_suppliers",
+    "market_share_by_year",
     "brand_revenue_broadcast",
     "asof_latest_order",
     "top3_orders_per_customer",

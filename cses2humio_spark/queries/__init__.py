@@ -8,6 +8,7 @@ from cses2humio_spark.queries.registry import QUERIES, ORACLES, query  # noqa: F
 
 # Modules self-register on import.
 from cses2humio_spark.queries import relational  # noqa: E402,F401
+from cses2humio_spark.queries import analytics  # noqa: E402,F401
 from cses2humio_spark.queries import logs  # noqa: E402,F401
 from cses2humio_spark.queries import llm  # noqa: E402,F401
 from cses2humio_spark.queries import connector  # noqa: E402,F401
