@@ -290,6 +290,81 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     )
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: fingerprint → band self-join → exact
+    Hamming verify.
+
+    The pigeonhole guarantee: two ``bits``-wide fingerprints within
+    ``max_hamming`` bit flips MUST agree exactly on at least one of
+    ``n_bands`` equal-width bands whenever ``max_hamming < n_bands`` —
+    so the band equi-join is a lossless candidate generator and the
+    ``bit_count(xor)`` verify makes the pipeline exact. Candidates are
+    emitted from their FIRST matching band only (the SWAR
+    ``first_matching_band`` filter — pure int64 arithmetic inside
+    whole-stage codegen) instead of a post-join DISTINCT, so a pair
+    sharing several bands costs no extra shuffle rows. The join shuffles
+    one (band, band_sig, id, fingerprint) row per band per doc — the
+    fingerprint rides along as one bigint, which is what makes the
+    verify join-free."""
+    if bits % n_bands:
+        raise ValueError(f"bits ({bits}) must divide evenly into {n_bands} bands")
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < n_bands ({n_bands}) for the "
+            "band join to be a lossless candidate generator (pigeonhole)"
+        )
+    from cses2humio_spark.operators.similarity import first_matching_band
+
+    w = bits // n_bands
+    mask = (1 << w) - 1
+    fp = simhash(df, id_col, text_col, bits=bits)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * w)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    entries = fp.select(
+        F.col(id_col), F.col("simhash"), F.explode(bands).alias("__b")
+    ).select(id_col, "simhash", F.col("__b.band").alias("band"), F.col("__b.band_sig").alias("band_sig"))
+    ham = F.bit_count(
+        F.col("ea.simhash").bitwiseXOR(F.col("eb.simhash"))
+    ).cast("int")
+    return (
+        entries.alias("ea")
+        .join(
+            entries.alias("eb"),
+            (F.col("ea.band") == F.col("eb.band"))
+            & (F.col("ea.band_sig") == F.col("eb.band_sig"))
+            & (F.col(f"ea.{id_col}") < F.col(f"eb.{id_col}")),
+        )
+        .filter(
+            first_matching_band(
+                F.col("ea.simhash"), F.col("eb.simhash"), w, n_bands
+            )
+            == F.col("ea.band")
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col(f"ea.{id_col}").alias("id_a"),
+            F.col(f"eb.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+    )
+
+
 def near_dup_clusters(
     ids: DataFrame,
     pairs: DataFrame,

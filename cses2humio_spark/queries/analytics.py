@@ -405,6 +405,44 @@ def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lateral_top_orders_per_segment",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM (SELECT DISTINCT c_mktsegment FROM customer) segs,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE customer.c_mktsegment = segs.c_mktsegment
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) top_orders
+    ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey
+    """,
+)
+def lateral_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: for each market segment, its three
+    priciest orders — the per-group top-k written as a lateral join
+    instead of a window. Catalyst decorrelates the LATERAL into a
+    DomainJoin and plans the per-domain LIMIT as a partitioned top-k
+    (rank filter), so no per-segment re-scan of orders happens; the
+    unique o_orderkey tiebreak keeps the LIMIT deterministic."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("__lat_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__lat_orders")
+    return spark.sql(
+        """
+        SELECT segs.c_mktsegment, o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM (SELECT DISTINCT c_mktsegment FROM __lat_customer) segs,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM __lat_orders JOIN __lat_customer ON o_custkey = c_custkey
+          WHERE __lat_customer.c_mktsegment = segs.c_mktsegment
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) top_orders
+        ORDER BY segs.c_mktsegment, o_totalprice DESC, o_orderkey
+        """
+    )
+
+
+@query(
     "priority_line_counts",
     oracle="""
     SELECT l_returnflag,

@@ -307,6 +307,49 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs, "doc_id", "text", bits=16)
 
 
+_SIMHASH_FP_CTE = r"""
+toks AS (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+         FROM documents),
+h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+bits AS (SELECT doc_id, hx, UNNEST(generate_series(0, 15)) AS bit FROM h),
+v AS (SELECT doc_id, bit,
+        SUM(CASE WHEN ((strpos('0123456789abcdef', substr(hx, (bit // 4) + 1, 1)) - 1)
+                       >> (bit % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM bits GROUP BY 1, 2),
+fp AS (SELECT doc_id,
+         CAST(SUM(CASE WHEN vote > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
+       FROM v GROUP BY doc_id)
+"""
+
+
+@query(
+    "simhash_near_dups",
+    oracle=f"""
+    WITH {_SIMHASH_FP_CTE},
+    e AS (SELECT doc_id, simhash, band,
+                 (simhash >> (band * 4)) & 15 AS band_sig
+          FROM fp, (SELECT UNNEST(generate_series(0, 3)) AS band) b)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM e a JOIN e b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pipeline: 16-bit fingerprints → 4-band candidate
+    join (pigeonhole-lossless for Hamming ≤ 3) → exact bit_count verify.
+    The Spark side emits each pair from its first matching band only (SWAR
+    filter, no DISTINCT shuffle); the oracle takes the DISTINCT of the
+    same band join — identical pair sets by construction."""
+    from cses2humio_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(
+        docs, "doc_id", "text", bits=16, n_bands=4, max_hamming=3
+    )
+
+
 # ---- similarity search --------------------------------------------------
 
 @query(
@@ -655,6 +698,68 @@ def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"), "embedding"
     )
     return ivf_topk(emb, probes, cent, k=5, nprobe=2)
+
+
+# k-means oracle fragments: squared-distance fold (same left-to-right
+# order as the Spark aggregate), assignment (rn=1 picks min dist, ties to
+# lowest cid — identical to array_position-of-min), and the exact-decimal
+# elementwise mean update with empty-cluster carry-over.
+_KM_DIST = (
+    "list_reduce(list_transform(generate_series(1, len({v})), "
+    "i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), (a, b) -> a + b)"
+)
+
+
+def _km_assign(prev: str, alias: str) -> str:
+    return f"""
+{alias} AS (SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_KM_DIST.format(v="e.v", c="c.cv")}, c.cid) AS rn
+    FROM ev e CROSS JOIN {prev} c) t WHERE rn = 1)"""
+
+
+def _km_update(assign: str, prev: str, nxt: str) -> str:
+    return f"""
+{nxt} AS (SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
+    FROM {prev} p LEFT JOIN (
+      SELECT cid, list(comp ORDER BY i) AS cv FROM (
+        SELECT cid, i,
+               CAST(SUM(CAST(v[i] AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS comp
+        FROM {assign}, UNNEST(generate_series(1, 64)) AS u(i)
+        GROUP BY cid, i) g
+      GROUP BY cid) m ON m.cid = p.cid)"""
+
+
+@query(
+    "kmeans_clusters",
+    oracle=f"""
+    WITH ev AS (SELECT vec_id, {_DOUBLE_VEC} AS v FROM embeddings),
+    c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+                  v AS cv
+           FROM (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT 8) s),
+    {_km_assign("c0", "a1")},
+    {_km_update("a1", "c0", "c1")},
+    {_km_assign("c1", "a2")},
+    {_km_update("a2", "c1", "c2")},
+    {_km_assign("c2", "fin")}
+    SELECT f.cid, COUNT(*) AS n_members,
+           ANY_VALUE(list_transform(c2.cv, x -> ROUND(x, 6))) AS centroid
+    FROM fin f JOIN c2 ON c2.cid = f.cid
+    GROUP BY f.cid ORDER BY f.cid
+    """,
+)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus (k=8, 2 iterations,
+    deterministic lowest-id init), profiled per cluster — the iterative-
+    algorithm shape (centroids as driver state, data never collected),
+    exactly oracle-checked because every iteration is bit-reproducible:
+    join-free literal-centroid assignment, exact-decimal mean update.
+    The oracle unrolls both iterations as CTE pairs."""
+    from cses2humio_spark.operators.clustering import kmeans_cluster_profile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_cluster_profile(emb, "vec_id", "embedding", k=8, n_iter=2)
 
 
 @query(

@@ -286,3 +286,73 @@ def test_first_matching_band_matches_python_reference(spark):
         )
         bad = got.filter(F.col("got") != F.col("expect")).count()
         assert bad == 0, (w, nb)
+
+
+def test_simhash_band_join_is_lossless_for_hamming_leq_3(spark):
+    """The 4-band candidate join must find EVERY pair within Hamming 3 of
+    each other (pigeonhole), and nothing farther — cross-checked against
+    brute-force bit_count over all fingerprint pairs."""
+    from pyspark.sql import functions as F
+
+    from cses2humio_spark.operators.dedup import simhash, simhash_near_dup_pairs
+    from cses2humio_spark.sources.catalog import load_table
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dup_pairs(
+            docs, "doc_id", "text", bits=16, n_bands=4, max_hamming=3
+        ).collect()
+    }
+    fp = simhash(docs, "doc_id", "text", bits=16)
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    truth = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 3)
+        .collect()
+    }
+    assert got == truth and len(truth) > 0
+
+
+def test_simhash_near_dup_pairs_guards():
+    import pytest as _pytest
+
+    from cses2humio_spark.operators.dedup import simhash_near_dup_pairs
+
+    with _pytest.raises(ValueError, match="divide"):
+        simhash_near_dup_pairs(None, bits=16, n_bands=5)
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dup_pairs(None, bits=16, n_bands=4, max_hamming=4)
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    """All points identical -> after iteration 1 every point lands in
+    cluster 0; clusters 1 and 2 must carry their init centroids through
+    unchanged instead of dropping to NaN/empty."""
+    from cses2humio_spark.operators.clustering import kmeans_fit
+
+    rows = [(i, [float(i <= 2), 0.0]) for i in range(1, 6)]
+    # ids 1..5; seeds are ids 1,2,3 -> centroids [1,0],[1,0],[0,0]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    cents = kmeans_fit(df, "id", "v", k=3, n_iter=2)
+    # cluster 0 ([1,0]) wins ids 1,2 (tie vs cluster 1 breaks low),
+    # cluster 2 ([0,0]) wins ids 3,4,5 is wrong: id 3 has v=[0,0]? ids
+    # 1,2 -> [1,0]; 3,4,5 -> [0,0]. cluster 1 gets nothing both rounds.
+    assert cents[1] == [1.0, 0.0]
+    assert cents[0] == [1.0, 0.0]
+    assert cents[2] == [0.0, 0.0]
+
+
+def test_kmeans_fit_validates_inputs(spark):
+    import pytest as _pytest
+
+    from cses2humio_spark.operators.clustering import kmeans_fit
+
+    df = spark.createDataFrame([(1, [0.0])], "id long, v array<double>")
+    with _pytest.raises(ValueError, match="k >= 1"):
+        kmeans_fit(df, "id", "v", k=0, n_iter=1)
+    with _pytest.raises(ValueError, match="only 1 vectors"):
+        kmeans_fit(df, "id", "v", k=2, n_iter=1)
