@@ -423,3 +423,126 @@ def user_gap_stats_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         gaps,
         schema="user_id bigint, n_events bigint, mean_gap_us double, max_gap_us bigint",
     )
+
+
+@query(
+    "timechart_dense_errors",
+    oracle="""
+    WITH bounds AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+                           date_trunc('hour', MAX(ts)) AS hi FROM events),
+    spine AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+              FROM bounds),
+    agg AS (SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+            FROM events WHERE event_type = 'error' GROUP BY 1)
+    SELECT CAST(FLOOR(epoch(bucket)) AS BIGINT) AS bucket_start,
+           COALESCE(n, 0) AS n_errors,
+           COALESCE(sv, 0.0) AS sum_value
+    FROM spine LEFT JOIN agg USING (bucket)
+    """,
+)
+def timechart_dense_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled timechart (Humio renders EMPTY buckets as zero; a bare
+    GROUP BY silently drops them). The hour spine is generated from a
+    one-row bounds aggregate with sequence()+explode — a projection, not a
+    join — then the per-bucket aggregate left-joins onto it. The spine is
+    tiny (one row per hour of retention: ~9k rows/year) so it broadcasts;
+    the events side still does one partial+final agg shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sv"),
+        )
+    )
+    spine = (
+        ev.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket")
+        )
+    )
+    return spine.join(agg, "bucket", "left").select(
+        F.unix_timestamp(F.col("bucket")).alias("bucket_start"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_errors"),
+        F.coalesce(F.col("sv"), F.lit(0.0)).alias("sum_value"),
+    )
+
+
+@query(
+    "top_users_with_other",
+    oracle="""
+    WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    r AS (SELECT user_id, n,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rk FROM c)
+    SELECT CASE WHEN rk <= 10 THEN CAST(user_id AS VARCHAR)
+                ELSE 'other' END AS who,
+           SUM(n) AS n_events, COUNT(*) AS n_users
+    FROM r GROUP BY 1
+    """,
+)
+def top_users_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Humio ``top(user_id, rest="other")``: the 10 noisiest users plus a
+    single rollup row for everyone else — the shape that keeps dashboards
+    from lying by omission. The global rank runs on the POST-aggregation
+    relation (one row per user, already reduced), so the single-partition
+    window sees |users| rows, not |events|; at extreme user cardinality
+    the scale path is a two-level top-k (per-partition prune, then
+    global)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    rk = F.row_number().over(
+        Window.orderBy(F.col("n").desc(), F.col("user_id"))
+    )
+    return (
+        counts.withColumn("rk", rk)
+        .select(
+            F.when(F.col("rk") <= 10, F.col("user_id").cast("string"))
+            .otherwise(F.lit("other"))
+            .alias("who"),
+            "n",
+        )
+        .groupBy("who")
+        .agg(F.sum("n").alias("n_events"), F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "timechart_value_percentiles",
+    oracle="""
+    SELECT CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) AS bucket_start,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.9), 4) AS p90,
+           COUNT(*) AS n
+    FROM events WHERE event_type = 'error'
+    GROUP BY date_trunc('day', ts)
+    """,
+)
+def timechart_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timechart(function=percentile(value, [50, 90])): exact interpolated
+    per-day latency-style percentiles. Exact percentile sorts within each
+    bucket; at 100 TB retention switch to percentile_approx (KLL), which
+    merges map-side — the bucket key keeps either variant one shuffle."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("bucket"))
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.unix_timestamp(F.col("bucket")).alias("bucket_start"),
+            "p50",
+            "p90",
+            "n",
+        )
+    )
