@@ -1267,3 +1267,281 @@ def median_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "discount_revenue_probe",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def discount_revenue_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global aggregate, zero joins. The
+    whole predicate (date range, discount band, quantity cap) pushes into
+    the parquet scan as PushedFilters; the aggregate is a map-side partial
+    into a single-row final — at 100 TB this is scan-bandwidth-bound and
+    embarrassingly parallel, the canonical row-group-pruning benchmark."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01 00:00:00")
+            & (F.col("l_shipdate") < "1998-01-01 00:00:00")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(money("l_extendedprice") * frac("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "returned_order_priority_counts",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def returned_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS decorrelated to a left-semi join.
+    The semi join never materializes lineitem columns and stops probing an
+    order on first match; the quarter filter prunes orders before the
+    shuffle, and the returnflag filter prunes the build side. The final
+    agg runs on the surviving sliver (5 priorities)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1997-04-01 00:00:00")
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "min_cost_supplier_per_part",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (SELECT l_partkey, MIN(unit_cost) AS min_cost
+             FROM ps GROUP BY l_partkey)
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type,
+           b.min_cost
+    FROM ps
+    JOIN best b ON ps.l_partkey = b.l_partkey AND ps.unit_cost = b.min_cost
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size BETWEEN 10 AND 15 AND p.p_type = 'SMALL'
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: a correlated MIN subquery (cheapest supplier per
+    part) decorrelated into aggregate + self-join on (key, min). lineitem
+    stands in for partsupp (no partsupp table in this dataset): unit_cost
+    = min observed extendedprice/quantity per (part, supplier). One wide
+    shuffle builds ps; `best` re-aggregates the already-reduced relation;
+    the equality join back on (partkey, min_cost) is safe because both
+    sides compute the identical IEEE double. part/supplier/nation are
+    broadcast dims; the part filter prunes before the join; final TakeOrdered
+    (no global sort) with a total order so the LIMIT edge is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = (
+        ps.groupBy("l_partkey")
+        .agg(F.min("unit_cost").alias("min_cost"))
+        .withColumnRenamed("l_partkey", "b_partkey")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 15) & (F.col("p_type") == "SMALL")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        ps.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .drop("b_partkey")
+        .join(F.broadcast(part), F.col("p_partkey") == ps.l_partkey)
+        .join(F.broadcast(sup), F.col("s_suppkey") == ps.l_suppkey)
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "min_cost")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "profit_by_nation_year",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                    - CAST(p_retailprice AS DECIMAL(12,2))
+                      * CAST(0.10 AS DECIMAL(3,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: 5-relation star with a LIKE-filtered part dim and a
+    profit expression spanning fact and dim columns (10% of retailprice
+    stands in for ps_supplycost — no partsupp table). part/supplier/nation
+    broadcast, so lineitem reaches the orders join carrying only surviving
+    rows; orders-lineitem is the one big shuffle pair. The money math
+    stays exact DECIMAL until the final double cast, so the sum is
+    partitioning-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    one = F.lit(1).cast("decimal(3,2)")
+    cost_rate = F.lit(0.10).cast("decimal(3,2)")
+    profit_expr = money("l_extendedprice") * (one - frac("l_discount")) - money(
+        "p_retailprice"
+    ) * cost_rate * money("l_quantity")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit_expr).cast("double").alias("profit"))
+    )
+
+
+@query(
+    "supplier_variety_by_part_attrs",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type <> 'MEDIUM'
+      AND p_size IN (5, 10, 15, 20, 25, 30)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def supplier_variety_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT) per part attribute triple with a
+    NOT IN supplier exclusion. The exclusion list (suppliers in deficit)
+    is tiny → broadcast left-anti join, no shuffle; the part filter
+    broadcasts too. count_distinct expands to a two-phase aggregate
+    (distinct-ize on (triple, suppkey), then count) — two narrow shuffles
+    on already-reduced data rather than one wide one."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(5, 10, 15, 20, 25, 30)
+    )
+    deficit = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(
+            F.broadcast(deficit),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@query(
+    "heavy_shipper_suppliers",
+    oracle="""
+    WITH qual AS (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 100
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND s_suppkey IN (SELECT l_suppkey FROM qual)
+    """,
+)
+def heavy_shipper_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN-subqueries flattened to a chain of
+    semi-joins — suppliers in a nation set who shipped >100 units of
+    'small%' parts in 1997 (shipped volume stands in for partsupp
+    availqty). The inner aggregate reduces lineitem to one row per
+    qualifying supplier BEFORE the semi join, so the join probe side is
+    |suppliers|, not |lineitems|; part and nation broadcast; HAVING on the
+    exact-decimal sum keeps the threshold partitioning-independent."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1998-01-01 00:00:00")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    qual = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(money("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 100)
+        .select("l_suppkey")
+    )
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        sup.join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
