@@ -546,3 +546,175 @@ def timechart_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "url_parse_breakdown",
+    oracle="""
+    SELECT 'svc-' || CAST(user_id % 5 AS VARCHAR) || '.example.com' AS host,
+           '/' || event_type AS path,
+           COUNT(*) AS n,
+           COUNT(DISTINCT json_extract_string(props, '$.k')) AS n_k
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def url_parse_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Humio ``parseUrl()``: decompose request URLs into host / path /
+    query-param columns and aggregate traffic per endpoint. The URL string
+    is derived deterministically from event columns (the dataset carries no
+    URL field), then inverted with the JVM ``parse_url`` expression — the
+    oracle recomputes the components directly from the source columns, so
+    a parse bug cannot cancel out. Pure map-side until the final agg."""
+    ev = load_table(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://svc-"),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit(".example.com/"),
+        F.col("event_type"),
+        F.lit("?k="),
+        F.get_json_object("props", "$.k"),
+    )
+    return (
+        ev.withColumn("url", url)
+        .select(
+            F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+            F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+            F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("k")).alias("k"),
+        )
+        .groupBy("host", "path")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("k")).alias("n_k"),
+        )
+    )
+
+
+@query(
+    "cidr_subnet_traffic",
+    oracle="""
+    SELECT CASE WHEN user_id % 256 < 64  THEN 'q1'
+                WHEN user_id % 256 < 128 THEN 'q2'
+                WHEN user_id % 256 < 192 THEN 'q3'
+                ELSE 'q4' END AS subnet,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def cidr_subnet_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Humio ``cidr()``: classify traffic by subnet membership. The source
+    IP is synthesized as a dotted quad, then pushed through the real CIDR
+    machinery (string split → base-256 fold → prefix-aligned shiftright
+    compare, all codegen'd JVM exprs — functions/net.py). The oracle
+    classifies via independent modular arithmetic on the raw columns, so
+    the string→long→prefix path is verified end-to-end."""
+    from cses2humio_spark.functions.net import cidr_match
+
+    ev = load_table(spark, sf_dir, "events")
+    ip = F.concat_ws(
+        ".",
+        F.lit(10),
+        (F.col("user_id") % 256).cast("string"),
+        (F.col("event_id") % 256).cast("string"),
+        ((F.col("event_id") * 7) % 254 + 1).cast("string"),
+    )
+    subnet = (
+        F.when(cidr_match(F.col("ip"), "10.0.0.0/10"), "q1")
+        .when(cidr_match(F.col("ip"), "10.64.0.0/10"), "q2")
+        .when(cidr_match(F.col("ip"), "10.128.0.0/10"), "q3")
+        .otherwise("q4")
+    )
+    return (
+        ev.withColumn("ip", ip)
+        .groupBy(subnet.alias("subnet"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+    )
+
+
+@query(
+    "csv_parse_stats",
+    oracle="""
+    WITH lines AS (
+      SELECT event_type || ',' ||
+             CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) || ',' ||
+             CAST(user_id AS VARCHAR) AS line
+      FROM events
+    ),
+    parsed AS (
+      SELECT split_part(line, ',', 1) AS etype,
+             CAST(split_part(line, ',', 2) AS DOUBLE) AS val,
+             CAST(split_part(line, ',', 3) AS BIGINT) AS uid
+      FROM lines
+    )
+    SELECT etype, COUNT(*) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(12,2))) AS DOUBLE) AS sum_val,
+           COUNT(DISTINCT uid) AS n_users
+    FROM parsed GROUP BY etype
+    """,
+)
+def csv_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Humio ``parseCsv()``: recover typed columns from delimited log
+    lines via the JVM ``from_csv`` expression (schema'd, not split()-and-
+    pray) and aggregate. The CSV text is rendered from typed columns
+    through exact DECIMAL so both engines print identical digits; the
+    oracle re-parses with independent split_part machinery."""
+    ev = load_table(spark, sf_dir, "events")
+    line = F.concat_ws(
+        ",",
+        F.col("event_type"),
+        F.col("value").cast("decimal(12,2)").cast("string"),
+        F.col("user_id").cast("string"),
+    )
+    parsed = ev.withColumn("line", line).select(
+        F.from_csv(
+            F.col("line"), "etype STRING, val DOUBLE, uid BIGINT"
+        ).alias("p")
+    )
+    return (
+        parsed.select("p.etype", "p.val", "p.uid")
+        .groupBy("etype")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("val").cast("decimal(12,2)")).cast("double").alias("sum_val"),
+            F.count_distinct(F.col("uid")).alias("n_users"),
+        )
+    )
+
+
+@query(
+    "parse_timestamp_roundtrip",
+    oracle="""
+    WITH parsed AS (
+      SELECT strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                      '%Y-%m-%d %H:%M:%S') AS rts
+      FROM events
+    )
+    SELECT strftime(rts, '%Y-%m-%d') AS day,
+           COUNT(*) AS n,
+           MIN(CAST(FLOOR(epoch(rts)) AS BIGINT)) AS first_second
+    FROM parsed GROUP BY 1
+    """,
+)
+def parse_timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Humio ``parseTimestamp()``: logs arrive with rendered time strings;
+    recover event time by format-string parsing (``to_timestamp`` with an
+    explicit pattern — second precision, sub-second truncated) and bucket
+    per day. Render→parse runs in both engines with their own format
+    machinery; session tz is pinned UTC by load_table so epoch math is
+    tz-free."""
+    ev = load_table(spark, sf_dir, "events")
+    rendered = F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss")
+    reparsed = F.to_timestamp(rendered, "yyyy-MM-dd HH:mm:ss")
+    return (
+        ev.select(reparsed.alias("rts"))
+        .groupBy(F.date_format(F.col("rts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.unix_timestamp(F.col("rts"))).cast("bigint").alias("first_second"),
+        )
+    )
