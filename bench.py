@@ -109,15 +109,40 @@ def main() -> None:
     # factor (different files than the measured run, so no input caching —
     # this absorbs one-time codegen compilation, Arrow init, and parquet
     # reader setup, which are fixed costs, not per-query work).
+    # CI-style guard: if ANY headline query throws during warmup, refuse to
+    # time anything — print a diagnostic JSON line naming the failures and
+    # exit nonzero. A bench must never report partial numbers that mask a
+    # broken query (round-1 lesson: the crash itself was the only signal).
+    errors: dict[str, str] = {}
     if os.path.isdir(WARMUP_SF_DIR) and os.path.abspath(
         WARMUP_SF_DIR
     ) != os.path.abspath(sf_dir):
         for name in HEADLINE:
             if name in QUERIES:
-                QUERIES[name](spark, WARMUP_SF_DIR).collect()
+                try:
+                    QUERIES[name](spark, WARMUP_SF_DIR).collect()
+                except Exception as exc:  # noqa: BLE001 — guard must survey all
+                    errors[name] = f"{type(exc).__name__}: {exc}"[:300]
         # the streaming machinery (source listing, checkpoint WAL, state
         # init) has its own one-time costs the batch warmup doesn't touch
-        bench_connector(spark, WARMUP_SF_DIR)
+        try:
+            bench_connector(spark, WARMUP_SF_DIR)
+        except Exception as exc:  # noqa: BLE001
+            errors["connector_pipeline"] = f"{type(exc).__name__}: {exc}"[:300]
+    if errors:
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_query_wall_seconds",
+                    "value": None,
+                    "unit": "sec",
+                    "queries": {},
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "errors": errors,
+                }
+            )
+        )
+        sys.exit(1)
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -957,8 +957,8 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_statuses_per_priority",
     oracle="""
     SELECT o_orderpriority,
-      list_sort(list(DISTINCT o_orderstatus)) AS statuses,
-      list_sort(list(o_orderstatus)) AS status_multiset,
+      array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+      array_to_string(list_sort(list(o_orderstatus)), ',') AS status_multiset,
       COUNT(*) AS n_orders
     FROM orders GROUP BY o_orderpriority
     """,
@@ -968,11 +968,17 @@ def collect_statuses_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     so the result is a deterministic value regardless of task/partition
     arrival order — the only way collection aggs are reproducible on a
     cluster. Partial aggregation applies: each task collects locally, the
-    shuffle carries one partial list per (task, key)."""
+    shuffle carries one partial list per (task, key). The arrays are
+    serialized with array_join for the oracle contract — the driver's
+    pandas row-hasher cannot hash list cells."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
-        F.sort_array(F.collect_list("o_orderstatus")).alias("status_multiset"),
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
+        F.array_join(F.sort_array(F.collect_list("o_orderstatus")), ",").alias(
+            "status_multiset"
+        ),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
@@ -1089,9 +1095,9 @@ def right_join_top_with_nulls_first(spark: SparkSession, sf_dir: str) -> DataFra
     "pivot_status_counts",
     oracle="""
     SELECT o_orderpriority,
-      SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_cnt,
-      SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o_cnt,
-      SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p_cnt
+      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,
+      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_cnt,
+      CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt
     FROM orders GROUP BY o_orderpriority
     """,
 )

@@ -37,16 +37,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the oracle's tz-naive arithmetic.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by
-        # default; read it as int64 nanos and floor-truncate to microsecond
-        # timestamps (bit-identical to DuckDB's ns->us handling).
+        # events.ts has shipped both as parquet TIMESTAMP(NANOS) (which
+        # Spark surfaces as int64 under the legacy conf) and as plain
+        # timestamp[us] (isAdjustedToUTC=false -> TIMESTAMP_NTZ). Branch on
+        # the LOADED dtype instead of assuming, and normalize both paths to
+        # the session-tz TIMESTAMP type so every downstream consumer
+        # (unix_millis, window, date_format) sees ONE dtype:
+        # - int64  -> floor-truncate nanos to microsecond timestamps
+        #   (bit-identical to DuckDB's ns->us handling)
+        # - TIMESTAMP_NTZ -> cast to TIMESTAMP; with the session tz pinned
+        #   UTC above this is value-preserving and matches the oracle's
+        #   tz-naive arithmetic.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -70,10 +82,21 @@ def fan_out(df: DataFrame) -> DataFrame:
     splits, so the condition below is false and this is a NO-OP — no shuffle
     is ever added at scale. When it does fire, the round-robin repartition
     moves only the raw input rows (the cheap side — the row explosion
-    happens downstream of it)."""
+    happens downstream of it).
+
+    Implementation note: the split estimate uses ``df.inputFiles()`` (a
+    metadata listing) rather than ``df.rdd.getNumPartitions()`` — building
+    the RDD lineage on the driver per query-construction call is O(plan)
+    work that compounds at scale. Non-file-backed plans (memory streams,
+    post-shuffle frames) report zero files and are left untouched: they
+    already carry shuffle parallelism."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 

@@ -43,6 +43,27 @@ def ndjson_stream(
     )
 
 
+def kafka_reader_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """The Kafka reader's full option map, as a pure value — separated from
+    ``kafka_stream`` so the config contract is unit-testable in a
+    broker-less environment (and composable with
+    ``falcon_adapter.kafka_source_options`` for the SASL half)."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "false",
+    }
+    if max_offsets_per_trigger:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -55,15 +76,11 @@ def kafka_stream(
     (value string, partition int, offset long) — ``partition``/``offset``
     are the source-level analogs of the reference's stream partition and
     ``metadata.offset``."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", "false")
+    reader = spark.readStream.format("kafka").options(
+        **kafka_reader_options(
+            bootstrap_servers, topic, starting_offsets, max_offsets_per_trigger
+        )
     )
-    if max_offsets_per_trigger:
-        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
     df = reader.load()
     return df.select(
         F.col("value").cast("string").alias("value"),

@@ -154,3 +154,19 @@ def test_no_query_degenerates_to_cartesian(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_BY_DESIGN:
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, offenders
+
+
+def test_query_construction_never_touches_rdd(spark, monkeypatch):
+    """fan_out (and everything else on the construction path) must not
+    build the RDD lineage on the driver — df.rdd per query-construction
+    call is O(plan) driver work that compounds at 100 TB plan sizes.
+    Patch .rdd to explode, then CONSTRUCT the fan_out-using queries."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    def _boom(self):  # pragma: no cover - triggers only on violation
+        raise AssertionError("query construction touched df.rdd")
+
+    monkeypatch.setattr(CDF, "rdd", property(_boom))
+    for name in ("jaccard_near_dups", "simhash_near_dups", "cosine_topk",
+                 "embedding_near_dups", "exact_dedup_survivors"):
+        QUERIES[name](spark, SF_SMALL)  # construction only, no action

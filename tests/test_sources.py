@@ -87,3 +87,38 @@ def test_json_written_by_engine_reads_back(spark, tmp_path):
     # partition pruning: reading one kind dir touches only that partition
     errs = spark.read.schema(SCHEMA).json(os.path.join(out, "kind=error"))
     assert errs.count() == 30
+
+
+def test_kafka_reader_contract_options(spark):
+    """R1/R19 contract in a broker-less sandbox: the reader option map is
+    pinned as a value, and the options compose with the SASL half from
+    falcon_adapter. Building the actual reader is exercised up to source
+    resolution — acceptable outcomes are a resolved plan (connector jar
+    present) or the well-known missing-data-source error (jar absent);
+    anything else (e.g. option validation failure) fails the test."""
+    from cses2humio_spark.sources.event_source import (
+        kafka_reader_options,
+        kafka_stream,
+    )
+
+    opts = kafka_reader_options("b1:9092,b2:9092", "falcon.app", "latest", 5000)
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "falcon.app",
+        "startingOffsets": "latest",
+        "failOnDataLoss": "false",
+        "maxOffsetsPerTrigger": "5000",
+    }
+
+    try:
+        df = kafka_stream(spark, "b1:9092", "falcon.app")
+    except Exception as exc:
+        assert "kafka" in str(exc).lower() and (
+            "failed to find" in str(exc).lower()
+            or "data source" in str(exc).lower()
+        ), f"unexpected reader failure: {exc}"
+    else:
+        assert df.isStreaming
+        assert [f.name for f in df.schema.fields] == [
+            "value", "partition", "offset",
+        ]
