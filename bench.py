@@ -117,18 +117,24 @@ def main() -> None:
     if os.path.isdir(WARMUP_SF_DIR) and os.path.abspath(
         WARMUP_SF_DIR
     ) != os.path.abspath(sf_dir):
+        # Connector warmup FIRST: the streaming machinery (source listing,
+        # checkpoint WAL, state init, Py4J callback teardown) leaves a
+        # measured ~10 s one-time stall on the NEXT action after the query
+        # terminates — run it before the batch warmups so they absorb it
+        # instead of the first timed query.
+        try:
+            bench_connector(spark, WARMUP_SF_DIR)
+        except Exception as exc:  # noqa: BLE001 — guard must survey all
+            errors["connector_pipeline"] = f"{type(exc).__name__}: {exc}"[:300]
         for name in HEADLINE:
             if name in QUERIES:
                 try:
                     QUERIES[name](spark, WARMUP_SF_DIR).collect()
-                except Exception as exc:  # noqa: BLE001 — guard must survey all
+                except Exception as exc:  # noqa: BLE001
                     errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-        # the streaming machinery (source listing, checkpoint WAL, state
-        # init) has its own one-time costs the batch warmup doesn't touch
-        try:
-            bench_connector(spark, WARMUP_SF_DIR)
-        except Exception as exc:  # noqa: BLE001
-            errors["connector_pipeline"] = f"{type(exc).__name__}: {exc}"[:300]
+        # settle: one throwaway action so any residual warmup-tail work
+        # (GC of streaming state, broadcast cleanup) lands off the clock
+        spark.range(10_000_000).selectExpr("sum(id)").collect()
     if errors:
         print(
             json.dumps(
@@ -144,22 +150,20 @@ def main() -> None:
         )
         sys.exit(1)
 
+    # Two full PASSES over the suite, min per query across passes: the
+    # steady-state number. Back-to-back repeats of one query share any
+    # transient (a GC pause straddles both timings); a full pass between
+    # repeats decorrelates the noise at the same total cost.
     timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        if name not in QUERIES:
-            continue
-        # min of two timed runs: the steady-state number. Single-shot
-        # timings on a shared box swing 2-3x with GC/scheduler noise,
-        # which would drown real regressions round-over-round.
-        best = None
-        for _ in range(2):
+    for _ in range(2):
+        for name in HEADLINE:
+            if name not in QUERIES:
+                continue
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).collect()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        total += timings[name]
+            timings[name] = round(min(timings.get(name, dt), dt), 3)
+    total = sum(timings.values())
 
     connector_wall, connector_events = bench_connector(spark, sf_dir)
     timings["connector_pipeline"] = round(connector_wall, 3)

@@ -302,6 +302,7 @@ def embedding_near_dup_pairs(
     n_bands: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_vectors: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup detection (the vector-space member of the
     dedup family, alongside MinHash/SimHash/Jaccard in operators/dedup.py).
@@ -320,7 +321,17 @@ def embedding_near_dup_pairs(
     shuffles only (band, band_sig, id) — never the vectors, which are
     joined back for the surviving DISTINCT candidate pairs only. At
     100 TB: raise ``n_planes`` so per-band buckets stay small; band count
-    multiplies candidate volume, not vector traffic."""
+    multiplies candidate volume, not vector traffic.
+
+    ``broadcast_vectors=True`` hints the verify-stage vector joins as
+    broadcasts: when the candidate-pair set dwarfs the vector table (the
+    common shape — coarse bands on a clustered corpus), shuffling millions
+    of pairs twice to meet a dimension-sized vector side is the dominant
+    cost, and the planner can't see it (the pair count is a join output,
+    unknown at planning time; AQE only demotes, it can't pre-broadcast a
+    side whose size estimate is missing). Leave False when the vector
+    table itself is beyond broadcast size — the verify then runs as
+    ordinary shuffled equi-joins on id."""
     total_planes = n_planes * n_bands
     if total_planes > 62:
         raise ValueError("n_planes * n_bands must be <= 62 (bigint signature)")
@@ -386,6 +397,8 @@ def embedding_near_dup_pairs(
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if broadcast_vectors:
+        va, vb = F.broadcast(va), F.broadcast(vb)
     cos = cosine_pairs(F.col("__va"), F.col("__vb"))
     return (
         cand.join(va, on="id_a")

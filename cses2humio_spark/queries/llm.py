@@ -643,8 +643,12 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cses2humio_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # broadcast_vectors: the candidate set (~60% of all pairs on this
+    # near-orthogonal synthetic corpus) dwarfs the embedding table, so the
+    # verify joins broadcast the vector side instead of shuffling pairs.
     return embedding_near_dup_pairs(
-        emb, dim=64, threshold=0.3, n_planes=4, n_bands=15
+        emb, dim=64, threshold=0.3, n_planes=4, n_bands=15,
+        broadcast_vectors=True,
     )
 
 

@@ -170,3 +170,43 @@ def test_query_construction_never_touches_rdd(spark, monkeypatch):
     for name in ("jaccard_near_dups", "simhash_near_dups", "cosine_topk",
                  "embedding_near_dups", "exact_dedup_survivors"):
         QUERIES[name](spark, SF_SMALL)  # construction only, no action
+
+
+def test_shingle_table_persisted_once_for_multi_consumer_pipeline(spark):
+    """VERDICT r1 stretch: composite near-dup pipelines (candidates +
+    Jaccard verify) share ONE shingle explode. With the table persisted,
+    every consumer's plan must read the InMemoryRelation — the explode
+    (Generate) lives only inside the cached plan, never recomputed
+    upstream of a consumer."""
+    from cses2humio_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_candidate_pairs,
+        shingle_table,
+    )
+    from cses2humio_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    sh = shingle_table(docs, "doc_id", "text", n=3).persist()
+    try:
+        cands = minhash_candidate_pairs(
+            docs, "doc_id", "text", shingles_df=sh
+        )
+        verified = jaccard_pairs(
+            docs, cands, "doc_id", "text", shingles_df=sh, assume_overlap=True
+        )
+        plan = verified._jdf.queryExecution().optimizedPlan().toString()
+        n_cached = plan.count("InMemoryRelation")
+        assert n_cached > 0, "consumers bypass the persisted shingles"
+        # Each InMemoryRelation prints its CACHED child plan (one shingle
+        # explode) inline; a consumer recomputing the explode would add a
+        # Generate explode NOT paired with a cached-plan print. (Generate
+        # stack — the band unpivot — is a cheap projection, not a
+        # recompute, and is excluded by matching on explode.)
+        n_explode = plan.count("Generate explode")
+        assert n_explode == n_cached, (
+            f"{n_explode} shingle explodes vs {n_cached} cached-plan prints "
+            "— a consumer recomputes the explode instead of reading the "
+            "persisted table"
+        )
+    finally:
+        sh.unpersist()
