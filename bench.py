@@ -163,6 +163,11 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).collect()
             dt = time.perf_counter() - t0
             timings[name] = round(min(timings.get(name, dt), dt), 3)
+            # Self-contained queries that persist() intermediates (shingle
+            # tables) cannot unpersist them — they return lazy frames. Drop
+            # leftover cache so later queries aren't timed under the
+            # accumulated memory pressure of earlier ones.
+            spark.catalog.clearCache()
     total = sum(timings.values())
 
     connector_wall, connector_events = bench_connector(spark, sf_dir)

@@ -174,6 +174,41 @@ def resolve_config(
     return AppConfig(**vars(args))
 
 
+def start_pipeline_from_config(
+    cfg: AppConfig,
+    spark,
+    source_dir: str,
+    spool_dir: str,
+    available_now: bool = False,
+):
+    """Map the resolved R20 config onto the streaming pipeline — the
+    reference's ``app_prepare``/``app_run`` seam (app.py:329-376):
+
+    - ``offset_file``    -> Spark checkpointLocation (R11 offset store)
+    - ``bulk_max_size``  -> HttpBulkSink POST chunk cap (R10)
+    - ``flush_wait_time``-> micro-batch processingTime trigger (R9: the
+                            max-latency half of the dual trigger)
+    - ``enrich``/``metadata`` -> envelope flattening + @host/@stream
+    - ``app_id``         -> @stream metadata value
+
+    Returns the started StreamingQuery. ``source_dir`` is an NDJSON drop
+    directory (the sandbox stand-in for the live event stream; Kafka is
+    the production path, see sources/event_source.py)."""
+    from cses2humio_spark.sources.event_source import ndjson_stream
+    from cses2humio_spark.streaming.pipeline import run_pipeline
+    from cses2humio_spark.streaming.sinks import chunked_sink
+
+    return run_pipeline(
+        ndjson_stream(spark, source_dir),
+        chunked_sink(spool_dir, bulk_max_size=cfg.bulk_max_size),
+        checkpoint_dir=cfg.offset_file,
+        app_id=cfg.app_id,
+        with_metadata=cfg.enrich and cfg.metadata,
+        trigger_seconds=None if available_now else cfg.flush_wait_time,
+        available_now=available_now,
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     """Console entry point: resolve config, echo it redacted, and wire the
     streaming pipeline. Without live Falcon/Humio endpoints (sandbox), the

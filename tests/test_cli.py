@@ -129,3 +129,58 @@ def test_config_is_frozen():
     cfg = AppConfig()
     with pytest.raises(AttributeError):
         cfg.bulk_max_size = 1  # type: ignore[misc]
+
+
+def test_config_drives_pipeline_end_to_end(tmp_path):
+    """R20 wired to the engine: a resolved AppConfig starts the full
+    parse -> enrich -> chunked-sink pipeline, with bulk_max_size bounding
+    every POST chunk, offset_file as the checkpoint, and app_id in the
+    @stream metadata."""
+    import glob
+    import json
+    import os
+
+    import pytest as _pytest
+
+    pyspark = _pytest.importorskip("pyspark")
+    from cses2humio_spark.cli import start_pipeline_from_config
+    from cses2humio_spark.session import get_spark
+
+    spark = get_spark("cli-e2e")
+    src = tmp_path / "src"
+    spool = tmp_path / "spool"
+    ckpt = tmp_path / "offsets.db"
+    os.makedirs(src)
+
+    lines = [
+        json.dumps(
+            {
+                "metadata": {"offset": o, "eventCreationTime": 1723500000000 + o},
+                "event": {"n": o},
+            }
+        )
+        for o in range(25)
+    ]
+    (src / "a.ndjson").write_text("\n".join(lines) + "\n")
+
+    cfg = resolve_config(
+        ["--bulk-max-size", "10", "--enrich", "--metadata", "--app-id", "e2e",
+         "--offset-file", str(ckpt)],
+        env=REQ,
+    )
+    q = start_pipeline_from_config(
+        cfg, spark, str(src), str(spool), available_now=True
+    )
+    q.awaitTermination()
+
+    chunks = []
+    for p in sorted(glob.glob(str(spool / "*.json"))):
+        with open(p) as f:
+            chunks.append(json.load(f))
+    events = [e for c in chunks for b in c["body"] for e in b["events"]]
+    assert len(events) == 25
+    assert all(
+        len(b["events"]) <= 10 for c in chunks for b in c["body"]
+    ), "bulk_max_size not respected"
+    assert {e["attributes"]["@stream"] for e in events} == {"e2e"}
+    assert os.path.isdir(ckpt), "offset_file did not become the checkpoint"
