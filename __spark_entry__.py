@@ -48,7 +48,6 @@ _PRIORITY = [
     "embedding_near_dups",
     "tfidf_top50",
     "udaf_weighted_value",
-    "udtf_token_stats",
     "kmeans_clusters",
     # connector semantics
     "connector_enrich_envelope",
@@ -67,8 +66,6 @@ _PRIORITY = [
     "distinct_users_per_type",
     "percentile_order_price",
     "rollup_returns",
-    "cube_order_status",
-    "grouping_sets_flags",
     "collect_statuses_per_priority",
     "global_math_stats",
     "rank_parts_by_size",

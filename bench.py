@@ -35,6 +35,7 @@ HEADLINE = [
     "cosine_topk",
     "embedding_near_dups",
     "ivf_topk",
+    "sequence_pack_assignments",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cses2humio_spark.functions.text import (
     STOPWORDS,
@@ -916,4 +917,196 @@ def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
         F.round(F.sum("quality") / F.count(F.lit(1)), 6).alias("avg_quality"),
+    )
+
+
+# ---- sequence packing ----------------------------------------------------
+
+_PACK_CTE = r"""
+d AS (SELECT doc_id,
+             ('0x' || substr(md5('pack:' || doc_id), 1, 8))::BIGINT % 8
+               AS bucket,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents),
+o AS (SELECT doc_id, bucket, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+      FROM d),
+p AS (
+  SELECT bucket, rn, doc_id, n_tokens,
+         n_tokens AS acc,
+         CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_pos
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT nxt.bucket, nxt.rn, nxt.doc_id, nxt.n_tokens,
+         CASE WHEN p.acc + nxt.n_tokens > 256
+              THEN nxt.n_tokens ELSE p.acc + nxt.n_tokens END,
+         CASE WHEN p.acc + nxt.n_tokens > 256
+              THEN p.pack_id + 1 ELSE p.pack_id END,
+         CASE WHEN p.acc + nxt.n_tokens > 256
+              THEN 0 ELSE p.pack_pos + 1 END
+  FROM p JOIN o nxt ON nxt.bucket = p.bucket AND nxt.rn = p.rn + 1)
+"""
+
+
+@query(
+    "sequence_pack_assignments",
+    oracle=f"""
+    WITH RECURSIVE {_PACK_CTE}
+    SELECT bucket, doc_id, n_tokens, pack_id, pack_pos FROM p
+    """,
+)
+def sequence_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (training-batch construction): greedy
+    first-fit-sequential packing of documents into 256-token budget
+    sequences within 8 deterministic hash buckets. Every document maps to
+    a (bucket, pack_id, pack_pos); the assignment is a pure function of
+    the corpus (hash bucket + id order), independent of partitioning. The
+    oracle replays the greedy fold as a recursive CTE. Scale: the only
+    shuffle carries (bucket, id, n_tokens) — text never moves; buckets
+    are the parallel unit."""
+    from cses2humio_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    narrow = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(narrow, budget=256, n_buckets=8)
+
+
+@query(
+    "sequence_packing_stats",
+    oracle=f"""
+    WITH RECURSIVE {_PACK_CTE},
+    per_pack AS (SELECT bucket, pack_id, COUNT(*) AS n_docs,
+                        SUM(n_tokens) AS pack_tokens
+                 FROM p GROUP BY bucket, pack_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_packs,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           ROUND(AVG(n_docs), 6) AS avg_docs_per_pack,
+           ROUND(AVG(least(pack_tokens / 256.0, 1.0)), 6) AS avg_fill,
+           ROUND(MIN(least(pack_tokens / 256.0, 1.0)), 6) AS min_fill,
+           CAST(SUM(CASE WHEN pack_tokens > 256 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overflow_packs
+    FROM per_pack
+    """,
+)
+def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report (the metric that justifies the budget and
+    bucket choices): pack count, docs per pack, mean/min fill ratio,
+    overflow packs. Fill < 1 is the padding an accelerator would burn."""
+    from cses2humio_spark.operators.packing import pack_sequences, pack_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    narrow = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_stats(pack_sequences(narrow, budget=256, n_buckets=8), 256)
+
+
+# ---- decontamination & vocabulary ---------------------------------------
+
+@query(
+    "decontamination_overlap",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, source,
+                      string_split_regex(trim(text), '\s+') AS toks
+               FROM documents),
+    sh5 AS (SELECT doc_id, source, array_to_string(toks[i:i+4], ' ') AS sh
+            FROM t, UNNEST(generate_series(1, len(toks)-4)) AS u(i)
+            WHERE len(toks) >= 5),
+    ev AS (SELECT DISTINCT sh FROM sh5 WHERE source = 'src0'),
+    cont AS (SELECT DISTINCT s.doc_id
+             FROM sh5 s JOIN ev ON ev.sh = s.sh
+             WHERE s.source <> 'src0')
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated
+    FROM documents d LEFT JOIN cont c ON c.doc_id = d.doc_id
+    WHERE d.source <> 'src0'
+    GROUP BY d.source
+    """,
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    5-gram with the held-out set (source 'src0' stands in for the eval
+    benchmark). The eval shingle set is DISTINCT'd and broadcast — eval
+    suites are small by nature, so even at 100 TB of training data the
+    probe side replicates and the train shingles never shuffle; the check
+    is a map-side semi-join, one pass over the corpus."""
+    from cses2humio_spark.operators.dedup import shingle_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    ev_sh = shingle_table(ev, "doc_id", "text", n=5).select("__sh").distinct()
+    tr_sh = shingle_table(train, "doc_id", "text", n=5)
+    contaminated = (
+        tr_sh.join(F.broadcast(ev_sh), on="__sh", how="left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        train.join(contaminated, on="doc_id", how="left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+        )
+    )
+
+
+@query(
+    "vocab_coverage",
+    oracle=r"""
+    WITH toks AS (SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+                  FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS f FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(f) AS DOUBLE) AS s FROM freq),
+    ranked AS (SELECT tok, f,
+                      ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS rank,
+                      SUM(f) OVER (ORDER BY f DESC, tok
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+               FROM freq)
+    SELECT rank, tok, CAST(f AS BIGINT) AS freq,
+           ROUND(CAST(cum AS DOUBLE) / (SELECT s FROM tot), 6) AS coverage
+    FROM ranked WHERE rank <= 200
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build for tokenizer prep: top-200 tokens by corpus
+    frequency with cumulative corpus coverage (the fraction of all token
+    occurrences the top-V vocabulary explains — the number that sizes a
+    vocab). Deterministic order: (freq DESC, token ASC). Scale shape: the
+    explode+groupBy is partial-aggregated; the corpus-total is a scalar
+    agg broadcast back; only the top slice (vocab-sized, not corpus-sized)
+    enters the ranking window."""
+    from cses2humio_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = freq.agg(F.sum("freq").cast("double").alias("__total"))
+    # top slice FIRST (TakeOrdered, no global sort), then the tiny window
+    top = freq.orderBy(F.col("freq").desc(), F.col("tok").asc()).limit(200)
+    w = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "coverage",
+            F.round(
+                F.sum("freq").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                / F.col("__total"),
+                6,
+            ),
+        )
+        .select("rank", "tok", F.col("freq").cast("bigint").alias("freq"), "coverage")
     )

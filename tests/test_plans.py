@@ -185,6 +185,11 @@ def test_shingle_table_persisted_once_for_multi_consumer_pipeline(spark):
     )
     from cses2humio_spark.sources.catalog import load_table
 
+    # Earlier tests in the shared session persist shingle frames they can
+    # never unpersist (lazy-return contract); Spark's CacheManager
+    # plan-matches those into THIS test's plan and skews the node counts.
+    # Start from a clean cache so the only InMemoryRelation is ours.
+    spark.catalog.clearCache()
     docs = load_table(spark, SF_SMALL, "documents")
     sh = shingle_table(docs, "doc_id", "text", n=3).persist()
     try:
