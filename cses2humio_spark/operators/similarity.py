@@ -409,6 +409,33 @@ def embedding_near_dup_pairs(
     )
 
 
+def auto_band_params(
+    n_rows: int,
+    bits_budget: int = 60,
+    target_bucket_rows: int = 128,
+    min_planes: int = 4,
+) -> tuple[int, int]:
+    """Choose (n_planes, n_bands) for banded hyperplane LSH from corpus
+    size: per-band bucket count 2^w should keep expected bucket occupancy
+    near ``target_bucket_rows`` (candidate volume per band ~ buckets x
+    occupancy^2 / 2 — occupancy is THE quadratic lever), then spend the
+    rest of the signature-bit budget on bands (each band multiplies
+    recall: 1-(1-p^w)^b).
+
+    Measured on the near-orthogonal synthetic corpus: n=2k -> (4, 15)
+    (the recall-pinned default); n=20k -> (8, 7), which cut the 10x-scale
+    near-dup query from 51s to 8.4s by shrinking candidates from ~62% of
+    all pairs to ~2.7% (docs/SCALING.md). Fixed (w, b) in a growing
+    corpus is the scaling bug; derive them from n."""
+    import math
+
+    if n_rows <= 0:
+        raise ValueError(f"n_rows must be positive, got {n_rows}")
+    w = max(min_planes, math.ceil(math.log2(max(n_rows / target_bucket_rows, 2.0))))
+    w = min(w, bits_budget)
+    return w, max(1, bits_budget // w)
+
+
 def first_matching_band(
     sig_a: Column, sig_b: Column, n_planes: int, n_bands: int
 ) -> Column:

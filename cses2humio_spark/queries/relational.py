@@ -352,18 +352,28 @@ def full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_range_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range join with an equi anchor (user_id): hash-partitioned join with
-    the time window as residual — linear shuffle, no nested loop."""
+    """Range join with an equi anchor (user_id) AND a 5-minute time band as
+    a second equi key (operators/joins.banded_range_join): probe work is
+    bounded per (user, band), so cost follows event RATE, not per-user
+    history length — the plain equi-anchor form re-measured 14.5x wall on
+    10x data because every user's full history cross-compared. The time
+    window applies in full as the residual; band(b) <= band(a)+1 for any
+    b <= a+5min, so banding loses no matches."""
+    from cses2humio_spark.operators.joins import banded_range_join
+
     a = load_table(spark, sf_dir, "events").select(
         F.col("user_id"), F.col("ts").alias("ts_a"), F.col("event_type").alias("type_a")
     )
     b = load_table(spark, sf_dir, "events").select(
         F.col("user_id"), F.col("ts").alias("ts_b"), F.col("event_type").alias("type_b")
     )
-    joined = range_join(
+    joined = banded_range_join(
         a,
         b,
         on=["user_id"],
+        left_ts="ts_a",
+        right_ts="ts_b",
+        span_seconds=300,
         condition=(F.col("ts_b") > F.col("ts_a"))
         & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
     )

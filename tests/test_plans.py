@@ -135,6 +135,7 @@ def test_no_query_degenerates_to_cartesian(spark):
         "cosine_topk",            # tiny probe set broadcast against corpus
         "ivf_topk",               # tiny centroid set broadcast
         "cross_join_region_priority",  # the cross join op itself
+        "vocab_coverage",         # single-row corpus-total scalar broadcast
     }
     # building these queries runs heavy side effects (a full streaming
     # query, a driver-side iteration loop, a key-discovery collect) just to
@@ -215,3 +216,41 @@ def test_shingle_table_persisted_once_for_multi_consumer_pipeline(spark):
         )
     finally:
         sh.unpersist()
+
+
+def test_auto_band_params_tracks_corpus_size():
+    """docs/SCALING.md finding 2: fixed (w, b) is the scaling bug. The
+    helper must reproduce the recall-pinned small-corpus config and widen
+    bands as the corpus grows (bucket occupancy is the quadratic lever)."""
+    from cses2humio_spark.operators.similarity import auto_band_params
+
+    assert auto_band_params(2_000) == (4, 15)
+    assert auto_band_params(20_000) == (8, 7)
+    w1, _ = auto_band_params(1_000_000)
+    w2, _ = auto_band_params(100_000_000)
+    assert w2 > w1, "band width must grow with corpus size"
+    for n in (1, 100, 10**9):
+        w, b = auto_band_params(n)
+        assert 4 <= w <= 60 and b >= 1 and w * b <= 60
+
+
+def test_banded_range_join_is_equi_on_band(spark):
+    """The banded range join must plan as a hash/sort-merge join keyed on
+    (user_id, band) — never a BroadcastNestedLoop — and lose no matches
+    vs the plain equi-anchor formulation."""
+    from cses2humio_spark.operators.joins import banded_range_join, range_join
+    from cses2humio_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    a = ev.select("user_id", F.col("ts").alias("ts_a"))
+    b = ev.select("user_id", F.col("ts").alias("ts_b"))
+    cond = (F.col("ts_b") > F.col("ts_a")) & (
+        F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")
+    )
+    banded = banded_range_join(
+        a, b, on=["user_id"], left_ts="ts_a", right_ts="ts_b",
+        span_seconds=300, condition=cond,
+    )
+    assert_no_cartesian(banded)
+    plain = range_join(a, b, on=["user_id"], condition=cond)
+    assert banded.count() == plain.count()
