@@ -97,3 +97,43 @@ def test_pack_stats_consistency(spark):
     )
     assert stats.n_overflow_packs == len(overflow)
     assert all(r.n == 1 for r in overflow)
+
+
+def test_packing_matches_pure_python_reference(spark):
+    """Randomized (seeded) cross-check: the distributed packer must equal
+    a direct python implementation of the greedy spec on arbitrary token
+    sizes — including docs far over budget and single-token docs."""
+    import random
+
+    rng = random.Random(20260813)
+    rows = [
+        (i, rng.choice([1, 3, 50, 120, 255, 256, 257, 900]))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+    got = _key(pack_sequences(df, BUDGET, n_buckets=4).collect())
+
+    from cses2humio_spark.operators.packing import hash_bucket
+    from pyspark.sql import functions as F2
+
+    buckets = {
+        r.doc_id: r.b
+        for r in df.select(
+            "doc_id", hash_bucket(F2.col("doc_id"), 4).alias("b")
+        ).collect()
+    }
+    expected = {}
+    per_bucket: dict[int, list] = {}
+    for i, t in rows:
+        per_bucket.setdefault(buckets[i], []).append((i, t))
+    for b, docs in per_bucket.items():
+        docs.sort()
+        acc, pid, pos = 0, -1, 0
+        for i, t in docs:
+            if pid < 0 or acc + t > BUDGET:
+                pid += 1
+                acc, pos = 0, 0
+            acc += t
+            expected[i] = (b, pid, pos)
+            pos += 1
+    assert got == expected
