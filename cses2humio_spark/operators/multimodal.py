@@ -146,3 +146,215 @@ def resize_media(df: DataFrame, factor: int = 4) -> DataFrame:
             )
 
     return df.mapInPandas(_resize_batches, schema=RESIZED_SCHEMA)
+
+
+# ---- real binary decoders (no codec libs needed) -------------------------
+#
+# PPM (P6) images and PCM WAV audio are pure-bytes formats: header + raw
+# sample array. Decoding them needs only numpy, so for these two the decode
+# step is REAL — header parsing, payload validation, array reshape, feature
+# math — not the 'fake/v1' byte stand-in above. Payloads are synthesized
+# from a closed-form generative formula (byte j of doc d is a linear
+# congruence), which is what makes the decoded statistics independently
+# checkable: the DuckDB oracle recomputes the expected means/RMS from the
+# formula with generate_series, never touching the binary. External-codec
+# formats (JPEG/H.264/...) remain behind the NotImplementedError seam.
+
+PPM_FEATURES_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, "
+    "mean_r double, mean_g double, mean_b double, byte_checksum bigint"
+)
+
+WAV_FEATURES_SCHEMA = (
+    "doc_id bigint, sample_rate bigint, n_samples bigint, rms double"
+)
+
+
+def _ppm_dims(doc_id: int) -> tuple[int, int]:
+    return 8 + doc_id % 8, 6 + doc_id % 5
+
+
+def synthesize_ppm_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary): a valid P6 PPM per document — ASCII
+    header (with a comment line, exercising the parser) + w*h*3 pixel
+    bytes, byte j = (7*doc_id + 13*j) mod 256."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 + d % 8, 6 + d % 5
+                header = f"P6\n# synth doc {d}\n{w} {h}\n255\n".encode()
+                j = _np.arange(w * h * 3, dtype=_np.int64)
+                px = ((7 * d + 13 * j) % 256).astype(_np.uint8)
+                payloads.append(header + px.tobytes())
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(_gen, "doc_id bigint, payload binary")
+
+
+def decode_ppm(media: DataFrame) -> DataFrame:
+    """REAL P6 decode via mapInPandas: parse the ASCII header (magic,
+    comment lines, dims, maxval), validate payload length, reshape to
+    (h, w, 3), emit per-channel means + a byte checksum. Malformed
+    payloads raise — a corrupt blob is a data bug, not a row to drop
+    silently."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def parse_header(buf: bytes):
+            if buf[:2] != b"P6":
+                raise ValueError("not a P6 PPM")
+            fields, pos = [], 2
+            while len(fields) < 3:
+                while pos < len(buf) and buf[pos : pos + 1].isspace():
+                    pos += 1
+                if buf[pos : pos + 1] == b"#":
+                    while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                        pos += 1
+                    continue
+                start = pos
+                while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                    pos += 1
+                fields.append(int(buf[start:pos]))
+            return fields[0], fields[1], fields[2], pos + 1  # w, h, maxval, data
+
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "width", "height", "mean_r", "mean_g", "mean_b",
+                     "byte_checksum")}
+            for d, b in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(b)
+                w, h, maxval, data_at = parse_header(buf)
+                if maxval != 255:
+                    raise ValueError(f"unsupported maxval {maxval}")
+                px = _np.frombuffer(buf, dtype=_np.uint8, offset=data_at)
+                if px.size != w * h * 3:
+                    raise ValueError(
+                        f"payload holds {px.size} bytes, header says {w*h*3}"
+                    )
+                img = px.reshape(h, w, 3).astype(_np.float64)
+                rows["doc_id"].append(int(d))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["mean_r"].append(round(float(img[:, :, 0].mean()), 6))
+                rows["mean_g"].append(round(float(img[:, :, 1].mean()), 6))
+                rows["mean_b"].append(round(float(img[:, :, 2].mean()), 6))
+                rows["byte_checksum"].append(int(px.astype(_np.int64).sum()) % 10**9)
+            yield _pd.DataFrame(rows)
+
+    return media.mapInPandas(_decode, PPM_FEATURES_SCHEMA)
+
+
+def resize_ppm(media: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL nearest-neighbor downsample: decode, stride-sample rows and
+    columns by ``factor``, re-encode as P6. Binary in -> binary out, so
+    the result feeds decode_ppm unchanged (composability)."""
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for b in pdf["payload"]:
+                buf = bytes(b)
+                # minimal header re-parse (same rules as decode_ppm)
+                fields, pos = [], 2
+                while len(fields) < 3:
+                    while buf[pos : pos + 1].isspace():
+                        pos += 1
+                    if buf[pos : pos + 1] == b"#":
+                        while buf[pos : pos + 1] != b"\n":
+                            pos += 1
+                        continue
+                    start = pos
+                    while not buf[pos : pos + 1].isspace():
+                        pos += 1
+                    fields.append(int(buf[start:pos]))
+                w, h, _ = fields
+                px = _np.frombuffer(buf, dtype=_np.uint8, offset=pos + 1)
+                img = px.reshape(h, w, 3)[::factor, ::factor, :]
+                nh, nw = img.shape[0], img.shape[1]
+                out.append(f"P6\n{nw} {nh}\n255\n".encode() + img.tobytes())
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+    return media.mapInPandas(_resize, "doc_id bigint, payload binary")
+
+
+def synthesize_wav_media(docs: DataFrame, sample_rate: int = 16000) -> DataFrame:
+    """(doc_id, payload binary): canonical 44-byte PCM16-mono RIFF/WAV
+    header + n samples, n = 400 + doc_id mod 100, sample i =
+    ((31*doc_id + 17*i) mod 65536) - 32768."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def header(n_samples: int) -> bytes:
+            data_len = n_samples * 2
+            return (
+                b"RIFF" + _struct.pack("<I", 36 + data_len) + b"WAVE"
+                + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                         sample_rate * 2, 2, 16)
+                + b"data" + _struct.pack("<I", data_len)
+            )
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 400 + d % 100
+                i = _np.arange(n, dtype=_np.int64)
+                s = (((31 * d + 17 * i) % 65536) - 32768).astype("<i2")
+                payloads.append(header(n) + s.tobytes())
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(_gen, "doc_id bigint, payload binary")
+
+
+def decode_wav(media: DataFrame) -> DataFrame:
+    """REAL RIFF/WAV decode: validate chunk magics, read fmt (PCM16 mono
+    only), frombuffer the sample array, emit rate + count + RMS."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "sample_rate", "n_samples", "rms")}
+            for d, b in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(b)
+                if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE" or buf[12:16] != b"fmt ":
+                    raise ValueError("not a RIFF/WAVE PCM file")
+                fmt_len, audio_fmt, channels, rate = _struct.unpack(
+                    "<IHHI", buf[16:28]
+                )
+                bits = _struct.unpack("<H", buf[34:36])[0]
+                if (fmt_len, audio_fmt, channels, bits) != (16, 1, 1, 16):
+                    raise ValueError("only canonical PCM16 mono supported")
+                if buf[36:40] != b"data":
+                    raise ValueError("missing data chunk")
+                data_len = _struct.unpack("<I", buf[40:44])[0]
+                s = _np.frombuffer(buf, dtype="<i2", offset=44, count=data_len // 2)
+                rows["doc_id"].append(int(d))
+                rows["sample_rate"].append(int(rate))
+                rows["n_samples"].append(int(s.size))
+                rows["rms"].append(
+                    round(float(_np.sqrt((s.astype(_np.float64) ** 2).mean())), 6)
+                )
+            yield _pd.DataFrame(rows)
+
+    return media.mapInPandas(_decode, WAV_FEATURES_SCHEMA)

@@ -1110,3 +1110,75 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("rank", "tok", F.col("freq").cast("bigint").alias("freq"), "coverage")
     )
+
+
+# ---- real-binary multimodal decode --------------------------------------
+
+@query(
+    "ppm_decode_stats",
+    oracle="""
+    WITH d3 AS (SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 5 AS h
+                FROM documents WHERE doc_id < 300),
+    m AS (SELECT t.doc_id,
+                 ROUND(AVG((7*t.doc_id + 39*u.p) % 256), 6) AS mean_r,
+                 ROUND(AVG((7*t.doc_id + 13 + 39*u.p) % 256), 6) AS mean_g,
+                 ROUND(AVG((7*t.doc_id + 26 + 39*u.p) % 256), 6) AS mean_b
+          FROM d3 t, UNNEST(generate_series(0, t.w*t.h - 1)) AS u(p)
+          GROUP BY t.doc_id),
+    c AS (SELECT t.doc_id,
+                 CAST(SUM((7*t.doc_id + 13*u.j) % 256) % 1000000000 AS BIGINT)
+                   AS byte_checksum
+          FROM d3 t, UNNEST(generate_series(0, t.w*t.h*3 - 1)) AS u(j)
+          GROUP BY t.doc_id)
+    SELECT d.doc_id, CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+           m.mean_r, m.mean_g, m.mean_b, c.byte_checksum
+    FROM d3 d JOIN m ON m.doc_id = d.doc_id JOIN c ON c.doc_id = d.doc_id
+    """,
+)
+def ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-checked: P6 PPM payloads are synthesized
+    from a closed-form byte formula, then decode_ppm actually parses the
+    binary (header, comments, dims, pixel array) and emits per-channel
+    means + checksum; the oracle recomputes the SAME statistics from the
+    generative formula with generate_series — it never touches bytes, so
+    a decoder bug cannot cancel out. All integer sums stay < 2^53, making
+    both sides bit-exact. External-codec formats (JPEG etc.) remain behind
+    the NotImplementedError seam in operators/multimodal.py."""
+    from cses2humio_spark.operators.multimodal import (
+        decode_ppm,
+        repartition_for_media,
+        synthesize_ppm_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return decode_ppm(repartition_for_media(synthesize_ppm_media(docs)))
+
+
+@query(
+    "wav_decode_stats",
+    oracle="""
+    WITH d3 AS (SELECT doc_id, 400 + doc_id % 100 AS n
+                FROM documents WHERE doc_id < 300),
+    s AS (SELECT t.doc_id, t.n,
+                 ((31*t.doc_id + 17*u.i) % 65536) - 32768 AS v
+          FROM d3 t, UNNEST(generate_series(0, t.n - 1)) AS u(i))
+    SELECT doc_id, CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           ROUND(SQRT(AVG(CAST(v AS DOUBLE) * v)), 6) AS rms
+    FROM s GROUP BY doc_id, n
+    """,
+)
+def wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, oracle-checked: canonical PCM16-mono RIFF/WAV
+    payloads from a closed-form sample formula; decode_wav validates the
+    chunk structure and frombuffers the samples; the oracle recomputes
+    rate/count/RMS from the formula. Sample-square sums stay < 2^53 so
+    RMS is bit-identical across numpy and DuckDB."""
+    from cses2humio_spark.operators.multimodal import (
+        decode_wav,
+        repartition_for_media,
+        synthesize_wav_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return decode_wav(repartition_for_media(synthesize_wav_media(docs)))

@@ -65,3 +65,61 @@ def test_pivot_map_prefixes_colliding_keys(spark):
     assert out.columns == ["offset", "fresh", "m_offset"]
     row = out.collect()[0]
     assert row.offset == 1 and row.m_offset == "x" and row.fresh == "y"
+
+
+def test_ppm_decode_resize_roundtrip(spark):
+    """resize_ppm must produce VALID P6 that decode_ppm re-decodes, with
+    stride-sampled dims and the exact stride-sampled channel means."""
+    import numpy as np
+
+    from cses2humio_spark.operators.multimodal import (
+        decode_ppm,
+        resize_ppm,
+        synthesize_ppm_media,
+    )
+    from cses2humio_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").filter(F.col("doc_id") < 40)
+    media = synthesize_ppm_media(docs)
+    small = decode_ppm(resize_ppm(media, factor=2)).collect()
+    assert small, "no rows decoded"
+    for r in small:
+        d = r.doc_id
+        w, h = 8 + d % 8, 6 + d % 5
+        nw, nh = len(range(0, w, 2)), len(range(0, h, 2))
+        assert (r.width, r.height) == (nw, nh), (d, r.width, r.height)
+        j = np.arange(w * h * 3, dtype=np.int64)
+        img = ((7 * d + 13 * j) % 256).reshape(h, w, 3)
+        exp = img[::2, ::2, :].astype(np.float64)
+        assert abs(r.mean_r - round(float(exp[:, :, 0].mean()), 6)) < 1e-9
+        assert abs(r.mean_b - round(float(exp[:, :, 2].mean()), 6)) < 1e-9
+
+
+def test_ppm_decoder_rejects_malformed(spark):
+    """A corrupt blob must fail the job loudly — truncated pixel data and
+    a wrong magic are data bugs, not rows to drop silently."""
+    import pytest
+
+    from cses2humio_spark.operators.multimodal import decode_ppm
+
+    good_header_short_body = b"P6\n4 2\n255\n" + b"\x00" * 5  # needs 24
+    wrong_magic = b"P5\n4 2\n255\n" + b"\x00" * 24
+    for payload in (good_header_short_body, wrong_magic):
+        df = spark.createDataFrame(
+            [(1, bytearray(payload))], "doc_id bigint, payload binary"
+        )
+        with pytest.raises(Exception, match="P6|bytes"):
+            decode_ppm(df).collect()
+
+
+def test_wav_decoder_rejects_non_canonical(spark):
+    import pytest
+
+    from cses2humio_spark.operators.multimodal import decode_wav
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"RIFX" + b"\x00" * 60))], "doc_id bigint, payload binary"
+    )
+    with pytest.raises(Exception, match="RIFF"):
+        decode_wav(df).collect()
