@@ -358,3 +358,91 @@ def decode_wav(media: DataFrame) -> DataFrame:
             yield _pd.DataFrame(rows)
 
     return media.mapInPandas(_decode, WAV_FEATURES_SCHEMA)
+
+
+# ---- video: multi-frame container with real frame extraction -------------
+
+VIDEO_MAGIC = b"VID0"
+
+FRAME_STATS_SCHEMA = (
+    "doc_id bigint, frame_idx bigint, width bigint, height bigint, "
+    "mean_r double"
+)
+
+
+def synthesize_video_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary): a toy video container — magic 'VID0',
+    uint32-LE frame count, then n concatenated P6 frames of identical
+    dims (from doc_id). Frame f, byte j = (7*doc_id + 13*j + 101*f) % 256,
+    n_frames = 4 + doc_id % 5."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 + d % 8, 6 + d % 5
+                n_frames = 4 + d % 5
+                header = f"P6\n{w} {h}\n255\n".encode()
+                j = _np.arange(w * h * 3, dtype=_np.int64)
+                frames = b"".join(
+                    header + ((7 * d + 13 * j + 101 * f) % 256)
+                    .astype(_np.uint8).tobytes()
+                    for f in range(n_frames)
+                )
+                payloads.append(VIDEO_MAGIC + _struct.pack("<I", n_frames) + frames)
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(_gen, "doc_id bigint, payload binary")
+
+
+def sample_video_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """REAL frame extraction: parse the container (magic + count), parse
+    the FIRST frame's P6 header to learn the fixed frame size, slice every
+    ``every_k``-th frame by byte offset, and decode each sampled frame's
+    mean-red — the 1-row -> N-rows media expansion with actual bytes, not
+    the posexplode stand-in of ``frame_sample``."""
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "frame_idx", "width", "height", "mean_r")}
+            for d, b in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(b)
+                if buf[:4] != VIDEO_MAGIC:
+                    raise ValueError("not a VID0 container")
+                n_frames = _struct.unpack("<I", buf[4:8])[0]
+                # first frame header: P6\n{w} {h}\n255\n (fixed per doc)
+                hdr_end = buf.index(b"255\n", 8) + 4
+                w, h = (int(x) for x in buf[11 : buf.index(b"\n", 11)].split())
+                frame_size = (hdr_end - 8) + w * h * 3
+                if len(buf) != 8 + n_frames * frame_size:
+                    raise ValueError("container length mismatch")
+                for f in range(0, n_frames, every_k):
+                    off = 8 + f * frame_size + (hdr_end - 8)
+                    px = _np.frombuffer(
+                        buf, dtype=_np.uint8, offset=off, count=w * h * 3
+                    )
+                    rows["doc_id"].append(int(d))
+                    rows["frame_idx"].append(f)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["mean_r"].append(
+                        round(float(px.reshape(h, w, 3)[:, :, 0]
+                                    .astype(_np.float64).mean()), 6)
+                    )
+            yield _pd.DataFrame(rows)
+
+    return media.mapInPandas(_sample, FRAME_STATS_SCHEMA)

