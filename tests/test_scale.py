@@ -161,3 +161,40 @@ def test_asof_join_rejects_column_overlap(spark):
     right = spark.createDataFrame([(1, 1, 5.0)], "k int, rts int, price double")
     with _pytest.raises(ValueError):
         asof_join(left, right, ["k"], "lts", "rts", ["price"])
+
+
+def test_window_over_bucketed_table_has_no_exchange(spark, tmp_path):
+    """Storage-level win for the window-heavy family (dedup_first_event,
+    sessionize, the as-of right side): a table bucketed on the window's
+    partition key satisfies the Window's ClusteredDistribution, so the
+    per-query hashpartitioning Exchange disappears — at 100 TB that is
+    the whole shuffle of the fact table, paid once at write time."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, SF_SMALL, "events")
+    write_bucketed(
+        events, "b_events", "user_id", buckets=4, sorted_by="user_id",
+        path=str(tmp_path / "be"),
+    )
+    try:
+        be = spark.table("b_events")
+        w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        deduped = (
+            be.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        plan = formatted_plan(deduped)
+        assert "Window" in plan, plan[:1500]
+        assert "Exchange" not in plan, (
+            f"window over bucketed table still shuffles:\n{plan[:2000]}"
+        )
+        # parity with the plain-table formulation
+        plain = (
+            events.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .count()
+        )
+        assert deduped.count() == plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_events")
