@@ -49,6 +49,8 @@ _PRIORITY = [
     "tfidf_top50",
     "udaf_weighted_value",
     "kmeans_clusters",
+    "sequence_pack_assignments",
+    "ppm_decode_stats",
     # connector semantics
     "connector_enrich_envelope",
     "connector_malformed_drop_rate",
@@ -57,11 +59,9 @@ _PRIORITY = [
     "pricing_summary",
     "revenue_by_nation",
     "brand_revenue_broadcast",
-    "customers_with_orders_semi",
     "not_in_customers_outside_region",
     "full_outer_nation_activity",
     "events_range_self_join",
-    "asof_latest_order",
     "asof_order_with_staleness_bound",
     "distinct_users_per_type",
     "percentile_order_price",
