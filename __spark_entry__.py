@@ -77,7 +77,10 @@ _PRIORITY = [
     "union_by_name_parties",
     "cross_join_region_priority",
     "filter_in_between_like",
-    "dedup_first_event",
+    # dedup_first_event moved out of the window (exact_dedup_survivors
+    # already covers the exact-dedup row; judge verifies the tail) to make
+    # room for the second real-decoder family member
+    "pgm_decode_stats",
     "pivot_status_counts",
     "sql_exists_and_scalar_subquery",
 ]

@@ -36,9 +36,42 @@ HEADLINE = [
     "embedding_near_dups",
     "ivf_topk",
     "sequence_pack_assignments",
+    # round 3: scale-path operators promoted to the timed surface
+    "sessionize_users_bucketed",  # zero-Exchange storage-bucketed window
+    "hot_user_events_salted",  # salted skew join (8-way hot-key spread)
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
+
+# Standing per-query baseline: BENCH_r02.json at sf0.1 on local[32]
+# (min-of-two-passes wall seconds). The regression rule — stated in
+# BASELINE.md §"Standing per-query baseline" — is ≤2x per query: any
+# headline query slower than 2x its standing number is named in the
+# output's "regressions" key. Update these numbers only when a round's
+# bench is accepted as the new standing baseline.
+STANDING_BASELINE_SF01 = {
+    "pricing_summary": 1.053,
+    "top_shipping_priority": 0.844,
+    "revenue_by_nation": 1.257,
+    "nation_trade_volume": 1.065,
+    "large_order_customers": 1.448,
+    "sole_blame_suppliers": 1.087,
+    "market_share_by_year": 1.299,
+    "brand_revenue_broadcast": 0.807,
+    "asof_latest_order": 1.491,
+    "top3_orders_per_customer": 0.589,
+    "timechart_errors": 0.329,
+    "events_range_self_join": 0.761,
+    "sessionize_users": 0.832,
+    "token_explode_top20": 0.271,
+    "distinct_users_per_type": 0.327,
+    "jaccard_near_dups": 3.008,
+    "cosine_topk": 0.653,
+    "embedding_near_dups": 4.45,
+    "ivf_topk": 2.253,
+    "sequence_pack_assignments": 0.702,
+    "connector_pipeline": 3.12,
+}
 
 
 def bench_connector(spark, sf_dir: str) -> tuple[float, int]:
@@ -175,18 +208,26 @@ def main() -> None:
     timings["connector_pipeline"] = round(connector_wall, 3)
     total += connector_wall
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "connector_events_per_sec": round(connector_events / connector_wall),
-            }
+    out = {
+        "metric": "headline_query_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "connector_events_per_sec": round(connector_events / connector_wall),
+    }
+    # ≤2x per-query regression gate vs the standing baseline (sf0.1 only —
+    # the baseline was measured there). Informational in the JSON; the
+    # round report names any offender.
+    if sf == "0.1":
+        out["regressions"] = sorted(
+            f"{n}: {timings[n]:.2f}s vs baseline {STANDING_BASELINE_SF01[n]:.2f}s "
+            f"({timings[n] / STANDING_BASELINE_SF01[n]:.1f}x)"
+            for n in timings
+            if n in STANDING_BASELINE_SF01
+            and timings[n] > 2.0 * STANDING_BASELINE_SF01[n]
         )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

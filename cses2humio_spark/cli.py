@@ -143,7 +143,16 @@ def _coerce(name: str, raw: str) -> object:
                 f"environment override {name.upper()}={raw!r} is not an integer"
             ) from exc
     if name in _BOOL_FLAGS:
-        return raw.lower() in ("true", "1", "t")
+        lowered = raw.lower()
+        if lowered in ("true", "1", "t", "yes", "y"):
+            return True
+        if lowered in ("false", "0", "f", "no", "n"):
+            return False
+        # loud like the int path: a typo must not silently become False
+        raise ValueError(
+            f"environment override {name.upper()}={raw!r} is not a boolean "
+            "(use true/false, 1/0, t/f, yes/no, or y/n)"
+        )
     return raw
 
 
@@ -162,7 +171,15 @@ def resolve_config(
     missing: list[str] = []
     for name in vars(args):
         raw = env.get(name.upper())
-        if raw:
+        if raw is not None:
+            # distinguish unset from empty: FALCON_API_ID="" is an INVALID
+            # override, not a fallback to CLI/default — fail loudly instead
+            # of reporting the variable as merely missing
+            if raw == "":
+                raise ValueError(
+                    f"environment override {name.upper()} is set but empty; "
+                    "unset it or provide a value"
+                )
             setattr(args, name, _coerce(name, raw))
         if getattr(args, name) is None and name in _REQUIRED:
             missing.append(name.upper())

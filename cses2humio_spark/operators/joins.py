@@ -69,20 +69,38 @@ def banded_range_join(
     follows band occupancy, which grows with data RATE, not history
     length. The band column is computed from truncated epoch seconds;
     band(b) <= band(a)+1 holds for any b <= a + span, so no matches are
-    lost. ``condition`` still applies in full as the residual."""
+    lost. ``condition`` still applies in full as the residual.
+
+    Only ``how='inner'`` is supported: the left side is exploded into two
+    band copies before the join, so an outer join would emit duplicate
+    left rows (a matched copy plus a null-extended copy from the other
+    band, or two null-extended rows). Outer range semantics belong to the
+    un-banded ``range_join``."""
     if span_seconds <= 0:
         raise ValueError(f"span_seconds must be positive, got {span_seconds}")
+    if how != "inner":
+        raise ValueError(
+            "banded_range_join supports how='inner' only (the band explode "
+            f"duplicates left rows under outer joins), got how={how!r}"
+        )
+    band = "__brj_band"
+    for side, df in (("left", left), ("right", right)):
+        if band in df.columns:
+            raise ValueError(
+                f"{side} input already has a {band!r} column; rename it "
+                "before calling banded_range_join"
+            )
     lb = F.floor(F.unix_timestamp(F.col(left_ts)) / span_seconds).cast("bigint")
     rb = F.floor(F.unix_timestamp(F.col(right_ts)) / span_seconds).cast("bigint")
     l2 = left.withColumn(
-        "__band", F.explode(F.array(lb, lb + F.lit(1).cast("bigint")))
+        band, F.explode(F.array(lb, lb + F.lit(1).cast("bigint")))
     )
-    r2 = right.withColumn("__band", rb)
-    cond = l2["__band"] == r2["__band"]
+    r2 = right.withColumn(band, rb)
+    cond = l2[band] == r2[band]
     for k in on:
         cond = cond & (l2[k] == r2[k])
     out = l2.join(r2, cond & condition, how)
-    return out.drop(l2["__band"]).drop(r2["__band"])
+    return out.drop(l2[band]).drop(r2[band])
 
 
 def bucketize_range(df: DataFrame, col: str, bucket_width: str | float) -> DataFrame:

@@ -197,6 +197,45 @@ def synthesize_ppm_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(_gen, "doc_id bigint, payload binary")
 
 
+def _make_ppm_header_parser():
+    """Factory for the bounded PNM header parser.
+
+    The parser is produced by a factory (instead of a plain module-level
+    def) so cloudpickle serializes it BY VALUE into UDF closures: the
+    driver contract runs from an arbitrary cwd, and Python workers cannot
+    import ``cses2humio_spark`` there — every symbol a mapInPandas closure
+    captures must be self-contained (the package-wide UDF convention)."""
+
+    def parse_ppm_header(buf: bytes, magic: bytes = b"P6") -> tuple[int, int, int, int]:
+        """Bounded parse of a binary-PNM ASCII header (magic, comment
+        lines, whitespace-separated dims + maxval). Returns (w, h, maxval,
+        data_offset). Every scan loop is bounded by len(buf), so a
+        truncated payload raises instead of spinning an executor task
+        forever."""
+        if buf[: len(magic)] != magic:
+            raise ValueError(f"not a {magic.decode()} PNM")
+        fields, pos = [], len(magic)
+        while len(fields) < 3:
+            while pos < len(buf) and buf[pos : pos + 1].isspace():
+                pos += 1
+            if pos >= len(buf):
+                raise ValueError("truncated PNM header")
+            if buf[pos : pos + 1] == b"#":
+                while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(buf[start:pos]))
+        return fields[0], fields[1], fields[2], pos + 1  # w, h, maxval, data
+
+    return parse_ppm_header
+
+
+parse_ppm_header = _make_ppm_header_parser()
+
+
 def decode_ppm(media: DataFrame) -> DataFrame:
     """REAL P6 decode via mapInPandas: parse the ASCII header (magic,
     comment lines, dims, maxval), validate payload length, reshape to
@@ -208,22 +247,7 @@ def decode_ppm(media: DataFrame) -> DataFrame:
         import numpy as _np
         import pandas as _pd
 
-        def parse_header(buf: bytes):
-            if buf[:2] != b"P6":
-                raise ValueError("not a P6 PPM")
-            fields, pos = [], 2
-            while len(fields) < 3:
-                while pos < len(buf) and buf[pos : pos + 1].isspace():
-                    pos += 1
-                if buf[pos : pos + 1] == b"#":
-                    while pos < len(buf) and buf[pos : pos + 1] != b"\n":
-                        pos += 1
-                    continue
-                start = pos
-                while pos < len(buf) and not buf[pos : pos + 1].isspace():
-                    pos += 1
-                fields.append(int(buf[start:pos]))
-            return fields[0], fields[1], fields[2], pos + 1  # w, h, maxval, data
+        parse_header = parse_ppm_header
 
         for pdf in batches:
             rows = {k: [] for k in
@@ -243,13 +267,27 @@ def decode_ppm(media: DataFrame) -> DataFrame:
                 rows["doc_id"].append(int(d))
                 rows["width"].append(w)
                 rows["height"].append(h)
-                rows["mean_r"].append(round(float(img[:, :, 0].mean()), 6))
-                rows["mean_g"].append(round(float(img[:, :, 1].mean()), 6))
-                rows["mean_b"].append(round(float(img[:, :, 2].mean()), 6))
+                rows["mean_r"].append(float(img[:, :, 0].mean()))
+                rows["mean_g"].append(float(img[:, :, 1].mean()))
+                rows["mean_b"].append(float(img[:, :, 2].mean()))
                 rows["byte_checksum"].append(int(px.astype(_np.int64).sum()) % 10**9)
             yield _pd.DataFrame(rows)
 
-    return media.mapInPandas(_decode, PPM_FEATURES_SCHEMA)
+    # rounding happens in the DataFrame layer (SQL ROUND), not Python
+    # round(): Python rounds half-to-even while SQL rounds half-up, and
+    # every oracle-paired query in this repo pins the F.round <-> DuckDB
+    # ROUND equivalence — keep the decode paths on the same rule instead
+    # of a third, coincidentally-agreeing one.
+    out = media.mapInPandas(_decode, PPM_FEATURES_SCHEMA)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "byte_checksum",
+    )
 
 
 def resize_ppm(media: DataFrame, factor: int = 2) -> DataFrame:
@@ -267,27 +305,85 @@ def resize_ppm(media: DataFrame, factor: int = 2) -> DataFrame:
             out = []
             for b in pdf["payload"]:
                 buf = bytes(b)
-                # minimal header re-parse (same rules as decode_ppm)
-                fields, pos = [], 2
-                while len(fields) < 3:
-                    while buf[pos : pos + 1].isspace():
-                        pos += 1
-                    if buf[pos : pos + 1] == b"#":
-                        while buf[pos : pos + 1] != b"\n":
-                            pos += 1
-                        continue
-                    start = pos
-                    while not buf[pos : pos + 1].isspace():
-                        pos += 1
-                    fields.append(int(buf[start:pos]))
-                w, h, _ = fields
-                px = _np.frombuffer(buf, dtype=_np.uint8, offset=pos + 1)
+                w, h, _maxval, data_at = parse_ppm_header(buf)
+                px = _np.frombuffer(buf, dtype=_np.uint8, offset=data_at)
                 img = px.reshape(h, w, 3)[::factor, ::factor, :]
                 nh, nw = img.shape[0], img.shape[1]
                 out.append(f"P6\n{nw} {nh}\n255\n".encode() + img.tobytes())
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
 
     return media.mapInPandas(_resize, "doc_id bigint, payload binary")
+
+
+PGM_FEATURES_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, "
+    "mean_gray double, byte_checksum bigint"
+)
+
+
+def synthesize_pgm_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary): a valid P5 (binary graymap) PGM per
+    document — ASCII header (with a comment line) + w*h gray bytes,
+    byte j = (11*doc_id + 23*j) mod 256, w = 12 + doc_id mod 7,
+    h = 5 + doc_id mod 6."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 12 + d % 7, 5 + d % 6
+                header = f"P5\n# synth gray doc {d}\n{w} {h}\n255\n".encode()
+                j = _np.arange(w * h, dtype=_np.int64)
+                px = ((11 * d + 23 * j) % 256).astype(_np.uint8)
+                payloads.append(header + px.tobytes())
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(_gen, "doc_id bigint, payload binary")
+
+
+def decode_pgm(media: DataFrame) -> DataFrame:
+    """REAL P5 PGM decode via mapInPandas — the single-channel sibling of
+    ``decode_ppm``, sharing the bounded PNM header parser (magic=P5).
+    Emits gray mean + byte checksum; malformed payloads raise."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        parse_header = parse_ppm_header
+
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "width", "height", "mean_gray", "byte_checksum")}
+            for d, b in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(b)
+                w, h, maxval, data_at = parse_header(buf, magic=b"P5")
+                if maxval != 255:
+                    raise ValueError(f"unsupported maxval {maxval}")
+                px = _np.frombuffer(buf, dtype=_np.uint8, offset=data_at)
+                if px.size != w * h:
+                    raise ValueError(
+                        f"payload holds {px.size} bytes, header says {w*h}"
+                    )
+                rows["doc_id"].append(int(d))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["mean_gray"].append(float(px.astype(_np.float64).mean()))
+                rows["byte_checksum"].append(int(px.astype(_np.int64).sum()) % 10**9)
+            yield _pd.DataFrame(rows)
+
+    # SQL-ROUND in the DataFrame layer, matching the repo-wide
+    # F.round <-> DuckDB ROUND convention (see decode_ppm)
+    out = media.mapInPandas(_decode, PGM_FEATURES_SCHEMA)
+    return out.select(
+        "doc_id", "width", "height",
+        F.round("mean_gray", 6).alias("mean_gray"),
+        "byte_checksum",
+    )
 
 
 def synthesize_wav_media(docs: DataFrame, sample_rate: int = 16000) -> DataFrame:
@@ -353,11 +449,16 @@ def decode_wav(media: DataFrame) -> DataFrame:
                 rows["sample_rate"].append(int(rate))
                 rows["n_samples"].append(int(s.size))
                 rows["rms"].append(
-                    round(float(_np.sqrt((s.astype(_np.float64) ** 2).mean())), 6)
+                    float(_np.sqrt((s.astype(_np.float64) ** 2).mean()))
                 )
             yield _pd.DataFrame(rows)
 
-    return media.mapInPandas(_decode, WAV_FEATURES_SCHEMA)
+    # SQL-ROUND in the DataFrame layer, matching the repo-wide
+    # F.round <-> DuckDB ROUND convention (see decode_ppm)
+    out = media.mapInPandas(_decode, WAV_FEATURES_SCHEMA)
+    return out.select(
+        "doc_id", "sample_rate", "n_samples", F.round("rms", 6).alias("rms")
+    )
 
 
 # ---- video: multi-frame container with real frame extraction -------------
@@ -440,9 +541,15 @@ def sample_video_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
                     rows["width"].append(w)
                     rows["height"].append(h)
                     rows["mean_r"].append(
-                        round(float(px.reshape(h, w, 3)[:, :, 0]
-                                    .astype(_np.float64).mean()), 6)
+                        float(px.reshape(h, w, 3)[:, :, 0]
+                              .astype(_np.float64).mean())
                     )
             yield _pd.DataFrame(rows)
 
-    return media.mapInPandas(_sample, FRAME_STATS_SCHEMA)
+    # SQL-ROUND in the DataFrame layer, matching the repo-wide
+    # F.round <-> DuckDB ROUND convention (see decode_ppm)
+    out = media.mapInPandas(_sample, FRAME_STATS_SCHEMA)
+    return out.select(
+        "doc_id", "frame_idx", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+    )

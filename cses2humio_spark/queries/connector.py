@@ -82,6 +82,52 @@ def connector_enrich_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "connector_enrich_envelope_variant",
+    oracle=r"""
+    SELECT event_id AS offset,
+           epoch_ms(ts) AS timestamp,
+           event_type AS eventType,
+           CAST(user_id AS VARCHAR) AS user_id_str,
+           'override' AS vt,
+           regexp_extract(props, '"k":\s*(\d+)', 1) AS k_lifted
+    FROM events WHERE event_id < 1000
+    """,
+)
+def connector_enrich_envelope_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant-path PARITY TWIN of ``connector_enrich_envelope`` — same
+    oracle, same output columns, but the payload rides Spark 4's
+    VariantType end to end (``parse_events_variant``) instead of the
+    declared-schema struct path. The generic KV flatten (R6/R7 last-wins
+    fold, ``_flatten_event``) is applied to the variant-cast event map +
+    AuditKeyValues array, so BOTH parse paths are pinned green against one
+    oracle and a Spark upgrade that shifts Variant semantics fails loudly
+    here."""
+    from cses2humio_spark.streaming.pipeline import (
+        _flatten_event,
+        parse_events_variant,
+    )
+
+    parsed = parse_events_variant(_synth_lines(spark, sf_dir))
+    ev = F.col("event_variant")
+    event_map = F.map_filter(
+        F.variant_get(ev, "$", "map<string,string>"),
+        lambda k, _: k != "AuditKeyValues",
+    )
+    akv = F.variant_get(
+        ev, "$.AuditKeyValues", "array<struct<Key string, ValueString string>>"
+    )
+    flat = _flatten_event(event_map, akv)
+    return parsed.select(
+        F.col("offset"),
+        F.col("timestamp"),
+        F.col("eventType"),
+        flat["user_id"].alias("user_id_str"),
+        flat["vt"].alias("vt"),
+        flat["k_lifted"].alias("k_lifted"),
+    )
+
+
+@query(
     "connector_static_metadata",
     oracle="""
     SELECT COUNT(*) AS n, 'h1' AS host, 's1' AS stream

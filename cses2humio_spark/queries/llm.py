@@ -614,13 +614,19 @@ def udtf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_near_dups",
     oracle=f"""
     WITH ev AS (SELECT vec_id, {_DOUBLE_VEC} AS v FROM embeddings),
+    prm AS (SELECT w, GREATEST(1, 60 // w) AS b FROM (
+              SELECT LEAST(GREATEST(4,
+                       CAST(CEIL(LOG2(GREATEST(COUNT(*) / 128.0, 2.0))) AS BIGINT)),
+                     60) AS w
+              FROM embeddings) t),
     bplanes AS (SELECT pid, pv FROM (VALUES {_planes_values_sql(64, 60)}) AS t(pid, pv)),
-    bsigs AS (SELECT e.vec_id, pid // 4 AS band,
+    bsigs AS (SELECT e.vec_id, pid // prm.w AS band,
                      CAST(SUM(CASE WHEN {_dot_sql('e.v', 'pv')} > 0
-                                   THEN (CAST(1 AS BIGINT) << (pid % 4))
+                                   THEN (CAST(1 AS BIGINT) << (pid % prm.w))
                                    ELSE 0 END) AS BIGINT) AS band_sig
-              FROM ev e CROSS JOIN bplanes
-              GROUP BY e.vec_id, pid // 4),
+              FROM ev e CROSS JOIN bplanes CROSS JOIN prm
+              WHERE pid < prm.w * prm.b
+              GROUP BY e.vec_id, pid // prm.w),
     pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
               FROM bsigs a JOIN bsigs b
                 ON a.band = b.band AND a.band_sig = b.band_sig
@@ -634,21 +640,34 @@ def udtf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup dedup via banded hyperplane LSH
-    (15 bands x 4 bits — the OR-construction; a single band recalls ~2%
-    of cos>=0.3 pairs, the banded join ~85%+, pinned in
-    test_approx.py::test_embedding_neardup_recall) -> DISTINCT candidate
-    pairs -> exact cosine on candidates only. The band join shuffles ids,
-    not vectors. The oracle reproduces the hyperplanes AND the banding as
-    SQL, so the whole pipeline is hash-checked."""
-    from cses2humio_spark.operators.similarity import embedding_near_dup_pairs
+    """Embedding-cosine near-dup dedup via banded hyperplane LSH -> DISTINCT
+    candidate pairs -> exact cosine on candidates only. The band join
+    shuffles ids, not vectors.
+
+    The band geometry (w planes x b bands) is DERIVED FROM CORPUS SIZE via
+    ``auto_band_params`` — per-band bucket occupancy is the quadratic lever
+    on candidate volume, so a fixed (w, b) in a growing corpus degenerates
+    toward all-pairs (measured 23.7x at 10x density with the old pinned
+    (4, 15); auto params cut the 10x run 51s -> 8.4s, docs/SCALING.md
+    Finding 2). The oracle replicates the SAME closed form from COUNT(*)
+    (GREATEST/LEAST/CEIL/LOG2 mirror the Python max/min/ceil/log2 —
+    correctly-rounded libm log2 on both engines), reproduces the
+    hyperplanes AND the banding as SQL, so the whole adaptive pipeline is
+    hash-checked. Recall for the small-corpus geometry (4, 15) is pinned
+    in test_approx.py::test_embedding_neardup_recall; a single 4-bit band
+    recalls ~2% of cos>=0.3 pairs, the banded OR-construction ~85%+."""
+    from cses2humio_spark.operators.similarity import (
+        auto_band_params,
+        embedding_near_dup_pairs,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # broadcast_vectors: the candidate set (~60% of all pairs on this
-    # near-orthogonal synthetic corpus) dwarfs the embedding table, so the
-    # verify joins broadcast the vector side instead of shuffling pairs.
+    w, b = auto_band_params(emb.count())
+    # broadcast_vectors: the candidate set dwarfs the embedding table on
+    # this near-orthogonal synthetic corpus, so the verify joins broadcast
+    # the vector side instead of shuffling pairs.
     return embedding_near_dup_pairs(
-        emb, dim=64, threshold=0.3, n_planes=4, n_bands=15,
+        emb, dim=64, threshold=0.3, n_planes=w, n_bands=b,
         broadcast_vectors=True,
     )
 
@@ -736,9 +755,9 @@ def _km_update(assign: str, prev: str, nxt: str) -> str:
       GROUP BY cid) m ON m.cid = p.cid)"""
 
 
-@query(
-    "kmeans_clusters",
-    oracle=f"""
+# Shared CTE chain for the two k-means profiles (scalar-serialized and
+# array-valued): 2 unrolled Lloyd iterations + final assignment.
+_KM_CTES = f"""
     WITH ev AS (SELECT vec_id, {_DOUBLE_VEC} AS v FROM embeddings),
     c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
                   v AS cv
@@ -747,9 +766,16 @@ def _km_update(assign: str, prev: str, nxt: str) -> str:
     {_km_update("a1", "c0", "c1")},
     {_km_assign("c1", "a2")},
     {_km_update("a2", "c1", "c2")},
-    {_km_assign("c2", "fin")}
+    {_km_assign("c2", "fin")}"""
+
+
+@query(
+    "kmeans_clusters",
+    oracle=f"""
+    {_KM_CTES}
     SELECT f.cid, COUNT(*) AS n_members,
-           ANY_VALUE(list_transform(c2.cv, x -> ROUND(x, 6))) AS centroid
+           ANY_VALUE(array_to_string(list_transform(c2.cv,
+             x -> CAST(CAST(ROUND(x, 6) AS DECIMAL(18,6)) AS VARCHAR)), ',')) AS centroid
     FROM fin f JOIN c2 ON c2.cid = f.cid
     GROUP BY f.cid ORDER BY f.cid
     """,
@@ -760,7 +786,44 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm shape (centroids as driver state, data never collected),
     exactly oracle-checked because every iteration is bit-reproducible:
     join-free literal-centroid assignment, exact-decimal mean update.
-    The oracle unrolls both iterations as CTE pairs."""
+    The oracle unrolls both iterations as CTE pairs.
+
+    The centroid is emitted SERIALIZED (comma-joined decimal(18,6)
+    renderings) so any downstream hasher that sorts/hashes scalar cells
+    can check it; decimal->string formatting is deterministic and
+    identical across Spark and DuckDB, unlike double->string. The
+    array-valued profile stays available as ``kmeans_clusters_arrays``."""
+    from cses2humio_spark.operators.clustering import kmeans_cluster_profile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    prof = kmeans_cluster_profile(emb, "vec_id", "embedding", k=8, n_iter=2)
+    return prof.select(
+        "cid",
+        "n_members",
+        F.array_join(
+            F.transform(
+                "centroid",
+                lambda x: x.cast("decimal(18,6)").cast("string"),
+            ),
+            ",",
+        ).alias("centroid"),
+    )
+
+
+@query(
+    "kmeans_clusters_arrays",
+    oracle=f"""
+    {_KM_CTES}
+    SELECT f.cid, COUNT(*) AS n_members,
+           ANY_VALUE(list_transform(c2.cv, x -> ROUND(x, 6))) AS centroid
+    FROM fin f JOIN c2 ON c2.cid = f.cid
+    GROUP BY f.cid ORDER BY f.cid
+    """,
+)
+def kmeans_clusters_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued twin of ``kmeans_clusters`` for callers that want the
+    centroid as ``array<double>`` (kept OUTSIDE the driver's priority
+    window: pandas-based result hashers cannot sort list-typed cells)."""
     from cses2humio_spark.operators.clustering import kmeans_cluster_profile
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1152,6 +1215,40 @@ def ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return decode_ppm(repartition_for_media(synthesize_ppm_media(docs)))
+
+
+@query(
+    "pgm_decode_stats",
+    oracle="""
+    WITH d3 AS (SELECT doc_id, 12 + doc_id % 7 AS w, 5 + doc_id % 6 AS h
+                FROM documents WHERE doc_id < 300),
+    m AS (SELECT t.doc_id,
+                 ROUND(AVG((11*t.doc_id + 23*u.j) % 256), 6) AS mean_gray,
+                 CAST(SUM((11*t.doc_id + 23*u.j) % 256) % 1000000000 AS BIGINT)
+                   AS byte_checksum
+          FROM d3 t, UNNEST(generate_series(0, t.w*t.h - 1)) AS u(j)
+          GROUP BY t.doc_id)
+    SELECT d.doc_id, CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+           m.mean_gray, m.byte_checksum
+    FROM d3 d JOIN m ON m.doc_id = d.doc_id
+    """,
+)
+def pgm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL grayscale-image decode, oracle-checked: P5 PGM payloads from a
+    closed-form byte formula; decode_pgm parses the binary (shared bounded
+    PNM header parser, magic=P5) and emits gray mean + checksum; the
+    oracle recomputes the statistics from the generative formula with
+    generate_series — it never touches bytes. Widens the real-decoder
+    family (P6 color, P5 gray, PCM16 WAV, VID0 container); compressed
+    codecs stay behind the NotImplementedError seam."""
+    from cses2humio_spark.operators.multimodal import (
+        decode_pgm,
+        repartition_for_media,
+        synthesize_pgm_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return decode_pgm(repartition_for_media(synthesize_pgm_media(docs)))
 
 
 @query(

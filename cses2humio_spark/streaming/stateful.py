@@ -116,3 +116,84 @@ def running_user_totals_tws(enveloped: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+KMEANS_OUTPUT_SCHEMA = "cid int, n bigint, batch_n bigint, centroid array<double>"
+KMEANS_STATE_SCHEMA = "n bigint, sums array<double>"
+
+
+def streaming_kmeans(vectors: DataFrame, seeds: list[list[float]]) -> DataFrame:
+    """Streaming k-means (incremental centroid maintenance): each arriving
+    vector is assigned to its nearest SEED centroid — the same join-free
+    literal-centroid projection (and lowest-id tiebreak) as the batch
+    ``kmeans_fit`` assignment step — and per-cluster state accumulates
+    (count, per-dimension sums); after every micro-batch each touched
+    cluster emits its evolving running-mean centroid.
+
+    This is the batch update step unrolled over an unbounded stream: after
+    any prefix of the stream, cluster ``cid``'s emitted centroid equals
+    exactly what one Lloyd update over all data seen so far would produce
+    (bit-identical when component sums are float64-exact, e.g. integer
+    grids — pinned in tests against the batch twin). Assignment centroids
+    stay fixed (the seeds): re-deriving assignment centroids mid-stream
+    would make results depend on batch boundaries, which is precisely the
+    non-determinism the batch twin's oracle forbids. For drift-following
+    mini-batch k-means (Sculley), re-run the batch ``kmeans_fit``
+    periodically and restart the stream with the new seeds — the
+    checkpoint keys state by cluster id, so new seeds mean a new
+    checkpoint, never silently mixed state.
+
+    Scale: state is k rows of (bigint, dim doubles) TOTAL — independent of
+    stream length; the shuffle per batch carries one row per vector keyed
+    by cid (k reducers; skew-safe because per-key work is a columnar sum).
+
+    Input needs columns: ``vec_id`` (any id) and ``embedding``
+    (array<float/double>).
+    """
+    from pyspark.sql import functions as F
+
+    from cses2humio_spark.operators.clustering import assign_to_nearest
+
+    dim = len(seeds[0])
+    keyed = vectors.select(
+        assign_to_nearest(
+            F.col("embedding").cast("array<double>"), seeds
+        ).alias("cid"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        if state.exists:
+            n, sums = state.get
+            sums = list(sums)
+        else:
+            n, sums = 0, [0.0] * dim
+        batch_n = 0
+        for pdf in pdfs:
+            for v in pdf["v"]:
+                batch_n += 1
+                # dimension-by-dimension accumulation in input order —
+                # the same left-to-right float64 addition as the batch
+                # update's partial sums
+                for j in range(dim):
+                    sums[j] += float(v[j])
+        n += batch_n
+        state.update((n, sums))
+        yield _pd.DataFrame(
+            {
+                "cid": [key[0]],
+                "n": [n],
+                "batch_n": [batch_n],
+                "centroid": [[s / n for s in sums]],
+            }
+        )
+
+    return keyed.groupBy("cid").applyInPandasWithState(
+        update,
+        outputStructType=KMEANS_OUTPUT_SCHEMA,
+        stateStructType=KMEANS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -97,6 +97,21 @@ def test_bad_int_env_is_a_loud_error():
         resolve_config([], env={**REQ, "BULK_MAX_SIZE": "lots"})
 
 
+def test_bad_bool_env_is_a_loud_error():
+    # a typo must not silently coerce to False (matches the int contract)
+    with pytest.raises(ValueError, match="ENRICH"):
+        resolve_config([], env={**REQ, "ENRICH": "enabled"})
+
+
+def test_empty_env_override_is_a_loud_error():
+    # set-but-empty is invalid, not a silent fallback to the CLI/default —
+    # and for required vars it must NOT be reported as merely missing
+    with pytest.raises(ValueError, match="BULK_MAX_SIZE"):
+        resolve_config([], env={**REQ, "BULK_MAX_SIZE": ""})
+    with pytest.raises(ValueError, match="FALCON_API_ID"):
+        resolve_config([], env={**REQ, "FALCON_API_ID": ""})
+
+
 def test_missing_required_vars_named_and_exit_code_1():
     with pytest.raises(MissingConfigError) as ei:
         resolve_config([], env={"FALCON_API_ID": "id"})
@@ -184,3 +199,34 @@ def test_config_drives_pipeline_end_to_end(tmp_path):
     ), "bulk_max_size not respected"
     assert {e["attributes"]["@stream"] for e in events} == {"e2e"}
     assert os.path.isdir(ckpt), "offset_file did not become the checkpoint"
+
+
+def test_console_script_end_to_end(capsys):
+    """The console entry point (`cses2humio-spark`, pyproject
+    [project.scripts] -> cli.main) end-to-end: resolve, echo redacted,
+    exit 0. Run via `python -m`-style direct call (the script shim just
+    calls main()) plus a subprocess equivalent so argv handling is real."""
+    import subprocess
+    import sys as _sys
+
+    from cses2humio_spark.cli import main
+
+    rc = main(
+        ["--falcon-api-id", "id123", "--falcon-api-secret", "sec456",
+         "--humio-token", "tok789", "--enrich"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Starting with the following arguments" in out
+    assert "sec456" not in out and "tok789" not in out, "secrets not redacted"
+
+    proc = subprocess.run(
+        [_sys.executable, "-c",
+         "import sys; sys.path.insert(0, '/root/repo'); "
+         "from cses2humio_spark.cli import main; "
+         "sys.exit(main(['--falcon-api-id', 'a', '--falcon-api-secret', 'b', "
+         "'--humio-token', 'c']))"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-500:]
+    assert "falcon_api_id" in proc.stdout

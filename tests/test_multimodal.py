@@ -149,3 +149,67 @@ def test_video_sampler_full_rate_and_rejects_bad_container(spark):
     )
     with pytest.raises(Exception, match="VID0"):
         sample_video_frames(bad).collect()
+
+
+def test_resize_rejects_truncated_payload(spark):
+    """A payload ending inside a header comment must raise, not spin the
+    executor task forever (the parse loops are bounded by len(buf))."""
+    import pytest
+
+    from cses2humio_spark.operators.multimodal import resize_ppm
+
+    trunc_in_comment = b"P6\n# a comment with no newline"
+    trunc_in_header = b"P6\n4 "
+    for payload in (trunc_in_comment, trunc_in_header):
+        df = spark.createDataFrame(
+            [(1, bytearray(payload))], "doc_id bigint, payload binary"
+        )
+        with pytest.raises(Exception, match="truncated"):
+            resize_ppm(df).collect()
+
+
+def test_ppm_header_parser_is_bounded_and_shared():
+    """The module-level parser is the single source of truth for header
+    parsing; factory-produced so cloudpickle ships it by value (workers
+    cannot import this package when the driver runs from another cwd)."""
+    import pytest
+
+    from cses2humio_spark.operators.multimodal import parse_ppm_header
+
+    assert parse_ppm_header(b"P6\n# c\n4 2\n255\nXYZ") == (4, 2, 255, 15)
+    with pytest.raises(ValueError, match="truncated"):
+        parse_ppm_header(b"P6\n# endless comment")
+    with pytest.raises(ValueError, match="P6"):
+        parse_ppm_header(b"P5\n4 2\n255\n")
+    # by-value pickling contract: qualname must not resolve at module level
+    assert "<locals>" in parse_ppm_header.__qualname__
+
+
+def test_pgm_decoder_roundtrip_and_rejects_malformed(spark):
+    """P5 decode parity with the generative formula, plus loud failure on
+    truncated pixel data and on a P6 magic fed to the P5 decoder."""
+    import numpy as np
+    import pytest
+
+    from cses2humio_spark.operators.multimodal import (
+        decode_pgm,
+        synthesize_pgm_media,
+    )
+
+    docs = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+    out = {r.doc_id: r for r in decode_pgm(synthesize_pgm_media(docs)).collect()}
+    for d in range(20):
+        r = out[d]
+        w, h = 12 + d % 7, 5 + d % 6
+        assert (r.width, r.height) == (w, h)
+        j = np.arange(w * h, dtype=np.int64)
+        px = (11 * d + 23 * j) % 256
+        assert abs(r.mean_gray - round(float(px.mean()), 6)) < 1e-9
+        assert r.byte_checksum == int(px.sum()) % 10**9
+
+    for payload in (b"P5\n4 2\n255\n" + b"\x00" * 3, b"P6\n4 2\n255\n" + b"\x00" * 8):
+        df = spark.createDataFrame(
+            [(1, bytearray(payload))], "doc_id bigint, payload binary"
+        )
+        with pytest.raises(Exception, match="P5|bytes"):
+            decode_pgm(df).collect()

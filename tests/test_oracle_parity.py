@@ -32,3 +32,34 @@ def test_every_query_has_oracle_or_is_flagged():
         "approx_distinct_users",  # HLL/KLL sketches are engine-specific
     }
     assert set(missing) <= allowed_rows_only, f"queries without oracle: {missing}"
+
+
+def test_priority_window_pins_registry_head():
+    """The driver checks the FIRST 50 registry entries; _PRIORITY must be
+    exactly that head so every SURVEY §2 row stays inside the window."""
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    assert len(e._PRIORITY) == 50
+    assert names[: len(e._PRIORITY)] == e._PRIORITY
+
+
+def test_priority_window_results_are_driver_hashable(spark):
+    """Round-1 and round-2 each shipped one red driver cell for the same
+    reason: an array-typed result column in the priority window, which the
+    driver's pandas-based hasher cannot sort (`unhashable type: 'list'`).
+    Pin the invariant: every priority-window query returns only scalar
+    top-level columns."""
+    from pyspark.sql import types as T
+
+    import __spark_entry__ as e
+    from cses2humio_spark.queries import QUERIES
+
+    complex_types = (T.ArrayType, T.MapType, T.StructType)
+    offenders = []
+    for name in e._PRIORITY:
+        schema = QUERIES[name](spark, SF_SMALL).schema
+        for field in schema.fields:
+            if isinstance(field.dataType, complex_types):
+                offenders.append(f"{name}.{field.name}: {field.dataType}")
+    assert not offenders, f"non-hashable columns in driver window: {offenders}"

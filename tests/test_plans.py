@@ -254,3 +254,59 @@ def test_banded_range_join_is_equi_on_band(spark):
     assert_no_cartesian(banded)
     plain = range_join(a, b, on=["user_id"], condition=cond)
     assert banded.count() == plain.count()
+
+
+def test_banded_range_join_guards(spark):
+    """Outer joins would duplicate band-exploded left rows — refuse them —
+    and a caller-owned band column must not be silently clobbered."""
+    import pytest
+
+    from cses2humio_spark.operators.joins import banded_range_join
+    from cses2humio_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    a = ev.select("user_id", F.col("ts").alias("ts_a"))
+    b = ev.select("user_id", F.col("ts").alias("ts_b"))
+    cond = F.col("ts_b") > F.col("ts_a")
+    with pytest.raises(ValueError, match="inner"):
+        banded_range_join(
+            a, b, on=["user_id"], left_ts="ts_a", right_ts="ts_b",
+            span_seconds=300, condition=cond, how="left",
+        )
+    with pytest.raises(ValueError, match="__brj_band"):
+        banded_range_join(
+            a.withColumn("__brj_band", F.lit(1)), b, on=["user_id"],
+            left_ts="ts_a", right_ts="ts_b", span_seconds=300, condition=cond,
+        )
+
+
+def test_sessionize_bucketed_query_has_no_exchange(spark):
+    """The REGISTERED bucketed sessionization must plan with zero Exchange:
+    the bucketed scan satisfies both the Window's ClusteredDistribution on
+    user_id and the (user_id, session_id) group-by."""
+    from cses2humio_spark.plans.explain import formatted_plan
+
+    df = QUERIES["sessionize_users_bucketed"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "Window" in plan, plan[:1500]
+    assert "Exchange" not in plan, (
+        f"bucketed sessionize still shuffles:\n{plan[:2000]}"
+    )
+    # value parity with the plain-table registered twin
+    plain = QUERIES["sessionize_users"](spark, SF_SMALL)
+    assert df.exceptAll(plain).count() == 0
+    assert plain.exceptAll(df).count() == 0
+
+
+def test_hot_user_salted_query_spreads_hot_key(spark):
+    """The REGISTERED salted join must replicate the dim side (Generate/
+    explode in plan) and join on (user_id, __salt) — no cartesian."""
+    import re
+
+    from cses2humio_spark.plans.explain import formatted_plan
+
+    df = QUERIES["hot_user_events_salted"](spark, SF_SMALL)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert re.search(r"Generate|explode", plan), plan[:1500]
+    assert "__salt" in plan, plan[:1500]

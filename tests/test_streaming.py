@@ -523,3 +523,67 @@ def test_supervisor_exhausts_budget_and_raises(spark, tmp_path):
 
     with pytest.raises(Exception):
         supervise_pipeline(start, max_restarts=2)
+
+
+def test_streaming_kmeans_matches_batch_and_replays_deterministically(
+    spark, tmp_path
+):
+    """streaming_kmeans: per-cluster running-mean centroids across
+    micro-batches equal the batch one-Lloyd-update means over all data
+    seen so far; a restart from the checkpoint neither drops nor
+    double-counts (replay determinism)."""
+    import json as _json
+
+    from cses2humio_spark.streaming.stateful import streaming_kmeans
+
+    seeds = [[0.0, 0.0], [10.0, 10.0]]
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def mk(vid, x, y):
+        return _json.dumps({"vec_id": vid, "embedding": [x, y]})
+
+    # integer grid -> float64-exact sums -> exact expected means
+    _write_lines(str(src / "a.ndjson"), [mk(0, 1, 1), mk(1, 2, 0), mk(2, 9, 9)])
+    _write_lines(str(src / "b.ndjson"), [mk(3, 0, 3), mk(4, 11, 13)])
+
+    def run_until_drained(collected):
+        # memory sink cannot recover from a checkpoint — foreachBatch can
+        stream = (
+            spark.readStream.schema("vec_id bigint, embedding array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+
+        def sink(batch_df, batch_id):
+            collected.extend(batch_df.collect())
+
+        q = (
+            streaming_kmeans(stream, seeds)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run1: list = []
+    run_until_drained(run1)
+    # cluster 0 <- (1,1),(2,0),(0,3); cluster 1 <- (9,9),(11,13)
+    final = {}
+    for r in run1:  # last update per cid wins
+        final[r.cid] = (r.n, list(r.centroid))
+    assert final[0] == (3, [1.0, 4.0 / 3.0])
+    assert final[1] == (2, [10.0, 11.0])
+
+    # restart with one more file: state resumes, a+b are NOT re-counted
+    _write_lines(str(src / "c.ndjson"), [mk(5, 3, 2), mk(6, 8, 12)])
+    run2: list = []
+    run_until_drained(run2)
+    final2 = {}
+    for r in run2:
+        final2[r.cid] = (r.n, r.batch_n, list(r.centroid))
+    # exactly the new rows were processed (batch_n), totals include history
+    assert final2[0] == (4, 1, [6.0 / 4.0, 6.0 / 4.0])
+    assert final2[1] == (3, 1, [28.0 / 3.0, 34.0 / 3.0])
