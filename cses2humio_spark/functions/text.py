@@ -88,3 +88,28 @@ def fingerprint(col: Column) -> Column:
     (lowercased, whitespace-collapsed, sorted-token canonical form is NOT
     applied — word order matters for exact dup detection)."""
     return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+def shannon_entropy(col: Column) -> Column:
+    """Per-character Shannon entropy in bits (the Humio ``shannonEntropy``
+    analog — the standard signal for DGA domains and encoded payloads in
+    security log analytics). Pure codegen higher-order functions: chars ->
+    sorted distinct alphabet -> -sum p*log2(p) as a left-to-right fold, so
+    the float addition order matches an engine-side list_reduce over the
+    same sorted alphabet (oracle-parity). Empty strings score 0.0;
+    single-symbol strings fold to IEEE -0.0 on every engine alike.
+    Cost is O(len * alphabet) per row — fine for the short tokens/fields
+    this targets; it stays a narrow projection at any scale."""
+    chars = F.filter(F.split(col, ""), lambda x: x != F.lit(""))
+    n = F.size(chars).cast("double")
+    alphabet = F.array_sort(F.array_distinct(chars))
+
+    def term(c: Column) -> Column:
+        p = F.size(F.filter(chars, lambda x: x == c)) / n
+        return p * F.log2(p)
+
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        -F.aggregate(
+            F.transform(alphabet, term), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )

@@ -386,6 +386,74 @@ def hot_user_events_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ENT_CHARS = "list_transform(generate_series(1, length({s})), i -> {s}[i])"
+_ENT_SQL = (
+    "CASE WHEN length({s}) = 0 THEN 0.0 ELSE -1.0 * list_reduce("
+    "list_transform(list_sort(list_distinct(" + _ENT_CHARS + ")), "
+    "c -> (len(list_filter(" + _ENT_CHARS + ", x -> x = c)) "
+    "/ CAST(length({s}) AS DOUBLE)) "
+    "* log2(len(list_filter(" + _ENT_CHARS + ", x -> x = c)) "
+    "/ CAST(length({s}) AS DOUBLE))), (a, b) -> a + b) END"
+)
+
+
+@query(
+    "event_props_entropy",
+    oracle=f"""
+    SELECT event_id, event_type,
+           CAST(length(props) AS BIGINT) AS n_chars,
+           ROUND({_ENT_SQL.format(s="props")}, 6) AS props_entropy
+    FROM events WHERE event_id < 500
+    """,
+)
+def event_props_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-field Shannon entropy (the Humio ``shannonEntropy`` analog) over
+    the raw props payload — the standard detector for DGA domains,
+    encoded/encrypted blobs, and random tokens in security logs. Pure
+    codegen HOFs (no UDF); the oracle recomputes the identical sorted-
+    alphabet fold with list_reduce, so the float addition order matches
+    bit-for-bit."""
+    from cses2humio_spark.functions.text import shannon_entropy
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.length("props").cast("bigint").alias("n_chars"),
+        F.round(shannon_entropy(F.col("props")), 6).alias("props_entropy"),
+    )
+
+
+@query(
+    "base64_field_roundtrip",
+    oracle="""
+    SELECT event_id,
+           to_base64(encode(substr(props, 1, 40))) AS b64,
+           decode(from_base64(to_base64(encode(substr(props, 1, 40)))))
+             AS decoded,
+           decode(from_base64(to_base64(encode(substr(props, 1, 40)))))
+             = substr(props, 1, 40) AS roundtrip_ok
+    FROM events WHERE event_id < 300
+    """,
+)
+def base64_field_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Humio base64Decode/base64Encode analog over log fields (decoding
+    encoded payloads is a daily security-log operation). Inputs are capped
+    at 40 chars so the RFC 2045 76-char MIME line-wrap can never differ
+    between engines; the round-trip equality column makes a decoder
+    regression self-evident."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    field = F.substring(F.col("props"), 1, 40)
+    b64 = F.base64(field.cast("binary"))
+    decoded = F.unbase64(b64).cast("string")
+    return ev.select(
+        "event_id",
+        b64.alias("b64"),
+        decoded.alias("decoded"),
+        (decoded == field).alias("roundtrip_ok"),
+    )
+
+
 @query(
     "token_explode_top20",
     oracle="""
