@@ -38,3 +38,32 @@ def stream_interval_join(
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
     )
     return lw.join(rw, cond, "inner").drop(rw[key])
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join — the workhorse production shape: an
+    unbounded stream joined to a bounded dimension (user directory, asset
+    inventory, threat-intel list). Stateless: each micro-batch joins
+    against the CURRENT dim snapshot, so no watermark and no state store
+    (unlike stream-stream); a dim backed by a mutable source (Delta/parquet
+    re-read) picks up updates per batch.
+
+    ``broadcast_dim=True`` ships the dimension to every executor once per
+    batch — the right default while the dim fits the broadcast budget; at
+    100 TB the fact side never shuffles for this join at all. Only left /
+    inner are allowed: right/full outer against a static side is not
+    supported by Structured Streaming (results would retroactively change
+    as the stream progresses).
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(
+            f"stream-static join supports how='left'|'inner', got {how!r}"
+        )
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on=key, how=how)

@@ -587,3 +587,63 @@ def test_streaming_kmeans_matches_batch_and_replays_deterministically(
     # exactly the new rows were processed (batch_n), totals include history
     assert final2[0] == (4, 1, [6.0 / 4.0, 6.0 / 4.0])
     assert final2[1] == (3, 1, [28.0 / 3.0, 34.0 / 3.0])
+
+
+def test_stream_static_enrich_join(spark, tmp_path):
+    """Stream-static enrichment: each micro-batch joins against the static
+    dim snapshot (broadcast, stateless — no watermark needed); unmatched
+    stream rows survive a left join with null dim columns; right/full
+    outer are refused (Structured Streaming cannot retroactively emit
+    them)."""
+    import pytest
+
+    from cses2humio_spark.streaming.joins import stream_static_enrich
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def mk(uid, off):
+        return json.dumps(
+            {
+                "metadata": {"offset": off, "eventCreationTime": 1723500000000 + off},
+                "event": {"user": str(uid)},
+            }
+        )
+
+    _write_lines(str(src / "a.ndjson"), [mk(1, 0), mk(2, 1)])
+    _write_lines(str(src / "b.ndjson"), [mk(3, 2), mk(1, 3)])
+
+    dim = spark.createDataFrame(
+        [("1", "alice", "admin"), ("2", "bob", "user")],
+        "user string, name string, role string",
+    )
+    events = enrich_events(
+        parse_events(ndjson_stream(spark, str(src), max_files_per_trigger=1))
+    )
+    keyed = events.select(
+        F.col("attributes.event")["user"].alias("user"),
+        F.col("attributes.metadata.offset").alias("offset"),
+    )
+    joined = stream_static_enrich(keyed, dim, key="user", how="left")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("static_enrich_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "select offset, user, name, role from static_enrich_test"
+    ).collect()
+    got = sorted((r.offset, r.user, r.name, r.role) for r in rows)
+    assert got == [
+        (0, "1", "alice", "admin"),
+        (1, "2", "bob", "user"),
+        (2, "3", None, None),  # unmatched stream row survives with nulls
+        (3, "1", "alice", "admin"),
+    ], got
+
+    with pytest.raises(ValueError, match="left.*inner|inner.*left"):
+        stream_static_enrich(keyed, dim, key="user", how="full")
