@@ -197,3 +197,82 @@ def streaming_kmeans(vectors: DataFrame, seeds: list[list[float]]) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def minibatch_kmeans_sink(
+    seeds: list[list[float]],
+    learning_schedule: str = "harmonic",
+):
+    """Drift-following mini-batch k-means (Sculley, WWW'10) as a
+    foreachBatch sink factory — the complement of ``streaming_kmeans``:
+    there the ASSIGNMENT centroids stay fixed (exact, oracle-checkable
+    running means); here they MOVE with the data, tracking cluster drift
+    on an unbounded stream.
+
+    Per micro-batch: assign each vector to the nearest CURRENT centroid
+    (join-free literal projection, executed on the cluster), pull back
+    only the per-cluster (count, per-dim mean) — k rows — and apply the
+    standard per-center learning-rate update on the driver:
+    ``c += eta * (batch_mean - c)`` with ``eta = batch_n / total_n``
+    (harmonic: exact streaming mean when data is stationary) or a constant
+    (exponential forgetting for drift).
+
+    Centroids are k x dim driver floats — the same driver-state posture as
+    batch ``kmeans_fit``; the per-batch cluster work is one scan + one
+    k-group partial agg. Results depend on batch boundaries BY DESIGN
+    (that is what "follows drift" means), so this is test-pinned
+    (deterministic under maxFilesPerTrigger=1) rather than oracle-paired.
+
+    Returns (sink, state): pass ``sink`` to ``foreachBatch``; ``state``
+    exposes ``centroids`` (list of k lists) and ``counts`` (per-cluster
+    totals) for inspection after the stream drains.
+    """
+    if learning_schedule not in ("harmonic",) and not isinstance(
+        learning_schedule, float
+    ):
+        raise ValueError(
+            "learning_schedule must be 'harmonic' or a float eta, "
+            f"got {learning_schedule!r}"
+        )
+
+    from pyspark.sql import functions as F
+
+    from cses2humio_spark.operators.clustering import assign_to_nearest
+
+    dim = len(seeds[0])
+    state = {
+        "centroids": [list(map(float, c)) for c in seeds],
+        "counts": [0] * len(seeds),
+    }
+
+    def sink(batch_df, batch_id) -> None:
+        cents = state["centroids"]
+        assigned = batch_df.select(
+            assign_to_nearest(
+                F.col("embedding").cast("array<double>"), cents
+            ).alias("cid"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        rows = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("mean"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        per_cid: dict[int, dict[int, float]] = {}
+        n_cid: dict[int, int] = {}
+        for r in rows:
+            per_cid.setdefault(r["cid"], {})[r["pos"]] = r["mean"]
+            n_cid[r["cid"]] = r["n"]
+        for cid, means in per_cid.items():
+            bn = n_cid[cid]
+            state["counts"][cid] += bn
+            if learning_schedule == "harmonic":
+                eta = bn / state["counts"][cid]
+            else:
+                eta = float(learning_schedule)
+            c = cents[cid]
+            for j in range(dim):
+                c[j] += eta * (means[j] - c[j])
+
+    return sink, state

@@ -647,3 +647,56 @@ def test_stream_static_enrich_join(spark, tmp_path):
 
     with pytest.raises(ValueError, match="left.*inner|inner.*left"):
         stream_static_enrich(keyed, dim, key="user", how="full")
+
+
+def test_minibatch_kmeans_follows_drift(spark, tmp_path):
+    """Sculley mini-batch k-means: centroids MOVE with the stream (unlike
+    streaming_kmeans' fixed assignment seeds). Harmonic schedule on
+    stationary data reproduces the exact running mean; a later batch far
+    from the seed pulls its centroid toward the new data."""
+    import json as _json
+
+    from cses2humio_spark.streaming.stateful import minibatch_kmeans_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def mk(vid, x, y):
+        return _json.dumps({"vec_id": vid, "embedding": [x, y]})
+
+    # batch a: cluster-0 data near (1,1); batch b: cluster-0 drifts to (5,5)
+    _write_lines(str(src / "a.ndjson"), [mk(0, 1, 1), mk(1, 1, 3), mk(2, 20, 20)])
+    _write_lines(str(src / "b.ndjson"), [mk(3, 5, 5), mk(4, 7, 5)])
+
+    sink, state = minibatch_kmeans_sink(seeds=[[0.0, 0.0], [20.0, 20.0]])
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # harmonic eta = exact running mean of all cluster-0 points:
+    # (1,1),(1,3),(5,5),(7,5) -> (3.5, 3.5); cluster 1 saw only (20,20)
+    c0, c1 = state["centroids"]
+    assert state["counts"] == [4, 1]
+    assert c0 == [3.5, 3.5], c0
+    assert c1 == [20.0, 20.0], c1
+    # the drifted batch moved c0 past the batch-a mean toward the new data
+    assert c0[0] > 1.0
+
+
+def test_minibatch_kmeans_rejects_bad_schedule():
+    import pytest
+
+    from cses2humio_spark.streaming.stateful import minibatch_kmeans_sink
+
+    with pytest.raises(ValueError, match="harmonic"):
+        minibatch_kmeans_sink([[0.0]], learning_schedule="linear")
