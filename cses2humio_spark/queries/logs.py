@@ -386,6 +386,53 @@ def hot_user_events_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "timechart_errors_partitioned",
+    oracle="""
+    SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_start,
+           COUNT(*) AS n_errors,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events WHERE event_type = 'error'
+    GROUP BY date_trunc('hour', ts)
+    """,
+)
+def timechart_errors_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``timechart_errors`` over a hive-partitioned (event_type=...) layout
+    — the storage-level PRUNING twin: the `event_type = 'error'` predicate
+    becomes a PartitionFilter, so non-error directories are never listed,
+    let alone read (at 100 TB: a one-type query over a year of logs lists
+    only that type's files). Written once per session (immutable testdata);
+    same oracle as the plain-scan twin, so layout cannot change results.
+    Plan contract: test_scale.py::test_partitioned_layout_prunes_directories.
+    """
+    import tempfile
+
+    from cses2humio_spark.sources.catalog import write_partitioned
+
+    ev = load_table(spark, sf_dir, "events")
+    # path keyed by (sf_dir, source mtime): a regenerated testdata set can
+    # never silently reuse a stale /tmp layout from a previous generation
+    src = os.path.join(sf_dir, "events.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_events_bytype_{tag}_{mtime}"
+    )
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        write_partitioned(ev, path, "event_type")
+    part = spark.read.parquet(path).filter(F.col("event_type") == "error")
+    return timechart(
+        part,
+        ts_col="ts",
+        span="1 hour",
+        aggs=[
+            F.count(F.lit(1)).alias("n_errors"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        ],
+    )
+
+
 _ENT_CHARS = "list_transform(generate_series(1, length({s})), i -> {s}[i])"
 _ENT_SQL = (
     "CASE WHEN length({s}) = 0 THEN 0.0 ELSE -1.0 * list_reduce("

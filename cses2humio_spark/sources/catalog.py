@@ -123,3 +123,30 @@ def write_bucketed(
     if path:
         w = w.option("path", path)  # external table (warehouse-free)
     w.format("parquet").mode("overwrite").saveAsTable(name)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: "list[str] | str",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Persist ``df`` as hive-layout partitioned parquet
+    (``path/col=value/part-*.parquet``) — the storage-level PRUNING
+    complement to ``write_bucketed``'s shuffle elimination. A predicate on
+    a partition column never touches non-matching directories at all:
+    the scan's PartitionFilters run against directory metadata, so a
+    one-day query over a year of 100 TB logs lists ~1/365th of the files
+    before reading a byte (asserted in
+    test_scale.py::test_partitioned_layout_prunes_directories).
+
+    Partition columns must be LOW cardinality (date, type, tenant) —
+    each distinct value is a directory, and small-file explosion from a
+    high-cardinality partition key is the classic 100 TB own-goal;
+    ``max_records_per_file`` caps the opposite failure (few giant files
+    that kill scan parallelism)."""
+    cols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    w = df.write.partitionBy(*cols)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.mode("overwrite").parquet(path)

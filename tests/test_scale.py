@@ -198,3 +198,37 @@ def test_window_over_bucketed_table_has_no_exchange(spark, tmp_path):
         assert deduped.count() == plain
     finally:
         spark.sql("DROP TABLE IF EXISTS b_events")
+
+
+def test_partitioned_layout_prunes_directories(spark, tmp_path):
+    """Hive-layout partitioning: a filter on the partition column becomes a
+    PartitionFilter (directory-level pruning — never listed, never read),
+    not a data-level PushedFilter; results match the unpartitioned scan."""
+    from cses2humio_spark.plans.explain import formatted_plan
+    from cses2humio_spark.sources.catalog import load_table, write_partitioned
+
+    events = load_table(spark, SF_SMALL, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_by_date")
+    write_partitioned(events, out, "event_date")
+
+    back = spark.read.parquet(out)
+    one_day = sorted(
+        r.event_date for r in back.select("event_date").distinct().collect()
+    )[0]
+    q = back.filter(F.col("event_date") == F.lit(one_day)).select(
+        "event_id", "event_type"
+    )
+    plan = formatted_plan(q)
+    part_section = plan.split("PushedFilters")[0]
+    assert "PartitionFilters" in plan and "event_date" in part_section, plan[:2000]
+    # the date predicate must NOT appear as a data-level pushed filter —
+    # pruning happens against directory metadata instead (a plan with no
+    # PushedFilters line at all is equally correct: nothing to push)
+    if "PushedFilters" in plan:
+        pushed = plan.split("PushedFilters", 1)[1].splitlines()[0]
+        assert "event_date" not in pushed, pushed
+    # result parity with the in-memory filter
+    expected = events.filter(F.col("event_date") == F.lit(one_day)).count()
+    assert q.count() == expected and expected > 0
