@@ -232,3 +232,70 @@ def test_partitioned_layout_prunes_directories(spark, tmp_path):
     # result parity with the in-memory filter
     expected = events.filter(F.col("event_date") == F.lit(one_day)).count()
     assert q.count() == expected and expected > 0
+
+
+def test_zorder_layout_narrows_all_columns(spark, tmp_path):
+    """Z-order clustering: per-file min/max ranges are narrow on EVERY
+    z-ordered column, so a predicate on any of them skips most files; a
+    single-column sort narrows only its own column. Measured on the
+    events table over (user_id, value)."""
+    from cses2humio_spark.operators.reshape import compact_for_scan, compact_zordered
+    from cses2humio_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", F.col("value").cast("double").alias("value")
+    )
+    z_path = str(tmp_path / "zorder")
+    s_path = str(tmp_path / "single")
+    compact_zordered(ev, z_path, ["user_id", "value"], bits=6, n_files=16)
+    compact_for_scan(ev, s_path, "user_id", n_files=16)
+
+    def file_ranges(path):
+        return (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("user_id").alias("u_lo"), F.max("user_id").alias("u_hi"),
+                F.min("value").alias("v_lo"), F.max("value").alias("v_hi"),
+            )
+            .collect()
+        )
+
+    def overlap_fraction(ranges, lo_col, hi_col, q_lo, q_hi):
+        hit = sum(1 for r in ranges if r[hi_col] >= q_lo and r[lo_col] <= q_hi)
+        return hit / len(ranges)
+
+    stats = ev.agg(
+        F.expr("percentile(user_id, 0.45)"), F.expr("percentile(user_id, 0.55)"),
+        F.expr("percentile(value, 0.45)"), F.expr("percentile(value, 0.55)"),
+    ).collect()[0]
+    u_q, v_q = (stats[0], stats[1]), (stats[2], stats[3])
+
+    zr, sr = file_ranges(z_path), file_ranges(s_path)
+    assert len(zr) >= 8 and len(sr) >= 8  # enough files for skipping to mean anything
+
+    # single-column layout: perfect on its own column, useless on the other
+    assert overlap_fraction(sr, "u_lo", "u_hi", *u_q) <= 0.4
+    assert overlap_fraction(sr, "v_lo", "v_hi", *v_q) >= 0.9
+
+    # z-order: BOTH columns skip files for a 10%-band query (tie-heavy
+    # low-cardinality user_id coarsens its buckets at this SF — the bound
+    # is majority-ish, and the comparative claim vs single-sort is strict)
+    z_u = overlap_fraction(zr, "u_lo", "u_hi", *u_q)
+    z_v = overlap_fraction(zr, "v_lo", "v_hi", *v_q)
+    assert z_u <= 0.7, f"user_id overlap {z_u}"
+    assert z_v <= 0.7, f"value overlap {z_v}"
+    # and z-order beats the single-column layout on its blind column by a
+    # wide margin
+    assert z_v <= overlap_fraction(sr, "v_lo", "v_hi", *v_q) - 0.25
+
+
+def test_zorder_key_rejects_bit_overflow(spark):
+    import pytest
+
+    from cses2humio_spark.operators.reshape import zorder_key
+    from cses2humio_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    with pytest.raises(ValueError, match="62"):
+        zorder_key(ev, ["user_id", "value"], bits=32)
