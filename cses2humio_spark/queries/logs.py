@@ -433,6 +433,37 @@ def timechart_errors_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "xml_parse_extract",
+    oracle="""
+    SELECT event_id, event_type, value
+    FROM events WHERE event_id < 400
+    """,
+)
+def xml_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Humio parseXml analog: XML payloads (synthesized in-query from the
+    base columns, the connector-query pattern) parsed with Spark 4
+    ``from_xml`` — attribute (``_id``) and element extraction with typed
+    schema. The oracle recomputes the expected fields straight from the
+    base columns, so a parser regression (attribute handling, numeric
+    round-trip) cannot cancel out. double -> string -> double round-trips
+    exactly (shortest-repr formatting on both legs)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 400)
+    xml = F.concat(
+        F.lit('<ev id="'), F.col("event_id"), F.lit('"><type>'),
+        F.col("event_type"), F.lit("</type><val>"), F.col("value"),
+        F.lit("</val></ev>"),
+    )
+    parsed = ev.select(
+        F.from_xml(xml, "_id BIGINT, type STRING, val DOUBLE").alias("x")
+    )
+    return parsed.select(
+        F.col("x._id").alias("event_id"),
+        F.col("x.type").alias("event_type"),
+        F.col("x.val").alias("value"),
+    )
+
+
 _ENT_CHARS = "list_transform(generate_series(1, length({s})), i -> {s}[i])"
 _ENT_SQL = (
     "CASE WHEN length({s}) = 0 THEN 0.0 ELSE -1.0 * list_reduce("
