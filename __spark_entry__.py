@@ -51,6 +51,7 @@ _PRIORITY = [
     "kmeans_clusters",
     "sequence_pack_assignments",
     "ppm_decode_stats",
+    "pii_redaction_stats",
     # connector semantics
     "connector_enrich_envelope",
     "connector_malformed_drop_rate",

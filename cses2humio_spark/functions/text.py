@@ -90,6 +90,79 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
 
 
+# PII patterns kept in BOTH-engine-compatible regex syntax (Java regex on
+# the Spark side, RE2 in the DuckDB oracle: no lookaround, no backrefs).
+# Order matters: emails are scrubbed before IPs/phones so their digit runs
+# can't be re-matched by the later patterns.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9 -]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    """Occurrence count of one PII pattern (codegen ``regexp_count``)."""
+    (pattern,) = [p for k, p, _ in PII_PATTERNS if k == kind]
+    return F.regexp_count(col, F.lit(pattern))
+
+
+def pii_scrub(col: Column) -> Column:
+    """Redact emails / IPv4s / phone-ish numbers with typed placeholder
+    tokens. A chained codegen ``regexp_replace`` — a narrow map-side
+    projection with no shuffle at any scale. The placeholders contain no
+    digits or '@', so the scrub is idempotent (verified by the
+    ``pii_redaction_stats`` oracle's residual-count check)."""
+    out = col
+    for _, pattern, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def ngram_strings(col: Column, n: int = 2) -> Column:
+    """Token n-grams as ' '-joined strings (array<string>; empty array when
+    the document has fewer than ``n`` tokens). Pure codegen HOFs."""
+    toks = tokens(col)
+    m = F.size(toks)
+
+    def gram(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)])
+
+    return F.when(
+        m >= n, F.transform(F.sequence(F.lit(1), m - (n - 1)), gram)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_fraction(col: Column, n: int = 2) -> Column:
+    """Fraction of token n-grams that are repeats of an earlier n-gram —
+    the Gopher-style repetition signal for boilerplate/spam filtering.
+    0.0 for documents with fewer than ``n`` tokens."""
+    grams = ngram_strings(col, n)
+    total = F.size(grams)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)).cast("double") / total.cast("double"),
+            6,
+        )
+    )
+
+
+def top_token_fraction(col: Column) -> Column:
+    """Share of the single most frequent token — high values flag
+    keyword-stuffed or templated text. O(tokens * distinct) per row via
+    codegen HOFs; a narrow projection at any scale."""
+    toks = tokens(col)
+    n = F.size(toks)
+    counts = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.size(F.filter(toks, lambda x: x == t)),
+    )
+    return F.round(
+        F.array_max(counts).cast("double") / F.greatest(n, F.lit(1)).cast("double"), 6
+    )
+
+
 def shannon_entropy(col: Column) -> Column:
     """Per-character Shannon entropy in bits (the Humio ``shannonEntropy``
     analog — the standard signal for DGA domains and encoded payloads in

@@ -12,3 +12,5 @@ from cses2humio_spark.queries import analytics  # noqa: E402,F401
 from cses2humio_spark.queries import logs  # noqa: E402,F401
 from cses2humio_spark.queries import llm  # noqa: E402,F401
 from cses2humio_spark.queries import connector  # noqa: E402,F401
+from cses2humio_spark.queries import training  # noqa: E402,F401
+from cses2humio_spark.queries import profiling  # noqa: E402,F401

@@ -1,0 +1,285 @@
+r"""Training-data curation extensions beyond the round-2 surface: PII
+redaction, repetition (boilerplate) signals, deterministic weighted source
+mixing, RAG chunking, and int8 embedding quantization.
+
+Everything is pure codegen (``pyspark.sql.functions`` HOFs + regex) — no
+Python in any hot path — and deterministic, so each query has an exact
+DuckDB oracle. Scale notes per query; the common shape is a narrow
+map-side projection followed by a small aggregation, which is exactly what
+survives a 100 TB input: the only shuffled bytes are the aggregate states.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cses2humio_spark.functions.text import (
+    PII_PATTERNS,
+    dup_ngram_fraction,
+    pii_count,
+    pii_scrub,
+    token_count,
+    top_token_fraction,
+)
+from cses2humio_spark.functions.vectors import dequantize_error, quantize_int8
+from cses2humio_spark.operators.chunking import chunk_documents
+from cses2humio_spark.queries.registry import query
+from cses2humio_spark.sources.catalog import load_table
+
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+# regex strings shared verbatim with the oracle (RE2/Java-compatible)
+_EMAIL, _IPV4, _PHONE = (p for _, p, _ in PII_PATTERNS)
+
+# Deterministic PII-bearing fixture text, synthesized from (doc_id, text)
+# the same way on both sides — the synthetic corpus contains no real PII,
+# so the scrub targets are planted with known counts: exactly one email,
+# one IPv4, one phone per document.
+_SYNTH_SQL = (
+    "substr(text, 1, 40) || ' contact user' || doc_id || '@example.com'"
+    " || ' from 10.' || (doc_id % 200) || '.' || ((doc_id * 7) % 200)"
+    " || '.' || (doc_id % 250)"
+    " || ' call +1 555 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+    " || ' ' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def _synth_contact(doc_id: Column, text: Column) -> Column:
+    did = doc_id.cast("string")
+    return F.concat(
+        F.substring(text, 1, 40),
+        F.lit(" contact user"), did, F.lit("@example.com"),
+        F.lit(" from 10."), (doc_id % 200).cast("string"),
+        F.lit("."), ((doc_id * 7) % 200).cast("string"),
+        F.lit("."), (doc_id % 250).cast("string"),
+        F.lit(" call +1 555 01"),
+        F.lpad((doc_id % 100).cast("string"), 2, "0"),
+        F.lit(" "),
+        F.lpad(((doc_id * 3) % 10000).cast("string"), 4, "0"),
+    )
+
+
+@query(
+    "pii_redaction_stats",
+    oracle=f"""
+    WITH s AS (SELECT source, {_SYNTH_SQL} AS txt FROM documents),
+    r AS (SELECT source, txt,
+            regexp_replace(regexp_replace(regexp_replace(txt,
+              '{_EMAIL}', '<EMAIL>', 'g'),
+              '{_IPV4}', '<IP>', 'g'),
+              '{_PHONE}', '<PHONE>', 'g') AS scrubbed
+          FROM s)
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(len(regexp_extract_all(txt, '{_EMAIL}'))) AS BIGINT) AS n_emails,
+      CAST(SUM(len(regexp_extract_all(txt, '{_IPV4}'))) AS BIGINT) AS n_ips,
+      CAST(SUM(len(regexp_extract_all(txt, '{_PHONE}'))) AS BIGINT) AS n_phones,
+      CAST(SUM(len(regexp_extract_all(scrubbed, '{_EMAIL}'))
+             + len(regexp_extract_all(scrubbed, '{_IPV4}'))
+             + len(regexp_extract_all(scrubbed, '{_PHONE}'))) AS BIGINT)
+        AS n_residual
+    FROM r GROUP BY source
+    """,
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (email / IPv4 / phone → typed placeholders) over a
+    deterministic PII-planted fixture derived from the documents table:
+    per-source found-counts for each PII class plus the residual count on
+    the scrubbed text, which the oracle proves is exactly 0 — the scrub
+    removes everything it counts. Chained codegen regexes; one narrow map
+    stage + a 10-group aggregation, so at 100 TB the shuffle carries ten
+    rows of partial sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    synth = _synth_contact(F.col("doc_id"), F.col("text"))
+    scrubbed = pii_scrub(synth)
+    return (
+        docs.select(
+            "source",
+            synth.alias("txt"),
+            scrubbed.alias("scrubbed"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(pii_count(F.col("txt"), "email")).cast("bigint").alias("n_emails"),
+            F.sum(pii_count(F.col("txt"), "ipv4")).cast("bigint").alias("n_ips"),
+            F.sum(pii_count(F.col("txt"), "phone")).cast("bigint").alias("n_phones"),
+            F.sum(
+                pii_count(F.col("scrubbed"), "email")
+                + pii_count(F.col("scrubbed"), "ipv4")
+                + pii_count(F.col("scrubbed"), "phone")
+            )
+            .cast("bigint")
+            .alias("n_residual"),
+        )
+    )
+
+
+@query(
+    "repetition_signals",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 250),
+    g AS (SELECT doc_id, toks,
+            CASE WHEN len(toks) >= 2
+                 THEN list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i + 1])
+                 ELSE CAST([] AS VARCHAR[]) END AS grams
+          FROM t)
+    SELECT doc_id,
+      CASE WHEN len(grams) <= 0 THEN 0.0
+           ELSE ROUND(1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE), 6)
+      END AS dup_bigram_frac,
+      ROUND(list_max(list_transform(list_distinct(toks),
+                       tk -> len(list_filter(toks, x -> x = tk))))
+            / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS top_token_frac
+    FROM g
+    """,
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: fraction of
+    duplicate token bigrams and the share of the single most frequent
+    token. Both are codegen HOF folds over the per-row token array —
+    zero shuffle; at 100 TB this is a pure map stage feeding whatever
+    filter threshold the curation policy sets."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        dup_ngram_fraction(t, 2).alias("dup_bigram_frac"),
+        top_token_fraction(t).alias("top_token_frac"),
+    )
+
+
+@query(
+    "source_mix_sample_counts",
+    oracle=rf"""
+    WITH m AS (SELECT source,
+        CAST(1 + CAST(substr(source, 4, 10) AS INT) AS DOUBLE) / 10.0 AS rate,
+        ('0x' || substr(md5('mix:' || doc_id), 1, 8))::BIGINT / 4294967296.0 AS u,
+        len({_TOKS}) AS n_toks
+      FROM documents)
+    SELECT source, rate,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(SUM(CASE WHEN u < rate THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM m GROUP BY source, rate
+    """,
+)
+def source_mix_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted source mixing — the data-mixture step of a
+    training pipeline: each source gets a target sampling rate (here
+    derived from the source id: src0→0.1 … src9→1.0) and membership is a
+    pure function of doc_id (md5-uniform < rate), so the mixture is
+    reproducible across runs, engines, and re-partitioning, and any row's
+    in/out decision can be recomputed from its id. Contrast
+    ``df.sampleBy``: partition-order RNG. Narrow projection + tiny
+    aggregation; no data rides the shuffle but per-source counters."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.lit(1) + F.substring(F.col("source"), 4, 10).cast("int")
+    ).cast("double") / F.lit(10.0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    keep = F.col("u") < F.col("rate")
+    return (
+        docs.select(
+            "source",
+            rate.alias("rate"),
+            u.alias("u"),
+            token_count(F.col("text")).alias("n_toks"),
+        )
+        .groupBy("source", "rate")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(keep.cast("int")).cast("bigint").alias("n_kept"),
+            F.sum(F.when(keep, F.col("n_toks")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+    )
+
+
+@query(
+    "doc_chunk_stats",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    c AS (SELECT doc_id, toks,
+            CASE WHEN len(toks) <= 40 THEN 1
+                 ELSE 1 + CAST(ceil((len(toks) - 40) / 30.0) AS INT) END AS n_chunks
+          FROM t),
+    e AS (SELECT doc_id, toks, UNNEST(generate_series(0, n_chunks - 1)) AS chunk_idx
+          FROM c),
+    ch AS (SELECT doc_id, chunk_idx,
+             toks[chunk_idx * 30 + 1 : chunk_idx * 30 + 40] AS chunk
+           FROM e)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+      CAST(len(chunk) AS INT) AS n_tokens,
+      md5(array_to_string(chunk, ' ')) AS chunk_fp
+    FROM ch
+    """,
+)
+def doc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style chunking: every document split into overlapping
+    40-token windows with stride 30, one row per chunk with an
+    engine-portable md5 fingerprint (chunk-level dedup key). Codegen
+    ``sequence→transform→slice`` + one ``posexplode`` — a narrow row
+    expansion with NO shuffle; at 100 TB the output row count grows by
+    ~n_tokens/30 per doc but each emitted row carries ~50 bytes, not the
+    chunk text (``keep_text=False``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_size=40, stride=30)
+
+
+@query(
+    "embedding_quantization_error",
+    oracle="""
+    WITH v AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings WHERE vec_id < 200),
+    s AS (SELECT vec_id, v,
+            list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+          FROM v),
+    q AS (SELECT vec_id, v, scale,
+            CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+                 ELSE list_transform(v, x -> CAST(round(x / scale, 0) AS INT))
+            END AS q
+          FROM s),
+    e AS (SELECT vec_id, scale, q,
+            sqrt(list_reduce(
+                   list_transform(generate_series(1, len(v)),
+                                  i -> (v[i] - q[i] * scale) * (v[i] - q[i] * scale)),
+                   (a, b) -> a + b) / len(v)) AS rms
+          FROM q)
+    SELECT vec_id, ROUND(scale, 6) AS scale, ROUND(rms, 6) AS rms_err,
+      CAST(list_max(q) AS INT) AS max_code, CAST(list_min(q) AS INT) AS min_code
+    FROM e
+    """,
+)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization with reconstruction-error
+    audit: per vector the scale (max|x|/127), the RMS dequantization
+    error, and the code range. Pure codegen HOF arithmetic — identical
+    double ops on both engines (SQL ROUND half-away-from-zero, left fold
+    for the error sum). The 4x byte cut is the point at 100 TB: quantize
+    BEFORE embeddings ride a shuffle, ship codes + one scale, dequantize
+    on the other side."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    scale, q = quantize_int8(F.col("embedding"))
+    with_q = emb.select(
+        "vec_id", "embedding", scale.alias("scale_raw"), q.alias("q")
+    )
+    err = dequantize_error(F.col("embedding"), F.col("scale_raw"), F.col("q"))
+    return with_q.select(
+        "vec_id",
+        F.round("scale_raw", 6).alias("scale"),
+        F.round(err, 6).alias("rms_err"),
+        F.array_max("q").cast("int").alias("max_code"),
+        F.array_min("q").cast("int").alias("min_code"),
+    )

@@ -1,0 +1,200 @@
+"""Unit contracts for the round-3 training-pipeline operators: PII scrub,
+repetition signals, chunking, weighted mixing, int8 quantization."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cses2humio_spark.functions.text import (
+    dup_ngram_fraction,
+    ngram_strings,
+    pii_count,
+    pii_scrub,
+    top_token_fraction,
+)
+from cses2humio_spark.functions.vectors import dequantize_error, quantize_int8
+from cses2humio_spark.operators.chunking import chunk_documents, token_chunks
+
+from tests.conftest import SF_ORACLE
+
+
+# ---- PII scrub ----------------------------------------------------------
+
+
+def _scrub_one(spark, text: str) -> str:
+    return (
+        spark.createDataFrame([Row(t=text)])
+        .select(pii_scrub(F.col("t")).alias("s"))
+        .first()["s"]
+    )
+
+
+def test_pii_scrub_redacts_all_three_kinds(spark):
+    out = _scrub_one(
+        spark,
+        "mail a.b+c@sub.example.org from 192.168.0.1 call +45 12 34 56 78 now",
+    )
+    assert out == "mail <EMAIL> from <IP> call <PHONE> now"
+
+
+def test_pii_scrub_is_idempotent_and_counts_match(spark):
+    text = "x@y.dk and 10.0.0.255 and 555-0199-8812"
+    df = spark.createDataFrame([Row(t=text)])
+    counts = df.select(
+        pii_count(F.col("t"), "email").alias("e"),
+        pii_count(F.col("t"), "ipv4").alias("i"),
+        pii_count(F.col("t"), "phone").alias("p"),
+    ).first()
+    assert (counts["e"], counts["i"], counts["p"]) == (1, 1, 1)
+    once = _scrub_one(spark, text)
+    assert _scrub_one(spark, once) == once
+    residual = (
+        spark.createDataFrame([Row(t=once)])
+        .select(
+            (
+                pii_count(F.col("t"), "email")
+                + pii_count(F.col("t"), "ipv4")
+                + pii_count(F.col("t"), "phone")
+            ).alias("n")
+        )
+        .first()["n"]
+    )
+    assert residual == 0
+
+
+def test_pii_scrub_leaves_clean_text_alone(spark):
+    text = "no contact details here, just words and 42 numbers"
+    assert _scrub_one(spark, text) == text
+
+
+# ---- repetition signals -------------------------------------------------
+
+
+def test_ngram_and_repetition_edges(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, t="a b a b a"),  # bigrams: ab ba ab ba -> 2 distinct of 4
+            Row(id=2, t="one"),  # < n tokens -> empty grams, frac 0
+            Row(id=3, t="x x x x"),  # all same token
+        ]
+    )
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            F.size(ngram_strings(F.col("t"), 2)).alias("n_grams"),
+            dup_ngram_fraction(F.col("t"), 2).alias("dup"),
+            top_token_fraction(F.col("t")).alias("top"),
+        ).collect()
+    }
+    assert got[1]["n_grams"] == 4 and got[1]["dup"] == 0.5
+    assert got[2]["n_grams"] == 0 and got[2]["dup"] == 0.0 and got[2]["top"] == 1.0
+    assert got[3]["dup"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got[3]["top"] == 1.0
+
+
+# ---- chunking -----------------------------------------------------------
+
+
+def test_token_chunks_cover_every_token_with_overlap(spark):
+    n_tokens, size, stride = 95, 40, 30
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    rows = (
+        spark.createDataFrame([Row(t=text)])
+        .select(F.posexplode(token_chunks(F.col("t"), size, stride)))
+        .collect()
+    )
+    # 1 + ceil((95-40)/30) = 3 chunks; windows [1..40],[31..70],[61..95]
+    assert [len(r["col"]) for r in rows] == [40, 40, 35]
+    seen = {tok for r in rows for tok in r["col"]}
+    assert seen == {f"t{i}" for i in range(n_tokens)}
+    # consecutive chunks overlap by size - stride tokens
+    assert rows[0]["col"][30:] == rows[1]["col"][:10]
+
+
+def test_token_chunks_single_chunk_when_short(spark):
+    rows = (
+        spark.createDataFrame([Row(t="a b c")])
+        .select(F.posexplode(token_chunks(F.col("t"), 40, 30)))
+        .collect()
+    )
+    assert len(rows) == 1 and rows[0]["col"] == ["a", "b", "c"]
+
+
+def test_chunk_documents_fp_is_chunk_dedup_key(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d"), Row(doc_id=2, text="a b c d")]
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_size=2, stride=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk_fp"])
+    # identical docs -> identical chunk fingerprint sequences
+    assert by_doc[1] == by_doc[2]
+    assert len(by_doc[1]) == 2
+
+
+def test_chunk_documents_invalid_stride_raises():
+    with pytest.raises(ValueError):
+        token_chunks(F.lit("x"), chunk_size=10, stride=0)
+    with pytest.raises(ValueError):
+        token_chunks(F.lit("x"), chunk_size=10, stride=11)
+
+
+# ---- quantization -------------------------------------------------------
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark):
+    vec = [0.5, -1.0, 0.25, 0.0, 1.0, -0.125]
+    df = spark.createDataFrame([Row(v=vec)])
+    scale, q = quantize_int8(F.col("v"))
+    row = df.select(
+        scale.alias("s"),
+        q.alias("q"),
+        dequantize_error(F.col("v"), scale, q).alias("err"),
+    ).first()
+    assert row["s"] == pytest.approx(1.0 / 127.0)
+    assert max(row["q"]) <= 127 and min(row["q"]) >= -127
+    # reconstruction error bounded by scale/2 per element in RMS
+    assert row["err"] <= row["s"] / 2 + 1e-12
+    deq = [qi * row["s"] for qi in row["q"]]
+    rms = math.sqrt(sum((a - b) ** 2 for a, b in zip(vec, deq)) / len(vec))
+    assert row["err"] == pytest.approx(rms, abs=1e-12)
+
+
+def test_quantize_int8_zero_vector(spark):
+    df = spark.createDataFrame([Row(v=[0.0, 0.0, 0.0])])
+    scale, q = quantize_int8(F.col("v"))
+    row = df.select(
+        scale.alias("s"), q.alias("q"),
+        dequantize_error(F.col("v"), scale, q).alias("err"),
+    ).first()
+    assert row["s"] == 0.0 and row["q"] == [0, 0, 0] and row["err"] == 0.0
+
+
+# ---- end-to-end sanity on real testdata ---------------------------------
+
+
+def test_pii_redaction_residual_is_zero_on_testdata(spark):
+    from cses2humio_spark.queries import QUERIES
+
+    rows = QUERIES["pii_redaction_stats"](spark, SF_ORACLE).collect()
+    assert rows and all(r["n_residual"] == 0 for r in rows)
+    assert all(r["n_emails"] == r["n_docs"] for r in rows)
+    assert all(r["n_ips"] == r["n_docs"] for r in rows)
+    assert all(r["n_phones"] == r["n_docs"] for r in rows)
+
+
+def test_source_mix_rates_monotone_on_testdata(spark):
+    from cses2humio_spark.queries import QUERIES
+
+    rows = QUERIES["source_mix_sample_counts"](spark, SF_ORACLE).collect()
+    by_src = {r["source"]: r for r in rows}
+    # src9 samples at 1.0 -> keeps everything
+    assert by_src["src9"]["n_kept"] == by_src["src9"]["n_docs"]
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_docs"]
