@@ -237,6 +237,145 @@ def doc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, "doc_id", "text", chunk_size=40, stride=30)
 
 
+# quality expression shared verbatim with queries/llm.py's oracle fragment
+_QUALITY_SQL = rf"""ROUND(
+  0.4 * least(len({_TOKS}) / 200.0, 1.0)
+  + 0.3 * (1.0 - length(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g'))
+                 / greatest(CAST(length(text) AS DOUBLE), 1.0))
+  + 0.3 * (len(list_distinct({_TOKS}))
+           / greatest(CAST(len({_TOKS}) AS DOUBLE), 1.0)),
+6)"""
+
+
+@query(
+    "token_budget_selection",
+    oracle=rf"""
+    WITH d AS (SELECT doc_id, lang, {_QUALITY_SQL} AS q, len({_TOKS}) AS nt
+               FROM documents),
+    b AS (SELECT CAST(floor(0.4 * SUM(nt)) AS BIGINT) AS budget FROM d),
+    r AS (SELECT d.*, b.budget,
+            SUM(nt) OVER (ORDER BY q DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d, b)
+    SELECT lang,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN cum <= budget THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_selected,
+      CAST(SUM(CASE WHEN cum <= budget THEN nt ELSE 0 END) AS BIGINT)
+        AS selected_tokens
+    FROM r GROUP BY lang
+    """,
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget selection: keep the highest-quality documents
+    until 40% of the corpus token count is spent (ties broken by doc_id)
+    — the 'select the best N tokens' curation step.
+
+    Scale design: the textbook formulation is a running sum over a GLOBAL
+    (quality desc, doc_id) sort — a single-task window at 100 TB. This
+    implementation is the two-phase equivalent with identical output:
+    (1) aggregate token sums per DISTINCT quality value (bounded domain —
+    quality is rounded to 6dp), (2) run the running sum over those few
+    band rows, (3) join the per-band offset back and finish with a window
+    PARTITIONED by quality value, so the only global sort touches band
+    rows, never documents. The oracle runs the textbook global window;
+    matching outputs prove the rewrite."""
+    from cses2humio_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        quality_score(F.col("text")).alias("q"),
+        token_count(F.col("text")).alias("nt"),
+    )
+    budget = d.agg(
+        F.floor(F.lit(0.4) * F.sum("nt")).cast("bigint").alias("budget")
+    )
+    from pyspark.sql.window import Window
+
+    per_band = d.groupBy("q").agg(F.sum("nt").alias("band_toks"))
+    wq = Window.orderBy(F.col("q").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    per_band = per_band.withColumn(
+        "cum_before", F.coalesce(F.sum("band_toks").over(wq), F.lit(0))
+    ).drop("band_toks")
+    win = (
+        Window.partitionBy("q")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = (
+        d.join(per_band, on="q")
+        .crossJoin(F.broadcast(budget))
+        .withColumn("cum", F.col("cum_before") + F.sum("nt").over(win))
+    )
+    sel = F.col("cum") <= F.col("budget")
+    return r.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(sel.cast("int")).cast("bigint").alias("n_selected"),
+        F.sum(F.when(sel, F.col("nt")).otherwise(0))
+        .cast("bigint")
+        .alias("selected_tokens"),
+    )
+
+
+@query(
+    "lang_balance_weights",
+    oracle=rf"""
+    WITH per AS (SELECT lang, CAST(SUM(len({_TOKS})) AS BIGINT) AS lang_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+                 FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(lang_tokens) AS total_tokens,
+              list_reduce(list(CAST(1.0 AS DOUBLE) / lang_tokens ORDER BY lang),
+                          (a, b) -> a + b) AS inv_sum FROM per)
+    SELECT lang, n_docs, lang_tokens,
+      ROUND(lang_tokens / CAST(total_tokens AS DOUBLE), 6) AS token_share,
+      ROUND((1.0 / lang_tokens) / inv_sum, 6) AS balance_weight
+    FROM per, tot
+    """,
+)
+def lang_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing mixture weights: per-language token share and
+    the normalized inverse-frequency sampling weight that equalizes
+    expected tokens per language (sum of weights = 1). Two tiny
+    aggregations + a broadcast scalar join — per-language partials are
+    the only shuffled bytes at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("lang_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    # inv_sum is a FLOAT sum whose value depends on addition order — a
+    # plain F.sum would be partitioning-dependent. Fold in sorted-lang
+    # order instead (collect_list of (lang, tokens) -> array_sort ->
+    # left fold), which the oracle mirrors with list(... ORDER BY lang)
+    # + list_reduce. Five langs, so the collected array is tiny.
+    tot = per.agg(
+        F.sum("lang_tokens").alias("total_tokens"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lang", "lang_tokens"))),
+                lambda s: F.lit(1.0) / s["lang_tokens"].cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("inv_sum"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "lang_tokens",
+        F.round(
+            F.col("lang_tokens") / F.col("total_tokens").cast("double"), 6
+        ).alias("token_share"),
+        F.round(
+            (F.lit(1.0) / F.col("lang_tokens")) / F.col("inv_sum"), 6
+        ).alias("balance_weight"),
+    )
+
+
 @query(
     "embedding_quantization_error",
     oracle="""

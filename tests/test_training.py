@@ -189,6 +189,59 @@ def test_pii_redaction_residual_is_zero_on_testdata(spark):
     assert all(r["n_phones"] == r["n_docs"] for r in rows)
 
 
+def test_token_budget_two_phase_matches_naive_global_window(spark):
+    """The banded running sum must select the EXACT same documents as the
+    textbook single-sort global window (quality desc, doc_id ties)."""
+    from pyspark.sql.window import Window
+
+    from cses2humio_spark.functions.text import quality_score, token_count
+    from cses2humio_spark.queries import QUERIES
+    from cses2humio_spark.sources.catalog import load_table
+
+    d = load_table(spark, SF_ORACLE, "documents").select(
+        "doc_id",
+        "lang",
+        quality_score(F.col("text")).alias("q"),
+        token_count(F.col("text")).alias("nt"),
+    )
+    total = d.agg(F.sum("nt")).first()[0]
+    budget = int(0.4 * total)
+    w = Window.orderBy(F.col("q").desc(), "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = (
+        d.withColumn("cum", F.sum("nt").over(w))
+        .where(F.col("cum") <= budget)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("nt").alias("selected_tokens"),
+        )
+    )
+    naive_rows = {
+        r["lang"]: (r["n_selected"], r["selected_tokens"])
+        for r in naive.collect()
+    }
+    got = {
+        r["lang"]: (r["n_selected"], r["selected_tokens"])
+        for r in QUERIES["token_budget_selection"](spark, SF_ORACLE).collect()
+        if r["n_selected"] > 0
+    }
+    assert got == naive_rows
+
+
+def test_lang_balance_weights_sum_to_one(spark):
+    from cses2humio_spark.queries import QUERIES
+
+    rows = QUERIES["lang_balance_weights"](spark, SF_ORACLE).collect()
+    assert abs(sum(r["balance_weight"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-4
+    # inverse-frequency: fewer tokens -> strictly larger weight
+    ordered = sorted(rows, key=lambda r: r["lang_tokens"])
+    weights = [r["balance_weight"] for r in ordered]
+    assert weights == sorted(weights, reverse=True)
+
+
 def test_source_mix_rates_monotone_on_testdata(spark):
     from cses2humio_spark.queries import QUERIES
 
