@@ -377,6 +377,94 @@ def lang_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vocab_apply_oov_rate",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, lang, UNNEST({_TOKS}) AS tok FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    vocab AS (SELECT tok FROM freq ORDER BY cnt DESC, tok LIMIT 50)
+    SELECT t.lang,
+      CAST(COUNT(*) AS BIGINT) AS total_tokens,
+      CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS oov_tokens,
+      ROUND(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+    GROUP BY t.lang
+    """,
+)
+def vocab_apply_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary application: build a frequency-ranked top-50
+    vocab (ties broken by token, so the cut is deterministic), then map
+    the token stream against it and report per-language out-of-vocabulary
+    rates. The vocab is tiny by construction → broadcast; the token
+    stream joins map-side, so at 100 TB the explode never shuffles —
+    only per-language counters do. Vocab ranking itself is a TakeOrdered
+    top-k (per-partition heaps), not a global sort."""
+    from cses2humio_spark.functions.text import tokens as tok_fn
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(tok_fn(F.col("text"))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = freq.orderBy(F.col("cnt").desc(), "tok").limit(50).select("tok")
+    joined = toks.join(
+        F.broadcast(vocab.withColumn("__in_vocab", F.lit(1))), on="tok", how="left"
+    )
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_tokens"),
+        F.sum(F.col("__in_vocab").isNull().cast("int"))
+        .cast("bigint")
+        .alias("oov_tokens"),
+        F.round(
+            F.sum(F.col("__in_vocab").isNull().cast("int"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+@query(
+    "stratified_eval_sample",
+    oracle="""
+    WITH r AS (SELECT lang, source, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY lang, source
+                                    ORDER BY md5('eval:' || doc_id), doc_id)
+                   AS rk
+               FROM documents)
+    SELECT lang, source,
+      CAST(COUNT(*) AS BIGINT) AS n_strata_docs,
+      CAST(SUM(CASE WHEN rk <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      CAST(MIN(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS first_pick
+    FROM r GROUP BY lang, source
+    """,
+)
+def stratified_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified eval-set construction: an exact per-(lang, source) quota
+    of 3 documents, picked by a deterministic md5 shuffle order (ties by
+    doc_id) so the sample is reproducible across runs and engines —
+    df.sample can't give per-stratum exact counts OR reproducibility.
+    One window partitioned by the strata keys: each stratum ranks
+    independently in parallel, no global sort at any scale."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.concat(F.lit("eval:"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    r = docs.select("lang", "source", "doc_id").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    return r.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata_docs"),
+        F.sum((F.col("rk") <= 3).cast("int")).cast("bigint").alias("n_sampled"),
+        F.min(F.when(F.col("rk") == 1, F.col("doc_id")))
+        .cast("bigint")
+        .alias("first_pick"),
+    )
+
+
+@query(
     "embedding_quantization_error",
     oracle="""
     WITH v AS (SELECT vec_id,

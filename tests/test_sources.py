@@ -122,3 +122,29 @@ def test_kafka_reader_contract_options(spark):
         assert [f.name for f in df.schema.fields] == [
             "value", "partition", "offset",
         ]
+
+
+def test_orc_roundtrip_with_predicate_pushdown(spark, tmp_path):
+    """ORC is the second columnar format the engine reads/writes natively;
+    the round-trip must preserve values AND the scan must take pushed
+    filters + a pruned read schema, same contract as parquet."""
+    from cses2humio_spark.plans.explain import formatted_plan
+    from cses2humio_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    path = str(tmp_path / "events_orc")
+    ev.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == ev.count()
+
+    probe = back.where(F.col("event_type") == "error").select("event_id", "value")
+    expect = ev.where(F.col("event_type") == "error").select("event_id", "value")
+    assert sorted(r["event_id"] for r in probe.collect()) == sorted(
+        r["event_id"] for r in expect.collect()
+    )
+    plan = formatted_plan(probe)
+    assert "PushedFilters" in plan and "event_type" in plan
+    # pruned read schema: only the filter + projection columns are read
+    m = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert m and "props" not in m[0] and "user_id" not in m[0]

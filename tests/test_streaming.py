@@ -700,3 +700,64 @@ def test_minibatch_kmeans_rejects_bad_schedule():
 
     with pytest.raises(ValueError, match="harmonic"):
         minibatch_kmeans_sink([[0.0]], learning_schedule="linear")
+
+
+def test_incremental_rollup_exactly_once_across_batches(spark, tmp_path):
+    """Materialized per-key rollup stays equal to the batch recompute as
+    micro-batches land (maxFilesPerTrigger=1 -> one batch per file), and a
+    replayed batch_id is a no-op (at-least-once -> exactly-once)."""
+    from cses2humio_spark.streaming.materialized import IncrementalRollup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "rollup")
+    for i, offs in enumerate([range(0, 10), range(10, 25), range(25, 30)]):
+        _write_lines(str(src / f"{i}.ndjson"), _mk_lines(offs))
+
+    rollup = IncrementalRollup(table, key_col="user", value_col="n")
+
+    def sink(batch_df, batch_id):
+        keyed = batch_df.select(
+            (F.col("attributes.metadata.offset") % 3).cast("string").alias("user"),
+            F.col("attributes.event")["n"].cast("double").alias("n"),
+        )
+        rollup(keyed, batch_id)
+
+    q = run_pipeline(
+        ndjson_stream(spark, str(src), max_files_per_trigger=1),
+        sink,
+        ckpt,
+        available_now=True,
+    )
+    q.awaitTermination()
+
+    got = {
+        r["user"]: (r["n_rows"], r["total"])
+        for r in rollup.read(spark).collect()
+    }
+    # batch recompute over all 30 offsets: key = offset % 3, value = offset
+    expect = {}
+    for o in range(30):
+        k = str(o % 3)
+        n, t = expect.get(k, (0, 0.0))
+        expect[k] = (n + 1, t + float(o))
+    assert got == expect
+    last = rollup.latest_batch_id()
+    assert last is not None and last >= 2  # three single-file batches
+
+    # replay: re-applying an already-committed batch must change nothing
+    replay_df = spark.createDataFrame([("0", 999.0)], "user string, n double")
+    rollup(replay_df, last)
+    assert {
+        r["user"]: (r["n_rows"], r["total"])
+        for r in rollup.read(spark).collect()
+    } == expect
+
+    # a genuinely new batch still applies
+    rollup(replay_df, last + 1)
+    got2 = {
+        r["user"]: (r["n_rows"], r["total"])
+        for r in rollup.read(spark).collect()
+    }
+    assert got2["0"] == (expect["0"][0] + 1, expect["0"][1] + 999.0)
