@@ -136,6 +136,8 @@ def test_no_query_degenerates_to_cartesian(spark):
         "ivf_topk",               # tiny centroid set broadcast
         "cross_join_region_priority",  # the cross join op itself
         "vocab_coverage",         # single-row corpus-total scalar broadcast
+        "token_budget_selection",  # single-row token-budget scalar broadcast
+        "lang_balance_weights",   # single-row totals scalar broadcast
     }
     # building these queries runs heavy side effects (a full streaming
     # query, a driver-side iteration loop, a key-discovery collect) just to
@@ -310,3 +312,60 @@ def test_hot_user_salted_query_spreads_hot_key(spark):
     plan = formatted_plan(df)
     assert re.search(r"Generate|explode", plan), plan[:1500]
     assert "__salt" in plan, plan[:1500]
+
+
+def test_vocab_apply_broadcasts_and_no_cartesian(spark):
+    """The top-50 vocab must BROADCAST to the exploded token stream —
+    a shuffled join on tok would re-shuffle every token at 100 TB."""
+    df = QUERIES["vocab_apply_oov_rate"](spark, SF_SMALL)
+    assert_broadcast_join(df, at_least=1)
+    assert_no_cartesian(df)
+    assert_partial_aggregation(df)
+
+
+def test_token_budget_two_phase_never_globally_sorts_documents(spark):
+    """The banded rewrite's whole point: the global (single-partition)
+    window runs over DISTINCT quality values, and the per-document window
+    partitions by quality. A plan that sorts all documents into one
+    partition would carry 'Window' directly over the unaggregated scan
+    with an Exchange SinglePartition of document rows."""
+    from cses2humio_spark.plans.explain import formatted_plan
+
+    df = QUERIES["token_budget_selection"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert plan.count("Exchange SinglePartition") <= 2  # band rows + budget scalar
+    # the per-document window is hash-partitioned by quality value
+    assert "hashpartitioning(q" in plan
+
+
+def test_stratified_sample_window_partitions_by_strata(spark):
+    from cses2humio_spark.plans.explain import formatted_plan
+
+    df = QUERIES["stratified_eval_sample"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "hashpartitioning(lang" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_chunking_plan_is_narrow_no_shuffle(spark):
+    """chunk_documents is generate+project only — any Exchange means the
+    row expansion accidentally shuffles chunk text."""
+    from cses2humio_spark.plans.explain import formatted_plan
+
+    df = QUERIES["doc_chunk_stats"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the posexplode
+
+
+def test_profile_single_scan_expand(spark):
+    """The column profiler must read the table ONCE (multi-distinct via
+    Expand), not once per column."""
+    from cses2humio_spark.plans.explain import formatted_plan
+
+    df = QUERIES["profile_documents_columns"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    # one Location line per physical scan (the node name itself appears
+    # twice in formatted output: tree + detail section)
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Expand" in plan
