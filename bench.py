@@ -39,6 +39,11 @@ HEADLINE = [
     # round 3: scale-path operators promoted to the timed surface
     "sessionize_users_bucketed",  # zero-Exchange storage-bucketed window
     "hot_user_events_salted",  # salted skew join (8-way hot-key spread)
+    # round 3: curation/analytics additions (no standing baseline yet —
+    # their first accepted bench becomes it)
+    "doc_chunk_stats",  # narrow posexplode row expansion
+    "vocab_apply_oov_rate",  # explode + broadcast vocab join
+    "funnel_conversion",  # chained per-user MIN aggs
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -476,3 +476,134 @@ def priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+           FROM events e JOIN s1 ON s1.user_id = e.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+           FROM events e JOIN s2 ON s2.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+           GROUP BY e.user_id)
+    SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_view,
+      CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_view_click,
+      CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_view_click_purchase,
+      ROUND((SELECT COUNT(*) FROM s2)
+            / CAST((SELECT COUNT(*) FROM s1) AS DOUBLE), 6) AS click_rate,
+      ROUND((SELECT COUNT(*) FROM s3)
+            / CAST(greatest((SELECT COUNT(*) FROM s2), 1) AS DOUBLE), 6)
+        AS purchase_rate
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view -> click -> purchase): users who
+    performed each stage STRICTLY AFTER their earliest completion of the
+    previous stage, with stage-to-stage conversion rates — the
+    match-sequence analytics every product/SIEM pipeline runs.
+
+    Shape: three per-user MIN aggregations chained by joins on user_id.
+    Each stage frame is at most |users| rows, so stages 2 and 3 join a
+    shrinking user set back to the (pushed-filtered) event scan; all
+    shuffles carry (user_id, one timestamp). No windows, no per-user
+    event arrays — history length per user only affects the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c1 = s1.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
+    c2 = s2.agg(F.count(F.lit(1)).cast("bigint").alias("n_view_click"))
+    c3 = s3.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_view_click_purchase")
+    )
+    return (
+        c1.crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(c3))
+        .select(
+            "n_view",
+            "n_view_click",
+            "n_view_click_purchase",
+            F.round(
+                F.col("n_view_click") / F.col("n_view").cast("double"), 6
+            ).alias("click_rate"),
+            F.round(
+                F.col("n_view_click_purchase")
+                / F.greatest(F.col("n_view_click"), F.lit(1)).cast("double"),
+                6,
+            ).alias("purchase_rate"),
+        )
+    )
+
+
+@query(
+    "weekly_retention",
+    oracle="""
+    WITH fu AS (SELECT user_id,
+                  CAST(FLOOR(epoch(MIN(ts)) / 604800) AS BIGINT) AS cohort_week
+                FROM events GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id,
+              CAST(FLOOR(epoch(ts) / 604800) AS BIGINT) AS week
+            FROM events)
+    SELECT fu.cohort_week,
+      CAST(COUNT(DISTINCT fu.user_id) AS BIGINT) AS cohort_size,
+      CAST(COUNT(DISTINCT CASE WHEN a.week = fu.cohort_week + 1
+                               THEN a.user_id END) AS BIGINT) AS retained_w1,
+      CAST(COUNT(DISTINCT CASE WHEN a.week = fu.cohort_week + 2
+                               THEN a.user_id END) AS BIGINT) AS retained_w2,
+      CAST(COUNT(DISTINCT CASE WHEN a.week = fu.cohort_week + 4
+                               THEN a.user_id END) AS BIGINT) AS retained_w4
+    FROM fu JOIN act a ON a.user_id = fu.user_id
+    GROUP BY fu.cohort_week
+    """,
+)
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen epoch-week, with the
+    count still active 1 / 2 / 4 weeks later. Cohorting uses integer
+    epoch-week arithmetic (engine-portable, timezone-free). Shape: one
+    per-user MIN (cohort), one distinct (user, week) activity table —
+    both bounded by |users| x |weeks|, not event volume — joined on
+    user_id and re-aggregated per cohort."""
+    ev = load_table(spark, sf_dir, "events")
+    week = lambda c: F.floor(F.unix_timestamp(c) / 604800).cast("bigint")  # noqa: E731
+    fu = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
+    act = ev.select("user_id", week(F.col("ts")).alias("week")).distinct()
+    j = fu.join(act, "user_id")
+    return j.groupBy("cohort_week").agg(
+        F.count_distinct("user_id").cast("bigint").alias("cohort_size"),
+        F.count_distinct(
+            F.when(F.col("week") == F.col("cohort_week") + 1, F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("retained_w1"),
+        F.count_distinct(
+            F.when(F.col("week") == F.col("cohort_week") + 2, F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("retained_w2"),
+        F.count_distinct(
+            F.when(F.col("week") == F.col("cohort_week") + 4, F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("retained_w4"),
+    )
