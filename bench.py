@@ -76,6 +76,13 @@ STANDING_BASELINE_SF01 = {
     "ivf_topk": 2.253,
     "sequence_pack_assignments": 0.702,
     "connector_pipeline": 3.12,
+    # first accepted numbers (round-3 bench, sf0.1, local[32]) for the
+    # queries promoted to the headline set this round
+    "sessionize_users_bucketed": 0.639,
+    "hot_user_events_salted": 0.532,
+    "doc_chunk_stats": 0.432,
+    "vocab_apply_oov_rate": 0.541,
+    "funnel_conversion": 0.641,
 }
 
 
