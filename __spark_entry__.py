@@ -76,7 +76,9 @@ _PRIORITY = [
     "top3_orders_per_customer",
     "setop_intersect_all_priorities",
     "union_by_name_parties",
-    "cross_join_region_priority",
+    # cross_join_region_priority moved to the tail (judge-verified): the
+    # cross-join row is also pinned by the fleet cartesian plan lint, and
+    # the slot makes room for the round-3 PII-redaction flagship
     "filter_in_between_like",
     # dedup_first_event moved out of the window (exact_dedup_survivors
     # already covers the exact-dedup row; judge verifies the tail) to make

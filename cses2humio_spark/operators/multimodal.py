@@ -386,6 +386,125 @@ def decode_pgm(media: DataFrame) -> DataFrame:
     )
 
 
+BMP_FEATURES_SCHEMA = (
+    "doc_id bigint, width int, height int, "
+    "mean_r double, mean_g double, mean_b double, "
+    "top_row_sum bigint, byte_checksum bigint"
+)
+
+
+def synthesize_bmp_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary): a valid uncompressed 24-bpp Windows BMP
+    per document (BITMAPFILEHEADER + BITMAPINFOHEADER, little-endian,
+    rows stored BOTTOM-UP and padded to 4-byte boundaries, pixels BGR).
+    Image-space pixel (x, y) with y=0 at the TOP has
+    B = (3*doc_id + 5*x + 7*y) mod 256, G = B-formula + 11, R = + 22 —
+    three structurally different quirks (row flip, stride padding,
+    channel order) a decoder must get right vs the PNM family.
+    w = 5 + doc_id mod 9 (w*3 usually not 4-aligned), h = 4 + doc_id mod 5.
+    """
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 5 + d % 9, 4 + d % 5
+                x = _np.arange(w, dtype=_np.int64)[None, :]
+                y = _np.arange(h, dtype=_np.int64)[:, None]
+                base = 3 * d + 5 * x + 7 * y
+                img = _np.stack(  # image-space rows, BGR channel order
+                    [base % 256, (base + 11) % 256, (base + 22) % 256], axis=2
+                ).astype(_np.uint8)
+                stride = (w * 3 + 3) // 4 * 4
+                body = bytearray()
+                for r in range(h):  # file rows run bottom-up
+                    row = img[h - 1 - r].tobytes()
+                    body += row + b"\x00" * (stride - len(row))
+                info = _struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                    2835, 2835, 0, 0,
+                )
+                file_hdr = _struct.pack(
+                    "<2sIHHI", b"BM", 14 + 40 + stride * h, 0, 0, 54
+                )
+                payloads.append(file_hdr + info + bytes(body))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(_gen, "doc_id bigint, payload binary")
+
+
+def decode_bmp(media: DataFrame) -> DataFrame:
+    """REAL BMP decode via mapInPandas: little-endian header fields, data
+    offset, 24-bpp uncompressed check, then per-row un-flip (bottom-up →
+    image order), stride-padding strip, and BGR→RGB swap. Emits channel
+    means, the TOP image row's byte sum (catches a forgotten row flip —
+    channel means alone are flip-invariant), and a pixel-byte checksum
+    (padding excluded). Malformed payloads raise."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "width", "height", "mean_r", "mean_g",
+                     "mean_b", "top_row_sum", "byte_checksum")}
+            for d, b in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(b)
+                if buf[:2] != b"BM" or len(buf) < 54:
+                    raise ValueError("not a BMP")
+                (data_at,) = _struct.unpack_from("<I", buf, 10)
+                hdr_size, w, h, planes, bpp, compression = _struct.unpack_from(
+                    "<IiiHHI", buf, 14
+                )
+                if hdr_size != 40 or bpp != 24 or compression != 0:
+                    raise ValueError(
+                        f"unsupported BMP (hdr={hdr_size}, bpp={bpp}, "
+                        f"compression={compression})"
+                    )
+                if h <= 0 or w <= 0:
+                    raise ValueError("top-down/degenerate BMP unsupported")
+                stride = (w * 3 + 3) // 4 * 4
+                if len(buf) < data_at + stride * h:
+                    raise ValueError("truncated BMP pixel array")
+                img = _np.zeros((h, w, 3), dtype=_np.uint8)
+                for r in range(h):
+                    raw = _np.frombuffer(
+                        buf, dtype=_np.uint8, count=w * 3,
+                        offset=data_at + r * stride,
+                    ).reshape(w, 3)
+                    img[h - 1 - r] = raw[:, ::-1]  # BGR -> RGB, un-flip rows
+                f = img.astype(_np.float64)
+                rows["doc_id"].append(int(d))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["mean_r"].append(float(f[:, :, 0].mean()))
+                rows["mean_g"].append(float(f[:, :, 1].mean()))
+                rows["mean_b"].append(float(f[:, :, 2].mean()))
+                rows["top_row_sum"].append(int(img[0].astype(_np.int64).sum()))
+                rows["byte_checksum"].append(
+                    int(img.astype(_np.int64).sum()) % 10**9
+                )
+            yield _pd.DataFrame(rows)
+
+    out = media.mapInPandas(_decode, BMP_FEATURES_SCHEMA)
+    return out.select(
+        "doc_id", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "top_row_sum", "byte_checksum",
+    )
+
+
 def synthesize_wav_media(docs: DataFrame, sample_rate: int = 16000) -> DataFrame:
     """(doc_id, payload binary): canonical 44-byte PCM16-mono RIFF/WAV
     header + n samples, n = 400 + doc_id mod 100, sample i =

@@ -1252,6 +1252,51 @@ def pgm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bmp_decode_stats",
+    oracle="""
+    WITH d3 AS (SELECT doc_id, 5 + doc_id % 9 AS w, 4 + doc_id % 5 AS h
+                FROM documents WHERE doc_id < 300),
+    g AS (SELECT t.doc_id, ux.x, uy.y,
+                 3*t.doc_id + 5*ux.x + 7*uy.y AS base
+          FROM d3 t,
+               UNNEST(generate_series(0, t.w - 1)) AS ux(x),
+               UNNEST(generate_series(0, t.h - 1)) AS uy(y)),
+    m AS (SELECT doc_id,
+            ROUND(AVG((base + 22) % 256), 6) AS mean_r,
+            ROUND(AVG((base + 11) % 256), 6) AS mean_g,
+            ROUND(AVG(base % 256), 6) AS mean_b,
+            CAST(SUM(CASE WHEN y = 0 THEN
+                   base % 256 + (base + 11) % 256 + (base + 22) % 256
+                 ELSE 0 END) AS BIGINT) AS top_row_sum,
+            CAST(SUM(base % 256 + (base + 11) % 256 + (base + 22) % 256)
+                 % 1000000000 AS BIGINT) AS byte_checksum
+          FROM g GROUP BY doc_id)
+    SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+           m.mean_r, m.mean_g, m.mean_b, m.top_row_sum, m.byte_checksum
+    FROM d3 d JOIN m ON m.doc_id = d.doc_id
+    """,
+)
+def bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Windows-BMP decode, oracle-checked: 24-bpp uncompressed BMPs
+    synthesized from a closed-form pixel formula, then decode_bmp parses
+    the little-endian binary headers and undoes the format's three
+    structural quirks — bottom-up row order, 4-byte stride padding, BGR
+    channel order. The emitted top-row byte sum is flip-SENSITIVE (channel
+    means alone are row-order-invariant), so a decoder that forgets the
+    un-flip fails the oracle; the checksum excludes padding bytes, so
+    mis-stridden reads fail too. The oracle recomputes everything from
+    the generative formula over an (x, y) grid — it never touches bytes."""
+    from cses2humio_spark.operators.multimodal import (
+        decode_bmp,
+        repartition_for_media,
+        synthesize_bmp_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return decode_bmp(repartition_for_media(synthesize_bmp_media(docs)))
+
+
+@query(
     "wav_decode_stats",
     oracle="""
     WITH d3 AS (SELECT doc_id, 400 + doc_id % 100 AS n

@@ -213,3 +213,58 @@ def test_pgm_decoder_roundtrip_and_rejects_malformed(spark):
         )
         with pytest.raises(Exception, match="P5|bytes"):
             decode_pgm(df).collect()
+
+
+def test_bmp_decode_handles_flip_padding_and_bgr(spark):
+    """Hand-built 2x2 24-bpp BMP: stride padding present (2*3=6 -> 8),
+    rows stored bottom-up, channels BGR. The decoder must report
+    image-space values."""
+    import struct
+
+    from pyspark.sql import Row
+
+    from cses2humio_spark.operators.multimodal import decode_bmp
+
+    w, h = 2, 2
+    # image-space RGB pixels: top row (1,2,3),(4,5,6); bottom (7,8,9),(10,11,12)
+    top = [(1, 2, 3), (4, 5, 6)]
+    bottom = [(7, 8, 9), (10, 11, 12)]
+    stride = (w * 3 + 3) // 4 * 4
+    def row_bytes(px_row):
+        raw = b"".join(bytes([b_, g, r]) for (r, g, b_) in px_row)  # BGR
+        return raw + b"\x00" * (stride - len(raw))
+    body = row_bytes(bottom) + row_bytes(top)  # bottom-up file order
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+    payload = struct.pack("<2sIHHI", b"BM", 14 + 40 + stride * h, 0, 0, 54) + info + body
+
+    df = spark.createDataFrame([Row(doc_id=1, payload=bytearray(payload))])
+    got = decode_bmp(df).first()
+    assert (got["width"], got["height"]) == (2, 2)
+    assert got["mean_r"] == (1 + 4 + 7 + 10) / 4
+    assert got["mean_g"] == (2 + 5 + 8 + 11) / 4
+    assert got["mean_b"] == (3 + 6 + 9 + 12) / 4
+    assert got["top_row_sum"] == sum(sum(p) for p in top)  # flip-sensitive
+    assert got["byte_checksum"] == sum(range(1, 13))  # padding excluded
+
+
+def test_bmp_decode_rejects_truncated_and_unsupported(spark):
+    import struct
+
+    import pytest
+    from pyspark.sql import Row
+    from pyspark.errors import PythonException
+
+    from cses2humio_spark.operators.multimodal import decode_bmp
+
+    info = struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 24, 0, 64, 0, 0, 0, 0)
+    truncated = struct.pack("<2sIHHI", b"BM", 118, 0, 0, 54) + info + b"\x00" * 10
+    df = spark.createDataFrame([Row(doc_id=1, payload=bytearray(truncated))])
+    with pytest.raises(PythonException, match="truncated BMP"):
+        decode_bmp(df).collect()
+
+    bad_bpp = struct.pack("<2sIHHI", b"BM", 118, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 4, 4, 1, 8, 0, 64, 0, 0, 0, 0
+    ) + b"\x00" * 64
+    df2 = spark.createDataFrame([Row(doc_id=1, payload=bytearray(bad_bpp))])
+    with pytest.raises(PythonException, match="unsupported BMP"):
+        decode_bmp(df2).collect()
