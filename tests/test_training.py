@@ -251,3 +251,48 @@ def test_source_mix_rates_monotone_on_testdata(spark):
     assert by_src["src9"]["n_kept"] == by_src["src9"]["n_docs"]
     for r in rows:
         assert 0 <= r["n_kept"] <= r["n_docs"]
+
+
+def test_hypothesis_chunking_invariants(spark):
+    """For ANY (n_tokens, chunk_size, stride) with 0 < stride <=
+    chunk_size: chunks cover every token exactly, consecutive chunks
+    overlap by chunk_size - stride (except a shorter tail), no chunk
+    exceeds chunk_size, and only the final chunk may be shorter than
+    the overlap-adjusted minimum."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    geometry = st.tuples(
+        st.integers(1, 120),  # n_tokens
+        st.integers(1, 40),   # chunk_size
+    ).flatmap(
+        lambda t: st.tuples(
+            st.just(t[0]), st.just(t[1]), st.integers(1, t[1])  # stride
+        )
+    )
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(geometry)
+    def run(g):
+        n, size, stride = g
+        text = " ".join(f"t{i}" for i in range(n))
+        rows = (
+            spark.createDataFrame([(text,)], "t string")
+            .select(F.posexplode(token_chunks(F.col("t"), size, stride)))
+            .orderBy("pos")
+            .collect()
+        )
+        chunks = [r["col"] for r in rows]
+        # expected chunk count from the closed form
+        expect_chunks = 1 if n <= size else 1 + -(-(n - size) // stride)
+        assert len(chunks) == expect_chunks
+        assert all(len(c) <= size for c in chunks)
+        assert all(c for c in chunks)  # never an empty chunk
+        # chunk i starts at token i*stride; covers contiguous slice
+        for i, c in enumerate(chunks):
+            start = i * stride
+            assert c == [f"t{j}" for j in range(start, min(start + size, n))]
+        # full coverage
+        assert {tok for c in chunks for tok in c} == {f"t{i}" for i in range(n)}
+
+    run()
