@@ -968,3 +968,77 @@ def parse_timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.unix_timestamp(F.col("rts"))).cast("bigint").alias("first_second"),
         )
     )
+
+
+@query(
+    "value_outliers_by_type",
+    oracle="""
+    WITH d AS (SELECT event_type, event_id,
+                 CAST(value AS DECIMAL(18,6)) AS v FROM events),
+    s AS (SELECT event_type,
+            COUNT(*) AS n, SUM(v) AS sv, SUM(v * v) AS svv
+          FROM d GROUP BY event_type),
+    st AS (SELECT event_type, n,
+             CAST(sv AS DOUBLE) / n AS mu,
+             sqrt((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE)
+                   * CAST(sv AS DOUBLE) / n) / (n - 1)) AS sigma
+           FROM s)
+    SELECT d.event_type,
+      CAST(st.n AS BIGINT) AS n_events,
+      ROUND(st.mu, 6) AS mean_value,
+      ROUND(st.sigma, 6) AS stddev_value,
+      CAST(SUM(CASE WHEN abs((CAST(d.v AS DOUBLE) - st.mu) / st.sigma) > 2.5
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      CAST(MIN(CASE WHEN abs((CAST(d.v AS DOUBLE) - st.mu) / st.sigma) > 2.5
+               THEN d.event_id END) AS BIGINT) AS first_outlier_id
+    FROM d JOIN st ON st.event_type = d.event_type
+    GROUP BY d.event_type, st.n, st.mu, st.sigma
+    """,
+)
+def value_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly flagging per event type — the alerting primitive of
+    log analytics, engineered for cross-engine determinism: the moments
+    come from EXACT decimal sums (value quantized to DECIMAL(18,6);
+    sum and sum-of-squares are then integer-exact, so mean/variance are
+    identical doubles under ANY partitioning — a raw double SUM would be
+    addition-order-dependent and flake the hash). Per-type stats (5 rows)
+    broadcast-join back to the events for the |z| > 2.5 flag. Two fact
+    passes, both map-side except the 5-group partial-agg shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type", "event_id", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    )
+    st = s.select(
+        "event_type",
+        "n",
+        (F.col("sv").cast("double") / F.col("n")).alias("mu"),
+        F.sqrt(
+            (
+                F.col("svv").cast("double")
+                - F.col("sv").cast("double") * F.col("sv").cast("double") / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("sigma"),
+    )
+    z = F.abs((F.col("v").cast("double") - F.col("mu")) / F.col("sigma"))
+    return (
+        d.join(F.broadcast(st), "event_type")
+        .groupBy("event_type", "n", "mu", "sigma")
+        .agg(
+            F.sum(F.when(z > 2.5, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+            F.min(F.when(z > 2.5, F.col("event_id"))).cast("bigint").alias("first_outlier_id"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round("mu", 6).alias("mean_value"),
+            F.round("sigma", 6).alias("stddev_value"),
+            "n_outliers",
+            "first_outlier_id",
+        )
+    )

@@ -465,6 +465,55 @@ def stratified_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "weighted_sample_per_source",
+    oracle=rf"""
+    WITH k AS (SELECT source, doc_id, n_chars,
+        ROUND(-ln(('0x' || substr(md5('ws:' || doc_id), 1, 8))::BIGINT
+                  / 4294967296.0 + 1e-12) / n_chars, 6) AS key6
+      FROM documents),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY key6, doc_id) AS rk FROM k)
+    SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+      CAST(n_chars AS BIGINT) AS n_chars, rk AS pick_rank
+    FROM r WHERE rk <= 3
+    """,
+)
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis): pick 3
+    documents per source with probability proportional to length, via the
+    exponential-keys trick — key = -ln(u)/weight with u a DETERMINISTIC
+    md5-uniform of doc_id, smallest keys win. Reproducible across runs,
+    engines, and partitioning (unlike RNG-based sampleBy). The key is
+    rounded to 6dp with a doc_id tie-break so a last-ulp ln() difference
+    between engines cannot reorder the ranking. One window partitioned by
+    source — strata rank in parallel, no global sort."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    key6 = F.round(-F.log(u + F.lit(1e-12)) / F.col("n_chars"), 6)
+    w = Window.partitionBy("source").orderBy("key6", "doc_id")
+    r = (
+        docs.select("source", "doc_id", "n_chars", key6.alias("key6"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+    )
+    return r.select(
+        "source",
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("rk").alias("pick_rank"),
+    )
+
+
+@query(
     "embedding_quantization_error",
     oracle="""
     WITH v AS (SELECT vec_id,
