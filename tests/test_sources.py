@@ -148,3 +148,40 @@ def test_orc_roundtrip_with_predicate_pushdown(spark, tmp_path):
     # pruned read schema: only the filter + projection columns are read
     m = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert m and "props" not in m[0] and "user_id" not in m[0]
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    """Schema evolution across parquet writes: a later batch adds a
+    column; reading with mergeSchema unions the schemas and null-fills
+    the early rows — the contract a long-lived 100 TB table layout
+    depends on (columns get added; history stays readable)."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id bigint, kind string").write.parquet(
+        base + "/batch=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, kind string, score double"
+    ).write.parquet(base + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"id", "kind", "score", "batch"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None  # early rows null-fill the new column
+    assert rows[2]["score"] == 9.5
+
+
+def test_parquet_zstd_codec_roundtrip(spark, tmp_path):
+    """zstd-compressed parquet round-trips values and stays scannable with
+    pushdown — codec choice is a storage-layer knob, not a semantics one."""
+    from cses2humio_spark.plans.explain import formatted_plan
+    from cses2humio_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    path = str(tmp_path / "zstd")
+    ev.write.option("compression", "zstd").parquet(path)
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+    probe = back.where(F.col("event_type") == "error")
+    assert probe.count() == ev.where(F.col("event_type") == "error").count()
+    assert "PushedFilters" in formatted_plan(probe.select("event_id"))
