@@ -1252,6 +1252,131 @@ def pgm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "inverted_index_postings",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, i - 1 AS pos, t.toks[i] AS tok
+                  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t,
+                       UNNEST(generate_series(1, len(t.toks))) AS u(i)),
+    p AS (SELECT tok, doc_id || ':' || pos AS entry, doc_id FROM toks)
+    SELECT tok,
+      CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+      CAST(COUNT(*) AS BIGINT) AS total_tf,
+      CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+      md5(string_agg(entry, ',' ORDER BY entry)) AS postings_fp
+    FROM p GROUP BY tok
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the search-engine primitive: token →
+    (doc_id, position) posting lists, emitted as document frequency,
+    total term frequency, and an md5 fingerprint of the ORDERED posting
+    list (scalar-hashable stand-in for the list itself; two engines that
+    build identical postings produce identical fingerprints). Postings
+    sort lexicographically by their 'doc:pos' rendering on both sides.
+    Scale: one posexplode then ONE shuffle keyed by token; positions ride
+    as ints. Token frequency is Zipfian — the stopword keys are exactly
+    the skew case docs/SCALING.md measures, and the salting/two-phase
+    mitigation in operators/joins.py::salted_join applies if a corpus
+    makes the hot keys pathological."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "tok"),
+    )
+    entry = F.concat(
+        F.col("doc_id").cast("string"), F.lit(":"), F.col("pos").cast("string")
+    )
+    return (
+        toks.select("tok", "doc_id", entry.alias("entry"))
+        .groupBy("tok")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("doc_freq"),
+            F.count(F.lit(1)).cast("bigint").alias("total_tf"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.md5(F.concat_ws(",", F.sort_array(F.collect_list("entry"))))
+            .alias("postings_fp"),
+        )
+    )
+
+
+@query(
+    "pmi_cooccurrence_top",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    pairs AS (SELECT t.toks[i] AS a, t.toks[i + d] AS b
+              FROM t,
+                   UNNEST(generate_series(1, 2)) AS ud(d),
+                   UNNEST(generate_series(1, len(t.toks))) AS ui(i)
+              WHERE i + d <= len(t.toks)),
+    c AS (SELECT a, b, COUNT(*) AS c_ab FROM pairs GROUP BY a, b),
+    la AS (SELECT a, COUNT(*) AS c_a FROM pairs GROUP BY a),
+    rb AS (SELECT b, COUNT(*) AS c_b FROM pairs GROUP BY b),
+    tot AS (SELECT COUNT(*) AS t_pairs FROM pairs),
+    scored AS (SELECT c.a, c.b, c.c_ab,
+                 ROUND(ln(c.c_ab * tot.t_pairs
+                          / CAST(la.c_a * rb.c_b AS DOUBLE)), 6) AS pmi
+               FROM c JOIN la ON la.a = c.a JOIN rb ON rb.b = c.b, tot
+               WHERE c.c_ab >= 10)
+    SELECT a, b, CAST(c_ab AS BIGINT) AS n_pairs, pmi
+    FROM scored ORDER BY pmi DESC, a, b LIMIT 30
+    """,
+)
+def pmi_cooccurrence_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence PMI — the statistic behind word-embedding
+    and collocation pipelines: directed (left, right) token pairs within
+    a +1/+2 window, scored log(c_ab * T / (c_a * c_b)) from EXACT integer
+    counts (the log argument is an identical rational on both engines;
+    6dp rounding + (a, b) tie-break keeps the top-30 cut stable against
+    last-ulp ln differences). Scale: the pair explode is a narrow ~2x row
+    expansion; three aggregations each shuffle (token-key, count) pairs;
+    the final global top-30 is a TakeOrdered, not a sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(2)),
+            lambda d: F.when(
+                n > d,
+                F.transform(
+                    F.sequence(F.lit(1), n - d),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("a"),
+                        F.element_at(toks, i + d).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>")),
+        )
+    )
+    pairs = docs.select(F.explode(pair_structs).alias("p")).select("p.a", "p.b")
+    pairs = pairs.persist()
+    c = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    la = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    rb = pairs.groupBy("b").agg(F.count(F.lit(1)).alias("c_b"))
+    tot = pairs.agg(F.count(F.lit(1)).alias("t_pairs"))
+    scored = (
+        c.where(F.col("c_ab") >= 10)
+        .join(la, "a")
+        .join(rb, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            F.col("c_ab").cast("bigint").alias("n_pairs"),
+            F.round(
+                F.log(
+                    F.col("c_ab")
+                    * F.col("t_pairs")
+                    / (F.col("c_a") * F.col("c_b")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "a", "b").limit(30)
+
+
+@query(
     "bmp_decode_stats",
     oracle="""
     WITH d3 AS (SELECT doc_id, 5 + doc_id % 9 AS w, 4 + doc_id % 5 AS h
