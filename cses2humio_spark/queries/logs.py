@@ -1042,3 +1042,82 @@ def value_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_outlier_id",
         )
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (SELECT user_id, event_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS next_type
+                 FROM events),
+    c AS (SELECT event_type, next_type, COUNT(*) AS n
+          FROM seq WHERE next_type IS NOT NULL
+          GROUP BY event_type, next_type)
+    SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
+      ROUND(n / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE), 6)
+        AS transition_prob
+    FROM c
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-sequence transition matrix (Markov counts): for each
+    ordered pair of consecutive events of one user, the count and the
+    conditional probability P(next | current). Ordering ties on ts break
+    by event_id so the sequence is total and engine-identical. One
+    window partitioned by user (parallel across users), one small
+    aggregation; the probability normalization windows over the 5x5
+    transition table, not the events."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    c = seq.groupBy("event_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    norm = Window.partitionBy("event_type")
+    return c.select(
+        "event_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(norm).cast("double"), 6).alias(
+            "transition_prob"
+        ),
+    )
+
+
+@query(
+    "rolling_weekly_active_users",
+    oracle="""
+    WITH act AS (SELECT DISTINCT user_id,
+                   CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day
+                 FROM events),
+    days AS (SELECT DISTINCT day FROM act),
+    contrib AS (SELECT a.user_id, a.day + u.k AS day_d
+                FROM act a, UNNEST(generate_series(0, 6)) AS u(k)),
+    wau AS (SELECT day_d, COUNT(DISTINCT user_id) AS wau
+            FROM contrib GROUP BY day_d)
+    SELECT d.day AS day, CAST(w.wau AS BIGINT) AS wau
+    FROM days d JOIN wau w ON w.day_d = d.day
+    """,
+)
+def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — the sliding-window DISTINCT
+    that naive formulations make quadratic (a distinct per window).
+    Rewrite: each (user, active-day) row CONTRIBUTES to the 7 days it
+    keeps the user active in (a k=0..6 offset explode), then one
+    count-distinct per day. Work is |activity| x 7 narrow rows + one
+    shuffle keyed by day — independent of raw event volume after the
+    first distinct. Output restricted to days observed in the data."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp(F.col("ts")) / 86400).cast("bigint")
+    act = ev.select("user_id", day.alias("day")).distinct()
+    days = act.select("day").distinct()
+    contrib = act.select(
+        "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day_d")
+    )
+    wau = contrib.groupBy("day_d").agg(
+        F.count_distinct("user_id").cast("bigint").alias("wau")
+    )
+    return days.join(wau, days["day"] == wau["day_d"]).select("day", "wau")
