@@ -121,16 +121,24 @@ def pii_scrub(col: Column) -> Column:
 
 def ngram_strings(col: Column, n: int = 2) -> Column:
     """Token n-grams as ' '-joined strings (array<string>; empty array when
-    the document has fewer than ``n`` tokens). Pure codegen HOFs."""
+    the document has fewer than ``n`` tokens).
+
+    Built as a fold of ``zip_with`` over SHIFTED SLICES — not
+    ``transform(sequence, i -> element_at(toks, i+k))``: per-index
+    element_at inside a lambda drops out of whole-stage codegen into
+    interpreted per-element eval (measured 5x on the PMI pair explosion,
+    docs/SCALING.md); streaming HOFs over the array stay compiled."""
     toks = tokens(col)
     m = F.size(toks)
-
-    def gram(i: Column) -> Column:
-        return F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)])
-
-    return F.when(
-        m >= n, F.transform(F.sequence(F.lit(1), m - (n - 1)), gram)
-    ).otherwise(F.array().cast("array<string>"))
+    width = F.greatest(m - (n - 1), F.lit(0))
+    acc = F.slice(toks, 1, width)
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, 1 + k, width),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return acc
 
 
 def dup_ngram_fraction(col: Column, n: int = 2) -> Column:
