@@ -1121,3 +1121,57 @@ def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").cast("bigint").alias("wau")
     )
     return days.join(wau, days["day"] == wau["day_d"]).select("day", "wau")
+
+
+@query(
+    "cusum_drift_alarms",
+    oracle="""
+    WITH r AS (SELECT user_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS i
+               FROM events),
+    rec AS (
+      WITH RECURSIVE walk AS (
+        SELECT user_id, i, greatest(0.0, value - 60.0) AS s
+        FROM r WHERE i = 1
+        UNION ALL
+        SELECT r.user_id, r.i, greatest(0.0, w.s + (r.value - 60.0)) AS s
+        FROM walk w JOIN r ON r.user_id = w.user_id AND r.i = w.i + 1
+      )
+      SELECT * FROM walk)
+    SELECT user_id,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      ROUND(MAX(s), 6) AS max_cusum,
+      CAST(SUM(CASE WHEN s > 500.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+      CAST(MIN(CASE WHEN s > 500.0 THEN i END) AS BIGINT) AS first_alarm_step
+    FROM rec GROUP BY user_id
+    """,
+)
+def cusum_drift_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per user (k=60 drift allowance,
+    h=500 alarm): the inherently-sequential recurrence s_i = max(0,
+    s_{i-1} + x_i - k) scanned per key via ``applyInPandas`` — the honest
+    Python case (no window aggregate expresses a stateful recurrence).
+    Keys scan in parallel; the oracle REPLAYS the identical recurrence
+    with a DuckDB recursive CTE over the same (ts, event_id) total order,
+    and because every update is an IEEE-exact op (+, -, max), the two
+    engines agree bit-for-bit — only the final max is rounded for the
+    hash."""
+    from cses2humio_spark.operators.drift import cusum_per_key
+
+    ev = load_table(spark, sf_dir, "events")
+    out = cusum_per_key(
+        ev.select("user_id", "ts", "event_id", "value"),
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        drift_k=60.0,
+        alarm_h=500.0,
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round("max_cusum", 6).alias("max_cusum"),
+        "n_alarms",
+        "first_alarm_step",
+    )
