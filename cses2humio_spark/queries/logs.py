@@ -1175,3 +1175,39 @@ def cusum_drift_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_alarms",
         "first_alarm_step",
     )
+
+
+@query("weekly_active_users_sketch")  # sketch bytes are engine-specific -> rows-only
+def weekly_active_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users from MERGED PER-DAY HLL SKETCHES
+    (Datasketches, Spark 3.5+ `hll_sketch_agg`/`hll_union_agg`) — the
+    pattern that makes rolling distincts tractable at 100 TB: each day
+    aggregates its users ONCE into a fixed-size sketch (the only pass
+    over raw events), and every 7-day window is then a union of 7 tiny
+    sketches — re-aggregation cost is days x sketch-size, with no second
+    pass over events, and the same stored sketches answer 30-day or
+    all-time windows. Sketch serialization is engine-specific, so this
+    is rows-only; tests/test_approx.py bounds the estimate against the
+    EXACT offset-explode twin (rolling_weekly_active_users)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp(F.col("ts")) / 86400).cast("bigint")
+    daily = (
+        ev.select(day.alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+    )
+    # each day's sketch contributes to the 7 windows it belongs to —
+    # same offset-explode shape as the exact twin, but over |days| rows
+    contrib = daily.select(
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day_d"), "sk"
+    )
+    days = daily.select(F.col("day").alias("day_d"))
+    wau = contrib.groupBy("day_d").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk, true))").cast("bigint").alias(
+            "approx_wau"
+        )
+    )
+    return (
+        days.join(wau, "day_d")
+        .select(F.col("day_d").alias("day"), "approx_wau")
+    )

@@ -356,3 +356,22 @@ def test_kmeans_fit_validates_inputs(spark):
         kmeans_fit(df, "id", "v", k=0, n_iter=1)
     with _pytest.raises(ValueError, match="only 1 vectors"):
         kmeans_fit(df, "id", "v", k=2, n_iter=1)
+
+
+def test_sketch_wau_tracks_exact_rolling_wau(spark):
+    """The merged-HLL rolling WAU must track the exact offset-explode twin
+    within HLL(lgK=14) error (<1% at these cardinalities; exact here)."""
+    from cses2humio_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        r["day"]: r["wau"]
+        for r in QUERIES["rolling_weekly_active_users"](spark, sf).collect()
+    }
+    approx = {
+        r["day"]: r["approx_wau"]
+        for r in QUERIES["weekly_active_users_sketch"](spark, sf).collect()
+    }
+    assert set(exact) == set(approx)
+    for d in exact:
+        assert abs(approx[d] - exact[d]) / max(exact[d], 1) < 0.01
