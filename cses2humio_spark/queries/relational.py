@@ -1565,3 +1565,124 @@ def heavy_shipper_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_name", "s_acctbal")
     )
+
+
+@query(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH a AS (SELECT o_orderkey AS k,
+                 md5(o_orderstatus || '|' || CAST(o_totalprice AS VARCHAR)
+                     || '|' || o_orderpriority) AS h
+               FROM orders WHERE o_orderkey % 10 <> 0),
+    b AS (SELECT o_orderkey AS k,
+            md5(CASE WHEN o_orderkey % 7 = 0 THEN 'F' ELSE o_orderstatus END
+                || '|' || CAST(o_totalprice AS VARCHAR)
+                || '|' || o_orderpriority) AS h
+          FROM orders WHERE o_orderkey % 11 <> 0)
+    SELECT
+      CAST(SUM(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+      CAST(SUM(CASE WHEN b.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      CAST(SUM(CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+                    AND a.h <> b.h THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      CAST(SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+    FROM a FULL OUTER JOIN b ON b.k = a.k
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff — the audit primitive for pipeline re-runs:
+    two snapshots (derived deterministically from orders: snapshot B
+    drops different keys and flips some statuses) compared by key with a
+    row-content hash, counting added / removed / changed / unchanged.
+    Rows reduce to (key, 16-byte digest) BEFORE the full-outer join, so
+    at 100 TB the shuffle carries digests, never row bodies — the same
+    never-ship-the-payload rule as content dedup."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def snap(status_col):
+        return F.md5(
+            F.concat_ws(
+                "|",
+                status_col,
+                F.col("o_totalprice").cast("string"),
+                F.col("o_orderpriority"),
+            )
+        )
+
+    a = o.where(F.col("o_orderkey") % 10 != 0).select(
+        F.col("o_orderkey").alias("k"), snap(F.col("o_orderstatus")).alias("h_a")
+    )
+    b = o.where(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        snap(
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("F")).otherwise(
+                F.col("o_orderstatus")
+            )
+        ).alias("h_b"),
+    )
+    j = a.join(b, "k", "full_outer")
+    return j.agg(
+        F.sum(F.col("h_a").isNull().cast("int")).cast("bigint").alias("n_added"),
+        F.sum(F.col("h_b").isNull().cast("int")).cast("bigint").alias("n_removed"),
+        F.sum(
+            (F.col("h_a").isNotNull() & F.col("h_b").isNotNull()
+             & (F.col("h_a") != F.col("h_b"))).cast("int")
+        ).cast("bigint").alias("n_changed"),
+        F.sum((F.col("h_a") == F.col("h_b")).cast("int")).cast("bigint").alias("n_unchanged"),
+    )
+
+
+@query(
+    "referential_integrity_gate",
+    oracle="""
+    SELECT
+      CAST((SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+        AS orphan_orders,
+      CAST((SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+        AS orphan_lineitems,
+      CAST((SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+                                  GROUP BY o_orderkey HAVING COUNT(*) > 1) d)
+           AS BIGINT) AS dup_order_keys,
+      CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT)
+        AS nonpositive_totals
+    """,
+)
+def referential_integrity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate a pipeline runs before publishing a snapshot:
+    orphaned foreign keys (anti-joins — the fact side shuffles only its
+    key column), primary-key uniqueness (two-stage count), and a domain
+    check, all in one row. Anti-join against the customer dim broadcasts;
+    the lineitem->orders orphan check shuffles (key) pairs only. All
+    four violation counts are zero on healthy TPC-H-shaped data — the
+    gate's pass state — and the oracle pins that they are COMPUTED, not
+    assumed."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    l = load_table(spark, sf_dir, "lineitem")
+    orphan_orders = (
+        o.select("o_custkey")
+        .join(F.broadcast(c.select("c_custkey")), o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("orphan_orders"))
+    )
+    orphan_line = (
+        l.select("l_orderkey")
+        .join(o.select("o_orderkey"), l["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("orphan_lineitems"))
+    )
+    dups = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dup_order_keys"))
+    )
+    domain = o.where(F.col("o_totalprice") <= 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nonpositive_totals")
+    )
+    return (
+        orphan_orders.crossJoin(F.broadcast(orphan_line))
+        .crossJoin(F.broadcast(dups))
+        .crossJoin(F.broadcast(domain))
+    )

@@ -140,6 +140,7 @@ def test_no_query_degenerates_to_cartesian(spark):
         "lang_balance_weights",   # single-row totals scalar broadcast
         "funnel_conversion",      # three single-row stage counters combined
         "pmi_cooccurrence_top",   # single-row total-pairs scalar broadcast
+        "referential_integrity_gate",  # four single-row gate counters combined
     }
     # building these queries runs heavy side effects (a full streaming
     # query, a driver-side iteration loop, a key-discovery collect) just to
