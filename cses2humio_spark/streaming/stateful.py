@@ -276,3 +276,66 @@ def minibatch_kmeans_sink(
                 c[j] += eta * (means[j] - c[j])
 
     return sink, state
+
+
+CUSUM_OUT_SCHEMA = (
+    "user bigint, n_events bigint, cusum double, max_cusum double, "
+    "n_alarms bigint"
+)
+CUSUM_STATE_SCHEMA = "s double, smax double, n_events bigint, n_alarms bigint"
+
+
+def streaming_cusum(
+    keyed: DataFrame, drift_k: float, alarm_h: float
+) -> DataFrame:
+    """Streaming twin of ``operators/drift.py::cusum_per_key``: the
+    one-sided CUSUM recurrence maintained ACROSS micro-batches via
+    ``applyInPandasWithState`` — state is four scalars per key, so the
+    state store stays O(keys) no matter how long the stream runs.
+
+    Input: columns (user bigint, ts, value). Rows are scanned in ts
+    order WITHIN each batch; cross-batch order is the stream's arrival
+    order (the replayed-source contract — same as any event-time-
+    sequential stateful op without a watermark reorder buffer). Because
+    the update uses only IEEE-exact ops, a stream chunked ANY way over
+    time-ordered input produces bit-identical state to the batch scan —
+    pinned by test_streaming_cusum_matches_batch_scan."""
+    kd, hh = float(drift_k), float(alarm_h)
+
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        s, smax, n_events, n_alarms = (
+            state.get if state.exists else (0.0, 0.0, 0, 0)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts"], kind="mergesort")
+            for xi in pdf["value"].astype("float64"):
+                s = s + (xi - kd)
+                if s < 0.0:
+                    s = 0.0
+                if s > smax:
+                    smax = s
+                if s > hh:
+                    n_alarms += 1
+                n_events += 1
+        state.update((s, smax, n_events, n_alarms))
+        yield _pd.DataFrame(
+            {
+                "user": [int(key[0])],
+                "n_events": [n_events],
+                "cusum": [s],
+                "max_cusum": [smax],
+                "n_alarms": [n_alarms],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout as _GST
+
+    return keyed.groupBy("user").applyInPandasWithState(
+        update,
+        outputStructType=CUSUM_OUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=_GST.NoTimeout,
+    )

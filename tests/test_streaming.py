@@ -761,3 +761,69 @@ def test_incremental_rollup_exactly_once_across_batches(spark, tmp_path):
         for r in rollup.read(spark).collect()
     }
     assert got2["0"] == (expect["0"][0] + 1, expect["0"][1] + 999.0)
+
+
+def test_streaming_cusum_matches_batch_scan(spark, tmp_path):
+    """The applyInPandasWithState CUSUM must produce bit-identical final
+    state to the batch applyInPandas scan for any chunking of a
+    time-ordered stream (IEEE-exact updates; no rounding anywhere)."""
+    import pandas as pd
+
+    from cses2humio_spark.operators.drift import cusum_per_key
+    from cses2humio_spark.streaming.stateful import streaming_cusum
+
+    rows = []
+    rng_vals = [37.0, 120.0, 15.5, 260.25, 88.0, 41.5, 300.0, 12.25, 199.5]
+    for i in range(60):
+        rows.append(
+            {
+                "user": i % 4,
+                "ts": 1_700_000_000 + i,  # strictly increasing
+                "value": rng_vals[i % len(rng_vals)] + (i % 7) * 3.25,
+            }
+        )
+
+    # batch truth via the drift operator (same k/h)
+    batch_df = spark.createDataFrame(
+        [(r["user"], r["ts"], i, r["value"]) for i, r in enumerate(rows)],
+        "user_id bigint, ts bigint, event_id bigint, value double",
+    )
+    truth = {
+        r["user_id"]: (r["n_events"], r["max_cusum"], r["n_alarms"])
+        for r in cusum_per_key(
+            batch_df, "user_id", ["ts", "event_id"], "value", 60.0, 500.0
+        ).collect()
+    }
+
+    # stream the same rows in 3 time-ordered chunks
+    src = tmp_path / "cusum_src"
+    src.mkdir()
+    for c, chunk in enumerate([rows[:20], rows[20:40], rows[40:]]):
+        pd.DataFrame(chunk).to_json(
+            src / f"{c}.ndjson", orient="records", lines=True
+        )
+    stream = (
+        spark.readStream.schema("user bigint, ts bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        streaming_cusum(stream, drift_k=60.0, alarm_h=500.0)
+        .writeStream.format("memory")
+        .queryName("cusum_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT * FROM cusum_stream").toPandas()
+    # update mode emits one row per (key, batch); the LAST row per key is
+    # the final state
+    final = {}
+    for _, r in out.iterrows():
+        final[int(r["user"])] = (
+            int(r["n_events"]), float(r["max_cusum"]), int(r["n_alarms"])
+        )
+    assert set(final) == set(truth)
+    for u in truth:
+        assert final[u] == truth[u], (u, final[u], truth[u])
