@@ -377,6 +377,86 @@ def lang_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "chunk_dedup_stats",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    c AS (SELECT doc_id, toks,
+            CASE WHEN len(toks) <= 40 THEN 1
+                 ELSE 1 + CAST(ceil((len(toks) - 40) / 30.0) AS INT) END AS n_chunks
+          FROM t),
+    e AS (SELECT doc_id, toks, UNNEST(generate_series(0, n_chunks - 1)) AS ci
+          FROM c),
+    ch AS (SELECT doc_id,
+             md5(array_to_string(toks[ci * 30 + 1 : ci * 30 + 40], ' ')) AS fp
+           FROM e),
+    per_fp AS (SELECT fp, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+               FROM ch GROUP BY fp),
+    flagged AS (SELECT ch.doc_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                  CAST(SUM(CASE WHEN p.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_shared_chunks
+                FROM ch JOIN per_fp p ON p.fp = ch.fp
+                GROUP BY ch.doc_id)
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_chunks) AS BIGINT) AS total_chunks,
+      CAST((SELECT COUNT(*) FROM per_fp WHERE n_docs > 1) AS BIGINT)
+        AS cross_doc_fps,
+      CAST(SUM(CASE WHEN n_shared_chunks > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS docs_with_shared,
+      ROUND(SUM(n_shared_chunks) / CAST(SUM(n_chunks) AS DOUBLE), 6)
+        AS shared_chunk_frac
+    FROM flagged
+    """,
+)
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity cross-document dedup — the boilerplate detector
+    RAG/training pipelines run AFTER chunking: fingerprint every
+    overlapping token window (``chunk_documents``), find fingerprints
+    appearing in more than one document, and report the shared-chunk
+    fraction corpus-wide. Composition of two round-3 operators; the only
+    shuffles carry (fp, doc_id) pairs — 16-byte digests, never chunk
+    text. The per-fp table joins back to chunks by fp (both sides
+    digest-keyed), same never-ship-the-payload shape as content dedup."""
+    from cses2humio_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(docs, "doc_id", "text", chunk_size=40, stride=30).select(
+        "doc_id", F.col("chunk_fp").alias("fp")
+    )
+    per_fp = ch.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.count_distinct("doc_id").alias("n_docs_fp"),
+    )
+    flagged = (
+        ch.join(per_fp, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum((F.col("n_docs_fp") > 1).cast("int"))
+            .cast("bigint")
+            .alias("n_shared_chunks"),
+        )
+    )
+    cross_doc = per_fp.where(F.col("n_docs_fp") > 1).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cross_doc_fps")
+    )
+    return (
+        flagged.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chunks").cast("bigint").alias("total_chunks"),
+            F.sum((F.col("n_shared_chunks") > 0).cast("int"))
+            .cast("bigint")
+            .alias("docs_with_shared"),
+            F.round(
+                F.sum("n_shared_chunks") / F.sum("n_chunks").cast("double"), 6
+            ).alias("shared_chunk_frac"),
+        )
+        .crossJoin(F.broadcast(cross_doc))
+    )
+
+
+@query(
     "vocab_apply_oov_rate",
     oracle=rf"""
     WITH toks AS (SELECT doc_id, lang, UNNEST({_TOKS}) AS tok FROM documents),

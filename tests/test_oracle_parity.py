@@ -30,6 +30,8 @@ def test_every_query_has_oracle_or_is_flagged():
     allowed_rows_only = {
         "streaming_pipeline_demo",  # streaming mechanics, not SQL-expressible
         "approx_distinct_users",  # HLL/KLL sketches are engine-specific
+        "weekly_active_users_sketch",  # Datasketches HLL serialization is
+        # engine-specific; bounded vs the exact twin in test_approx.py
     }
     assert set(missing) <= allowed_rows_only, f"queries without oracle: {missing}"
 

@@ -141,6 +141,7 @@ def test_no_query_degenerates_to_cartesian(spark):
         "funnel_conversion",      # three single-row stage counters combined
         "pmi_cooccurrence_top",   # single-row total-pairs scalar broadcast
         "referential_integrity_gate",  # four single-row gate counters combined
+        "chunk_dedup_stats",      # single-row cross-doc-fp counter broadcast
     }
     # building these queries runs heavy side effects (a full streaming
     # query, a driver-side iteration loop, a key-discovery collect) just to

@@ -817,10 +817,11 @@ def test_streaming_cusum_matches_batch_scan(spark, tmp_path):
     )
     q.awaitTermination()
     out = spark.sql("SELECT * FROM cusum_stream").toPandas()
-    # update mode emits one row per (key, batch); the LAST row per key is
-    # the final state
+    # update mode emits one row per (key, batch); memory-sink row order is
+    # NOT batch order, so pick the final state as the row with the largest
+    # n_events per key (monotonically increasing by construction)
     final = {}
-    for _, r in out.iterrows():
+    for _, r in out.sort_values("n_events").iterrows():
         final[int(r["user"])] = (
             int(r["n_events"]), float(r["max_cusum"]), int(r["n_alarms"])
         )
