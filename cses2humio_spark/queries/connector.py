@@ -262,3 +262,89 @@ def connector_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "akv0"
         ),
     )
+
+
+@query(
+    "rollup_materialized_counts",
+    oracle="""
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events WHERE event_id < 3000 GROUP BY event_type
+    """,
+)
+def rollup_materialized_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental materialized rollup, ORACLE-CHECKED end to end:
+    events rendered as Falcon-shaped NDJSON in three drop files, streamed
+    through the connector pipeline (maxFilesPerTrigger=1 → three
+    micro-batches) into ``IncrementalRollup``, and the final committed
+    table version compared against a one-shot batch aggregation of the
+    same rows. The rolled-up value is integer cents (round(value*100)) so
+    every per-batch delta and the cross-batch merge are exact in doubles
+    — the equality is bit-wise, not approximate. Proves the versioned
+    merge + atomic pointer commit produces the same answer as batch
+    recomputation regardless of batching."""
+    import shutil
+
+    from cses2humio_spark.sources.event_source import ndjson_stream
+    from cses2humio_spark.streaming.materialized import IncrementalRollup
+    from cses2humio_spark.streaming.pipeline import run_pipeline
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    line = F.to_json(
+        F.struct(
+            F.struct(
+                F.col("event_id").alias("offset"),
+                F.unix_millis(F.col("ts")).alias("eventCreationTime"),
+            ).alias("metadata"),
+            F.struct(
+                F.col("event_type").alias("et"),
+                F.round(F.col("value") * 100, 0).alias("cents"),
+            ).alias("event"),
+        )
+    ).alias("value")
+    rows = ev.select(line, "event_id").collect()
+
+    tmpdir = tempfile.mkdtemp(prefix="sgraft_rollup_")
+    try:
+        src = os.path.join(tmpdir, "src")
+        os.makedirs(src)
+        thirds = [r.value for r in rows]
+        cut = max(1, len(thirds) // 3)
+        for i, chunk in enumerate(
+            [thirds[:cut], thirds[cut : 2 * cut], thirds[2 * cut :]]
+        ):
+            if chunk:
+                with open(os.path.join(src, f"{i}.ndjson"), "w") as f:
+                    f.write("\n".join(chunk) + "\n")
+
+        rollup = IncrementalRollup(
+            os.path.join(tmpdir, "table"), key_col="event_type", value_col="cents"
+        )
+
+        def sink(batch_df, batch_id):
+            keyed = batch_df.select(
+                F.col("attributes.event")["et"].alias("event_type"),
+                F.col("attributes.event")["cents"].cast("double").alias("cents"),
+            )
+            rollup(keyed, batch_id)
+
+        q = run_pipeline(
+            ndjson_stream(spark, src, max_files_per_trigger=1),
+            sink,
+            os.path.join(tmpdir, "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination()
+        out = rollup.read(spark).select(
+            "event_type",
+            "n_rows",
+            F.col("total").cast("bigint").alias("total_cents"),
+        )
+        # materialize before the temp table dir disappears
+        final = out.collect()
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return spark.createDataFrame(
+        final, "event_type string, n_rows bigint, total_cents bigint"
+    )

@@ -799,9 +799,13 @@ def test_streaming_cusum_matches_batch_scan(spark, tmp_path):
     src = tmp_path / "cusum_src"
     src.mkdir()
     for c, chunk in enumerate([rows[:20], rows[20:40], rows[40:]]):
-        pd.DataFrame(chunk).to_json(
-            src / f"{c}.ndjson", orient="records", lines=True
-        )
+        p = src / f"{c}.ndjson"
+        pd.DataFrame(chunk).to_json(p, orient="records", lines=True)
+        # the file source orders micro-batches by MODIFICATION TIME, and
+        # three quick writes can share an mtime — pin strictly increasing
+        # mtimes so the chunks arrive in time order (the operator's
+        # documented replayed-source contract)
+        os.utime(p, (1_700_000_000 + c * 60, 1_700_000_000 + c * 60))
     stream = (
         spark.readStream.schema("user bigint, ts bigint, value double")
         .option("maxFilesPerTrigger", 1)
