@@ -299,3 +299,35 @@ def test_zorder_key_rejects_bit_overflow(spark):
     ev = load_table(spark, SF_SMALL, "events")
     with pytest.raises(ValueError, match="62"):
         zorder_key(ev, ["user_id", "value"], bits=32)
+
+
+def test_dynamic_partition_overwrite_backfills_one_partition(spark, tmp_path):
+    """Backfill contract: with partitionOverwriteMode=dynamic, overwriting
+    a dataframe that contains ONLY partition p rewrites p and leaves every
+    other partition untouched — the way a 100 TB date-partitioned table
+    takes a one-day correction without a full rewrite. (Static mode, the
+    default, would truncate the whole table first.)"""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "backfilled")
+    base = spark.createDataFrame(
+        [(d, i, float(i)) for d in ("d1", "d2", "d3") for i in range(10)],
+        "day string, id int, v double",
+    )
+    base.write.partitionBy("day").parquet(path)
+
+    fix = spark.createDataFrame(
+        [("d2", i, 999.0) for i in range(3)], "day string, id int, v double"
+    )
+    (
+        fix.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(path)
+    )
+
+    back = spark.read.parquet(path)
+    counts = {r["day"]: r["n"] for r in back.groupBy("day").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"d1": 10, "d2": 3, "d3": 10}
+    assert back.where((F.col("day") == "d2") & (F.col("v") != 999.0)).count() == 0
+    assert back.where((F.col("day") == "d1") & (F.col("v") == 999.0)).count() == 0
