@@ -9,7 +9,7 @@ Variants:
 
 A query that is correct in all three is partitioning-independent,
 tz-pinned, broadcast-agnostic, and ANSI-mode-agnostic. All three were
-green at round 2 (119 queries) and round 3 (142 queries).
+green at round 2 (119 queries) and round 3 (154 queries, final surface).
 
 Usage: python scripts/hostile_probe.py [vanilla|hostile|degenerate]
 (each variant needs a fresh process — Spark session confs stick).
