@@ -28,7 +28,10 @@ def token_chunks(
     stride`` tokens and every token is covered by at least one chunk.
     """
     if not 0 < stride <= chunk_size:
-        raise ValueError(f"need 0 < stride <= chunk_size, got {stride} > {chunk_size}")
+        raise ValueError(
+            f"need 0 < stride <= chunk_size, got stride={stride}, "
+            f"chunk_size={chunk_size}"
+        )
     toks = F.split(F.trim(text), r"\s+")
     n = F.size(toks)
     n_chunks = F.when(n <= chunk_size, F.lit(1)).otherwise(

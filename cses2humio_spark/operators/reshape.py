@@ -115,8 +115,11 @@ def zorder_key(
     probs = [(i + 1) / (1 << bits) for i in range(n_bounds)]
     z = F.lit(0).cast("bigint")
     n = len(cols)
+    # ONE multi-column approxQuantile pass — a per-column loop would scan
+    # the full input len(cols) times before the write starts
+    all_bounds = df.stat.approxQuantile(list(cols), probs, rel_err)
     for i, c in enumerate(cols):
-        bounds = df.stat.approxQuantile(c, probs, rel_err)
+        bounds = all_bounds[i]
         idx = F.lit(0).cast("bigint")
         for b in bounds:
             idx = idx + (F.col(c) > F.lit(b)).cast("bigint")

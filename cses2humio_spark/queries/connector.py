@@ -303,7 +303,7 @@ def rollup_materialized_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("event"),
         )
     ).alias("value")
-    rows = ev.select(line, "event_id").collect()
+    rows = ev.select(line).collect()
 
     tmpdir = tempfile.mkdtemp(prefix="sgraft_rollup_")
     try:

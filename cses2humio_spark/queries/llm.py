@@ -23,6 +23,7 @@ from cses2humio_spark.functions.text import (
     language_id,
     quality_score,
     token_count,
+    tokens as ws_tokens,
 )
 from cses2humio_spark.functions.vectors import l2_norm
 from cses2humio_spark.operators.dedup import (
@@ -1281,7 +1282,7 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
-        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "tok"),
+        F.posexplode(ws_tokens(F.col("text"))).alias("pos", "tok"),
     )
     entry = F.concat(
         F.col("doc_id").cast("string"), F.lit(":"), F.col("pos").cast("string")
@@ -1331,7 +1332,7 @@ def pmi_cooccurrence_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion; three aggregations each shuffle (token-key, count) pairs;
     the final global top-30 is a TakeOrdered, not a sort."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = ws_tokens(F.col("text"))
     n = F.size(toks)
 
     # Pairs as zip_with over SHIFTED SLICES of the token array — not a

@@ -322,7 +322,11 @@ def sessionize_users_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # idempotent per (session, sf_dir): rewrite is a no-op-equivalent
     # overwrite; external path keeps the static warehouse conf out of play
     tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
-    table = f"b_events_{tag}"
+    # key the layout by source mtime like the partitioned twin: a
+    # regenerated testdata set must never silently reuse a stale layout
+    src = os.path.join(sf_dir, "events.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    table = f"b_events_{tag}_{mtime}"
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_{table}")
     # write once per session (testdata dirs are immutable): repeat calls
     # measure the AMORTIZED cost — the whole point of bucketing is that

@@ -15,7 +15,10 @@ transaction machinery:
   (atomic on POSIX), so readers always see a complete version;
 - replayed batches (crash after merge, before checkpoint commit — the
   at-least-once window) are detected by ``batch_id <= latest`` and
-  skipped, upgrading foreachBatch's at-least-once to exactly-once.
+  skipped, upgrading foreachBatch's at-least-once to exactly-once;
+- superseded versions are pruned after each commit (``keep_versions``
+  retained), so disk stays O(keep_versions x |keys|) for unbounded
+  streams instead of growing per batch.
 
 Scale: the merge unions the CURRENT rollup (|keys| rows) with the batch
 DELTA (pre-aggregated map-side, so the shuffle carries per-key partials,
@@ -40,10 +43,27 @@ class IncrementalRollup:
     first batch commits).
     """
 
-    def __init__(self, table_dir: str, key_col: str, value_col: str):
+    def __init__(
+        self,
+        table_dir: str,
+        key_col: str,
+        value_col: str,
+        key_type: str = "string",
+        keep_versions: int = 2,
+    ):
+        if keep_versions < 1:
+            raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
         self.table_dir = table_dir
         self.key_col = key_col
         self.value_col = value_col
+        # the empty pre-first-commit frame must carry the REAL key type:
+        # unionByName would otherwise widen a typed key against string and
+        # silently store string keys forever
+        self.key_type = key_type
+        # superseded immutable versions are pruned after each commit,
+        # keeping the pointer target plus keep_versions-1 predecessors
+        # (readers of an in-flight older version finish before it ages out)
+        self.keep_versions = keep_versions
         os.makedirs(table_dir, exist_ok=True)
 
     # -- version pointer ---------------------------------------------------
@@ -71,9 +91,25 @@ class IncrementalRollup:
         latest = self.latest_batch_id()
         if latest is None:
             return spark.createDataFrame(
-                [], f"{self.key_col} string, n_rows bigint, total double"
+                [], f"{self.key_col} {self.key_type}, n_rows bigint, total double"
             )
         return spark.read.parquet(os.path.join(self.table_dir, f"v={latest}"))
+
+    def _prune_versions(self, committed: int) -> None:
+        import re
+        import shutil
+
+        keep_floor = []
+        for name in os.listdir(self.table_dir):
+            m = re.fullmatch(r"v=(\d+)", name)
+            if m:
+                keep_floor.append(int(m.group(1)))
+        keep_floor.sort(reverse=True)
+        for vid in keep_floor[self.keep_versions :]:
+            if vid < committed:  # never touch the pointer target or newer
+                shutil.rmtree(
+                    os.path.join(self.table_dir, f"v={vid}"), ignore_errors=True
+                )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         latest = self.latest_batch_id()
@@ -97,3 +133,4 @@ class IncrementalRollup:
             os.path.join(self.table_dir, f"v={batch_id}")
         )
         self._commit(batch_id)
+        self._prune_versions(batch_id)

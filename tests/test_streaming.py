@@ -832,3 +832,28 @@ def test_streaming_cusum_matches_batch_scan(spark, tmp_path):
     assert set(final) == set(truth)
     for u in truth:
         assert final[u] == truth[u], (u, final[u], truth[u])
+
+
+def test_incremental_rollup_prunes_versions_and_keeps_typed_key(spark, tmp_path):
+    """Retention: only keep_versions version dirs survive a stream of
+    commits; a bigint key declared via key_type stays bigint from the
+    very first merge (no silent string widening)."""
+    import os as _os
+
+    from cses2humio_spark.streaming.materialized import IncrementalRollup
+
+    table = str(tmp_path / "typed_rollup")
+    rollup = IncrementalRollup(
+        table, key_col="uid", value_col="v", key_type="bigint", keep_versions=2
+    )
+    for b in range(5):
+        rollup(
+            spark.createDataFrame([(1, float(b)), (2, 1.0)], "uid bigint, v double"),
+            b,
+        )
+    versions = sorted(d for d in _os.listdir(table) if d.startswith("v="))
+    assert versions == ["v=3", "v=4"]
+    out = rollup.read(spark)
+    assert dict(out.dtypes)["uid"] == "bigint"
+    got = {r["uid"]: (r["n_rows"], r["total"]) for r in out.collect()}
+    assert got == {1: (5, 0.0 + 1 + 2 + 3 + 4), 2: (5, 5.0)}
