@@ -96,3 +96,92 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(cnt, 0.99)") / F.expr("percentile(cnt, 0.5)"), 6
         ).alias("skew_ratio"),
     )
+
+
+@query(
+    "benford_first_digit_deviation",
+    oracle="""
+    WITH d AS (SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                                       AS VARCHAR), 1, 1) AS INT) AS digit
+               FROM orders WHERE o_totalprice >= 1),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT SUM(n) AS total FROM c)
+    SELECT c.digit, CAST(c.n AS BIGINT) AS n,
+      ROUND(c.n / CAST(t.total AS DOUBLE), 6) AS observed_freq,
+      ROUND(log10(1.0 + 1.0 / c.digit), 6) AS benford_freq,
+      ROUND(abs(c.n / CAST(t.total AS DOUBLE) - log10(1.0 + 1.0 / c.digit)), 6)
+        AS abs_deviation
+    FROM c, t
+    """,
+)
+def benford_first_digit_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    fabricated-data screen: observed leading-digit frequencies vs the
+    log10(1 + 1/d) expectation, with per-digit absolute deviation. The
+    leading digit comes from the DECIMAL(12,2) rendering (exact, radix-10
+    — no float-format ambiguity between engines). One narrow projection
+    + a 9-group aggregation; the total joins back as a broadcast scalar."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string"), 1, 1
+    ).cast("int")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    benford = F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6)
+    obs = F.col("n") / F.col("total").cast("double")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(obs, 6).alias("observed_freq"),
+            benford.alias("benford_freq"),
+            F.round(
+                F.abs(obs - F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))), 6
+            ).alias("abs_deviation"),
+        )
+    )
+
+
+@query(
+    "functional_dependency_check",
+    oracle="""
+    SELECT
+      CAST((SELECT COUNT(*) FROM (
+          SELECT n_nationkey FROM nation
+          GROUP BY n_nationkey HAVING COUNT(DISTINCT n_regionkey) > 1) v)
+        AS BIGINT) AS nation_region_violations,
+      CAST((SELECT COUNT(*) FROM (
+          SELECT c_custkey FROM customer
+          GROUP BY c_custkey HAVING COUNT(DISTINCT c_nationkey) > 1) v)
+        AS BIGINT) AS customer_nation_violations,
+      CAST((SELECT COUNT(*) FROM (
+          SELECT o_orderkey FROM orders
+          GROUP BY o_orderkey HAVING COUNT(DISTINCT o_custkey) > 1) v)
+        AS BIGINT) AS order_customer_violations
+    """,
+)
+def functional_dependency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling — does the schema's implied
+    X -> Y determinism actually hold in the data (nation→region,
+    customer→nation, order→customer)? Violations are keys whose distinct
+    dependent count exceeds 1. Each check is one two-stage aggregation
+    whose shuffle carries (key, partial-distinct) pairs; all three
+    one-row counters combine by broadcast. Zero on healthy data — and
+    computed, not assumed."""
+
+    def violations(table: str, key: str, dep: str, out: str) -> DataFrame:
+        return (
+            load_table(spark, sf_dir, table)
+            .groupBy(key)
+            .agg(F.count_distinct(dep).alias("nd"))
+            .where(F.col("nd") > 1)
+            .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+        )
+
+    a = violations("nation", "n_nationkey", "n_regionkey", "nation_region_violations")
+    b = violations("customer", "c_custkey", "c_nationkey", "customer_nation_violations")
+    c = violations("orders", "o_orderkey", "o_custkey", "order_customer_violations")
+    return a.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(c))

@@ -142,6 +142,8 @@ def test_no_query_degenerates_to_cartesian(spark):
         "pmi_cooccurrence_top",   # single-row total-pairs scalar broadcast
         "referential_integrity_gate",  # four single-row gate counters combined
         "chunk_dedup_stats",      # single-row cross-doc-fp counter broadcast
+        "benford_first_digit_deviation",  # single-row total scalar broadcast
+        "functional_dependency_check",  # three single-row counters combined
     }
     # building these queries runs heavy side effects (a full streaming
     # query, a driver-side iteration loop, a key-discovery collect) just to
