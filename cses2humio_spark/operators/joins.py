@@ -238,3 +238,68 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return l_salted.join(r_rep, on=[key, "__salt"]).drop("__salt")
+
+
+def bitmap_prefilter_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_bits: int = 16384,
+) -> DataFrame:
+    """Semi-join with a broadcast bitmap pre-filter (a poor-man's runtime
+    Bloom filter, one hash function): prune the BIG side map-side before
+    its rows ever reach the join shuffle.
+
+    The small side's keys are hashed into an ``n_bits`` bitmap built with
+    ONE distributed aggregation (bit_or partials combine map-side), pulled
+    to the driver as ``n_bits/64`` longs (bounded state — 2 KiB at the
+    16384 default), and re-emitted as a literal array in the big side's
+    filter. A bitmap hit is only *probable* membership, so an exact
+    left-semi join on the survivors restores exactness — the result is
+    row-for-row identical to ``big.join(small, key, "left_semi")``; the
+    bitmap can only have false POSITIVES (extra survivors that the final
+    semi-join removes), never false negatives.
+
+    Scale: at 100 TB the win is shuffle volume — the big side's exchange
+    carries only rows whose key *might* match, a factor of roughly
+    (small-side cardinality / n_bits saturation) fewer rows, while the
+    filter itself is codegen bit arithmetic on a broadcast literal. This
+    is the manual twin of Spark's runtime-filter feature
+    (spark.sql.optimizer.runtime.bloomFilter.enabled), usable when the
+    planner doesn't inject one (e.g. the small side is a subquery the
+    optimizer won't sniff). Size ``n_bits`` ≳ 10x small-side cardinality
+    to keep the false-positive rate low.
+    """
+    if n_bits % 64 != 0:
+        raise ValueError(f"n_bits must be a multiple of 64, got {n_bits}")
+    n_words = n_bits // 64
+    bit = F.pmod(F.xxhash64(F.col(small_key)), F.lit(n_bits))
+    bm_rows = (
+        small.select(bit.alias("__bit"))
+        .distinct()
+        .groupBy(F.floor(F.col("__bit") / 64).cast("int").alias("__word"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__bit % 64 AS INT))")
+            ).alias("__mask")
+        )
+        .collect()  # bounded: ≤ n_bits/64 rows of (int, long)
+    )
+    words = [0] * n_words
+    for r in bm_rows:
+        words[r["__word"]] = r["__mask"]
+    bitmap = F.array(*[F.lit(w).cast("long") for w in words])
+    h = F.pmod(F.xxhash64(F.col(big_key)), F.lit(n_bits))
+    word = F.element_at(bitmap, F.floor(h / 64).cast("int") + 1)
+    mask = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), "
+        f"CAST(pmod(xxhash64({big_key}), {n_bits}) % 64 AS INT))"
+    )
+    hit = word.bitwiseAND(mask) != F.lit(0).cast("long")
+    pruned = big.filter(hit)
+    return pruned.join(
+        small.select(F.col(small_key).alias(big_key)).distinct(),
+        on=big_key,
+        how="left_semi",
+    )

@@ -1,0 +1,464 @@
+"""Data-mining / statistics query family: fuzzy record matching, closed-form
+regression, time-series interpolation, equi-depth histograms, SCD2 change
+history, PageRank, and bitmap-prefiltered semi-joins.
+
+The reference delegates all analytics to Humio (SURVEY.md §2.3 — the
+connector itself has zero relational operators); these queries extend the
+engine-target surface (SURVEY.md §2.2) with the operations a security- or
+training-data team layers on once the basics exist: entity resolution
+(fuzzy match), trend fitting (regression), gap repair (interpolation),
+drift history (SCD2), and graph centrality (PageRank).
+
+Determinism contract (registry docstring): float expressions that must be
+compared across engines are either (a) computed from exact DECIMAL
+aggregates and then evaluated with textually identical scalar expressions
+on both sides (same IEEE ops in the same order → bit-identical), or
+(b) rounded through exact decimals per iteration (PageRank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cses2humio_spark.queries.registry import query
+from cses2humio_spark.sources.catalog import load_table
+
+# --- fuzzy matching ------------------------------------------------------
+
+
+@query(
+    "fuzzy_name_match_pairs",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    q AS (SELECT p_name, split_part(p_name, ' ', 1) AS tok1,
+                 length(p_name) AS ln
+          FROM names)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_distance
+    FROM q a JOIN q b
+      ON a.tok1 = b.tok1
+     AND a.p_name < b.p_name
+     AND abs(a.ln - b.ln) <= 2
+     AND levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def fuzzy_name_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (entity resolution) over part names:
+    candidate pairs share a blocking key (first token) and a length band
+    (±2), and survive if Levenshtein ≤ 3. The blocking key turns an
+    O(n²) all-pairs edit-distance into an equi-join whose residual
+    (length band + edit distance) runs only on same-block candidates —
+    at 100 TB the edit distance never sees the cross product, and the
+    match runs over DISTINCT values (64 here vs 2000 rows), which is the
+    real-world shape: dedupe the value dictionary, then map back."""
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    q = names.select(
+        "p_name",
+        F.split("p_name", " ").getItem(0).alias("tok1"),
+        F.length("p_name").alias("ln"),
+    )
+    a = q.select(
+        F.col("p_name").alias("name_a"),
+        F.col("tok1").alias("t1"),
+        F.col("ln").alias("ln_a"),
+    )
+    b = q.select(
+        F.col("p_name").alias("name_b"),
+        F.col("tok1").alias("t2"),
+        F.col("ln").alias("ln_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(
+            b,
+            (F.col("t1") == F.col("t2"))
+            & (F.col("name_a") < F.col("name_b"))
+            & (F.abs(F.col("ln_a") - F.col("ln_b")) <= 2)
+            & (dist <= 3),
+        )
+        .select("name_a", "name_b", dist.cast("bigint").alias("edit_distance"))
+    )
+
+
+# --- closed-form regression ----------------------------------------------
+
+# Identical scalar-expression text evaluated by BOTH engines on the exact
+# decimal aggregates — same IEEE ops in the same order, bit-identical out.
+_REG_EXPRS = [
+    "ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope",
+    "ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) AS intercept",
+    "ROUND(((n*sxy - sx*sy) * (n*sxy - sx*sy)) / "
+    "((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2",
+    "ROUND((n*sxy - sx*sy) / SQRT((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS corr",
+]
+
+
+@query(
+    "price_quantity_regression",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(q) AS DOUBLE) AS sx,
+             CAST(SUM(p) AS DOUBLE) AS sy,
+             CAST(SUM(q * q) AS DOUBLE) AS sxx,
+             CAST(SUM(p * p) AS DOUBLE) AS syy,
+             CAST(SUM(q * p) AS DOUBLE) AS sxy
+      FROM (SELECT l_returnflag,
+                   CAST(l_quantity AS DECIMAL(12,2)) AS q,
+                   CAST(l_extendedprice AS DECIMAL(18,2)) AS p
+            FROM lineitem) t
+      GROUP BY l_returnflag)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           {", ".join(_REG_EXPRS)}
+    FROM s
+    """,
+)
+def price_quantity_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS (extendedprice ~ quantity) per return flag: slope,
+    intercept, R², Pearson corr — all from ONE pass of six exact-DECIMAL
+    sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy). This is how
+    regression runs at 100 TB: the shuffle carries six partial sums per
+    group, never the points; the normal equations are a driver-side-free
+    scalar projection. The built-in ``regr_slope`` family accumulates
+    doubles (partitioning-order-dependent); the exact-decimal route is
+    bit-reproducible under any partitioning, which is what makes it
+    oracle-checkable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    stats = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p * p).cast("double").alias("syy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+    )
+    return stats.selectExpr(
+        "l_returnflag", "CAST(n AS BIGINT) AS n_rows", *_REG_EXPRS
+    )
+
+
+# --- time-series gap repair ----------------------------------------------
+
+_INTERP_EXPR = (
+    "ROUND(CASE WHEN v IS NOT NULL THEN v "
+    "ELSE pv + (nv - pv) * ((h_s - ph_s) / (nh_s - ph_s)) END, 6)"
+)
+
+
+@query(
+    "interpolated_hourly_value",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS v
+      FROM events GROUP BY 1, 2),
+    span AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
+             FROM hourly GROUP BY 1),
+    spine AS (SELECT event_type,
+                     UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+              FROM span),
+    base AS (SELECT s.event_type, s.h, hr.v
+             FROM spine s LEFT JOIN hourly hr
+               ON hr.event_type = s.event_type AND hr.h = s.h),
+    win AS (SELECT event_type, h, v,
+      LAST_VALUE(v IGNORE NULLS) OVER
+        (PARTITION BY event_type ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+      CAST(FLOOR(epoch(LAST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+        OVER (PARTITION BY event_type ORDER BY h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))) AS BIGINT) AS ph_s,
+      FIRST_VALUE(v IGNORE NULLS) OVER
+        (PARTITION BY event_type ORDER BY h
+         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+      CAST(FLOOR(epoch(FIRST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+        OVER (PARTITION BY event_type ORDER BY h
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))) AS BIGINT) AS nh_s,
+      CAST(FLOOR(epoch(h)) AS BIGINT) AS h_s
+      FROM base)
+    SELECT event_type, h_s AS hour_ts,
+           {_INTERP_EXPR} AS value_filled,
+           CAST(v IS NULL AS INTEGER) AS is_interpolated
+    FROM win
+    """,
+)
+def interpolated_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly mean value per event type with LINEAR
+    interpolation across missing hours (42 of 720 hours have no error
+    event at sf0.01): densify each series onto its own hour spine
+    (sequence + explode), then carry the nearest present neighbors with
+    frame-bounded ignore-nulls window functions and interpolate by the
+    time fraction. The windows partition by series key — at 100 TB each
+    series sorts independently after one shuffle on event_type; the spine
+    join is an equi-join on (type, hour). The hourly mean is an exact
+    decimal sum over count, and the interpolation arithmetic is the same
+    textual expression on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    span = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = span.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    base = spine.join(hourly, ["event_type", "h"], "left")
+    prev_f = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    next_f = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    present_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    win = base.select(
+        "event_type",
+        "v",
+        F.last("v", ignorenulls=True).over(prev_f).alias("pv"),
+        F.unix_timestamp(F.last(present_h, ignorenulls=True).over(prev_f))
+        .cast("bigint")
+        .alias("ph_s"),
+        F.first("v", ignorenulls=True).over(next_f).alias("nv"),
+        F.unix_timestamp(F.first(present_h, ignorenulls=True).over(next_f))
+        .cast("bigint")
+        .alias("nh_s"),
+        F.unix_timestamp("h").cast("bigint").alias("h_s"),
+    )
+    return win.selectExpr(
+        "event_type",
+        "h_s AS hour_ts",
+        f"{_INTERP_EXPR} AS value_filled",
+        "CAST(v IS NULL AS INTEGER) AS is_interpolated",
+    )
+
+
+# --- equi-depth histogram -------------------------------------------------
+
+
+@query(
+    "equi_depth_price_histogram",
+    oracle="""
+    WITH b AS (SELECT o_totalprice,
+                      CAST(NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey)
+                           AS INTEGER) AS bucket
+               FROM orders)
+    SELECT bucket, COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS price_lo,
+           MAX(o_totalprice) AS price_hi,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_price
+    FROM b GROUP BY bucket
+    """,
+)
+def equi_depth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (8 equal-count buckets) of order totals via
+    NTILE over a total order (price, key — the key breaks ties so bucket
+    assignment is engine-identical). Min/max per bucket are exact doubles
+    (no summation); the mean is an exact-decimal sum over count.
+
+    Scale note: an un-partitioned NTILE is a single-reducer sort — fine
+    for ≤ fan-in of one executor, but at 100 TB the equi-depth boundaries
+    come from ``approx_percentile`` (one pass, mergeable sketch) and rows
+    are bucketed by comparing against the broadcast boundary array; this
+    exact form is registered because it is oracle-checkable and defines
+    the semantics the approximate plan approximates."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    b = orders.select(
+        "o_totalprice", F.ntile(8).over(w).cast("int").alias("bucket")
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("price_lo"),
+        F.max("o_totalprice").alias("price_hi"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_price"),
+    )
+
+
+# --- SCD2 change history --------------------------------------------------
+
+
+@query(
+    "scd2_user_status_history",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS status, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    chg AS (SELECT user_id, status, ts, event_id FROM seq
+            WHERE prev IS NULL OR prev <> status),
+    iv AS (SELECT user_id, status,
+                  epoch_us(ts) AS valid_from_us,
+                  LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS valid_to_us,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS version
+           FROM chg)
+    SELECT user_id, status, valid_from_us, valid_to_us,
+           CAST(version AS BIGINT) AS version,
+           CAST(valid_to_us IS NULL AS INTEGER) AS is_current
+    FROM iv
+    """,
+)
+def scd2_user_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build (CDC collapse): per
+    user, consecutive duplicate statuses collapse to one versioned
+    validity interval [valid_from, valid_to) in epoch microseconds; the
+    open interval is the current row. Ordering ties on ts break by
+    event_id so the change sequence is total and engine-identical. Two
+    windows over the SAME (user_id, ts, event_id) sort order — one
+    shuffle on user_id, both windows reuse it; the interval build touches
+    only change rows (~4/5 of events here, far fewer in real CDC)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    chg = seq.where(F.col("prev").isNull() | (F.col("prev") != F.col("status")))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = chg.select(
+        "user_id",
+        "status",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.lead(F.unix_micros("ts")).over(w2).alias("valid_to_us"),
+        F.row_number().over(w2).cast("bigint").alias("version"),
+    )
+    return iv.select(
+        "user_id",
+        "status",
+        "valid_from_us",
+        "valid_to_us",
+        "version",
+        F.col("valid_to_us").isNull().cast("int").alias("is_current"),
+    )
+
+
+# --- PageRank -------------------------------------------------------------
+
+
+def _pr_iter(i: int, prev: str, nxt: str) -> str:
+    return f"""
+    m{i} AS (SELECT a.dst AS node,
+                    CAST(SUM(CAST(ROUND(p.r * a.w / o.ow, 12)
+                                  AS DECIMAL(26,12))) AS DOUBLE) AS mass
+             FROM agg a JOIN {prev} p ON p.node = a.src
+                        JOIN outw o ON o.src = a.src
+             GROUP BY a.dst),
+    {nxt} AS (SELECT n.node,
+                     ROUND((1.0 - 0.85) / (SELECT COUNT(*) FROM nodes)
+                           + 0.85 * COALESCE(m.mass, 0.0), 12) AS r
+              FROM nodes n LEFT JOIN m{i} m ON m.node = n.node)"""
+
+
+@query(
+    "event_type_pagerank",
+    oracle=f"""
+    WITH seq AS (SELECT event_type AS src,
+                        LEAD(event_type) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS dst
+                 FROM events),
+    agg AS (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+            FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2),
+    nodes AS (SELECT src AS node FROM agg UNION SELECT dst FROM agg),
+    outw AS (SELECT src, SUM(w) AS ow FROM agg GROUP BY 1),
+    r0 AS (SELECT node, ROUND(1.0 / (SELECT COUNT(*) FROM nodes), 12) AS r
+           FROM nodes),
+    {_pr_iter(1, "r0", "r1")},
+    {_pr_iter(2, "r1", "r2")},
+    {_pr_iter(3, "r2", "r3")}
+    SELECT node, r AS pagerank FROM r3
+    """,
+)
+def event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 synchronous iterations, damping 0.85) over the
+    event-type transition graph — the second iterative algorithm in the
+    engine after k-means, built on the same determinism contract: each
+    edge contribution is rounded into an exact DECIMAL before the
+    per-node sum, so ranks are bit-identical under any partitioning and
+    the oracle can unroll the iterations as CTE pairs. The graph here is
+    small (5 types) but the operator's per-iteration shape — one
+    ranks⋈edges equi-join plus one groupBy(dst) partial sum — carries
+    O(|E|) ids+doubles per iteration and keeps ranks distributed, which
+    is the billion-node layout (operators/graph.py scale notes)."""
+    from cses2humio_spark.operators.graph import pagerank
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    edges = seq.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("double").alias("w")
+    )
+    ranks = pagerank(edges, "src", "dst", weight="w", n_iter=3, damping=0.85)
+    return ranks.select("node", F.col("rank").alias("pagerank"))
+
+
+# --- bitmap-prefiltered semi-join ----------------------------------------
+
+
+@query(
+    "bitmap_pruned_brand_revenue",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#7')
+    GROUP BY l_returnflag
+    """,
+)
+def bitmap_pruned_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of one brand's lineitems computed through
+    ``bitmap_prefilter_semi_join``: the brand's part keys are hashed into
+    a 16 Ki-bit broadcast bitmap that prunes the lineitem side MAP-SIDE
+    (codegen bit arithmetic on a literal array) before the exact semi-join
+    — the manual twin of Spark's runtime Bloom filter, with the result
+    contract that it is row-identical to the plain semi-join the oracle
+    runs. At 100 TB the join shuffle carries only probable matches
+    (~1/25 of rows here); tests/test_mining.py pins the pruning factor
+    and the exactness equivalence."""
+    from cses2humio_spark.operators.joins import bitmap_prefilter_semi_join
+    from cses2humio_spark.queries._util import frac, money
+
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#7"
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    sj = bitmap_prefilter_semi_join(
+        li, parts, "l_partkey", "p_partkey", n_bits=16384
+    )
+    return sj.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(money("l_extendedprice") * (one - frac("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+    )
