@@ -60,3 +60,43 @@ def grouped_stats(
         F.max(v).alias("max_v"),
         F.stddev(v).alias("stddev_v"),
     )
+
+
+def approx_equi_depth_buckets(
+    df: DataFrame, value_col: str, n_buckets: int, accuracy: int = 10000
+) -> DataFrame:
+    """Scale path for equi-depth histograms (the exact NTILE form in
+    ``queries/mining.py::equi_depth_price_histogram`` is a single-reducer
+    sort): ONE pass computes ``approx_percentile`` boundaries (a mergeable
+    sketch — map-side partials, O(accuracy) driver state), and a second
+    map-only pass buckets each row by comparing against the broadcast
+    boundary array. No global sort, no single-partition exchange; error is
+    bounded by the sketch accuracy (1/accuracy relative rank error).
+
+    Returns (bucket, n_rows, lo, hi) with 1-based buckets; bucket sizes
+    deviate from N/n_buckets by at most ~N/accuracy per boundary.
+    """
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    # bounded driver state: (n_buckets - 1) doubles
+    [bounds] = df.agg(
+        F.percentile_approx(
+            F.col(value_col), F.array(*[F.lit(p) for p in probs]), accuracy
+        ).alias("b")
+    ).collect()
+    arr = F.array(*[F.lit(float(b)) for b in bounds["b"]])
+    # bucket = 1 + number of boundaries strictly below the value; codegen
+    # HOF over the broadcast literal array, no join
+    bucket = F.lit(1) + F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col(value_col) > b, 1).otherwise(0),
+    )
+    return (
+        df.select(F.col(value_col).alias("v"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+    )

@@ -376,3 +376,68 @@ def test_profile_single_scan_expand(spark):
     # twice in formatted output: tree + detail section)
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert "Expand" in plan
+
+
+def test_fuzzy_match_is_equi_join_on_block_key(spark):
+    """The blocked fuzzy match must plan as an equi-join on the blocking
+    token (edit distance as residual), never a cartesian/BNLJ."""
+    df = QUERIES["fuzzy_name_match_pairs"](spark, SF_SMALL)
+    assert_no_cartesian(df)
+
+
+def test_regression_single_scan_partial_agg(spark):
+    """All six sufficient statistics come from ONE scan with map-side
+    partial aggregation and a 3-column pruned schema."""
+    from cses2humio_spark.plans.explain import formatted_plan
+
+    df = QUERIES["price_quantity_regression"](spark, SF_SMALL)
+    assert_partial_aggregation(df)
+    assert_pruned_schema(df, "l_returnflag", 3)
+    plan = formatted_plan(df)
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_bitmap_prune_filters_before_join(spark):
+    """The bitmap pre-filter must appear as a Filter with codegen bit
+    arithmetic on the big side (map-side pruning BEFORE the semi-join
+    exchange), and the brand predicate must reach the part scan."""
+    from cses2humio_spark.plans.explain import formatted_plan
+
+    df = QUERIES["bitmap_pruned_brand_revenue"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "shiftleft" in plan, plan[:2000]
+    assert_pushed_filters(df, "EqualTo(p_brand,Brand#7)")
+    assert_no_cartesian(df)
+    assert_partial_aggregation(df)
+
+
+def test_pagerank_iterations_are_equi_joins(spark):
+    df = QUERIES["event_type_pagerank"](spark, SF_SMALL)
+    assert_no_cartesian(df)
+
+
+def test_scd2_windows_share_one_user_shuffle(spark):
+    """Both SCD2 windows sort by the same (user_id, ts, event_id) — the
+    plan must contain exactly ONE exchange on user_id."""
+    from cses2humio_spark.plans.explain import formatted_plan
+
+    import re
+
+    df = QUERIES["scd2_user_status_history"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    # formatted mode lists each node once in the tree and once in the
+    # detail section as "(n) Exchange" — count detail entries
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_interpolation_windows_partition_by_series(spark):
+    """Interpolation windows must partition by event_type (parallel per
+    series), never collapse to a single partition."""
+    from cses2humio_spark.plans.explain import formatted_plan
+
+    df = QUERIES["interpolated_hourly_value"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "hashpartitioning(event_type" in plan
+    assert "Exchange SinglePartition" not in plan
