@@ -1,0 +1,565 @@
+"""HQL — a Humio/LogScale-style pipe query language compiled to DataFrames.
+
+The reference connector's whole purpose is to ship events INTO Humio so
+users can query them there (reference README.md:5-8 "maintain, visualize
+and alert on Falcon Event Stream data"; SURVEY.md §2.3 — the connector
+itself has zero query operators). This module closes that loop inside the
+engine: the searches those users write in Humio's pipe syntax run directly
+on Spark DataFrames. It is a *subset*, chosen to cover the
+filter → extract → aggregate → sort shapes of Humio's own documentation:
+
+    #event_type = error | timechart(span=1h)
+    value > 90 | score := value * 2 | sort([score], limit=5)
+    timeout | groupBy(event_type)
+    event_type = /err.*/ | regex("\\d+", field=props) | count()
+
+Surface:
+- Filters: ``field = value`` (with ``*`` globs), ``!=``, ``< <= > >=``
+  (numeric when the literal is numeric), ``field = /regex/``, bare-word
+  free-text (case-insensitive substring over all string columns — the
+  analog of Humio's @rawstring search), combined with ``and`` / ``or`` /
+  ``not`` / parentheses; adjacent terms are implicit AND (Humio rule).
+  ``#field`` / ``@field`` sugar strips to ``field``.
+- Stages: ``count([field], [as=])``, ``sum/avg/min/max(field, [as=])``,
+  ``groupBy(field | [f1, f2], [function=[agg, ...]])``,
+  ``timechart([span=1h], [by=field], [function=agg])``,
+  ``sort(field | [f1, f2], [order=asc|desc], [limit=N])``, ``head(N)``,
+  ``top(field, [limit=N], [sum=field])``, ``select([f1, f2])`` /
+  ``table([...])``, ``regex("pat", field=f)`` (named-group extraction,
+  non-matching rows dropped — Humio semantics), assignment
+  ``name := arithmetic`` and any filter expression as a stage.
+
+Determinism contract (same as the rest of the engine,
+queries/registry.py): ``sum``/``avg`` accumulate in exact
+DECIMAL(28,6) and emit double, so results are partition-order
+independent; ``top`` breaks count ties by the group value ascending.
+
+Scale: every construct compiles to built-in Catalyst expressions —
+filters reach the scan as pushed predicates, aggregations get map-side
+partials, ``sort(limit=)`` compiles to TakeOrderedAndProject. Nothing
+here is a UDF; a 100 TB HQL search is exactly the DataFrame plan a
+hand-written query would produce (pinned in tests/test_hql.py).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --- tokenizer ------------------------------------------------------------
+
+_BASE_TOKens = r"""
+    (?P<WS>\s+)
+  | (?P<STRING>"(?:[^"\\]|\\.)*")
+  | (?P<DURATION>\d+[smhdw]\b)
+  | (?P<NUMBER>-?\d+(?:\.\d+)?)
+  | (?P<ASSIGN>:=)
+  | (?P<OP>!=|<=|>=|=|<|>)
+  | (?P<PIPE>\|)
+  | (?P<LPAREN>\()
+  | (?P<RPAREN>\))
+  | (?P<LBRACKET>\[)
+  | (?P<RBRACKET>\])
+  | (?P<COMMA>,)
+  | (?P<ARITH>[+\-*/])
+  | (?P<IDENT>[#@]?[A-Za-z_][A-Za-z0-9_.]*)
+    """
+
+# ``/.../`` regex literals and ``err*`` glob values are only recognized
+# immediately after = or != (Humio's position for them) — everywhere else
+# ``/`` is division and ``*`` is multiplication. Two scanners avoid the
+# classic slash ambiguity.
+_TOKEN_RE = re.compile(_BASE_TOKens, re.VERBOSE)
+_TOKEN_RE_REGEX = re.compile(
+    r"(?P<REGEX>/(?:[^/\\]|\\.)+/)\s*"
+    r"|(?P<GLOB>[A-Za-z0-9_.\-]*\*[A-Za-z0-9_.\-*]*)|" + _BASE_TOKens,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class Tok:
+    kind: str
+    text: str
+    pos: int
+
+
+def tokenize(src: str) -> list[Tok]:
+    out: list[Tok] = []
+    pos = 0
+    while pos < len(src):
+        after_eq = bool(out) and out[-1].kind == "OP" and out[-1].text in ("=", "!=")
+        m = (_TOKEN_RE_REGEX if after_eq else _TOKEN_RE).match(src, pos)
+        if not m:
+            raise HqlSyntaxError(f"unexpected character {src[pos]!r} at {pos}")
+        kind = m.lastgroup or ""
+        if kind != "WS":
+            out.append(Tok(kind, m.group().strip() if kind == "REGEX" else m.group(), pos))
+        pos = m.end()
+    return out
+
+
+class HqlSyntaxError(ValueError):
+    pass
+
+
+# --- AST ------------------------------------------------------------------
+
+
+@dataclass
+class FreeText:
+    term: str
+
+
+@dataclass
+class Cmp:
+    field: str
+    op: str
+    value: str | float
+    is_regex: bool = False
+    is_glob: bool = False
+
+
+@dataclass
+class And:
+    parts: list
+
+
+@dataclass
+class Or:
+    parts: list
+
+
+@dataclass
+class Not:
+    inner: object
+
+
+@dataclass
+class Assign:
+    name: str
+    expr: object  # arithmetic AST: ('num', x) | ('field', f) | ('op', op, l, r)
+
+
+@dataclass
+class Call:
+    name: str
+    args: list = dc_field(default_factory=list)       # positional values
+    kwargs: dict = dc_field(default_factory=dict)     # keyword values
+
+
+# --- parser ---------------------------------------------------------------
+
+
+class _Parser:
+    def __init__(self, toks: list[Tok]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self, k: int = 0) -> Tok | None:
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else None
+
+    def next(self) -> Tok:
+        t = self.peek()
+        if t is None:
+            raise HqlSyntaxError("unexpected end of query")
+        self.i += 1
+        return t
+
+    def expect(self, kind: str) -> Tok:
+        t = self.next()
+        if t.kind != kind:
+            raise HqlSyntaxError(f"expected {kind}, got {t.kind} {t.text!r} at {t.pos}")
+        return t
+
+    # query := stage ('|' stage)*
+    def parse(self) -> list:
+        stages = []
+        if self.peek() is not None and self.peek().kind != "PIPE":
+            stages.append(self.stage())
+        while self.peek() is not None:
+            self.expect("PIPE")
+            stages.append(self.stage())
+        return stages
+
+    def stage(self):
+        t = self.peek()
+        if t is None:
+            raise HqlSyntaxError("empty stage")
+        # assignment:  ident := arith
+        if (
+            t.kind == "IDENT"
+            and self.peek(1) is not None
+            and self.peek(1).kind == "ASSIGN"
+        ):
+            name = self.next().text
+            self.expect("ASSIGN")
+            return Assign(_strip_sigil(name), self.arith())
+        # function call: ident '(' — at stage head an unknown function is
+        # a loud error, not a silent free-text term
+        if (
+            t.kind == "IDENT"
+            and self.peek(1) is not None
+            and self.peek(1).kind == "LPAREN"
+        ):
+            if t.text not in _STAGE_FUNCS:
+                raise HqlSyntaxError(
+                    f"unknown stage function {t.text!r} at {t.pos} "
+                    f"(supported: {', '.join(sorted(_STAGE_FUNCS))})"
+                )
+            return self.call()
+        return self.or_expr()
+
+    def call(self) -> Call:
+        name = self.expect("IDENT").text
+        self.expect("LPAREN")
+        call = Call(name)
+        while self.peek() is not None and self.peek().kind != "RPAREN":
+            # keyword?
+            if (
+                self.peek().kind == "IDENT"
+                and self.peek(1) is not None
+                and self.peek(1).kind == "OP"
+                and self.peek(1).text == "="
+            ):
+                key = self.next().text
+                self.next()  # '='
+                call.kwargs[key] = self.value_or_list()
+            else:
+                call.args.append(self.value_or_list())
+            if self.peek() is not None and self.peek().kind == "COMMA":
+                self.next()
+        self.expect("RPAREN")
+        return call
+
+    def value_or_list(self):
+        t = self.peek()
+        if t.kind == "LBRACKET":
+            self.next()
+            items = []
+            while self.peek() is not None and self.peek().kind != "RBRACKET":
+                items.append(self.value_or_list())
+                if self.peek() is not None and self.peek().kind == "COMMA":
+                    self.next()
+            self.expect("RBRACKET")
+            return items
+        if t.kind == "IDENT" and self.peek(1) is not None and self.peek(1).kind == "LPAREN":
+            return self.call()  # nested agg call, e.g. function=[count(), avg(x)]
+        t = self.next()
+        if t.kind == "NUMBER":
+            return float(t.text) if "." in t.text else int(t.text)
+        if t.kind == "DURATION":
+            return t.text
+        if t.kind == "STRING":
+            return _unquote(t.text)
+        if t.kind == "IDENT":
+            return _strip_sigil(t.text)
+        raise HqlSyntaxError(f"unexpected {t.kind} {t.text!r} at {t.pos}")
+
+    # filters ------------------------------------------------------------
+    def or_expr(self):
+        parts = [self.and_expr()]
+        while self._is_kw("or"):
+            self.next()
+            parts.append(self.and_expr())
+        return parts[0] if len(parts) == 1 else Or(parts)
+
+    def and_expr(self):
+        parts = [self.not_expr()]
+        while True:
+            if self._is_kw("and"):
+                self.next()
+                parts.append(self.not_expr())
+                continue
+            # implicit AND: next token starts another term (Humio rule)
+            t = self.peek()
+            if t is not None and t.kind in ("IDENT", "STRING", "LPAREN", "NUMBER") and not self._is_kw("or"):
+                parts.append(self.not_expr())
+                continue
+            break
+        return parts[0] if len(parts) == 1 else And(parts)
+
+    def not_expr(self):
+        if self._is_kw("not"):
+            self.next()
+            return Not(self.not_expr())
+        return self.primary()
+
+    def primary(self):
+        t = self.peek()
+        if t.kind == "LPAREN":
+            self.next()
+            inner = self.or_expr()
+            self.expect("RPAREN")
+            return inner
+        if t.kind == "STRING":
+            return FreeText(_unquote(self.next().text))
+        if t.kind in ("NUMBER", "DURATION"):
+            return FreeText(self.next().text)
+        if t.kind == "IDENT":
+            nxt = self.peek(1)
+            if nxt is not None and nxt.kind == "OP":
+                fieldname = _strip_sigil(self.next().text)
+                op = self.next().text
+                v = self.next()
+                if v.kind == "REGEX":
+                    if op not in ("=", "!="):
+                        raise HqlSyntaxError("regex match supports = / != only")
+                    return Cmp(fieldname, op, v.text[1:-1], is_regex=True)
+                if v.kind == "NUMBER":
+                    num = float(v.text)
+                    return Cmp(fieldname, op, num)
+                if v.kind == "STRING":
+                    s = _unquote(v.text)
+                elif v.kind in ("IDENT", "GLOB", "DURATION"):
+                    s = v.text
+                else:
+                    raise HqlSyntaxError(f"bad comparison value {v.text!r} at {v.pos}")
+                return Cmp(fieldname, op, s, is_glob="*" in s)
+            return FreeText(self.next().text)
+        raise HqlSyntaxError(f"unexpected {t.kind} {t.text!r} at {t.pos}")
+
+    # arithmetic for := --------------------------------------------------
+    def arith(self):
+        node = self.term()
+        while self.peek() is not None and self.peek().kind == "ARITH" and self.peek().text in "+-":
+            op = self.next().text
+            node = ("op", op, node, self.term())
+        return node
+
+    def term(self):
+        node = self.factor()
+        while self.peek() is not None and self.peek().kind == "ARITH" and self.peek().text in "*/":
+            op = self.next().text
+            node = ("op", op, node, self.factor())
+        return node
+
+    def factor(self):
+        t = self.next()
+        if t.kind == "NUMBER":
+            return ("num", float(t.text))
+        if t.kind == "IDENT":
+            return ("field", _strip_sigil(t.text))
+        if t.kind == "LPAREN":
+            node = self.arith()
+            self.expect("RPAREN")
+            return node
+        raise HqlSyntaxError(f"unexpected {t.kind} {t.text!r} in expression at {t.pos}")
+
+    def _is_kw(self, kw: str) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == "IDENT" and t.text.lower() == kw
+
+
+def _strip_sigil(name: str) -> str:
+    return name.lstrip("#@")
+
+
+def _unquote(s: str) -> str:
+    return re.sub(r"\\(.)", r"\1", s[1:-1])
+
+
+def parse(src: str) -> list:
+    return _Parser(tokenize(src)).parse()
+
+
+# --- compiler -------------------------------------------------------------
+
+_STAGE_FUNCS = {
+    "count", "sum", "avg", "min", "max", "groupBy", "timechart", "sort",
+    "head", "top", "select", "table", "regex",
+}
+
+_SPANS = {"s": "second", "m": "minute", "h": "hour", "d": "day", "w": "week"}
+
+
+def _span_to_interval(span: str) -> str:
+    m = re.fullmatch(r"(\d+)([smhdw])", str(span))
+    if not m:
+        raise HqlSyntaxError(f"bad span {span!r} (expected e.g. 1h, 30m)")
+    n, unit = m.groups()
+    return f"{n} {_SPANS[unit]}"
+
+
+def _string_cols(df: DataFrame) -> list[str]:
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
+
+
+def _glob_to_regex(pat: str) -> str:
+    parts = [re.escape(p) for p in pat.split("*")]
+    return "^" + ".*".join(parts) + "$"
+
+
+def _compile_filter(df: DataFrame, node) -> Column:
+    if isinstance(node, And):
+        col = _compile_filter(df, node.parts[0])
+        for p in node.parts[1:]:
+            col = col & _compile_filter(df, p)
+        return col
+    if isinstance(node, Or):
+        col = _compile_filter(df, node.parts[0])
+        for p in node.parts[1:]:
+            col = col | _compile_filter(df, p)
+        return col
+    if isinstance(node, Not):
+        return ~_compile_filter(df, node.inner)
+    if isinstance(node, FreeText):
+        cols = _string_cols(df)
+        if not cols:
+            return F.lit(False)
+        term = node.term.lower()
+        cond = F.lit(False)
+        for c in cols:
+            cond = cond | F.lower(F.col(c)).contains(term)
+        return cond
+    if isinstance(node, Cmp):
+        c = F.col(node.field)
+        if node.is_regex:
+            hit = c.rlike(node.value)
+            return hit if node.op == "=" else ~hit
+        if isinstance(node.value, float):
+            num = c.cast("double")
+            return {
+                "=": num == node.value,
+                "!=": num != node.value,
+                "<": num < node.value,
+                "<=": num <= node.value,
+                ">": num > node.value,
+                ">=": num >= node.value,
+            }[node.op]
+        if node.is_glob:
+            hit = c.rlike(_glob_to_regex(node.value))
+            if node.op not in ("=", "!="):
+                raise HqlSyntaxError("glob match supports = / != only")
+            return hit if node.op == "=" else ~hit
+        return {
+            "=": c == node.value,
+            "!=": c != node.value,
+            "<": c < node.value,
+            "<=": c <= node.value,
+            ">": c > node.value,
+            ">=": c >= node.value,
+        }[node.op]
+    raise HqlSyntaxError(f"cannot compile filter node {node!r}")
+
+
+def _compile_arith(node) -> Column:
+    kind = node[0]
+    if kind == "num":
+        return F.lit(node[1])
+    if kind == "field":
+        return F.col(node[1])
+    _, op, left, right = node
+    lc, rc = _compile_arith(left), _compile_arith(right)
+    return {"+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc}[op]
+
+
+def _agg_column(call: Call) -> Column:
+    """One aggregate Call → a named Column (deterministic-float policy:
+    sum/avg through exact DECIMAL(28,6))."""
+    name = call.name
+    alias = call.kwargs.get("as")
+    if name == "count":
+        col = (
+            F.count(F.col(call.args[0])) if call.args else F.count(F.lit(1))
+        )
+        return col.alias(alias or "_count")
+    if not call.args:
+        raise HqlSyntaxError(f"{name}() needs a field argument")
+    target = F.col(call.args[0])
+    if name == "sum":
+        col = F.sum(target.cast("decimal(28,6)")).cast("double")
+    elif name == "avg":
+        col = F.sum(target.cast("decimal(28,6)")).cast("double") / F.count(
+            target
+        )
+    elif name == "min":
+        col = F.min(target)
+    elif name == "max":
+        col = F.max(target)
+    else:
+        raise HqlSyntaxError(f"unknown aggregate {name!r}")
+    return col.alias(alias or f"_{name}")
+
+
+def _as_list(v) -> list:
+    return v if isinstance(v, list) else [v]
+
+
+def _compile_stage(df: DataFrame, node) -> DataFrame:
+    if isinstance(node, (And, Or, Not, FreeText, Cmp)):
+        return df.filter(_compile_filter(df, node))
+    if isinstance(node, Assign):
+        return df.withColumn(node.name, _compile_arith(node.expr))
+    if not isinstance(node, Call):
+        raise HqlSyntaxError(f"cannot compile stage {node!r}")
+
+    name = node.name
+    if name in ("count", "sum", "avg", "min", "max"):
+        return df.agg(_agg_column(node))
+    if name == "groupBy":
+        fields = _as_list(node.args[0]) if node.args else []
+        funcs = _as_list(node.kwargs.get("function", Call("count")))
+        aggs = [_agg_column(c) for c in funcs]
+        return df.groupBy(*[F.col(f) for f in fields]).agg(*aggs)
+    if name == "timechart":
+        from cses2humio_spark.operators.aggregates import timechart
+
+        span = _span_to_interval(node.kwargs.get("span", "1h"))
+        dims = _as_list(node.kwargs["by"]) if "by" in node.kwargs else []
+        funcs = _as_list(node.kwargs.get("function", Call("count")))
+        aggs = [_agg_column(c) for c in funcs]
+        return timechart(df, ts_col="ts", span=span, aggs=aggs, dims=dims)
+    if name == "sort":
+        fields = _as_list(node.args[0]) if node.args else []
+        desc = str(node.kwargs.get("order", "desc")).lower() != "asc"
+        cols = [F.col(f).desc() if desc else F.col(f).asc() for f in fields]
+        out = df.orderBy(*cols)
+        if "limit" in node.kwargs:
+            out = out.limit(int(node.kwargs["limit"]))
+        return out
+    if name == "head":
+        n = int(node.args[0]) if node.args else int(node.kwargs.get("limit", 200))
+        return df.limit(n)
+    if name == "top":
+        fields = _as_list(node.args[0]) if node.args else []
+        limit = int(node.kwargs.get("limit", 10))
+        if "sum" in node.kwargs:
+            metric = _agg_column(Call("sum", [node.kwargs["sum"]]))
+            mname = "_sum"
+        else:
+            metric = _agg_column(Call("count"))
+            mname = "_count"
+        grouped = df.groupBy(*[F.col(f) for f in fields]).agg(metric)
+        order = [F.col(mname).desc()] + [F.col(f).asc() for f in fields]
+        return grouped.orderBy(*order).limit(limit)
+    if name in ("select", "table"):
+        fields = _as_list(node.args[0]) if node.args else []
+        return df.select(*[F.col(f) for f in fields])
+    if name == "regex":
+        pat = node.args[0]
+        target = node.kwargs.get("field")
+        if target is None:
+            raise HqlSyntaxError("regex(...) requires field=")
+        groups = re.findall(r"\(\?P?<([A-Za-z_][A-Za-z0-9_]*)>", pat)
+        # Spark's Java regex uses (?<name>...); normalize Python spelling
+        jpat = pat.replace("(?P<", "(?<")
+        out = df.filter(F.col(target).rlike(jpat))
+        for i, g in enumerate(groups, start=1):
+            out = out.withColumn(g, F.regexp_extract(F.col(target), jpat, i))
+        return out
+    raise HqlSyntaxError(f"unknown stage function {name!r}")
+
+
+def hql(df: DataFrame, query: str) -> DataFrame:
+    """Compile and apply an HQL pipe query to ``df``; returns the result
+    DataFrame (lazily — nothing executes until an action)."""
+    out = df
+    for stage in parse(query):
+        out = _compile_stage(out, stage)
+    return out

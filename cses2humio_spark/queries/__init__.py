@@ -15,3 +15,4 @@ from cses2humio_spark.queries import connector  # noqa: E402,F401
 from cses2humio_spark.queries import training  # noqa: E402,F401
 from cses2humio_spark.queries import profiling  # noqa: E402,F401
 from cses2humio_spark.queries import mining  # noqa: E402,F401
+from cses2humio_spark.queries import hql_queries  # noqa: E402,F401

@@ -1,0 +1,137 @@
+"""Oracle-checked queries driven through the HQL pipe-syntax front-end
+(``cses2humio_spark.hql``) — each registered entry here is an actual HQL
+string compiled to a DataFrame, proving the DSL end-to-end against the
+same DuckDB oracles as the hand-written surface. A Humio user's
+filter → extract → aggregate → sort pipelines run unchanged; the compiled
+plans are the same pushed-down/partial-agg shapes the hand-written
+queries produce (pinned in tests/test_hql.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cses2humio_spark.hql import hql
+from cses2humio_spark.queries.registry import query
+from cses2humio_spark.sources.catalog import load_table
+
+
+@query(
+    "hql_error_timechart",
+    oracle="""
+    SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_start,
+           COUNT(*) AS _count
+    FROM events
+    WHERE event_type = 'error'
+    GROUP BY date_trunc('hour', ts)
+    """,
+)
+def hql_error_timechart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship timechart written as its Humio one-liner. The tag
+    filter pushes to the scan; the hourly bucketing and count compile to
+    the same window-agg plan as ``timechart_errors``."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(ev, "#event_type = error | timechart(span=1h)")
+
+
+@query(
+    "hql_top_purchasers",
+    oracle="""
+    SELECT user_id, COUNT(*) AS _count
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+    ORDER BY _count DESC, user_id ASC
+    LIMIT 10
+    """,
+)
+def hql_top_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``top()`` — Humio's most-used aggregation. The DSL's determinism
+    contract breaks count ties by the group value ascending, so the
+    LIMIT cut is engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(ev, "event_type = purchase | top(user_id, limit=10)")
+
+
+@query(
+    "hql_free_text_groupby",
+    oracle="""
+    SELECT event_type, COUNT(*) AS _count
+    FROM events
+    WHERE lower(event_type) LIKE '%err%' OR lower(props) LIKE '%err%'
+    GROUP BY event_type
+    """,
+)
+def hql_free_text_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare-word free-text search (the @rawstring analog: case-insensitive
+    substring over every string column) piped into a groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(ev, "err | groupBy(event_type)")
+
+
+@query(
+    "hql_eval_sort_select",
+    oracle="""
+    SELECT event_id, value * 2 AS score
+    FROM events WHERE value > 90
+    ORDER BY score DESC, event_id DESC
+    LIMIT 5
+    """,
+)
+def hql_eval_sort_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assignment (``:=``), multi-key sort with limit, and projection —
+    the eval/table shape. sort(limit=) compiles to
+    TakeOrderedAndProject, not a full sort."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(
+        ev,
+        "value > 90 | score := value * 2 "
+        "| sort([score, event_id], limit=5) | select([event_id, score])",
+    )
+
+
+@query(
+    "hql_regex_extract_groupby",
+    oracle="""
+    SELECT regexp_extract(props, '"k": (\\d+)', 1) AS knum,
+           COUNT(*) AS _count
+    FROM events
+    WHERE regexp_matches(event_type, '^(error|view)$')
+      AND regexp_matches(props, '"k": (\\d+)')
+    GROUP BY 1
+    """,
+)
+def hql_regex_extract_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex field match + named-group extraction stage (non-matching
+    rows dropped, Humio semantics), grouped on the extracted field."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(
+        ev,
+        'event_type = /^(error|view)$/ '
+        '| regex("\\"k\\": (?<knum>\\\\d+)", field=props) | groupBy(knum)',
+    )
+
+
+@query(
+    "hql_glob_filter_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS _count,
+           MIN(value) AS _min,
+           MAX(value) AS _max,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value)
+             AS _avg
+    FROM events
+    WHERE regexp_matches(event_type, '^s.*$')
+    GROUP BY event_type
+    """,
+)
+def hql_glob_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Glob-value filter (``s*``) with a multi-aggregate groupBy. The
+    DSL's sum/avg accumulate in exact DECIMAL(28,6) (partition-order
+    independent — the engine-wide float determinism contract)."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(
+        ev,
+        "event_type = s* | groupBy(event_type, "
+        "function=[count(), min(value), max(value), avg(value)])",
+    )

@@ -1,0 +1,203 @@
+"""HQL front-end tests: parser units, compile-time equivalence against
+hand-written DataFrame queries, Humio-semantics edge cases, and plan
+contracts (the DSL must not cost anything — pushdown, partial agg and
+TakeOrdered survive compilation). Oracle parity for the registered
+hql_* queries runs in test_oracle_parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cses2humio_spark.hql import (
+    And,
+    Assign,
+    Call,
+    Cmp,
+    FreeText,
+    HqlSyntaxError,
+    Not,
+    Or,
+    hql,
+    parse,
+)
+from cses2humio_spark.sources.catalog import load_table
+from tests.conftest import SF_ORACLE, SF_SMALL
+
+
+# --- parser ---------------------------------------------------------------
+
+
+def test_parse_filter_shapes():
+    [f] = parse("event_type = error")
+    assert f == Cmp("event_type", "=", "error")
+    [f] = parse("#event_type != err*")
+    assert f == Cmp("event_type", "!=", "err*", is_glob=True)
+    [f] = parse("value >= 10.5")
+    assert f == Cmp("value", ">=", 10.5)
+    [f] = parse("props = /k.*9/")
+    assert f == Cmp("props", "=", "k.*9", is_regex=True)
+
+
+def test_parse_boolean_structure():
+    [f] = parse('a = 1 and (b = 2 or not c = 3)')
+    assert isinstance(f, And)
+    assert isinstance(f.parts[1], Or)
+    assert isinstance(f.parts[1].parts[1], Not)
+
+
+def test_parse_implicit_and_is_humio_rule():
+    [f] = parse("timeout error")
+    assert f == And([FreeText("timeout"), FreeText("error")])
+
+
+def test_parse_pipeline_and_assignment():
+    stages = parse("value > 1 | x := value * 2 + 1 | count()")
+    assert isinstance(stages[0], Cmp)
+    assert isinstance(stages[1], Assign) and stages[1].name == "x"
+    assert stages[2] == Call("count")
+
+
+def test_parse_kwargs_lists_and_nested_calls():
+    [c] = parse("groupBy([a, b], function=[count(), avg(v)])")
+    assert c.args[0] == ["a", "b"]
+    assert c.kwargs["function"][0] == Call("count")
+    assert c.kwargs["function"][1] == Call("avg", ["v"])
+
+
+def test_parse_division_is_not_regex():
+    stages = parse("a := b / 2 | c := a / 4")
+    assert all(isinstance(s, Assign) for s in stages)
+
+
+def test_parse_errors_are_loud():
+    for bad in ["| count()  |", "groupBy(", "a = ", "value > 1 | frobnicate(2)"]:
+        with pytest.raises(HqlSyntaxError):
+            parse(bad)
+
+
+# --- compile equivalence --------------------------------------------------
+
+
+def test_filter_equivalence(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    got = hql(ev, "event_type = error value > 50").count()
+    want = ev.filter((F.col("event_type") == "error") & (F.col("value") > 50)).count()
+    assert got == want > 0
+
+
+def test_glob_and_regex_equivalence(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    assert (
+        hql(ev, "event_type = s*").count()
+        == ev.filter(F.col("event_type").startswith("s")).count()
+    )
+    assert (
+        hql(ev, "event_type = /^(error|view)$/").count()
+        == ev.filter(F.col("event_type").isin("error", "view")).count()
+    )
+
+
+def test_free_text_searches_all_string_columns(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    # '"k": 9' appears only in props — free text must still find it
+    got = hql(ev, '"9}"').count()
+    want = ev.filter(
+        F.lower("event_type").contains("9}") | F.lower("props").contains("9}")
+    ).count()
+    assert got == want > 0
+
+
+def test_not_and_or(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    got = hql(ev, "not event_type = error").count()
+    assert got == ev.filter(F.col("event_type") != "error").count()
+    got = hql(ev, "event_type = error or event_type = view").count()
+    assert got == ev.filter(F.col("event_type").isin("error", "view")).count()
+
+
+def test_numeric_comparison_casts(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    assert hql(ev, "value <= 10").count() == ev.filter(F.col("value") <= 10).count()
+
+
+def test_head_and_select(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    out = hql(ev, "head(7)")
+    assert out.count() == 7
+    out = hql(ev, "select([event_id, value])")
+    assert out.columns == ["event_id", "value"]
+
+
+def test_count_names_match_humio(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    assert hql(ev, "count()").columns == ["_count"]
+    assert hql(ev, "count(as=hits)").columns == ["hits"]
+    assert hql(ev, "groupBy(event_type)").columns == ["event_type", "_count"]
+
+
+def test_regex_stage_drops_nonmatching_and_extracts(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    out = hql(ev, 'regex("\\"k\\": (?<knum>\\\\d\\\\d)", field=props)')
+    rows = out.select("knum").distinct().collect()
+    assert rows and all(len(r["knum"]) == 2 for r in rows)
+    # every surviving row matched (two-digit k)
+    assert out.filter(~F.col("props").rlike('"k": \\d\\d')).count() == 0
+
+
+def test_timechart_by_dimension(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    out = hql(ev, "timechart(span=1d, by=event_type)")
+    assert set(out.columns) == {"bucket_start", "event_type", "_count"}
+    total = out.agg(F.sum("_count")).collect()[0][0]
+    assert total == ev.count()
+
+
+def test_top_with_sum_metric(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    out = hql(ev, "top(event_type, limit=3, sum=value)")
+    assert out.columns == ["event_type", "_sum"]
+    assert out.count() == 3
+
+
+# --- plan contracts -------------------------------------------------------
+
+
+def test_hql_filter_reaches_scan(spark):
+    from cses2humio_spark.plans.explain import assert_pushed_filters
+
+    ev = load_table(spark, SF_SMALL, "events")
+    df = hql(ev, "#event_type = error | timechart(span=1h)")
+    assert_pushed_filters(df, "EqualTo(event_type,error)")
+
+
+def test_hql_groupby_partial_agg(spark):
+    from cses2humio_spark.plans.explain import assert_partial_aggregation
+
+    ev = load_table(spark, SF_SMALL, "events")
+    assert_partial_aggregation(hql(ev, "err | groupBy(event_type)"))
+
+
+def test_hql_sort_limit_is_take_ordered(spark):
+    from cses2humio_spark.plans.explain import assert_take_ordered
+
+    ev = load_table(spark, SF_SMALL, "events")
+    df = hql(ev, "value > 90 | sort([value, event_id], limit=5)")
+    assert_take_ordered(df)
+
+
+def test_hql_no_udfs_anywhere(spark):
+    """Every DSL construct must compile to JVM expressions — a Python UDF
+    in the plan means the hot path left codegen."""
+    from cses2humio_spark.plans.explain import formatted_plan
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    df = hql(
+        ev,
+        'err | value > 1 | x := value / 3 '
+        '| regex("(?<k>\\\\d+)", field=props) '
+        "| groupBy([event_type, k], function=[count(), sum(x)])",
+    )
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
