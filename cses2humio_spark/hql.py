@@ -344,6 +344,21 @@ class _Parser:
         if t.kind == "NUMBER":
             return ("num", float(t.text))
         if t.kind == "IDENT":
+            # scalar function call inside := expressions
+            if self.peek() is not None and self.peek().kind == "LPAREN":
+                if t.text not in _EVAL_FUNCS:
+                    raise HqlSyntaxError(
+                        f"unknown eval function {t.text!r} at {t.pos} "
+                        f"(supported: {', '.join(sorted(_EVAL_FUNCS))})"
+                    )
+                self.next()  # '('
+                args = []
+                while self.peek() is not None and self.peek().kind != "RPAREN":
+                    args.append(self.arith())
+                    if self.peek() is not None and self.peek().kind == "COMMA":
+                        self.next()
+                self.expect("RPAREN")
+                return ("call", t.text, args)
             return ("field", _strip_sigil(t.text))
         if t.kind == "LPAREN":
             node = self.arith()
@@ -372,7 +387,7 @@ def parse(src: str) -> list:
 
 _STAGE_FUNCS = {
     "count", "sum", "avg", "min", "max", "groupBy", "timechart", "sort",
-    "head", "top", "select", "table", "regex",
+    "head", "top", "select", "table", "regex", "parseJson",
 }
 
 _SPANS = {"s": "second", "m": "minute", "h": "hour", "d": "day", "w": "week"}
@@ -448,12 +463,32 @@ def _compile_filter(df: DataFrame, node) -> Column:
     raise HqlSyntaxError(f"cannot compile filter node {node!r}")
 
 
+#: scalar functions allowed inside ``:=`` expressions — all JVM built-ins
+_EVAL_FUNCS = {
+    "length": lambda a: F.length(a[0]),
+    "lower": lambda a: F.lower(a[0]),
+    "upper": lambda a: F.upper(a[0]),
+    "abs": lambda a: F.abs(a[0]),
+    "round": lambda a: F.round(a[0], int(a[1]) if len(a) > 1 else 0),
+    "floor": lambda a: F.floor(a[0]),
+    "ceil": lambda a: F.ceil(a[0]),
+}
+
+
 def _compile_arith(node) -> Column:
     kind = node[0]
     if kind == "num":
         return F.lit(node[1])
     if kind == "field":
         return F.col(node[1])
+    if kind == "call":
+        _, name, arg_nodes = node
+        args = [_compile_arith(a) for a in arg_nodes]
+        if name == "round" and len(arg_nodes) > 1:
+            if arg_nodes[1][0] != "num":
+                raise HqlSyntaxError("round() scale must be a literal number")
+            return F.round(args[0], int(arg_nodes[1][1]))
+        return _EVAL_FUNCS[name](args)
     _, op, left, right = node
     lc, rc = _compile_arith(left), _compile_arith(right)
     return {"+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc}[op]
@@ -541,6 +576,20 @@ def _compile_stage(df: DataFrame, node) -> DataFrame:
     if name in ("select", "table"):
         fields = _as_list(node.args[0]) if node.args else []
         return df.select(*[F.col(f) for f in fields])
+    if name == "parseJson":
+        # Deliberate deviation from Humio: keys are EXPLICIT. Humio infers
+        # the shape per event; at 100 TB schema inference is a full extra
+        # scan, and get_json_object on named paths stays in codegen.
+        target = node.args[0] if node.args else node.kwargs.get("field")
+        keys = _as_list(node.kwargs.get("keys", []))
+        if target is None or not keys:
+            raise HqlSyntaxError("parseJson(field, keys=[...]) requires both")
+        out = df
+        for k in keys:
+            out = out.withColumn(
+                k.split(".")[-1], F.get_json_object(F.col(target), f"$.{k}")
+            )
+        return out
     if name == "regex":
         pat = node.args[0]
         target = node.kwargs.get("field")

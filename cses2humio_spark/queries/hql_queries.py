@@ -135,3 +135,27 @@ def hql_glob_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type = s* | groupBy(event_type, "
         "function=[count(), min(value), max(value), avg(value)])",
     )
+
+
+@query(
+    "hql_parsejson_eval",
+    oracle="""
+    SELECT json_extract_string(props, '$.k') AS k,
+           ROUND(value / 20) AS vband,
+           COUNT(*) AS _count
+    FROM events
+    WHERE event_type = 'error'
+    GROUP BY 1, 2
+    """,
+)
+def hql_parsejson_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction (``parseJson`` with explicit keys — the
+    codegen path; Humio's inferred variant would cost a schema-inference
+    scan at 100 TB) composed with an eval function (``round``) and a
+    two-key groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(
+        ev,
+        "event_type = error | parseJson(props, keys=[k]) "
+        "| vband := round(value / 20) | groupBy([k, vband])",
+    )

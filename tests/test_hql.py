@@ -201,3 +201,60 @@ def test_hql_no_udfs_anywhere(spark):
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_eval_functions(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    out = hql(ev, "plen := length(props) | lo := lower(event_type) | r := round(value, 1)")
+    row = out.select("plen", "lo", "r", "props", "event_type", "value").first()
+    assert row["plen"] == len(row["props"])
+    assert row["lo"] == row["event_type"].lower()
+    assert abs(row["r"] - round(row["value"], 1)) < 1e-9
+
+
+def test_eval_unknown_function_is_loud():
+    with pytest.raises(HqlSyntaxError):
+        parse("x := frob(value)")
+
+
+def test_parsejson_extracts_keys(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    out = hql(ev, "parseJson(props, keys=[k])")
+    assert "k" in out.columns
+    assert out.filter(F.col("k").isNull()).count() == 0
+
+
+def test_hql_applies_to_streams(spark, tmp_path):
+    """The same HQL string must run on a STREAMING DataFrame — the
+    alerting story: a saved search becomes a live windowed aggregation
+    with no rewrite. availableNow over the parquet fixture; complete-mode
+    memory sink; result must equal the batch run of the same query."""
+    import shutil
+
+    src_dir = tmp_path / "events_stream"
+    src_dir.mkdir()
+    shutil.copy(f"{SF_SMALL}/events.parquet", src_dir / "part-0.parquet")
+    batch_df = spark.read.parquet(str(src_dir))
+    sch = batch_df.schema
+    stream = spark.readStream.schema(sch).parquet(str(src_dir))
+    q_text = "#event_type = error | timechart(span=1d)"
+
+    agg = hql(stream, q_text)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hql_stream_tc")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["bucket_start"], r["_count"])
+        for r in spark.sql("select * from hql_stream_tc").collect()
+    }
+    want = {
+        (r["bucket_start"], r["_count"])
+        for r in hql(batch_df, q_text).collect()
+    }
+    assert got == want and len(got) > 0
