@@ -462,3 +462,30 @@ def bitmap_pruned_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+# --- heavy hitters --------------------------------------------------------
+
+
+@query(
+    "heavy_hitter_users",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_rows
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) * 200 > (SELECT COUNT(*) FROM events)
+    """,
+)
+def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users with more than n/200 of all events, found EXACTLY through
+    the bounded-memory Misra-Gries path (``operators/sketches.py``):
+    per-partition candidate summaries of at most 200 counters, then an
+    exact count restricted to candidates. A plain groupBy gives the same
+    answer until the distinct-key count outgrows executor memory — the
+    sketch path is the 100 TB insurance, and registering it against the
+    plain-SQL oracle proves the candidate set never loses a true heavy
+    hitter."""
+    from cses2humio_spark.operators.sketches import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", 200)

@@ -279,3 +279,37 @@ def test_approx_equi_depth_plan_has_no_single_partition_sort(spark):
     plan = formatted_plan(approx_equi_depth_buckets(orders, "o_totalprice", 8))
     assert "SinglePartition" not in plan
     assert "Window" not in plan
+
+
+# --- heavy hitters --------------------------------------------------------
+
+
+def test_heavy_hitters_adversarial_skew(spark):
+    """One key carries 60% of a stream with many distinct tail keys and a
+    tiny counter budget (k=8): MG must still surface it with its exact
+    count, and nothing below the n/k threshold may appear."""
+    from cses2humio_spark.operators.sketches import heavy_hitters
+
+    rows = [("hot",)] * 6000 + [(f"tail{i}",) for i in range(4000)]
+    df = spark.createDataFrame(rows, ["key"]).repartition(8)
+    got = {r["key"]: r["n_rows"] for r in heavy_hitters(df, "key", 8).collect()}
+    assert got == {"hot": 6000}
+
+
+def test_heavy_hitters_preserves_key_type(spark):
+    from cses2humio_spark.operators.sketches import heavy_hitters
+
+    ev = load_table(spark, SF_SMALL, "events")
+    out = heavy_hitters(ev, "user_id", 50)
+    assert dict(out.dtypes)["user_id"] == "bigint"
+
+
+def test_heavy_hitters_candidate_set_is_bounded(spark):
+    """The sketch stage must emit at most k rows per partition."""
+    from cses2humio_spark.operators.sketches import _make_mg_mapper
+    import pandas as pd
+
+    mapper = _make_mg_mapper(4)
+    batches = [pd.DataFrame({"__key": [str(i % 100) for i in range(1000)]})]
+    [out] = list(mapper(iter(batches)))
+    assert len(out) <= 4
