@@ -387,10 +387,14 @@ def parse(src: str) -> list:
 
 _STAGE_FUNCS = {
     "count", "sum", "avg", "min", "max", "groupBy", "timechart", "sort",
-    "head", "top", "select", "table", "regex", "parseJson",
+    "head", "top", "select", "table", "regex", "parseJson", "session",
+    "dedup",
 }
 
 _SPANS = {"s": "second", "m": "minute", "h": "hour", "d": "day", "w": "week"}
+
+
+_SPAN_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
 
 
 def _span_to_interval(span: str) -> str:
@@ -399,6 +403,14 @@ def _span_to_interval(span: str) -> str:
         raise HqlSyntaxError(f"bad span {span!r} (expected e.g. 1h, 30m)")
     n, unit = m.groups()
     return f"{n} {_SPANS[unit]}"
+
+
+def _span_to_seconds(span: str) -> int:
+    m = re.fullmatch(r"(\d+)([smhdw])", str(span))
+    if not m:
+        raise HqlSyntaxError(f"bad span {span!r} (expected e.g. 30m)")
+    n, unit = m.groups()
+    return int(n) * _SPAN_SECONDS[unit]
 
 
 def _string_cols(df: DataFrame) -> list[str]:
@@ -576,6 +588,41 @@ def _compile_stage(df: DataFrame, node) -> DataFrame:
     if name in ("select", "table"):
         fields = _as_list(node.args[0]) if node.args else []
         return df.select(*[F.col(f) for f in fields])
+    if name == "session":
+        # Humio's session(): gap-based sessionization. Compiles to the
+        # batch sessionize operator (lag + cumulative sum, one shuffle on
+        # the series key). ``by`` is required here (the engine has no
+        # implicit host/stream identity column).
+        from cses2humio_spark.operators.windows import sessionize
+
+        gap = _span_to_seconds(node.kwargs.get("maxpause", "15m"))
+        by = _as_list(node.kwargs.get("by", []))
+        if not by:
+            raise HqlSyntaxError("session(...) requires by=<series key>")
+        ts_col = node.kwargs.get("timefield", "ts")
+        return sessionize(df, by, ts_col, gap)
+    if name == "dedup":
+        # LogScale-style dedup: keep one row per key combo, chosen by the
+        # ``order`` columns (default: latest by ts) — row_number window,
+        # one shuffle on the dedup keys. Pass a unique tiebreak column in
+        # order=[...] for a deterministic survivor.
+        fields = _as_list(node.args[0]) if node.args else []
+        if not fields:
+            raise HqlSyntaxError("dedup(...) requires the key field(s)")
+        order = _as_list(node.kwargs.get("order", ["ts"]))
+        keep = str(node.kwargs.get("keep", "last")).lower()
+        from pyspark.sql.window import Window
+
+        cols = [
+            F.col(f).desc() if keep == "last" else F.col(f).asc()
+            for f in order
+        ]
+        w = Window.partitionBy(*[F.col(f) for f in fields]).orderBy(*cols)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     if name == "parseJson":
         # Deliberate deviation from Humio: keys are EXPLICIT. Humio infers
         # the shape per event; at 100 TB schema inference is a full extra

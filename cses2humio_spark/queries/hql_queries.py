@@ -159,3 +159,60 @@ def hql_parsejson_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type = error | parseJson(props, keys=[k]) "
         "| vband := round(value / 20) | groupBy([k, vband])",
     )
+
+
+@query(
+    "hql_session_stats",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+        CASE WHEN LAG(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, COUNT(*) AS _count,
+           CAST(MAX(session_id) AS BIGINT) AS _max
+    FROM sess GROUP BY user_id
+    """,
+)
+def hql_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Humio's ``session()`` stage: gap-based sessionization (30 min
+    maxpause) compiled to the batch sessionize operator, then events and
+    session counts per user. One shuffle on the series key."""
+    ev = load_table(spark, sf_dir, "events")
+    out = hql(
+        ev,
+        "session(maxpause=30m, by=user_id) "
+        "| groupBy(user_id, function=[count(), max(session_id)])",
+    )
+    from pyspark.sql import functions as F
+
+    return out.withColumn("_max", F.col("_max").cast("bigint"))
+
+
+@query(
+    "hql_dedup_latest_event",
+    oracle="""
+    SELECT user_id, event_id FROM (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def hql_dedup_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LogScale-style ``dedup``: the latest event per user (order by ts
+    with event_id tiebreak → deterministic survivor), then projection."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(
+        ev,
+        "dedup(user_id, order=[ts, event_id], keep=last) "
+        "| select([user_id, event_id])",
+    )

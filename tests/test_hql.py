@@ -258,3 +258,38 @@ def test_hql_applies_to_streams(spark, tmp_path):
         for r in hql(batch_df, q_text).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_session_stage_equals_operator(spark):
+    from cses2humio_spark.operators.windows import sessionize
+
+    ev = load_table(spark, SF_SMALL, "events")
+    got = hql(ev, "session(maxpause=30m, by=user_id)")
+    want = sessionize(ev, ["user_id"], "ts", 1800)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_session_requires_by():
+    with pytest.raises(HqlSyntaxError):
+        from cses2humio_spark.hql import parse, _compile_stage
+
+        [stage] = parse("session(maxpause=30m)")
+        _compile_stage(None, stage)
+
+
+def test_dedup_keeps_one_per_key(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    out = hql(ev, "dedup(user_id, order=[ts, event_id], keep=last)")
+    assert out.count() == ev.select("user_id").distinct().count()
+    # survivor is the max-ts row per user
+    latest = ev.groupBy("user_id").agg(F.max("ts").alias("ts"))
+    joined = out.join(latest, ["user_id", "ts"], "inner")
+    assert joined.count() == out.count()
+
+
+def test_dedup_keep_first(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    out = hql(ev, "dedup(event_type, order=[ts, event_id], keep=first)")
+    first = ev.groupBy("event_type").agg(F.min("ts").alias("ts"))
+    assert out.join(first, ["event_type", "ts"]).count() == out.count()
