@@ -44,6 +44,13 @@ HEADLINE = [
     "doc_chunk_stats",  # narrow posexplode row expansion
     "vocab_apply_oov_rate",  # explode + broadcast vocab join
     "funnel_conversion",  # chained per-user MIN aggs
+    # round 3 (cont.): mining + HQL families promoted to the timed
+    # surface (no standing baseline yet — first accepted bench becomes it)
+    "price_quantity_regression",  # one-pass sufficient statistics
+    "scd2_user_status_history",  # CDC collapse, two windows one shuffle
+    "heavy_hitter_users",  # Misra-Gries candidates + exact verify
+    "interpolated_hourly_value",  # spine densify + ignore-nulls windows
+    "hql_error_timechart",  # DSL-compiled flagship timechart
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
@@ -83,6 +90,13 @@ STANDING_BASELINE_SF01 = {
     "doc_chunk_stats": 0.432,
     "vocab_apply_oov_rate": 0.541,
     "funnel_conversion": 0.641,
+    # first accepted numbers (round-3 continuation bench, sf0.1,
+    # local[32]) for the mining/HQL queries promoted this round
+    "price_quantity_regression": 1.095,
+    "scd2_user_status_history": 0.933,
+    "heavy_hitter_users": 0.844,
+    "interpolated_hourly_value": 0.671,
+    "hql_error_timechart": 0.316,
 }
 
 

@@ -450,7 +450,11 @@ def _compile_filter(df: DataFrame, node) -> Column:
             hit = c.rlike(node.value)
             return hit if node.op == "=" else ~hit
         if isinstance(node.value, float):
-            num = c.cast("double")
+            # try_cast, not cast: under ANSI mode a plain cast on a string
+            # field with non-numeric values would crash the whole query;
+            # Humio's semantics are "non-numeric never matches" (null
+            # comparison → filtered out)
+            num = c.try_cast("double")
             return {
                 "=": num == node.value,
                 "!=": num != node.value,

@@ -293,3 +293,14 @@ def test_dedup_keep_first(spark):
     out = hql(ev, "dedup(event_type, order=[ts, event_id], keep=first)")
     first = ev.groupBy("event_type").agg(F.min("ts").alias("ts"))
     assert out.join(first, ["event_type", "ts"]).count() == out.count()
+
+
+def test_numeric_compare_on_nonnumeric_string_never_matches(spark):
+    """ANSI-mode survival: a numeric comparison against a string field
+    with non-numeric values must silently not-match (Humio semantics),
+    not crash the query."""
+    df = spark.createDataFrame(
+        [("abc",), ("42",), ("7.5",)], ["v"]
+    )
+    got = {r["v"] for r in hql(df, "v > 10").collect()}
+    assert got == {"42"}
