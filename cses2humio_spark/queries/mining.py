@@ -489,3 +489,63 @@ def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return heavy_hitters(ev, "user_id", 200)
+
+
+# --- beaconing / inter-arrival regularity ---------------------------------
+
+# identical scalar-expression text on both engines (exact-decimal sums →
+# double), same trick as _REG_EXPRS: mean gap, and the coefficient of
+# variation sqrt(var)/mean — the beaconing score (C2 implants poll on
+# timers → cv near 0; organic human activity → cv near 1)
+_BEACON_EXPRS = [
+    "CAST(n AS BIGINT) AS n_gaps",
+    "ROUND(sg / n / 1000000.0, 3) AS mean_gap_s",
+    "ROUND(SQRT((sg2 - sg*sg/n) / n) / (sg / n), 6) AS cv",
+]
+
+
+@query(
+    "beacon_regularity_scores",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS g
+      FROM events),
+    s AS (SELECT user_id,
+                 COUNT(g) AS n,
+                 CAST(SUM(CAST(g AS DECIMAL(19,0))) AS DOUBLE) AS sg,
+                 CAST(SUM(CAST(g AS DECIMAL(19,0)) * CAST(g AS DECIMAL(19,0)))
+                      AS DOUBLE) AS sg2
+          FROM gaps WHERE g IS NOT NULL
+          GROUP BY user_id
+          HAVING COUNT(g) >= 30)
+    SELECT user_id, {", ".join(_BEACON_EXPRS)} FROM s
+    """,
+)
+def beacon_regularity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beaconing detection (the security-analytics classic the reference's
+    users run in Humio): per-user inter-arrival gaps, then the
+    coefficient of variation of the gap distribution from exact-DECIMAL
+    sufficient statistics (Σg and Σg² are integer-microsecond sums — g²
+    overflows BIGINT, hence exact decimals). A timer-driven implant scores
+    cv ≈ 0, organic activity cv ≈ 1; the fixture's Poisson-ish arrivals
+    land near 1 and the full score table is oracle-checked bit-exactly.
+    One window + one agg: a single shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("g")
+    ).where(F.col("g").isNotNull())
+    gd = F.col("g").cast("decimal(19,0)")
+    s = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("g").alias("n"),
+            F.sum(gd).cast("double").alias("sg"),
+            F.sum(gd * gd).cast("double").alias("sg2"),
+        )
+        .filter(F.col("n") >= 30)
+    )
+    return s.selectExpr("user_id", *_BEACON_EXPRS)

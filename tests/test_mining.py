@@ -313,3 +313,46 @@ def test_heavy_hitters_candidate_set_is_bounded(spark):
     batches = [pd.DataFrame({"__key": [str(i % 100) for i in range(1000)]})]
     [out] = list(mapper(iter(batches)))
     assert len(out) <= 4
+
+
+# --- beaconing ------------------------------------------------------------
+
+
+def test_beacon_score_separates_timer_from_noise(spark):
+    """A synthetic implant polling every 60s (±1s jitter) must score
+    cv ≈ 0; a bursty organic pattern scores near 1 — the separation the
+    beacon hunt relies on."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # timer: 60s cadence with deterministic small jitter
+    t = base
+    for i in range(60):
+        t = t + dt.timedelta(seconds=60 + ((i * 7) % 3 - 1))
+        rows.append((1, i, t))
+    # organic: exponential-ish gaps (deterministic pseudo-random)
+    t = base
+    for i in range(60):
+        t = t + dt.timedelta(seconds=1 + ((i * 37) % 113) * 2)
+        rows.append((2, 1000 + i, t))
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts"])
+
+    from cses2humio_spark.queries import mining
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = df.select("user_id", (us - F.lag(us).over(w)).alias("g")).where(
+        F.col("g").isNotNull()
+    )
+    gd = F.col("g").cast("decimal(19,0)")
+    s = gaps.groupBy("user_id").agg(
+        F.count("g").alias("n"),
+        F.sum(gd).cast("double").alias("sg"),
+        F.sum(gd * gd).cast("double").alias("sg2"),
+    )
+    got = {r["user_id"]: r for r in s.selectExpr("user_id", *mining._BEACON_EXPRS).collect()}
+    assert got[1]["cv"] < 0.05
+    assert got[2]["cv"] > 0.5
