@@ -388,7 +388,7 @@ def parse(src: str) -> list:
 _STAGE_FUNCS = {
     "count", "sum", "avg", "min", "max", "groupBy", "timechart", "sort",
     "head", "top", "select", "table", "regex", "parseJson", "session",
-    "dedup",
+    "dedup", "in", "match", "percentile",
 }
 
 _SPANS = {"s": "second", "m": "minute", "h": "hour", "d": "day", "w": "week"}
@@ -510,19 +510,30 @@ def _compile_arith(node) -> Column:
     return {"+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc}[op]
 
 
-def _agg_column(call: Call) -> Column:
-    """One aggregate Call → a named Column (deterministic-float policy:
-    sum/avg through exact DECIMAL(28,6))."""
+def _agg_columns(call: Call) -> list[Column]:
+    """One aggregate Call → named Columns (deterministic-float policy:
+    sum/avg through exact DECIMAL(28,6); percentile exact-interpolated,
+    rounded to 4 — one output column per requested percentile)."""
     name = call.name
     alias = call.kwargs.get("as")
     if name == "count":
         col = (
             F.count(F.col(call.args[0])) if call.args else F.count(F.lit(1))
         )
-        return col.alias(alias or "_count")
+        return [col.alias(alias or "_count")]
     if not call.args:
         raise HqlSyntaxError(f"{name}() needs a field argument")
-    target = F.col(call.args[0])
+    field = call.args[0]
+    if name == "percentile":
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", str(field)):
+            raise HqlSyntaxError(f"bad percentile field {field!r}")
+        ps = _as_list(call.kwargs.get("percentiles", [50]))
+        return [
+            F.round(F.expr(f"percentile({field}, {float(p) / 100})"), 4)
+            .alias(f"_p{int(p)}")
+            for p in ps
+        ]
+    target = F.col(field)
     if name == "sum":
         col = F.sum(target.cast("decimal(28,6)")).cast("double")
     elif name == "avg":
@@ -535,14 +546,22 @@ def _agg_column(call: Call) -> Column:
         col = F.max(target)
     else:
         raise HqlSyntaxError(f"unknown aggregate {name!r}")
-    return col.alias(alias or f"_{name}")
+    return [col.alias(alias or f"_{name}")]
+
+
+def _agg_column(call: Call) -> Column:
+    [col] = _agg_columns(call)
+    return col
 
 
 def _as_list(v) -> list:
     return v if isinstance(v, list) else [v]
 
 
-def _compile_stage(df: DataFrame, node) -> DataFrame:
+def _compile_stage(
+    df: DataFrame, node, tables: dict[str, DataFrame] | None = None
+) -> DataFrame:
+    tables = tables or {}
     if isinstance(node, (And, Or, Not, FreeText, Cmp)):
         return df.filter(_compile_filter(df, node))
     if isinstance(node, Assign):
@@ -551,12 +570,37 @@ def _compile_stage(df: DataFrame, node) -> DataFrame:
         raise HqlSyntaxError(f"cannot compile stage {node!r}")
 
     name = node.name
-    if name in ("count", "sum", "avg", "min", "max"):
-        return df.agg(_agg_column(node))
+    if name in ("count", "sum", "avg", "min", "max", "percentile"):
+        return df.agg(*_agg_columns(node))
+    if name == "in":
+        field = node.args[0] if node.args else node.kwargs.get("field")
+        values = _as_list(node.kwargs.get("values", []))
+        if field is None or not values:
+            raise HqlSyntaxError("in(field, values=[...]) requires both")
+        return df.filter(F.col(field).isin(*values))
+    if name == "match":
+        # Humio's match()/lookup enrichment: broadcast-join a named lookup
+        # table on field=key; non-matching rows are DROPPED (strict
+        # semantics, Humio default). The lookup side is broadcast — at
+        # 100 TB this is the map-side dimension-enrichment shape.
+        tname = node.args[0] if node.args else node.kwargs.get("table")
+        field = node.kwargs.get("field")
+        key = node.kwargs.get("key", field)
+        if tname not in tables:
+            raise HqlSyntaxError(
+                f"match(): unknown table {tname!r} (available: "
+                f"{', '.join(sorted(tables)) or 'none'})"
+            )
+        if field is None:
+            raise HqlSyntaxError("match(table, field=...) requires field=")
+        lk = tables[tname]
+        return df.join(
+            F.broadcast(lk), df[field] == lk[key], "inner"
+        ).drop(lk[key])
     if name == "groupBy":
         fields = _as_list(node.args[0]) if node.args else []
         funcs = _as_list(node.kwargs.get("function", Call("count")))
-        aggs = [_agg_column(c) for c in funcs]
+        aggs = [col for c in funcs for col in _agg_columns(c)]
         return df.groupBy(*[F.col(f) for f in fields]).agg(*aggs)
     if name == "timechart":
         from cses2humio_spark.operators.aggregates import timechart
@@ -564,7 +608,7 @@ def _compile_stage(df: DataFrame, node) -> DataFrame:
         span = _span_to_interval(node.kwargs.get("span", "1h"))
         dims = _as_list(node.kwargs["by"]) if "by" in node.kwargs else []
         funcs = _as_list(node.kwargs.get("function", Call("count")))
-        aggs = [_agg_column(c) for c in funcs]
+        aggs = [col for c in funcs for col in _agg_columns(c)]
         return timechart(df, ts_col="ts", span=span, aggs=aggs, dims=dims)
     if name == "sort":
         fields = _as_list(node.args[0]) if node.args else []
@@ -656,10 +700,13 @@ def _compile_stage(df: DataFrame, node) -> DataFrame:
     raise HqlSyntaxError(f"unknown stage function {name!r}")
 
 
-def hql(df: DataFrame, query: str) -> DataFrame:
+def hql(
+    df: DataFrame, query: str, tables: dict[str, DataFrame] | None = None
+) -> DataFrame:
     """Compile and apply an HQL pipe query to ``df``; returns the result
-    DataFrame (lazily — nothing executes until an action)."""
+    DataFrame (lazily — nothing executes until an action). ``tables``
+    names the lookup DataFrames the ``match(...)`` stage may reference."""
     out = df
     for stage in parse(query):
-        out = _compile_stage(out, stage)
+        out = _compile_stage(out, stage, tables or {})
     return out

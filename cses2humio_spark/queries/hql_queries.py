@@ -216,3 +216,66 @@ def hql_dedup_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dedup(user_id, order=[ts, event_id], keep=last) "
         "| select([user_id, event_id])",
     )
+
+
+@query(
+    "hql_percentiles_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS _p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS _p90,
+           COUNT(*) AS _count
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def hql_percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``percentile()`` aggregate in a groupBy — exact interpolated
+    percentiles (matches DuckDB quantile_cont), one output column per
+    requested percentile."""
+    orders = load_table(spark, sf_dir, "orders")
+    return hql(
+        orders,
+        "groupBy(o_orderpriority, function=["
+        "percentile(o_totalprice, percentiles=[50, 90]), count()])",
+    )
+
+
+@query(
+    "hql_in_filter_groupby",
+    oracle="""
+    SELECT event_type, COUNT(*) AS _count
+    FROM events WHERE event_type IN ('error', 'signup')
+    GROUP BY event_type
+    """,
+)
+def hql_in_filter_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``in()`` membership filter piped into a groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(
+        ev, "in(event_type, values=[error, signup]) | groupBy(event_type)"
+    )
+
+
+@query(
+    "hql_match_lookup_revenue",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS _count,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+             AS _sum
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def hql_match_lookup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``match()`` lookup enrichment (Humio's lookup-table join): orders
+    broadcast-joined to the customer dimension, aggregated by segment —
+    the map-side dimension-enrichment shape at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return hql(
+        orders,
+        "match(customer, field=o_custkey, key=c_custkey) "
+        "| groupBy(c_mktsegment, function=[count(), sum(o_totalprice)])",
+        tables={"customer": customer},
+    )

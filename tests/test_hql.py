@@ -304,3 +304,37 @@ def test_numeric_compare_on_nonnumeric_string_never_matches(spark):
     )
     got = {r["v"] for r in hql(df, "v > 10").collect()}
     assert got == {"42"}
+
+
+def test_in_filter(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    got = hql(ev, "in(event_type, values=[error, view]) | count()").collect()
+    want = ev.filter(F.col("event_type").isin("error", "view")).count()
+    assert got[0]["_count"] == want
+
+
+def test_match_unknown_table_is_loud(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    with pytest.raises(HqlSyntaxError):
+        hql(ev, "match(nope, field=user_id)")
+
+
+def test_match_broadcast_plan(spark):
+    from cses2humio_spark.plans.explain import assert_broadcast_join
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    customer = load_table(spark, SF_SMALL, "customer")
+    df = hql(
+        orders,
+        "match(customer, field=o_custkey, key=c_custkey) | groupBy(c_mktsegment)",
+        tables={"customer": customer},
+    )
+    assert_broadcast_join(df, at_least=1)
+
+
+def test_percentile_agg_multi_columns(spark):
+    orders = load_table(spark, SF_SMALL, "orders")
+    out = hql(orders, "percentile(o_totalprice, percentiles=[25, 50, 75])")
+    assert out.columns == ["_p25", "_p50", "_p75"]
+    r = out.first()
+    assert r["_p25"] <= r["_p50"] <= r["_p75"]
