@@ -204,6 +204,7 @@ class _Parser:
         # a loud error, not a silent free-text term
         if (
             t.kind == "IDENT"
+            and t.text.lower() not in ("not", "and", "or")
             and self.peek(1) is not None
             and self.peek(1).kind == "LPAREN"
         ):
@@ -292,6 +293,8 @@ class _Parser:
 
     def primary(self):
         t = self.peek()
+        if t is None:
+            raise HqlSyntaxError("unexpected end of query in filter")
         if t.kind == "LPAREN":
             self.next()
             inner = self.or_expr()

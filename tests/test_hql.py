@@ -338,3 +338,103 @@ def test_percentile_agg_multi_columns(spark):
     assert out.columns == ["_p25", "_p50", "_p75"]
     r = out.first()
     assert r["_p25"] <= r["_p50"] <= r["_p75"]
+
+
+# --- parser property tests (hypothesis) -----------------------------------
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _ident = st.from_regex(r"[a-z_][a-z0-9_]{0,10}", fullmatch=True)
+    _num = st.integers(min_value=-10_000, max_value=10_000)
+
+    @st.composite
+    def _filters(draw, depth=0):
+        if depth >= 3 or draw(st.booleans()):
+            kind = draw(st.sampled_from(["cmp", "free", "numcmp"]))
+            if kind == "cmp":
+                return f'{draw(_ident)} = {draw(_ident)}'
+            if kind == "numcmp":
+                op = draw(st.sampled_from(["<", "<=", ">", ">=", "!=", "="]))
+                return f"{draw(_ident)} {op} {draw(_num)}"
+            return f'"{draw(_ident)}"'
+        a = draw(_filters(depth=depth + 1))
+        b = draw(_filters(depth=depth + 1))
+        comb = draw(st.sampled_from(["and", "or"]))
+        neg = "not " if draw(st.booleans()) else ""
+        return f"{neg}({a} {comb} {b})"
+
+    @given(_filters())
+    @settings(max_examples=200, deadline=None)
+    def test_parser_total_on_generated_filters(q):
+        """Any well-formed filter expression parses without hanging or
+        crashing, and parsing is deterministic (same AST twice)."""
+        assert parse(q) == parse(q)
+
+    @given(
+        st.lists(
+            st.sampled_from(
+                [
+                    "count()",
+                    "groupBy(a)",
+                    "head(5)",
+                    "x := y * 2",
+                    "sort([a], limit=3)",
+                    "f = v",
+                    "top(a, limit=2)",
+                ]
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_parser_total_on_generated_pipelines(stages):
+        q = " | ".join(stages)
+        assert len(parse(q)) == len(stages)
+
+    @given(st.text(max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def test_parser_never_hangs_on_garbage(s):
+        """Arbitrary input either parses or raises HqlSyntaxError — never
+        an unhandled exception type, never an infinite loop."""
+        try:
+            parse(s)
+        except HqlSyntaxError:
+            pass
+
+except ImportError:  # pragma: no cover - hypothesis is in the container
+    pass
+
+
+def test_query_cli_end_to_end(spark, capsys):
+    """The console search runner: HQL string in, rows out (json format),
+    match() lookups available for every catalog table."""
+    from cses2humio_spark.query_cli import main
+
+    rc = main(
+        [
+            "#event_type = error | count()",
+            "--table",
+            "events",
+            "--sf-dir",
+            SF_SMALL,
+            "--format",
+            "json",
+        ]
+    )
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0
+    import json as _json
+
+    [row] = [_json.loads(line) for line in out if line.startswith("{")]
+    ev = load_table(spark, SF_SMALL, "events")
+    assert row["_count"] == ev.filter(F.col("event_type") == "error").count()
+
+
+def test_query_cli_rejects_bad_query_and_table(capsys):
+    from cses2humio_spark.query_cli import main
+
+    assert main(["frobnicate(1)", "--sf-dir", SF_SMALL]) == 2
+    assert main(["count()", "--table", "nope", "--sf-dir", SF_SMALL]) == 2
