@@ -557,3 +557,50 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(probe_id_col, id_col, "cos_sim", "rank")
     )
+
+
+def signed_random_projection(
+    df,
+    id_col: str,
+    vec_col: str,
+    in_dims: int,
+    out_dims: int = 16,
+    seed: str = "rp",
+):
+    """Johnson-Lindenstrauss dimensionality reduction with a ±1 (Achlioptas)
+    projection matrix — the cheap front-end that lets downstream ANN /
+    clustering work in ``out_dims`` instead of ``in_dims`` (a 4x shuffle-
+    byte cut at the default 64→16 here; vectors ride every similarity
+    shuffle, so this is a direct scale lever).
+
+    Determinism contract: the matrix entry sign(o, i) is derived from
+    ``md5(f"{seed}{o}:{i}")`` (first hex char in 0-7 → +1) — md5 is md5 in
+    every engine, so an oracle can regenerate the identical matrix in SQL;
+    each component is a PER-ROW left-to-right double fold (a streaming
+    zip_with/aggregate HOF — stays in codegen, no array indexing), which
+    is deterministic under any partitioning because no distributed
+    summation is involved — the same contract the cosine fold uses, and
+    DuckDB's list_reduce replicates the identical IEEE operation order.
+    Returns (id, dim, comp) long-form.
+    """
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    def sign(o: int, i: int) -> int:
+        h = hashlib.md5(f"{seed}{o}:{i}".encode()).hexdigest()[0]
+        return 1 if h in "01234567" else -1
+
+    comps = []
+    for o in range(out_dims):
+        signs = ", ".join(str(sign(o, i)) for i in range(1, in_dims + 1))
+        comps.append(
+            f"aggregate(zip_with({vec_col}, array({signs}), "
+            f"(x, s) -> CASE WHEN s > 0 THEN CAST(x AS DOUBLE) "
+            f"ELSE -CAST(x AS DOUBLE) END), "
+            f"CAST(0 AS DOUBLE), (acc, y) -> acc + y)"
+        )
+    stack = ", ".join(f"{o}, {c}" for o, c in zip(range(out_dims), comps))
+    return df.selectExpr(
+        id_col, f"stack({out_dims}, {stack}) AS (dim, comp)"
+    )

@@ -1489,3 +1489,42 @@ def video_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_video_frames(
         repartition_for_media(synthesize_video_media(docs)), every_k=2
     )
+
+
+@query(
+    "random_projection_sketch",
+    oracle="""
+    WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+    dims AS (SELECT UNNEST(generate_series(0, 15)) AS o),
+    proj AS (SELECT e.vec_id, d.o,
+      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(generate_series(1, 64),
+          i -> CASE WHEN substring(md5('rp' || d.o || ':' || i), 1, 1)
+                         BETWEEN '0' AND '7'
+               THEN e.v[i] ELSE -e.v[i] END)),
+        (a, b) -> a + b) AS s
+      FROM ev e CROSS JOIN dims d)
+    SELECT vec_id, CAST(o AS INTEGER) AS dim, ROUND(s / 4.0, 6) AS comp
+    FROM proj
+    """,
+)
+def random_projection_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection 64→16
+    (``operators/similarity.py::signed_random_projection``): the cheap
+    front-end that cuts vector bytes 4x before similarity shuffles. The
+    projection matrix is md5-derived so the oracle regenerates it
+    bit-identically in SQL; components are per-row left-to-right double
+    folds (codegen zip_with/aggregate — no array indexing, per the HOF
+    lesson in docs/SCALING.md) mirrored by the oracle's list_reduce. Output normalized by sqrt(out_dims)=4."""
+    from cses2humio_spark.operators.similarity import signed_random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    long = signed_random_projection(
+        emb, "vec_id", "embedding", in_dims=64, out_dims=16
+    )
+    return long.select(
+        "vec_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.round(F.col("comp") / 4.0, 6).alias("comp"),
+    )

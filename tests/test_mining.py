@@ -356,3 +356,49 @@ def test_beacon_score_separates_timer_from_noise(spark):
     got = {r["user_id"]: r for r in s.selectExpr("user_id", *mining._BEACON_EXPRS).collect()}
     assert got[1]["cv"] < 0.05
     assert got[2]["cv"] > 0.5
+
+
+# --- random projection ----------------------------------------------------
+
+
+def test_random_projection_preserves_distances(spark):
+    """Johnson-Lindenstrauss sanity: pairwise squared distances in the
+    32-dim sketch correlate strongly with the original 64-dim distances
+    (rank-order preserved well enough to drive candidate generation)."""
+    import numpy as np
+
+    from cses2humio_spark.operators.similarity import signed_random_projection
+
+    emb = load_table(spark, SF_SMALL, "embeddings").limit(40)
+    orig = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in emb.collect()
+    }
+    long = signed_random_projection(
+        emb, "vec_id", "embedding", in_dims=64, out_dims=32
+    ).collect()
+    proj: dict[int, np.ndarray] = {}
+    for r in long:
+        proj.setdefault(r["vec_id"], np.zeros(32))[r["dim"]] = r["comp"]
+    ids = sorted(orig)
+    d_orig, d_proj = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d_orig.append(np.sum((orig[ids[i]] - orig[ids[j]]) ** 2))
+            # sketch components are unnormalized sums; E[dist²] scales by
+            # out_dims/in_dims... the correlation is scale-invariant
+            d_proj.append(np.sum((proj[ids[i]] - proj[ids[j]]) ** 2))
+    corr = np.corrcoef(d_orig, d_proj)[0, 1]
+    assert corr > 0.5, corr
+
+
+def test_random_projection_plan_stays_codegen(spark):
+    from cses2humio_spark.operators.similarity import signed_random_projection
+    from cses2humio_spark.plans.explain import formatted_plan
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    plan = formatted_plan(
+        signed_random_projection(emb, "vec_id", "embedding", 64, 16)
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # narrow map-side projection
