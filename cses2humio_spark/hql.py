@@ -391,7 +391,7 @@ def parse(src: str) -> list:
 _STAGE_FUNCS = {
     "count", "sum", "avg", "min", "max", "groupBy", "timechart", "sort",
     "head", "top", "select", "table", "regex", "parseJson", "session",
-    "dedup", "in", "match", "percentile",
+    "dedup", "in", "match", "percentile", "watermark", "sample",
 }
 
 _SPANS = {"s": "second", "m": "minute", "h": "hour", "d": "day", "w": "week"}
@@ -639,6 +639,35 @@ def _compile_stage(
     if name in ("select", "table"):
         fields = _as_list(node.args[0]) if node.args else []
         return df.select(*[F.col(f) for f in fields])
+    if name == "watermark":
+        # streaming event-time watermark: makes an HQL timechart runnable
+        # in APPEND mode on a stream (bounded state, late data dropped
+        # after the delay). A no-op semantic on batch frames.
+        field = node.kwargs.get("field", "ts")
+        delay = _span_to_seconds(node.kwargs.get("delay", "1h"))
+        return df.withWatermark(field, f"{delay} seconds")
+    if name == "sample":
+        # DETERMINISTIC hash sample (deliberate deviation from Humio's
+        # random sample()): keep a row iff the md5 bucket of its key
+        # falls under the fraction — reproducible across runs/engines,
+        # so sampled pipelines stay oracle-checkable. ``by`` names the
+        # key column (sampling is then consistent per key).
+        frac = float(node.args[0]) if node.args else float(
+            node.kwargs.get("fraction", 0.1)
+        )
+        by = node.kwargs.get("by")
+        if by is None:
+            raise HqlSyntaxError("sample(fraction, by=key) requires by=")
+        if not 0 < frac <= 1:
+            raise HqlSyntaxError(f"sample fraction must be in (0, 1], got {frac}")
+        buckets = 10_000
+        keep = int(frac * buckets)
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5(F.col(by).cast("string")), 1, 8), 16, 10)
+            .cast("bigint"),
+            F.lit(buckets),
+        )
+        return df.filter(bucket < keep)
     if name == "session":
         # Humio's session(): gap-based sessionization. Compiles to the
         # batch sessionize operator (lag + cumulative sum, one shuffle on

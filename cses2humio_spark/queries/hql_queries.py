@@ -279,3 +279,25 @@ def hql_match_lookup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "| groupBy(c_mktsegment, function=[count(), sum(o_totalprice)])",
         tables={"customer": customer},
     )
+
+
+@query(
+    "hql_sample_stats",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 10000 AS b
+      FROM events)
+    SELECT event_type, COUNT(*) AS _count
+    FROM h WHERE b < 2000 GROUP BY event_type
+    """,
+)
+def hql_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (``sample(0.2, by=user_id)``): keep a
+    row iff its key's md5 bucket falls under the fraction — reproducible
+    across runs/engines/partitionings (deliberate deviation from Humio's
+    random sample(), same contract as the train/val/test split), and
+    consistent per key so sampled per-user analyses stay coherent."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(ev, "sample(0.2, by=user_id) | groupBy(event_type)")

@@ -549,3 +549,144 @@ def beacon_regularity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 30)
     )
     return s.selectExpr("user_id", *_BEACON_EXPRS)
+
+
+# --- robust statistics ----------------------------------------------------
+
+
+@query(
+    "mad_outliers_by_type",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+      FROM events e JOIN med m ON m.event_type = e.event_type),
+    mad AS (
+      SELECT event_type, quantile_cont(ad, 0.5) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(ANY_VALUE(d.med), 6) AS median_value,
+           ROUND(ANY_VALUE(m.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN d.ad > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    GROUP BY d.event_type
+    """,
+)
+def mad_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation: per event
+    type, the median, the MAD, and the count of values beyond the
+    3-sigma-equivalent robust threshold (1.4826·MAD ≈ σ under
+    normality). Unlike the mean/stddev z-score (``value_outliers_by_type``)
+    a single extreme value cannot drag the threshold — the estimator has
+    a 50% breakdown point, which is what anomaly hunts over dirty machine
+    data need. Two grouped exact-percentile passes + one counting pass;
+    medians are interpolated identically on both engines, and the
+    threshold comparison is pure per-row double arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.first("med"), 6).alias("median_value"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum(
+                (F.col("ad") > 3 * 1.4826 * F.col("mad")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "seasonal_baseline_deviations",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    keyed AS (
+      SELECT event_type, h, n,
+             CAST(dayofweek(h) + 1 AS INTEGER) AS dow,  -- DuckDB 0=Sun..6; Spark 1=Sun..7
+             CAST(hour(h) AS INTEGER) AS hod
+      FROM hourly),
+    base AS (
+      SELECT event_type, dow, hod,
+             COUNT(*) AS n_obs,
+             CAST(SUM(CAST(n AS DECIMAL(19,0))) AS DOUBLE) AS sn,
+             CAST(SUM(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))
+                  AS DOUBLE) AS sn2
+      FROM keyed GROUP BY 1, 2, 3)
+    SELECT k.event_type, k.dow, k.hod,
+           CAST(b.n_obs AS BIGINT) AS n_obs,
+           ROUND(b.sn / b.n_obs, 6) AS baseline,
+           CAST(SUM(CASE WHEN b.n_obs >= 3
+                          AND abs(k.n - b.sn / b.n_obs) >
+                              3 * SQRT((b.sn2 - b.sn*b.sn/b.n_obs) / b.n_obs)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous
+    FROM keyed k JOIN base b
+      ON b.event_type = k.event_type AND b.dow = k.dow AND b.hod = k.hod
+    GROUP BY k.event_type, k.dow, k.hod, b.n_obs, b.sn, b.sn2
+    """,
+)
+def seasonal_baseline_deviations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (hour-of-week) traffic baseline + anomaly count: hourly
+    event counts keyed by (type, day-of-week, hour-of-day), a per-slot
+    baseline mean/σ from exact-decimal sufficient statistics, and the
+    number of weeks whose observation deviates > 3σ from its own slot's
+    baseline. This is the alerting shape that survives daily/weekly
+    seasonality where a global z-score drowns: each of the 5x7x24 slots
+    gets its own threshold. The σ expression is the same textual scalar
+    on both engines (exact sums → double)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    keyed = hourly.select(
+        "event_type",
+        "h",
+        "n",
+        F.dayofweek("h").cast("int").alias("dow"),
+        F.hour("h").cast("int").alias("hod"),
+    )
+    nd = F.col("n").cast("decimal(19,0)")
+    base = keyed.groupBy("event_type", "dow", "hod").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(nd).cast("double").alias("sn"),
+        F.sum(nd * nd).cast("double").alias("sn2"),
+    )
+    j = keyed.join(base, ["event_type", "dow", "hod"])
+    return (
+        j.groupBy("event_type", "dow", "hod", "n_obs", "sn", "sn2")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN n_obs >= 3 AND abs(n - sn / n_obs) > "
+                    "3 * SQRT((sn2 - sn*sn/n_obs) / n_obs) THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_anomalous")
+        )
+        .selectExpr(
+            "event_type",
+            "dow",
+            "hod",
+            "CAST(n_obs AS BIGINT) AS n_obs",
+            "ROUND(sn / n_obs, 6) AS baseline",
+            "n_anomalous",
+        )
+    )

@@ -438,3 +438,52 @@ def test_query_cli_rejects_bad_query_and_table(capsys):
 
     assert main(["frobnicate(1)", "--sf-dir", SF_SMALL]) == 2
     assert main(["count()", "--table", "nope", "--sf-dir", SF_SMALL]) == 2
+
+
+def test_sample_is_deterministic_and_key_consistent(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    a = hql(ev, "sample(0.3, by=user_id)").count()
+    b = hql(ev, "sample(0.3, by=user_id)").count()
+    assert a == b > 0
+    # per-key consistency: a user's rows are all in or all out
+    kept_users = hql(ev, "sample(0.3, by=user_id)").select("user_id").distinct()
+    total_rows_of_kept = ev.join(kept_users, "user_id", "left_semi").count()
+    assert total_rows_of_kept == a
+
+
+def test_watermark_enables_append_mode_stream(spark, tmp_path):
+    """An HQL pipeline with a watermark stage runs in APPEND mode on a
+    stream — bounded state, the production alerting shape."""
+    import shutil
+
+    src_dir = tmp_path / "ev"
+    src_dir.mkdir()
+    shutil.copy(f"{SF_SMALL}/events.parquet", src_dir / "p.parquet")
+    sch = spark.read.parquet(str(src_dir)).schema
+    stream = spark.readStream.schema(sch).parquet(str(src_dir)).withColumn(
+        "ts", F.col("ts").cast("timestamp")  # events.ts ships as NTZ
+    )
+    agg = hql(
+        stream,
+        "#event_type = error | watermark(field=ts, delay=1h) "
+        "| timechart(span=1d)",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hql_stream_append")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    # append emits only FINALIZED windows (all but the tail day)
+    batch = hql(
+        spark.read.parquet(str(src_dir)).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ),
+        "#event_type = error | timechart(span=1d)",
+    )
+    n_total = batch.count()
+    n_emitted = spark.sql("select * from hql_stream_append").count()
+    assert 0 < n_emitted <= n_total
