@@ -185,3 +185,63 @@ def functional_dependency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = violations("customer", "c_custkey", "c_nationkey", "customer_nation_violations")
     c = violations("orders", "o_orderkey", "o_custkey", "order_customer_violations")
     return a.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(c))
+
+
+@query(
+    "orders_expectations_report",
+    oracle="""
+    WITH w AS (
+      SELECT COUNT(*) AS n,
+             ROUND(CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                        AS DOUBLE) / COUNT(*), 6) AS nullfrac,
+             COUNT(*) - COUNT(DISTINCT o_orderkey) AS dups,
+             SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                      THEN 1 ELSE 0 END) AS bad_domain,
+             SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000
+                      THEN 1 ELSE 0 END) AS bad_range
+      FROM orders),
+    fk AS (SELECT COUNT(*) AS orphans FROM orders o
+           WHERE NOT EXISTS (SELECT 1 FROM customer c
+                             WHERE c.c_custkey = o.o_custkey))
+    SELECT 'row_count_min:100' AS check, CAST(n AS VARCHAR) AS observed,
+           CAST(n >= 100 AS INTEGER) AS passed FROM w
+    UNION ALL
+    SELECT 'null_fraction_max:o_custkey:0.0', CAST(nullfrac AS VARCHAR),
+           CAST(nullfrac <= 0.0 AS INTEGER) FROM w
+    UNION ALL
+    SELECT 'unique:o_orderkey', CAST(dups AS VARCHAR),
+           CAST(dups = 0 AS INTEGER) FROM w
+    UNION ALL
+    SELECT 'domain:o_orderstatus', CAST(bad_domain AS VARCHAR),
+           CAST(bad_domain = 0 AS INTEGER) FROM w
+    UNION ALL
+    SELECT 'range:o_totalprice:0:1000000', CAST(bad_range AS VARCHAR),
+           CAST(bad_range = 0 AS INTEGER) FROM w
+    UNION ALL
+    SELECT 'fk:o_custkey', CAST(orphans AS VARCHAR),
+           CAST(orphans = 0 AS INTEGER) FROM fk
+    """,
+)
+def orders_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract gate (`operators/quality.py` — the
+    deequ shape): six checks over orders evaluated in ONE wide
+    aggregation pass (row count, null fraction, key uniqueness, domain,
+    range) plus one broadcast anti-join (FK orphans vs customer). The
+    report (check, observed, passed) is what a batch-promotion gate
+    consumes at 100 TB; metric rendering is integer/string so the oracle
+    comparison is exact."""
+    from cses2humio_spark.operators.quality import expectations_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return expectations_report(
+        orders,
+        [
+            ("row_count_min", 100),
+            ("null_fraction_max", "o_custkey", 0.0),
+            ("unique", "o_orderkey"),
+            ("domain", "o_orderstatus", ["O", "F", "P"]),
+            ("range", "o_totalprice", 0, 1_000_000),
+            ("fk", "o_custkey", customer, "c_custkey"),
+        ],
+    )

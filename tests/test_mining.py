@@ -402,3 +402,61 @@ def test_random_projection_plan_stays_codegen(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan  # narrow map-side projection
+
+
+# --- expectations ---------------------------------------------------------
+
+
+def test_expectations_single_scan_for_agg_checks(spark):
+    """All aggregate checks must come from ONE scan of the table."""
+    from cses2humio_spark.operators.quality import expectations_report
+    from cses2humio_spark.plans.explain import formatted_plan
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    rep = expectations_report(
+        orders,
+        [
+            ("row_count_min", 1),
+            ("null_fraction_max", "o_custkey", 0.5),
+            ("unique", "o_orderkey"),
+            ("range", "o_totalprice", 0, 10_000_000),
+        ],
+    )
+    plan = formatted_plan(rep)
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_expectations_detects_violations(spark):
+    from cses2humio_spark.operators.quality import expectations_report
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (1, "b", 5.0), (2, "zz", 50.0)],
+        ["id", "cat", "v"],
+    )
+    rep = {
+        r["check"]: (r["observed"], r["passed"])
+        for r in expectations_report(
+            df,
+            [
+                ("row_count_min", 10),
+                ("null_fraction_max", "v", 0.1),
+                ("unique", "id"),
+                ("domain", "cat", ["a", "b"]),
+                ("range", "v", 0, 10),
+            ],
+        ).collect()
+    }
+    assert rep["row_count_min:10"][1] == 0
+    assert rep["unique:id"] == ("1", 0)  # one duplicate
+    assert rep["domain:cat"] == ("1", 0)  # 'zz'
+    assert rep["range:v:0:10"] == ("1", 0)  # 50.0
+    assert rep["null_fraction_max:v:0.1"][1] == 0
+
+
+def test_expectations_fk_orphans(spark):
+    from cses2humio_spark.operators.quality import expectations_report
+
+    facts = spark.createDataFrame([(1,), (2,), (9,)], ["k"])
+    dim = spark.createDataFrame([(1,), (2,)], ["dk"])
+    [row] = expectations_report(facts, [("fk", "k", dim, "dk")]).collect()
+    assert row["check"] == "fk:k" and row["observed"] == "1" and row["passed"] == 0
