@@ -607,3 +607,62 @@ def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("retained_w4"),
     )
+
+
+@query(
+    "timed_funnel_completions",
+    oracle="""
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+           FROM events e JOIN s1 ON s1.user_id = e.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+           FROM events e JOIN s2 ON s2.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+           GROUP BY e.user_id)
+    SELECT s1.user_id,
+           CAST(FLOOR(epoch(s1.t1)) AS BIGINT) AS t1_s,
+           CAST(FLOOR(epoch(s3.t3)) AS BIGINT) AS t3_s,
+           CAST(FLOOR(epoch(s3.t3)) - FLOOR(epoch(s1.t1)) AS BIGINT)
+             AS duration_s
+    FROM s1 JOIN s3 ON s3.user_id = s1.user_id
+    WHERE FLOOR(epoch(s3.t3)) - FLOOR(epoch(s1.t1)) <= 7 * 86400
+    """,
+)
+def timed_funnel_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-BOUNDED ordered-sequence detection (the SIEM correlation-rule
+    shape: "signup, then click, then purchase, all within 7 days"): the
+    strict-order chained-MIN funnel of ``funnel_conversion`` plus a
+    window constraint on first-to-last, emitting one row per completing
+    user with the chain duration. Same scale shape — three per-user MIN
+    aggregations, shuffles carry (user_id, timestamp) only."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    out = s1.join(s3, "user_id").select(
+        "user_id",
+        F.unix_timestamp("t1").cast("bigint").alias("t1_s"),
+        F.unix_timestamp("t3").cast("bigint").alias("t3_s"),
+        (
+            F.unix_timestamp("t3").cast("bigint")
+            - F.unix_timestamp("t1").cast("bigint")
+        ).alias("duration_s"),
+    )
+    return out.filter(F.col("duration_s") <= 7 * 86400)
