@@ -488,7 +488,7 @@ _EVAL_FUNCS = {
     "lower": lambda a: F.lower(a[0]),
     "upper": lambda a: F.upper(a[0]),
     "abs": lambda a: F.abs(a[0]),
-    "round": lambda a: F.round(a[0], int(a[1]) if len(a) > 1 else 0),
+    "round": lambda a: F.round(a[0], 0),  # 2-arg round is special-cased
     "floor": lambda a: F.floor(a[0]),
     "ceil": lambda a: F.ceil(a[0]),
 }
@@ -612,9 +612,12 @@ def _compile_stage(
         dims = _as_list(node.kwargs["by"]) if "by" in node.kwargs else []
         funcs = _as_list(node.kwargs.get("function", Call("count")))
         aggs = [col for c in funcs for col in _agg_columns(c)]
-        return timechart(df, ts_col="ts", span=span, aggs=aggs, dims=dims)
+        ts_col = node.kwargs.get("timefield", "ts")
+        return timechart(df, ts_col=ts_col, span=span, aggs=aggs, dims=dims)
     if name == "sort":
         fields = _as_list(node.args[0]) if node.args else []
+        if not fields:
+            raise HqlSyntaxError("sort(...) requires at least one field")
         desc = str(node.kwargs.get("order", "desc")).lower() != "asc"
         cols = [F.col(f).desc() if desc else F.col(f).asc() for f in fields]
         out = df.orderBy(*cols)
