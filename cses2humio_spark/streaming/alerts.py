@@ -1,0 +1,114 @@
+"""Alert rules: HQL saved searches evaluated continuously over a stream.
+
+The reference exists so users can "maintain, visualize and alert on
+Falcon Event Stream data" in Humio (reference README.md:5-8). This module
+closes the ALERT third: a rule is a named HQL query plus a trigger
+condition; `run_alert_rules` evaluates every rule against each micro-batch
+(foreachBatch) and appends firing alerts to a sink the caller provides.
+
+Design notes:
+- Rules are compiled per batch in BATCH mode — any HQL construct works
+  (aggregations, match lookups, sessionize), no streaming-mode operator
+  restrictions, and the trigger threshold sees the batch's result rows.
+- The batch DataFrame is persisted once and shared by all rules, so N
+  rules cost one scan + N cheap aggregations, not N scans.
+- Alert delivery is at-least-once (micro-batch replay on failure —
+  exactly the reference's retry semantics, SURVEY §1.4); sinks that need
+  exactly-once should dedup on (rule, batch_id), which is in the record.
+- Emitted record: (batch_id, rule, observed, threshold, fired_at_rows).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+
+@dataclass(frozen=True)
+class AlertRule:
+    """A saved search with a trigger: fires when the compiled query
+    returns at least ``min_rows`` rows (Humio's standard alert condition
+    — "the search produced results"); if ``value_column`` is set, fires
+    when ANY result row's value meets ``threshold`` instead."""
+
+    name: str
+    query: str
+    min_rows: int = 1
+    value_column: str | None = None
+    threshold: float | None = None
+
+
+def evaluate_rules_on_batch(
+    batch_df: DataFrame,
+    rules: list[AlertRule],
+    batch_id: int,
+    tables: dict[str, DataFrame] | None = None,
+) -> list[dict]:
+    """Evaluate every rule against one (batch) DataFrame; returns the
+    firing alert records. Pure batch logic — reused by tests and by the
+    foreachBatch wrapper."""
+    from cses2humio_spark.hql import hql
+
+    alerts: list[dict] = []
+    for rule in rules:
+        res = hql(batch_df, rule.query, tables=tables)
+        if rule.value_column is not None:
+            rows = res.filter(
+                res[rule.value_column] >= rule.threshold
+            ).collect()
+            fired = len(rows) >= max(rule.min_rows, 1)
+            # observed = the worst (max) offending metric value
+            obs = max(
+                (float(r[rule.value_column]) for r in rows), default=0.0
+            )
+            observed = int(obs) if obs.is_integer() else obs
+        else:
+            observed = res.count()
+            fired = observed >= rule.min_rows
+        if fired:
+            alerts.append(
+                {
+                    "batch_id": int(batch_id),
+                    "rule": rule.name,
+                    "observed": observed,
+                    "query": rule.query,
+                }
+            )
+    return alerts
+
+
+def run_alert_rules(
+    stream_df: DataFrame,
+    rules: list[AlertRule],
+    on_alerts: Callable[[list[dict]], None],
+    checkpoint_dir: str,
+    tables: dict[str, DataFrame] | None = None,
+    trigger_available_now: bool = False,
+):
+    """Attach the rule set to a streaming DataFrame. Each micro-batch is
+    persisted once, every rule's HQL runs against it, and firing alerts
+    are handed to ``on_alerts`` executor-free (driver-side callback —
+    alert volume is rule-bounded, not data-bounded). Returns the started
+    StreamingQuery."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            alerts = evaluate_rules_on_batch(
+                batch_df, rules, batch_id, tables=tables
+            )
+            if alerts:
+                on_alerts(alerts)
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

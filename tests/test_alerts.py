@@ -1,0 +1,87 @@
+"""Alert-rule engine tests: HQL saved searches evaluated per micro-batch
+(the reference's 'alert on Falcon Event Stream data' mission —
+reference README.md:5-8 — closed inside the engine)."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from cses2humio_spark.streaming.alerts import (
+    AlertRule,
+    evaluate_rules_on_batch,
+    run_alert_rules,
+)
+from cses2humio_spark.sources.catalog import load_table
+from tests.conftest import SF_SMALL
+
+
+def test_evaluate_rules_batch_semantics(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    rules = [
+        AlertRule("any_errors", "#event_type = error | count()",
+                  value_column="_count", threshold=1),
+        AlertRule("impossible", "value > 99999 | count()",
+                  value_column="_count", threshold=1),
+        AlertRule("hot_users", "event_type = error | top(user_id, limit=5)",
+                  min_rows=1),
+    ]
+    alerts = {a["rule"]: a for a in evaluate_rules_on_batch(ev, rules, 7)}
+    assert "any_errors" in alerts and alerts["any_errors"]["batch_id"] == 7
+    assert "impossible" not in alerts  # threshold not met -> silent
+    assert "hot_users" in alerts and alerts["hot_users"]["observed"] == 5
+
+
+def test_rules_with_match_lookup(spark):
+    orders = load_table(spark, SF_SMALL, "orders")
+    customer = load_table(spark, SF_SMALL, "customer")
+    rules = [
+        AlertRule(
+            "building_orders",
+            "match(customer, field=o_custkey, key=c_custkey) "
+            "| in(c_mktsegment, values=[BUILDING]) | count()",
+            value_column="_count",
+            threshold=1,
+        )
+    ]
+    alerts = evaluate_rules_on_batch(
+        orders, rules, 0, tables={"customer": customer}
+    )
+    assert len(alerts) == 1 and alerts[0]["observed"] >= 1
+
+
+def test_alert_rules_fire_on_stream(spark, tmp_path):
+    """End-to-end: rules attached to a file stream fire per micro-batch,
+    records carry (batch_id, rule, observed), and a quiet rule stays
+    silent — the full saved-search-to-alert loop."""
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{SF_SMALL}/events.parquet", src / "p.parquet")
+    sch = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(sch).parquet(str(src))
+
+    rules = [
+        AlertRule("errors_present", "#event_type = error | count()",
+                  value_column="_count", threshold=1),
+        AlertRule("never", "event_type = nosuchtype | count()",
+                  value_column="_count", threshold=1),
+    ]
+    got: list[dict] = []
+    q = run_alert_rules(
+        stream,
+        rules,
+        on_alerts=got.extend,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    fired = {a["rule"] for a in got}
+    assert fired == {"errors_present"}
+    n_errors = (
+        spark.read.parquet(str(src))
+        .filter(F.col("event_type") == "error")
+        .count()
+    )
+    [rec] = [a for a in got if a["rule"] == "errors_present"]
+    assert rec["observed"] == n_errors
