@@ -226,8 +226,14 @@ def main() -> None:
             # Self-contained queries that persist() intermediates (shingle
             # tables) cannot unpersist them — they return lazy frames. Drop
             # leftover cache so later queries aren't timed under the
-            # accumulated memory pressure of earlier ones.
+            # accumulated memory pressure of earlier ones; then nudge the
+            # JVM GC so the ContextCleaner actually reclaims the dropped
+            # blocks and accumulated broadcast debris OFF the clock (the
+            # 30-query suite otherwise reaches the heavy cache-building
+            # queries mid-GC-churn, which measured as a 3x bimodal flake
+            # on jaccard_near_dups while isolated runs stayed at baseline).
             spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
     total = sum(timings.values())
 
     connector_wall, connector_events = bench_connector(spark, sf_dir)
