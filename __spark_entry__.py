@@ -31,13 +31,13 @@ _PRIORITY = [
     "free_text_search",
     "regex_extract_histogram",
     "json_field_stats",
-    "map_field_access",
+    "hql_error_timechart",
     "string_funcs_showcase",
     "datetime_breakdown",
     "case_value_bands",
-    "casts_and_trycasts",
+    "scd2_user_status_history",
     "sessionize_users",
-    "array_funcs_docs",
+    "heavy_hitter_users",
     "kv_parse_extract",
     # LLM-pipeline operators
     "doc_token_stats",
@@ -65,17 +65,17 @@ _PRIORITY = [
     "events_range_self_join",
     "asof_order_with_staleness_bound",
     "distinct_users_per_type",
-    "percentile_order_price",
+    "price_quantity_regression",
     "rollup_returns",
     "collect_statuses_per_priority",
     "global_math_stats",
     "rank_parts_by_size",
     "order_timeline_analytics",
     "customer_running_total",
-    "right_join_top_with_nulls_first",
+    "event_type_pagerank",
     "top3_orders_per_customer",
     "setop_intersect_all_priorities",
-    "union_by_name_parties",
+    "fuzzy_name_match_pairs",
     # cross_join_region_priority moved to the tail (judge-verified): the
     # cross-join row is also pinned by the fleet cartesian plan lint, and
     # the slot makes room for the round-3 PII-redaction flagship
@@ -87,6 +87,12 @@ _PRIORITY = [
     "pivot_status_counts",
     "sql_exists_and_scalar_subquery",
 ]
+# Round-3 window refresh: six slots whose §2 rows were double-covered by
+# sibling entries (map access / casts / arrays / union / percentile /
+# right-join-nulls — all still judge-verified at the tail) now carry one
+# representative each of the round's NEW families: the HQL pipe-language,
+# SCD2 change capture, Misra-Gries heavy hitters, blocked fuzzy matching,
+# closed-form regression, and PageRank.
 
 
 def _ordered(mapping: dict) -> dict:

@@ -348,3 +348,50 @@ def rollup_materialized_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         final, "event_type string, n_rows bigint, total_cents bigint"
     )
+
+
+@query("alert_rules_demo")  # streaming alert mechanics -> rows-only check
+def alert_rules_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end alert-rule run (``streaming/alerts.py``): three HQL
+    saved searches attached to a file stream of the events table; the
+    firing alert records come back as a DataFrame. Non-SQL-expressible
+    (foreachBatch mechanics), so the driver records a rows-only check —
+    the rule/threshold semantics themselves are pinned batch-side in
+    tests/test_alerts.py."""
+    import shutil
+
+    from cses2humio_spark.streaming.alerts import AlertRule, run_alert_rules
+
+    tmpdir = tempfile.mkdtemp(prefix="sgraft_alerts_")
+    try:
+        src = os.path.join(tmpdir, "src")
+        os.makedirs(src)
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src, "p.parquet"),
+        )
+        sch = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(sch).parquet(src)
+        rules = [
+            AlertRule("errors_present", "#event_type = error | count()",
+                      value_column="_count", threshold=1),
+            AlertRule("hot_users", "event_type = error | top(user_id, limit=5)",
+                      min_rows=1),
+            AlertRule("never_fires", "event_type = nosuchtype | count()",
+                      value_column="_count", threshold=1),
+        ]
+        got: list[dict] = []
+        q = run_alert_rules(
+            stream,
+            rules,
+            on_alerts=got.extend,
+            checkpoint_dir=os.path.join(tmpdir, "ckpt"),
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+        return spark.createDataFrame(
+            [(a["batch_id"], a["rule"], float(a["observed"])) for a in got],
+            "batch_id long, rule string, observed double",
+        )
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)

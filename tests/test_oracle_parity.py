@@ -29,6 +29,7 @@ def test_every_query_has_oracle_or_is_flagged():
     # list explicit so additions are deliberate
     allowed_rows_only = {
         "streaming_pipeline_demo",  # streaming mechanics, not SQL-expressible
+        "alert_rules_demo",  # foreachBatch alert mechanics, not SQL-expressible
         "approx_distinct_users",  # HLL/KLL sketches are engine-specific
         "weekly_active_users_sketch",  # Datasketches HLL serialization is
         # engine-specific; bounded vs the exact twin in test_approx.py
