@@ -85,3 +85,43 @@ def test_alert_rules_fire_on_stream(spark, tmp_path):
     )
     [rec] = [a for a in got if a["rule"] == "errors_present"]
     assert rec["observed"] == n_errors
+
+
+def test_alert_replay_after_sink_failure(spark, tmp_path):
+    """At-least-once contract: if alert delivery crashes mid-batch, the
+    restarted query (same checkpoint) replays the batch and re-delivers —
+    the duplicate carries the same (rule, batch_id) dedup key."""
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{SF_SMALL}/events.parquet", src / "p.parquet")
+    sch = spark.read.parquet(str(src)).schema
+    rules = [
+        AlertRule("errors_present", "#event_type = error | count()",
+                  value_column="_count", threshold=1),
+    ]
+    delivered: list[dict] = []
+    crashed = {"done": False}
+
+    def flaky_sink(alerts):
+        if not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected delivery failure")
+        delivered.extend(alerts)
+
+    def start():
+        stream = spark.readStream.schema(sch).parquet(str(src))
+        return run_alert_rules(
+            stream, rules, on_alerts=flaky_sink,
+            checkpoint_dir=str(tmp_path / "ck"),
+            trigger_available_now=True,
+        )
+
+    q = start()
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        pass  # first run dies on the injected failure
+    assert crashed["done"] and not delivered
+    q2 = start()  # same checkpoint -> replay
+    q2.awaitTermination(120)
+    assert [a["rule"] for a in delivered] == ["errors_present"]
