@@ -56,7 +56,7 @@ _BASE_TOKens = r"""
     (?P<WS>\s+)
   | (?P<STRING>"(?:[^"\\]|\\.)*")
   | (?P<DURATION>\d+[smhdw]\b)
-  | (?P<NUMBER>-?\d+(?:\.\d+)?)
+  | (?P<NUMBER>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<ASSIGN>:=)
   | (?P<OP>!=|<=|>=|=|<|>)
   | (?P<PIPE>\|)
@@ -253,7 +253,10 @@ class _Parser:
             return self.call()  # nested agg call, e.g. function=[count(), avg(x)]
         t = self.next()
         if t.kind == "NUMBER":
-            return float(t.text) if "." in t.text else int(t.text)
+            try:
+                return int(t.text)
+            except ValueError:  # decimal point or exponent
+                return float(t.text)
         if t.kind == "DURATION":
             return t.text
         if t.kind == "STRING":
@@ -318,12 +321,13 @@ class _Parser:
                     num = float(v.text)
                     return Cmp(fieldname, op, num)
                 if v.kind == "STRING":
-                    s = _unquote(v.text)
-                elif v.kind in ("IDENT", "GLOB", "DURATION"):
-                    s = v.text
-                else:
-                    raise HqlSyntaxError(f"bad comparison value {v.text!r} at {v.pos}")
-                return Cmp(fieldname, op, s, is_glob="*" in s)
+                    # QUOTED values are always literal (Humio's escape
+                    # hatch for matching a literal '*'); only unquoted
+                    # values glob
+                    return Cmp(fieldname, op, _unquote(v.text))
+                if v.kind in ("IDENT", "GLOB", "DURATION"):
+                    return Cmp(fieldname, op, v.text, is_glob="*" in v.text)
+                raise HqlSyntaxError(f"bad comparison value {v.text!r} at {v.pos}")
             return FreeText(self.next().text)
         raise HqlSyntaxError(f"unexpected {t.kind} {t.text!r} at {t.pos}")
 
@@ -423,6 +427,36 @@ def _string_cols(df: DataFrame) -> list[str]:
 def _glob_to_regex(pat: str) -> str:
     parts = [re.escape(p) for p in pat.split("*")]
     return "^" + ".*".join(parts) + "$"
+
+
+def _capture_group_numbers(pat: str) -> dict[str, int]:
+    """Map each NAMED capture group to its actual group NUMBER, counting
+    unnamed capture groups too — ``(foo|bar) (?<code>\\d+)`` puts ``code``
+    at group 2, not 1. Non-capturing constructs ``(?:`` ``(?=`` ``(?!``
+    ``(?<=`` ``(?<!`` don't advance the numbering."""
+    out: dict[str, int] = {}
+    n = 0
+    i = 0
+    while i < len(pat):
+        ch = pat[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if ch == "[":  # '(' inside a character class is literal
+            j = i + 1
+            while j < len(pat) and pat[j] != "]":
+                j += 2 if pat[j] == "\\" else 1
+            i = j + 1
+            continue
+        if ch == "(":
+            m = re.match(r"\(\?<([A-Za-z_][A-Za-z0-9_]*)>", pat[i:])
+            if m:
+                n += 1
+                out[m.group(1)] = n
+            elif not pat.startswith(("(?:", "(?=", "(?!", "(?<=", "(?<!"), i):
+                n += 1  # plain unnamed capture group
+        i += 1
+    return out
 
 
 def _compile_filter(df: DataFrame, node) -> Column:
@@ -664,7 +698,12 @@ def _compile_stage(
         if not 0 < frac <= 1:
             raise HqlSyntaxError(f"sample fraction must be in (0, 1], got {frac}")
         buckets = 10_000
-        keep = int(frac * buckets)
+        keep = round(frac * buckets)
+        if keep == 0:
+            raise HqlSyntaxError(
+                f"sample fraction {frac} is below the 1/{buckets} bucket "
+                "resolution — it would silently keep zero rows"
+            )
         bucket = F.pmod(
             F.conv(F.substring(F.md5(F.col(by).cast("string")), 1, 8), 16, 10)
             .cast("bigint"),
@@ -694,18 +733,13 @@ def _compile_stage(
             raise HqlSyntaxError("dedup(...) requires the key field(s)")
         order = _as_list(node.kwargs.get("order", ["ts"]))
         keep = str(node.kwargs.get("keep", "last")).lower()
-        from pyspark.sql.window import Window
+        from cses2humio_spark.operators.dedup import dedup_exact_by_key
 
         cols = [
             F.col(f).desc() if keep == "last" else F.col(f).asc()
             for f in order
         ]
-        w = Window.partitionBy(*[F.col(f) for f in fields]).orderBy(*cols)
-        return (
-            df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        return dedup_exact_by_key(df, fields, cols)
     if name == "parseJson":
         # Deliberate deviation from Humio: keys are EXPLICIT. Humio infers
         # the shape per event; at 100 TB schema inference is a full extra
@@ -725,11 +759,10 @@ def _compile_stage(
         target = node.kwargs.get("field")
         if target is None:
             raise HqlSyntaxError("regex(...) requires field=")
-        groups = re.findall(r"\(\?P?<([A-Za-z_][A-Za-z0-9_]*)>", pat)
         # Spark's Java regex uses (?<name>...); normalize Python spelling
         jpat = pat.replace("(?P<", "(?<")
         out = df.filter(F.col(target).rlike(jpat))
-        for i, g in enumerate(groups, start=1):
+        for g, i in _capture_group_numbers(jpat).items():
             out = out.withColumn(g, F.regexp_extract(F.col(target), jpat, i))
         return out
     raise HqlSyntaxError(f"unknown stage function {name!r}")

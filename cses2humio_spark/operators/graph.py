@@ -68,6 +68,8 @@ def pagerank(
     # Bounded driver state: ONE scalar (the node count), needed as a
     # literal inside the teleport term.
     n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     out_w = agg.groupBy("src").agg(F.sum("w").alias("out_w"))
     edges_n = agg.join(out_w, "src")
 

@@ -88,9 +88,12 @@ def main(argv: list[str] | None = None) -> int:
         for r in rows:
             print(json.dumps(r.asDict(), default=str))
     elif args.fmt == "csv":
-        print(",".join(cols))
+        import csv
+
+        w = csv.writer(sys.stdout)
+        w.writerow(cols)
         for r in rows:
-            print(",".join("" if r[c] is None else str(r[c]) for c in cols))
+            w.writerow(["" if r[c] is None else r[c] for c in cols])
     else:
         widths = [
             max(len(c), *(len(str(r[c])) for r in rows)) if rows else len(c)

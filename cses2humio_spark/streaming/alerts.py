@@ -39,6 +39,16 @@ class AlertRule:
     value_column: str | None = None
     threshold: float | None = None
 
+    def __post_init__(self) -> None:
+        # a value-column rule without a threshold would compare against
+        # NULL and silently never fire — the worst failure mode for an
+        # alerting system, so it is a configuration error instead
+        if (self.value_column is None) != (self.threshold is None):
+            raise ValueError(
+                f"rule {self.name!r}: value_column and threshold must be "
+                "set together"
+            )
+
 
 def evaluate_rules_on_batch(
     batch_df: DataFrame,
@@ -55,14 +65,20 @@ def evaluate_rules_on_batch(
     for rule in rules:
         res = hql(batch_df, rule.query, tables=tables)
         if rule.value_column is not None:
-            rows = res.filter(
-                res[rule.value_column] >= rule.threshold
-            ).collect()
-            fired = len(rows) >= max(rule.min_rows, 1)
-            # observed = the worst (max) offending metric value
-            obs = max(
-                (float(r[rule.value_column]) for r in rows), default=0.0
+            # ONE bounded aggregate row — never collect offending rows
+            # (the alert record must stay rule-bounded, not data-bounded)
+            from pyspark.sql import functions as F
+
+            [agg] = (
+                res.filter(res[rule.value_column] >= rule.threshold)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.max(rule.value_column).alias("worst"),
+                )
+                .collect()
             )
+            fired = agg["n"] >= max(rule.min_rows, 1)
+            obs = float(agg["worst"]) if agg["worst"] is not None else 0.0
             observed = int(obs) if obs.is_integer() else obs
         else:
             observed = res.count()

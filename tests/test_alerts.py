@@ -125,3 +125,24 @@ def test_alert_replay_after_sink_failure(spark, tmp_path):
     q2 = start()  # same checkpoint -> replay
     q2.awaitTermination(120)
     assert [a["rule"] for a in delivered] == ["errors_present"]
+
+
+def test_rule_with_threshold_but_no_value_column_is_config_error():
+    import pytest
+
+    with pytest.raises(ValueError):
+        AlertRule("bad", "count()", value_column="_count")  # no threshold
+    with pytest.raises(ValueError):
+        AlertRule("bad2", "count()", threshold=5)  # no value_column
+
+
+def test_value_rule_evaluation_is_row_bounded(spark):
+    """The review contract: value-column rules aggregate (count, max) —
+    they never collect offending rows. Verify observed == max offender on
+    a batch with many rows over threshold."""
+    ev = load_table(spark, SF_SMALL, "events")
+    rules = [AlertRule("big_values", "select([value])",
+                       value_column="value", threshold=1)]
+    [a] = evaluate_rules_on_batch(ev, rules, 0)
+    mx = ev.agg(F.max("value")).collect()[0][0]
+    assert abs(float(a["observed"]) - mx) < 1e-9

@@ -487,3 +487,38 @@ def test_watermark_enables_append_mode_stream(spark, tmp_path):
     n_total = batch.count()
     n_emitted = spark.sql("select * from hql_stream_append").count()
     assert 0 < n_emitted <= n_total
+
+
+# --- regression tests for review findings ---------------------------------
+
+
+def test_regex_unnamed_groups_dont_shift_named_extraction(spark):
+    """A pattern mixing unnamed and named capture groups must extract the
+    NAMED group's actual group number (review finding: positional
+    numbering over named groups only silently extracted the wrong
+    group)."""
+    df = spark.createDataFrame([("foo 42",), ("bar 7",)], ["msg"])
+    out = hql(df, 'regex("(foo|bar) (?<code>\\\\d+)", field=msg)')
+    got = sorted(r["code"] for r in out.collect())
+    assert got == ["42", "7"]
+
+
+def test_scientific_notation_number():
+    """'value > 1e5' is ONE numeric comparison, not (value > 1) AND
+    free-text 'e5' (review finding)."""
+    [f] = parse("value > 1e5")
+    assert f == Cmp("value", ">", 1e5)
+
+
+def test_quoted_star_is_literal_not_glob(spark):
+    """Quoting is the escape hatch for matching a literal '*' (review
+    finding: quoted values silently globbed)."""
+    df = spark.createDataFrame([("a*b",), ("axxxb",)], ["v"])
+    assert hql(df, 'v = "a*b"').count() == 1
+    assert hql(df, "v = a*b").count() == 2  # unquoted still globs
+
+
+def test_sample_fraction_below_resolution_is_loud(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    with pytest.raises(HqlSyntaxError):
+        hql(ev, "sample(0.00001, by=user_id)")

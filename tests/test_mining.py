@@ -460,3 +460,10 @@ def test_expectations_fk_orphans(spark):
     dim = spark.createDataFrame([(1,), (2,)], ["dk"])
     [row] = expectations_report(facts, [("fk", "k", dim, "dk")]).collect()
     assert row["check"] == "fk:k" and row["observed"] == "1" and row["passed"] == 0
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    from cses2humio_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(edges).count() == 0
