@@ -554,9 +554,17 @@ def _agg_columns(call: Call) -> list[Column]:
     name = call.name
     alias = call.kwargs.get("as")
     if name == "count":
-        col = (
-            F.count(F.col(call.args[0])) if call.args else F.count(F.lit(1))
-        )
+        distinct = str(call.kwargs.get("distinct", "false")).lower() == "true"
+        if distinct:
+            if not call.args:
+                raise HqlSyntaxError("count(distinct=true) needs a field")
+            col = F.count_distinct(F.col(call.args[0]))
+        else:
+            col = (
+                F.count(F.col(call.args[0]))
+                if call.args
+                else F.count(F.lit(1))
+            )
         return [col.alias(alias or "_count")]
     if not call.args:
         raise HqlSyntaxError(f"{name}() needs a field argument")

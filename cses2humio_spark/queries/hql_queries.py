@@ -301,3 +301,20 @@ def hql_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     consistent per key so sampled per-user analyses stay coherent."""
     ev = load_table(spark, sf_dir, "events")
     return hql(ev, "sample(0.2, by=user_id) | groupBy(event_type)")
+
+
+@query(
+    "hql_distinct_count_by_type",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS _count
+    FROM events GROUP BY event_type
+    """,
+)
+def hql_distinct_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``count(field, distinct=true)`` — Humio's distinct-count idiom —
+    inside a groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(
+        ev,
+        "groupBy(event_type, function=count(user_id, distinct=true))",
+    )

@@ -690,3 +690,41 @@ def seasonal_baseline_deviations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_anomalous",
         )
     )
+
+
+@query(
+    "first_seen_user_type_pairs",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, event_type, MIN(ts) AS first_ts
+      FROM events GROUP BY user_id, event_type),
+    horizon AS (SELECT MAX(ts) AS mx FROM events)
+    SELECT f.user_id, f.event_type,
+           CAST(FLOOR(epoch(f.first_ts)) AS BIGINT) AS first_seen_s
+    FROM firsts f, horizon h
+    WHERE f.first_ts > h.mx - INTERVAL 7 DAY
+    """,
+)
+def first_seen_user_type_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-behavior detection (the first-seen hunt every SOC runs): (user,
+    event-type) pairs whose FIRST EVER occurrence falls inside the last 7
+    days of the data horizon — new admin activity, first-time access to a
+    resource class. One groupBy computing per-pair minima (shuffle
+    carries (user, type, one timestamp)), one broadcast scalar for the
+    horizon; at 100 TB the baseline of known pairs would be the
+    incrementally-maintained rollup (docs/RUNBOOK.md) instead of a full
+    recompute."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts")
+    )
+    horizon = ev.agg(F.max("ts").alias("mx"))
+    return (
+        firsts.join(F.broadcast(horizon))
+        .filter(F.col("first_ts") > F.col("mx") - F.expr("INTERVAL 7 DAY"))
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_timestamp("first_ts").cast("bigint").alias("first_seen_s"),
+        )
+    )
