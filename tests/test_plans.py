@@ -144,6 +144,7 @@ def test_no_query_degenerates_to_cartesian(spark):
         "chunk_dedup_stats",      # single-row cross-doc-fp counter broadcast
         "benford_first_digit_deviation",  # single-row total scalar broadcast
         "functional_dependency_check",  # three single-row counters combined
+        "first_seen_user_type_pairs",  # single-row data-horizon scalar broadcast
     }
     # building these queries runs heavy side effects (a full streaming
     # query, a driver-side iteration loop, a key-discovery collect) just to
@@ -153,6 +154,7 @@ def test_no_query_degenerates_to_cartesian(spark):
         "near_dup_cluster_reps",
         "connector_event_map_pivot",
         "rollup_materialized_counts",  # runs a full streaming query to build
+        "alert_rules_demo",  # runs a full streaming query to build
     }
     offenders = []
     for name, fn in QUERIES.items():
