@@ -245,3 +245,29 @@ def orders_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("fk", "o_custkey", customer, "c_custkey"),
         ],
     )
+
+
+@query(
+    "props_schema_signatures",
+    oracle="""
+    SELECT array_to_string(list_sort(json_keys(props)), ',') AS key_set,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def props_schema_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift monitor for the dynamic JSON payload (SURVEY §1.2 —
+    the reference's events are schemaless; the engine's answer to "did a
+    new field appear in the feed?"): group events by the SORTED key-set
+    of their props object. A new producer field shows up as a new
+    signature row the moment it arrives; at 100 TB this is one
+    map-side-combined aggregation whose group count is the number of
+    distinct SHAPES, not events. The alert-rule twin: attach
+    `groupBy(key_set)` to the stream and alert on unseen signatures."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.array_join(
+            F.array_sort(F.json_object_keys("props")), ","
+        ).alias("key_set")
+    ).groupBy("key_set").agg(F.count(F.lit(1)).alias("n_events"))

@@ -467,3 +467,24 @@ def test_pagerank_empty_edges_returns_empty(spark):
 
     edges = spark.createDataFrame([], "src string, dst string")
     assert pagerank(edges).count() == 0
+
+
+def test_schema_signature_detects_drift(spark):
+    """A payload with a new field produces a NEW signature row — the
+    drift-detection contract."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [('{"k": 1}',)] * 3 + [('{"k": 2, "new_field": true}',)],
+        ["props"],
+    )
+    sigs = {
+        r["key_set"]: r["n"]
+        for r in df.select(
+            F.array_join(F.array_sort(F.json_object_keys("props")), ",").alias("key_set")
+        )
+        .groupBy("key_set")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert sigs == {"k": 3, "k,new_field": 1}

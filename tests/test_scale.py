@@ -331,3 +331,43 @@ def test_dynamic_partition_overwrite_backfills_one_partition(spark, tmp_path):
     assert counts == {"d1": 10, "d2": 3, "d3": 10}
     assert back.where((F.col("day") == "d2") & (F.col("v") != 999.0)).count() == 0
     assert back.where((F.col("day") == "d1") & (F.col("v") == 999.0)).count() == 0
+
+
+def test_native_runtime_bloom_filter_injects(spark, tmp_path):
+    """Spark's own runtime Bloom filter (the planner-injected twin of
+    operators/joins.py::bitmap_prefilter_semi_join) must inject a
+    might_contain pre-filter on the big side of a selective shuffle join
+    when enabled — documents the native path and the confs that gate it
+    (application-side scan threshold defaults to 10GB, far above test
+    data)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_ORACLE
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+        part = spark.read.parquet(f"{SF_ORACLE}/part.parquet").filter(
+            F.col("p_brand") == "Brand#7"
+        )
+        j = (
+            li.join(part, li["l_partkey"] == part["p_partkey"])
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
