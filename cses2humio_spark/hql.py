@@ -453,8 +453,11 @@ def _capture_group_numbers(pat: str) -> dict[str, int]:
             if m:
                 n += 1
                 out[m.group(1)] = n
-            elif not pat.startswith(("(?:", "(?=", "(?!", "(?<=", "(?<!"), i):
+            elif not pat.startswith("(?", i):
                 n += 1  # plain unnamed capture group
+            # every other (?...) construct — (?: (?= (?! (?<= (?<! inline
+            # flags (?i) / (?i:...) atomic (?>...) — is non-capturing in
+            # Java regex and must not advance the numbering
         i += 1
     return out
 

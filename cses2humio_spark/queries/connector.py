@@ -388,7 +388,11 @@ def alert_rules_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
             checkpoint_dir=os.path.join(tmpdir, "ckpt"),
             trigger_available_now=True,
         )
-        q.awaitTermination(120)
+        if not q.awaitTermination(120):
+            # timeout: stop the query BEFORE the finally-rmtree pulls its
+            # source/checkpoint dirs out from under it
+            q.stop()
+            raise TimeoutError("alert_rules_demo stream did not finish in 120s")
         return spark.createDataFrame(
             [(a["batch_id"], a["rule"], float(a["observed"])) for a in got],
             "batch_id long, rule string, observed double",

@@ -90,7 +90,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.fmt == "csv":
         import csv
 
-        w = csv.writer(sys.stdout)
+        w = csv.writer(sys.stdout, lineterminator="\n")
         w.writerow(cols)
         for r in rows:
             w.writerow(["" if r[c] is None else r[c] for c in cols])

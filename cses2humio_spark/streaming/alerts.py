@@ -24,6 +24,7 @@ from dataclasses import dataclass
 from typing import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 @dataclass(frozen=True)
@@ -67,8 +68,6 @@ def evaluate_rules_on_batch(
         if rule.value_column is not None:
             # ONE bounded aggregate row — never collect offending rows
             # (the alert record must stay rule-bounded, not data-bounded)
-            from pyspark.sql import functions as F
-
             [agg] = (
                 res.filter(res[rule.value_column] >= rule.threshold)
                 .agg(

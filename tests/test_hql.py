@@ -522,3 +522,11 @@ def test_sample_fraction_below_resolution_is_loud(spark):
     ev = load_table(spark, SF_SMALL, "events")
     with pytest.raises(HqlSyntaxError):
         hql(ev, "sample(0.00001, by=user_id)")
+
+
+def test_regex_inline_flags_dont_shift_groups(spark):
+    """Java inline flags / non-capturing constructs must not advance the
+    capture-group numbering (second review round)."""
+    df = spark.createDataFrame([("ERROR 42",), ("warn 7",)], ["msg"])
+    out = hql(df, 'regex("(?i)(error|warn) (?<code>\\\\d+)", field=msg)')
+    assert sorted(r["code"] for r in out.collect()) == ["42", "7"]
