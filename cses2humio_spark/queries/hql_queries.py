@@ -318,3 +318,27 @@ def hql_distinct_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         "groupBy(event_type, function=count(user_id, distinct=true))",
     )
+
+
+@query(
+    "hql_timechart_avg_by_type",
+    oracle="""
+    SELECT CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) AS bucket_start,
+           event_type,
+           COUNT(*) AS _count,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value)
+             AS _avg
+    FROM events
+    GROUP BY date_trunc('day', ts), event_type
+    """,
+)
+def hql_timechart_avg_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensioned timechart with MULTIPLE aggregate functions (count +
+    exact-decimal avg) — the Humio dashboard staple
+    ``timechart(span=1d, by=event_type, function=[count(), avg(value)])``."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(
+        ev,
+        "timechart(span=1d, by=event_type, "
+        "function=[count(), avg(value)])",
+    )
