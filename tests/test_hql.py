@@ -530,3 +530,30 @@ def test_regex_inline_flags_dont_shift_groups(spark):
     df = spark.createDataFrame([("ERROR 42",), ("warn 7",)], ["msg"])
     out = hql(df, 'regex("(?i)(error|warn) (?<code>\\\\d+)", field=msg)')
     assert sorted(r["code"] for r in out.collect()) == ["42", "7"]
+
+
+def test_generated_filters_compile_and_run(spark):
+    """Beyond parsing: a corpus of generated filter expressions must
+    COMPILE and EXECUTE against a real frame (catches Column-API misuse
+    the parser tests can't see). Deterministic corpus — hypothesis's
+    generator seeded per-run would make failures unreproducible here."""
+    ev = load_table(spark, SF_SMALL, "events").limit(50).cache()
+    try:
+        fields = ["event_type", "user_id", "value", "props"]
+        ops = ["=", "!=", "<", "<=", ">", ">="]
+        corpus = []
+        for i, f in enumerate(fields):
+            for j, op in enumerate(ops):
+                corpus.append(f"{f} {op} {(i * 7 + j) % 90}")
+        corpus += [
+            "event_type = err* and value > 1",
+            'not (event_type = error or "9}")',
+            "event_type = /e.+r/ | user_id >= 10 | count()",
+            "value > 1e2 or value < -1e2",
+            'props = "{\\"k\\": 9}"',
+            "user_id = 3 user_id != 4 (value > 0 or value <= 0)",
+        ]
+        for q in corpus:
+            hql(ev, q).count()  # must not raise
+    finally:
+        ev.unpersist()
