@@ -396,6 +396,7 @@ _STAGE_FUNCS = {
     "count", "sum", "avg", "min", "max", "groupBy", "timechart", "sort",
     "head", "top", "select", "table", "regex", "parseJson", "session",
     "dedup", "in", "match", "percentile", "watermark", "sample",
+    "default", "rename", "drop",
 }
 
 _SPANS = {"s": "second", "m": "minute", "h": "hour", "d": "day", "w": "week"}
@@ -528,6 +529,10 @@ _EVAL_FUNCS = {
     "round": lambda a: F.round(a[0], 0),  # 2-arg round is special-cased
     "floor": lambda a: F.floor(a[0]),
     "ceil": lambda a: F.ceil(a[0]),
+    "sqrt": lambda a: F.sqrt(a[0]),
+    "exp": lambda a: F.exp(a[0]),
+    "log": lambda a: F.log(a[0]),
+    "pow": lambda a: F.pow(a[0], a[1]),
 }
 
 
@@ -687,6 +692,25 @@ def _compile_stage(
     if name in ("select", "table"):
         fields = _as_list(node.args[0]) if node.args else []
         return df.select(*[F.col(f) for f in fields])
+    if name == "default":
+        # Humio's default(): fill nulls of a field with a constant
+        field = node.kwargs.get("field")
+        if field is None or "value" not in node.kwargs:
+            raise HqlSyntaxError("default(field=..., value=...) requires both")
+        return df.withColumn(
+            field, F.coalesce(F.col(field), F.lit(node.kwargs["value"]))
+        )
+    if name == "rename":
+        field = node.kwargs.get("field")
+        new = node.kwargs.get("as")
+        if field is None or new is None:
+            raise HqlSyntaxError("rename(field=..., as=...) requires both")
+        return df.withColumnRenamed(field, new)
+    if name == "drop":
+        fields = _as_list(node.args[0]) if node.args else []
+        if not fields:
+            raise HqlSyntaxError("drop([...]) requires field names")
+        return df.drop(*fields)
     if name == "watermark":
         # streaming event-time watermark: makes an HQL timechart runnable
         # in APPEND mode on a stream (bounded state, late data dropped

@@ -557,3 +557,24 @@ def test_generated_filters_compile_and_run(spark):
             hql(ev, q).count()  # must not raise
     finally:
         ev.unpersist()
+
+
+def test_math_eval_functions(spark):
+    import math
+
+    ev = load_table(spark, SF_SMALL, "events").limit(5)
+    row = hql(
+        ev,
+        "s := sqrt(value) | e := exp(1) | l := log(value) | p := pow(value, 2)",
+    ).select("value", "s", "e", "l", "p").first()
+    assert abs(row["s"] - math.sqrt(row["value"])) < 1e-9
+    assert abs(row["e"] - math.e) < 1e-9
+    assert abs(row["l"] - math.log(row["value"])) < 1e-9
+    assert abs(row["p"] - row["value"] ** 2) < 1e-6
+
+
+def test_default_rename_drop_stages(spark):
+    df = spark.createDataFrame([(1, None), (2, "x")], ["id", "tag"])
+    out = hql(df, 'default(field=tag, value="none") | rename(field=tag, as=label) | drop([id])')
+    assert out.columns == ["label"]
+    assert sorted(r["label"] for r in out.collect()) == ["none", "x"]
