@@ -728,3 +728,74 @@ def first_seen_user_type_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("first_ts").cast("bigint").alias("first_seen_s"),
         )
     )
+
+
+# --- behavioral sequence anomaly (Markov log-likelihood) ------------------
+
+
+@query(
+    "markov_sequence_anomaly",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events),
+    tr AS (SELECT user_id, src, dst FROM seq WHERE dst IS NOT NULL),
+    m AS (SELECT src, dst, COUNT(*) AS n FROM tr GROUP BY src, dst),
+    tot AS (SELECT src, SUM(n) AS t FROM m GROUP BY src),
+    p AS (SELECT m.src, m.dst,
+                 ROUND(LN(m.n / CAST(t.t AS DOUBLE)), 8) AS lp
+          FROM m JOIN tot t ON t.src = m.src),
+    scored AS (
+      SELECT tr.user_id,
+             COUNT(*) AS n_tr,
+             CAST(SUM(CAST(p.lp AS DECIMAL(28,8))) AS DOUBLE) AS sl
+      FROM tr JOIN p ON p.src = tr.src AND p.dst = tr.dst
+      GROUP BY tr.user_id
+      HAVING COUNT(*) >= 20)
+    SELECT user_id, CAST(n_tr AS BIGINT) AS n_transitions,
+           ROUND(-sl / n_tr, 6) AS avg_nll
+    FROM scored
+    """,
+)
+def markov_sequence_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-sequence anomaly score: each user's event stream is
+    scored by its average negative log-likelihood under the GLOBAL
+    first-order Markov transition model — users whose action sequences
+    are improbable under fleet-wide behavior float to the top (the
+    UEBA shape: compromised accounts act unlike the population).
+
+    Determinism: transition probabilities are exact count ratios; each
+    log-prob is rounded to 8 before an exact-DECIMAL per-user sum (the
+    engine's iterative-algorithm contract), so scores are bit-identical
+    under any partitioning. Scale: the model is |types|² rows broadcast
+    to the transition stream; per-user state is two numbers."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        "user_id",
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    m = tr.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    tot = m.groupBy("src").agg(F.sum("n").alias("t"))
+    p = m.join(tot, "src").select(
+        "src",
+        "dst",
+        F.round(F.log(F.col("n") / F.col("t").cast("double")), 8).alias("lp"),
+    )
+    scored = (
+        tr.join(F.broadcast(p), ["src", "dst"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tr"),
+            F.sum(F.col("lp").cast("decimal(28,8)")).cast("double").alias("sl"),
+        )
+        .filter(F.col("n_tr") >= 20)
+    )
+    return scored.select(
+        "user_id",
+        F.col("n_tr").cast("bigint").alias("n_transitions"),
+        F.round(-F.col("sl") / F.col("n_tr"), 6).alias("avg_nll"),
+    )

@@ -488,3 +488,45 @@ def test_schema_signature_detects_drift(spark):
         .collect()
     }
     assert sigs == {"k": 3, "k,new_field": 1}
+
+
+def test_markov_anomaly_separates_unusual_sequences(spark):
+    """A user who repeats one rare self-transition must score a higher
+    avg negative log-likelihood than users following the common flow."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 5 'normal' users: common A->B->A->B... pattern
+    for u in range(5):
+        for i in range(40):
+            rows.append((u, eid, base + dt.timedelta(minutes=eid), "A" if i % 2 == 0 else "B"))
+            eid += 1
+    # 1 anomalous user: mostly normal but with rare C self-loops
+    for i in range(40):
+        rows.append((99, eid, base + dt.timedelta(minutes=eid), "C" if i % 3 == 0 else ("A" if i % 2 == 0 else "B")))
+        eid += 1
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "event_type"])
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = df.select(
+        "user_id",
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    m = tr.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    tot = m.groupBy("src").agg(F.sum("n").alias("t"))
+    p = m.join(tot, "src").select(
+        "src", "dst",
+        F.round(F.log(F.col("n") / F.col("t").cast("double")), 8).alias("lp"),
+    )
+    scored = (
+        tr.join(p, ["src", "dst"])
+        .groupBy("user_id")
+        .agg((-F.sum("lp") / F.count(F.lit(1))).alias("nll"))
+    )
+    got = {r["user_id"]: r["nll"] for r in scored.collect()}
+    assert got[99] > max(got[u] for u in range(5))
