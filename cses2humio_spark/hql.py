@@ -581,9 +581,11 @@ def _agg_columns(call: Call) -> list[Column]:
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", str(field)):
             raise HqlSyntaxError(f"bad percentile field {field!r}")
         ps = _as_list(call.kwargs.get("percentiles", [50]))
+        # alias from the FULL value ('.'→'_'): percentiles=[99, 99.9] must
+        # yield _p99 and _p99_9, not two colliding _p99 columns
         return [
             F.round(F.expr(f"percentile({field}, {float(p) / 100})"), 4)
-            .alias(f"_p{int(p)}")
+            .alias("_p" + format(float(p), "g").replace(".", "_"))
             for p in ps
         ]
     target = F.col(field)

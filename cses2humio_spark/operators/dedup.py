@@ -142,9 +142,22 @@ def minhash_candidate_pairs(
     bands: int = 4,
     rows_per_band: int = 2,
     shingles_df: DataFrame | None = None,
+    max_bucket_size: int | None = 2_000,
 ) -> DataFrame:
     """Candidate near-dup pairs: documents sharing any (band, sig) bucket.
-    Equi self-join on the bucket — linear shuffle, no cross join."""
+    Equi self-join on the bucket — linear shuffle, no cross join.
+
+    ``max_bucket_size`` bounds the quadratic pair blowup of mass-duplicate
+    buckets: a boilerplate page duplicated 10^6 times would otherwise put
+    10^6 ids in one (band, sig) bucket and emit ~10^12 pairs from the
+    self-join. Buckets larger than the cap are collapsed to a STAR instead
+    of a clique — every member pairs with the bucket's minimum id only, so
+    the bucket emits O(size) pairs, and connected-component clustering
+    (``near_dup_clusters``) still reaches every member through the hub.
+    Exact per-pair Jaccard is unchanged for the emitted pairs; only
+    redundant within-cluster edges are dropped, and the drop is LOGGED
+    (no-silent-caps rule) via one warning naming the oversized buckets'
+    sizes. Pass ``None`` to disable (full clique output)."""
     sigs = minhash_signatures(
         df,
         id_col,
@@ -156,6 +169,43 @@ def minhash_candidate_pairs(
     )
     a = sigs.select(F.col(id_col).alias("id_a"), "band", "sig")
     b = sigs.select(F.col(id_col).alias("id_b"), "band", "sig")
+    if max_bucket_size is not None:
+        # One extra pre-aggregation on the SAME (band, sig) shuffle key the
+        # join already needs: per-bucket size + min id. Normal buckets take
+        # the clique path unchanged; oversized ones emit hub→member edges.
+        stats = sigs.groupBy("band", "sig").agg(
+            F.count(F.lit(1)).alias("__bn"),
+            F.min(id_col).alias("__hub"),
+        )
+        oversized = stats.filter(F.col("__bn") > max_bucket_size)
+        # Bounded driver state: one row per OVERSIZED bucket (pathological
+        # by definition — a handful, or the cap is misconfigured).
+        over_rows = oversized.limit(20).collect()
+        if over_rows:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash_candidate_pairs: %d (band, sig) bucket(s) exceed "
+                "max_bucket_size=%d (sizes: %s%s) — emitting star (hub-to-"
+                "member) edges instead of the full clique for those buckets",
+                len(over_rows),
+                max_bucket_size,
+                ", ".join(str(r["__bn"]) for r in over_rows[:5]),
+                ", ..." if len(over_rows) > 5 else "",
+            )
+            # Prune the LEFT side of the self-join before the pairs exist:
+            # in an oversized bucket only the hub row survives as id_a, so
+            # that bucket contributes O(size) hub→member rows to the join
+            # output instead of O(size^2) clique rows — the cap acts on
+            # join CPU, not just on the result.
+            a = (
+                a.join(stats, on=["band", "sig"])
+                .filter(
+                    (F.col("__bn") <= max_bucket_size)
+                    | (F.col("id_a") == F.col("__hub"))
+                )
+                .select("id_a", "band", "sig")
+            )
     return (
         a.join(b, on=["band", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -274,7 +274,20 @@ def bitmap_prefilter_semi_join(
     if n_bits % 64 != 0:
         raise ValueError(f"n_bits must be a multiple of 64, got {n_bits}")
     n_words = n_bits // 64
-    bit = F.pmod(F.xxhash64(F.col(small_key)), F.lit(n_bits))
+    # xxhash64 hashes by PHYSICAL type: int 7 and bigint 7 hash differently,
+    # so mismatched key dtypes would silently prune matching rows (false
+    # negatives break the row-identical-to-semi-join contract). Hash both
+    # sides through a common string cast whenever the dtypes differ; when
+    # they already match, hash the native type (no cast in the hot filter).
+    big_t = big.schema[big_key].dataType
+    small_t = small.schema[small_key].dataType
+    if big_t == small_t:
+        small_h = F.xxhash64(F.col(small_key))
+        big_hash_sql = f"xxhash64({big_key})"
+    else:
+        small_h = F.xxhash64(F.col(small_key).cast("string"))
+        big_hash_sql = f"xxhash64(CAST({big_key} AS STRING))"
+    bit = F.pmod(small_h, F.lit(n_bits))
     bm_rows = (
         small.select(bit.alias("__bit"))
         .distinct()
@@ -290,11 +303,11 @@ def bitmap_prefilter_semi_join(
     for r in bm_rows:
         words[r["__word"]] = r["__mask"]
     bitmap = F.array(*[F.lit(w).cast("long") for w in words])
-    h = F.pmod(F.xxhash64(F.col(big_key)), F.lit(n_bits))
+    h = F.pmod(F.expr(big_hash_sql), F.lit(n_bits))
     word = F.element_at(bitmap, F.floor(h / 64).cast("int") + 1)
     mask = F.expr(
         f"shiftleft(CAST(1 AS BIGINT), "
-        f"CAST(pmod(xxhash64({big_key}), {n_bits}) % 64 AS INT))"
+        f"CAST(pmod({big_hash_sql}, {n_bits}) % 64 AS INT))"
     )
     hit = word.bitwiseAND(mask) != F.lit(0).cast("long")
     pruned = big.filter(hit)

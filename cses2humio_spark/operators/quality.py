@@ -55,8 +55,9 @@ def expectations_report(df: DataFrame, checks: list[tuple]) -> DataFrame:
         elif kind == "unique":
             _, col = chk
             names.append(f"unique:{col}")
-            # duplicates = rows - distinct values (nulls collapse, which
-            # also makes >1 null a uniqueness violation)
+            # duplicates = rows - distinct values; count_distinct excludes
+            # ALL nulls, so even a single NULL row fails the check (the
+            # oracle SQL mirrors the same formula)
             aggs.append(
                 (F.count(F.lit(1)) - F.count_distinct(F.col(col)))
                 .cast("bigint")

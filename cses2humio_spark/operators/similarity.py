@@ -65,6 +65,7 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
+    max_probes: int = 10_000,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each probe vector, Arrow path.
 
@@ -87,7 +88,21 @@ def cosine_topk_bruteforce(
 
     from cses2humio_spark.sources.catalog import fan_out
 
-    probe_rows = probes.select(probe_id_col, vec_col).collect()
+    # The probe set is collected to the driver and broadcast into every
+    # batch's numpy matrix — its size contract ("probes are small") must be
+    # ENFORCED, not assumed: an accidental probes=corpus call at scale is a
+    # driver OOM, not an error message. Same refuse-loudly semantics as
+    # reshape.map_to_columns' max_keys guard.
+    probe_rows = (
+        probes.select(probe_id_col, vec_col).limit(max_probes + 1).collect()
+    )
+    if len(probe_rows) > max_probes:
+        raise ValueError(
+            f"probe set exceeds max_probes={max_probes} rows; brute-force "
+            "cosine broadcasts every probe vector to every task — use the "
+            "LSH/IVF path for large probe sets, or raise max_probes "
+            "explicitly if the driver can hold them"
+        )
     if not probe_rows:
         return cosine_topk_bruteforce_fold(
             corpus, probes, k, id_col, vec_col, probe_id_col

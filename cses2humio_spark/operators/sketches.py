@@ -34,9 +34,12 @@ def _make_mg_mapper(k: int):
     def mg(batches):
         import pandas as pd
 
-        counters: dict[str, int] = {}
+        counters: dict[object, int] = {}
         for pdf in batches:
-            for v, c in pdf["__key"].value_counts().items():
+            # dropna=False + None-normalization: NULL keys are counted as
+            # one distinct key (GROUP BY semantics), not silently skipped
+            for v, c in pdf["__key"].value_counts(dropna=False).items():
+                v = None if pd.isna(v) else v
                 counters[v] = counters.get(v, 0) + int(c)
             if len(counters) > k:
                 # batched decrement: subtract the (k+1)-th largest count
@@ -61,6 +64,9 @@ def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
     partition) + an exact second pass over candidates only.
 
     Returns (``col``, n_rows) with the original column type preserved.
+    NULL keys are a distinct key (exact GROUP BY semantics): the sketch
+    counts them, the candidate join is null-safe, and a NULL exceeding
+    n/k surfaces as a NULL-keyed result row.
     """
     keyed = df.select(F.col(col).cast("string").alias("__key"))
     candidates = (
@@ -71,7 +77,7 @@ def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
     exact = (
         df.join(
             F.broadcast(candidates),
-            df[col].cast("string") == candidates["__key"],
+            df[col].cast("string").eqNullSafe(candidates["__key"]),
             "left_semi",
         )
         .groupBy(col)

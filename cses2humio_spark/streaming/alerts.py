@@ -9,13 +9,23 @@ condition; `run_alert_rules` evaluates every rule against each micro-batch
 Design notes:
 - Rules are compiled per batch in BATCH mode — any HQL construct works
   (aggregations, match lookups, sessionize), no streaming-mode operator
-  restrictions, and the trigger threshold sees the batch's result rows.
-- The batch DataFrame is persisted once and shared by all rules, so N
-  rules cost one scan + N cheap aggregations, not N scans.
+  restrictions, and the trigger condition sees the batch's result rows.
+- ONE Spark job per micro-batch regardless of rule count: every rule's
+  query is reduced to a single bounded aggregate row (count of rows over
+  threshold + worst value), all rule rows are UNIONed into one plan, and
+  one collect() evaluates them together. A 100-saved-search deployment
+  costs one driver-coordinated job per trigger, not 100+ — job-launch
+  latency never grows with the rule set (pinned by
+  tests/test_alerts.py::test_rule_evaluation_is_one_job_per_batch).
+  The batch DataFrame is persisted once, so the union's N branches read
+  the cached batch, not N source scans.
 - Alert delivery is at-least-once (micro-batch replay on failure —
   exactly the reference's retry semantics, SURVEY §1.4); sinks that need
   exactly-once should dedup on (rule, batch_id), which is in the record.
-- Emitted record: (batch_id, rule, observed, threshold, fired_at_rows).
+- Emitted record keys: ``batch_id``, ``rule``, ``observed`` (worst value
+  for value-column rules, matching-row count otherwise), ``threshold``
+  (None for row-count rules — lets auditing sinks detect rule-config
+  changes), ``query``.
 """
 
 from __future__ import annotations
@@ -57,30 +67,53 @@ def evaluate_rules_on_batch(
     batch_id: int,
     tables: dict[str, DataFrame] | None = None,
 ) -> list[dict]:
-    """Evaluate every rule against one (batch) DataFrame; returns the
-    firing alert records. Pure batch logic — reused by tests and by the
-    foreachBatch wrapper."""
+    """Evaluate every rule against one (batch) DataFrame with a SINGLE
+    Spark action; returns the firing alert records. Pure batch logic —
+    reused by tests and by the foreachBatch wrapper.
+
+    Each rule's HQL result is collapsed to one bounded aggregate row
+    (never the offending rows themselves — the alert record must stay
+    rule-bounded, not data-bounded); the per-rule rows are unioned into
+    one plan and collected together, so N rules cost one job of N
+    parallel aggregate branches instead of N sequential jobs."""
     from cses2humio_spark.hql import hql
 
-    alerts: list[dict] = []
-    for rule in rules:
+    if not rules:
+        return []
+    per_rule: list[DataFrame] = []
+    for i, rule in enumerate(rules):
         res = hql(batch_df, rule.query, tables=tables)
         if rule.value_column is not None:
-            # ONE bounded aggregate row — never collect offending rows
-            # (the alert record must stay rule-bounded, not data-bounded)
-            [agg] = (
-                res.filter(res[rule.value_column] >= rule.threshold)
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.max(rule.value_column).alias("worst"),
-                )
-                .collect()
+            agg = res.filter(
+                res[rule.value_column] >= rule.threshold
+            ).agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.max(F.col(rule.value_column).cast("double")).alias(
+                    "__worst"
+                ),
             )
-            fired = agg["n"] >= max(rule.min_rows, 1)
-            obs = float(agg["worst"]) if agg["worst"] is not None else 0.0
+        else:
+            agg = res.agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.lit(None).cast("double").alias("__worst"),
+            )
+        per_rule.append(
+            agg.select(F.lit(i).alias("__rule_idx"), "__n", "__worst")
+        )
+    fused = per_rule[0]
+    for branch in per_rule[1:]:
+        fused = fused.unionByName(branch)
+    rows = fused.collect()  # ONE action for the whole rule set
+
+    alerts: list[dict] = []
+    for row in sorted(rows, key=lambda r: r["__rule_idx"]):
+        rule = rules[row["__rule_idx"]]
+        if rule.value_column is not None:
+            fired = row["__n"] >= max(rule.min_rows, 1)
+            obs = float(row["__worst"]) if row["__worst"] is not None else 0.0
             observed = int(obs) if obs.is_integer() else obs
         else:
-            observed = res.count()
+            observed = row["__n"]
             fired = observed >= rule.min_rows
         if fired:
             alerts.append(
@@ -88,6 +121,7 @@ def evaluate_rules_on_batch(
                     "batch_id": int(batch_id),
                     "rule": rule.name,
                     "observed": observed,
+                    "threshold": rule.threshold,
                     "query": rule.query,
                 }
             )
@@ -103,10 +137,10 @@ def run_alert_rules(
     trigger_available_now: bool = False,
 ):
     """Attach the rule set to a streaming DataFrame. Each micro-batch is
-    persisted once, every rule's HQL runs against it, and firing alerts
-    are handed to ``on_alerts`` executor-free (driver-side callback —
-    alert volume is rule-bounded, not data-bounded). Returns the started
-    StreamingQuery."""
+    persisted once, every rule's HQL is evaluated in one fused job, and
+    firing alerts are handed to ``on_alerts`` executor-free (driver-side
+    callback — alert volume is rule-bounded, not data-bounded). Returns
+    the started StreamingQuery."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()

@@ -146,3 +146,49 @@ def test_value_rule_evaluation_is_row_bounded(spark):
     [a] = evaluate_rules_on_batch(ev, rules, 0)
     mx = ev.agg(F.max("value")).collect()[0][0]
     assert abs(float(a["observed"]) - mx) < 1e-9
+
+
+def test_rule_evaluation_is_one_job_per_batch(spark):
+    """Scale contract: N rules must cost ONE Spark job per batch (fused
+    union-of-aggregates plan), not N driver-coordinated jobs — at a
+    realistic 100-saved-search deployment per-rule job launch would
+    overrun the trigger interval on job latency alone."""
+    ev = load_table(spark, SF_SMALL, "events").persist()
+    ev.count()  # materialize the cache OUTSIDE the measured job group
+    rules = [
+        AlertRule(f"r{i}", f"value > {i} | count()",
+                  value_column="_count", threshold=1)
+        for i in range(12)
+    ]
+    sc = spark.sparkContext
+    sc.setJobGroup("alert-fused-eval", "jobs-per-batch pin")
+    # foreachBatch plans run with AQE OFF (Spark disables it for streaming
+    # micro-batches); mirror that here — under AQE each union branch's
+    # shuffle stage is materialized as its own bookkeeping job, which is
+    # scheduler-internal, not per-rule driver latency.
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        alerts = evaluate_rules_on_batch(ev, rules, 0)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs = sc.statusTracker().getJobIdsForGroup("alert-fused-eval")
+    ev.unpersist()
+    assert len(alerts) == 12  # every rule fired (values exceed i)
+    assert len(jobs) == 1, f"expected 1 fused job, saw {len(jobs)}: {jobs}"
+
+
+def test_alert_record_carries_threshold(spark):
+    """The emitted record includes the rule's threshold (None for
+    row-count rules) so exactly-once/auditing sinks can detect rule-config
+    changes across replays."""
+    ev = load_table(spark, SF_SMALL, "events")
+    rules = [
+        AlertRule("v", "select([value])", value_column="value", threshold=1),
+        AlertRule("rows", "event_type = error", min_rows=1),
+    ]
+    recs = {a["rule"]: a for a in evaluate_rules_on_batch(ev, rules, 3)}
+    assert recs["v"]["threshold"] == 1
+    assert recs["rows"]["threshold"] is None
+    assert set(recs["v"]) == {"batch_id", "rule", "observed", "threshold", "query"}

@@ -375,3 +375,89 @@ def test_sketch_wau_tracks_exact_rolling_wau(spark):
     assert set(exact) == set(approx)
     for d in exact:
         assert abs(approx[d] - exact[d]) / max(exact[d], 1) < 0.01
+
+
+def test_cosine_topk_probe_guard(spark):
+    """An oversized probe set must be refused LOUDLY (ValueError), never
+    collected to the driver — the brute-force path broadcasts every probe
+    vector into every task, so probes=corpus at scale is a driver OOM."""
+    import pytest as _pytest
+
+    from cses2humio_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    probes = emb.selectExpr("vec_id AS probe_id", "embedding")
+    with _pytest.raises(ValueError, match="max_probes"):
+        cosine_topk_bruteforce(emb, probes, k=3, max_probes=5)
+    # under the cap: unchanged behavior
+    small = probes.filter("probe_id < 3")
+    out = cosine_topk_bruteforce(emb, small, k=2, max_probes=5).collect()
+    assert len(out) == 6  # 3 probes x k=2
+
+
+def test_minhash_mass_duplicate_bucket_cap(spark, caplog):
+    """A mass-duplicate cluster (one text x N copies) must emit O(N) star
+    pairs, not the C(N,2) clique, with a LOGGED cap notice — and the star
+    must still connect the whole cluster to one component."""
+    import logging
+
+    from cses2humio_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        near_dup_clusters,
+    )
+
+    n = 300
+    text = "the same boilerplate page body repeated verbatim every time"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(n)] + [(n, "a completely different text here")],
+        "doc_id long, text string",
+    )
+    with caplog.at_level(logging.WARNING, logger="cses2humio_spark.operators.dedup"):
+        pairs = minhash_candidate_pairs(
+            docs, "doc_id", "text", max_bucket_size=50
+        )
+        rows = pairs.collect()
+    # star: hub (min id 0) -> each of the other n-1 members, once
+    assert len(rows) == n - 1, len(rows)
+    assert {(r.id_a, r.id_b) for r in rows} == {(0, i) for i in range(1, n)}
+    assert any("max_bucket_size" in r.message for r in caplog.records)
+    # clustering still reaches every member through the hub
+    clusters = near_dup_clusters(
+        docs.select("doc_id"), pairs, id_col="doc_id"
+    ).collect()
+    reps = {r.doc_id: r.cluster_rep for r in clusters}
+    assert all(reps[i] == 0 for i in range(n))
+    assert reps[n] == n  # the distinct doc stays a singleton
+
+
+def test_minhash_cap_inactive_on_normal_corpus(spark):
+    """With no oversized bucket the capped path must be pair-identical to
+    the uncapped clique (the cap only rewrites pathological buckets)."""
+    from cses2humio_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            (3, "one two three four five six seven"),
+            (4, "one two three four five six eight"),
+            (5, "totally unrelated content goes here now"),
+        ],
+        "doc_id long, text string",
+    )
+    capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidate_pairs(
+            docs, "doc_id", "text", max_bucket_size=50
+        ).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidate_pairs(
+            docs, "doc_id", "text", max_bucket_size=None
+        ).collect()
+    }
+    assert capped == uncapped

@@ -340,6 +340,16 @@ def test_percentile_agg_multi_columns(spark):
     assert r["_p25"] <= r["_p50"] <= r["_p75"]
 
 
+def test_percentile_fractional_aliases_do_not_collide(spark):
+    """percentiles=[99, 99.9] must yield _p99 and _p99_9 — not two
+    colliding _p99 columns that make downstream select/sort ambiguous."""
+    orders = load_table(spark, SF_SMALL, "orders")
+    out = hql(orders, "percentile(o_totalprice, percentiles=[99, 99.9])")
+    assert out.columns == ["_p99", "_p99_9"]
+    r = out.first()
+    assert r["_p99"] <= r["_p99_9"]
+
+
 # --- parser property tests (hypothesis) -----------------------------------
 
 

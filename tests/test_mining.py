@@ -530,3 +530,33 @@ def test_markov_anomaly_separates_unusual_sequences(spark):
     )
     got = {r["user_id"]: r["nll"] for r in scored.collect()}
     assert got[99] > max(got[u] for u in range(5))
+
+
+def test_bitmap_prefilter_mismatched_key_types(spark):
+    """int vs bigint keys hash differently under native-type xxhash64; the
+    operator must coerce both sides so matching VALUES still survive the
+    bitmap (false negatives would break the semi-join-identical contract)."""
+    from cses2humio_spark.operators.joins import bitmap_prefilter_semi_join
+
+    big = spark.createDataFrame(
+        [(i,) for i in range(1000)], "k int"
+    )
+    small = spark.createDataFrame(
+        [(7,), (42,), (999,)], "k bigint"
+    ).selectExpr("k AS sk")
+    got = sorted(
+        r.k for r in bitmap_prefilter_semi_join(big, small, "k", "sk").collect()
+    )
+    assert got == [7, 42, 999]
+
+
+def test_heavy_hitters_null_key_counted(spark):
+    """A NULL key above the n/k threshold must surface as a NULL-keyed
+    result row (GROUP BY semantics), not vanish from both sketch and join."""
+    from cses2humio_spark.operators.sketches import heavy_hitters
+
+    rows = [(None,)] * 60 + [("a",)] * 30 + [(f"x{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, "key string")
+    got = {r["key"]: r["n_rows"] for r in heavy_hitters(df, "key", 3).collect()}
+    # n=100, k=3: threshold > 33.3 rows — NULL (60) qualifies, 'a' (30) not
+    assert got == {None: 60}
