@@ -28,13 +28,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries follow in module order.
 _PRIORITY = [
     # log/event surface (SURVEY §2.2 Humio-analog rows)
-    "timechart_errors",
     "free_text_search",
     "regex_extract_histogram",
     "json_field_stats",
     "hql_error_timechart",
-    "string_funcs_showcase",
-    "datetime_breakdown",
     "case_value_bands",
     "scd2_user_status_history",
     "sessionize_users",
@@ -70,30 +67,37 @@ _PRIORITY = [
     "rollup_returns",
     "collect_statuses_per_priority",
     "global_math_stats",
-    "rank_parts_by_size",
     "order_timeline_analytics",
     "customer_running_total",
     "event_type_pagerank",
     "top3_orders_per_customer",
     "setop_intersect_all_priorities",
     "fuzzy_name_match_pairs",
-    # cross_join_region_priority moved to the tail (judge-verified): the
-    # cross-join row is also pinned by the fleet cartesian plan lint, and
-    # the slot makes room for the round-3 PII-redaction flagship
-    "filter_in_between_like",
     # dedup_first_event moved out of the window (exact_dedup_survivors
     # already covers the exact-dedup row; judge verifies the tail) to make
     # room for the second real-decoder family member
     "pgm_decode_stats",
-    "pivot_status_counts",
     "sql_exists_and_scalar_subquery",
+    # round-4 additions: one driver-green representative per
+    # still-never-driver-checked round-3 family
+    "beacon_regularity_scores",
+    "markov_sequence_anomaly",
+    "orders_expectations_report",
+    "benford_first_digit_deviation",
+    "cusum_drift_alarms",
+    "equi_depth_price_histogram",
 ]
-# Round-3 window refresh: six slots whose §2 rows were double-covered by
-# sibling entries (map access / casts / arrays / union / percentile /
-# right-join-nulls — all still judge-verified at the tail) now carry one
-# representative each of the round's NEW families: the HQL pipe-language,
-# SCD2 change capture, Misra-Gries heavy hitters, blocked fuzzy matching,
-# closed-form regression, and PageRank.
+# Round-4 window refresh: six slots whose §2 rows were double-covered by
+# in-window siblings rotated out (timechart_errors — the identical-oracle
+# DSL twin hql_error_timechart stays; rank_parts_by_size — ranking pinned
+# by top3_orders_per_customer; pivot_status_counts — pivot pinned by
+# connector_event_map_pivot; filter_in_between_like / datetime_breakdown /
+# string_funcs_showcase — predicates, datetime and string functions are
+# exercised across half the window; all six remain judge-verified at the
+# tail). Their slots now carry one representative each of the round-3
+# mining/UEBA families the driver had never checked: beaconing, Markov
+# sequence anomaly, expectations gate, Benford deviation, CUSUM drift,
+# and equi-depth histograms.
 
 
 def _ordered(mapping: dict) -> dict:

@@ -27,7 +27,11 @@ Surface:
   ``top(field, [limit=N], [sum=field])``, ``select([f1, f2])`` /
   ``table([...])``, ``regex("pat", field=f)`` (named-group extraction,
   non-matching rows dropped — Humio semantics), assignment
-  ``name := arithmetic`` and any filter expression as a stage.
+  ``name := arithmetic`` and any filter expression as a stage;
+  ``replace/concat/format/splitString/split`` field transforms,
+  ``case { sel | f := v ; ... }`` first-match dispatch, and
+  relative-time filters (``ts > -1d`` against the query anchor —
+  see docs/HQL.md for the full stage table).
 
 Determinism contract (same as the rest of the engine,
 queries/registry.py): ``sum``/``avg`` accumulate in exact
@@ -55,7 +59,7 @@ from pyspark.sql import types as T
 _BASE_TOKens = r"""
     (?P<WS>\s+)
   | (?P<STRING>"(?:[^"\\]|\\.)*")
-  | (?P<DURATION>\d+[smhdw]\b)
+  | (?P<DURATION>-?\d+[smhdw]\b)
   | (?P<NUMBER>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<ASSIGN>:=)
   | (?P<OP>!=|<=|>=|=|<|>)
@@ -64,6 +68,9 @@ _BASE_TOKens = r"""
   | (?P<RPAREN>\))
   | (?P<LBRACKET>\[)
   | (?P<RBRACKET>\])
+  | (?P<LBRACE>\{)
+  | (?P<RBRACE>\})
+  | (?P<SEMI>;)
   | (?P<COMMA>,)
   | (?P<ARITH>[+\-*/])
   | (?P<IDENT>[#@]?[A-Za-z_][A-Za-z0-9_.]*)
@@ -122,6 +129,7 @@ class Cmp:
     value: str | float
     is_regex: bool = False
     is_glob: bool = False
+    is_duration: bool = False  # unquoted -7d/1h literal -> relative time
 
 
 @dataclass
@@ -150,6 +158,17 @@ class Call:
     name: str
     args: list = dc_field(default_factory=list)       # positional values
     kwargs: dict = dc_field(default_factory=dict)     # keyword values
+
+
+@dataclass
+class CaseExpr:
+    """``case { selector | assignments ; ... }`` — LogScale's conditional
+    dispatch. Each clause is (filter-AST-or-None-for-``*``, [Assign, ...]);
+    an event takes the FIRST matching clause's assignments; events matching
+    no clause are DROPPED (LogScale semantics — add ``* | ...`` to keep
+    them)."""
+
+    clauses: list  # list[tuple[object | None, list[Assign]]]
 
 
 # --- parser ---------------------------------------------------------------
@@ -191,6 +210,14 @@ class _Parser:
         t = self.peek()
         if t is None:
             raise HqlSyntaxError("empty stage")
+        # case { selector | assignments ; ... }
+        if (
+            t.kind == "IDENT"
+            and t.text == "case"
+            and self.peek(1) is not None
+            and self.peek(1).kind == "LBRACE"
+        ):
+            return self.case_expr()
         # assignment:  ident := arith
         if (
             t.kind == "IDENT"
@@ -215,6 +242,42 @@ class _Parser:
                 )
             return self.call()
         return self.or_expr()
+
+    def case_expr(self) -> CaseExpr:
+        """``case { sel | a := v [| b := w] ; sel2 | ... ; * | ... }`` —
+        selector is any filter expression or the bare wildcard ``*``
+        (ARITH token in this position); each clause's pipeline is one or
+        more assignments (the supported subset)."""
+        self.next()  # 'case'
+        self.expect("LBRACE")
+        clauses: list = []
+        while self.peek() is not None and self.peek().kind != "RBRACE":
+            t = self.peek()
+            if t.kind == "ARITH" and t.text == "*":
+                self.next()
+                sel = None
+            else:
+                sel = self.or_expr()
+            assigns: list[Assign] = []
+            while self.peek() is not None and self.peek().kind == "PIPE":
+                self.next()
+                name_t = self.expect("IDENT")
+                self.expect("ASSIGN")
+                assigns.append(
+                    Assign(_strip_sigil(name_t.text), self.arith())
+                )
+            if not assigns:
+                raise HqlSyntaxError(
+                    "case clause needs at least one '| field := expr' "
+                    f"(at {t.pos})"
+                )
+            clauses.append((sel, assigns))
+            if self.peek() is not None and self.peek().kind == "SEMI":
+                self.next()
+        self.expect("RBRACE")
+        if not clauses:
+            raise HqlSyntaxError("case { } needs at least one clause")
+        return CaseExpr(clauses)
 
     def call(self) -> Call:
         name = self.expect("IDENT").text
@@ -326,7 +389,13 @@ class _Parser:
                     # values glob
                     return Cmp(fieldname, op, _unquote(v.text))
                 if v.kind in ("IDENT", "GLOB", "DURATION"):
-                    return Cmp(fieldname, op, v.text, is_glob="*" in v.text)
+                    return Cmp(
+                        fieldname,
+                        op,
+                        v.text,
+                        is_glob="*" in v.text,
+                        is_duration=v.kind == "DURATION",
+                    )
                 raise HqlSyntaxError(f"bad comparison value {v.text!r} at {v.pos}")
             return FreeText(self.next().text)
         raise HqlSyntaxError(f"unexpected {t.kind} {t.text!r} at {t.pos}")
@@ -350,6 +419,8 @@ class _Parser:
         t = self.next()
         if t.kind == "NUMBER":
             return ("num", float(t.text))
+        if t.kind == "STRING":
+            return ("str", _unquote(t.text))
         if t.kind == "IDENT":
             # scalar function call inside := expressions
             if self.peek() is not None and self.peek().kind == "LPAREN":
@@ -396,7 +467,8 @@ _STAGE_FUNCS = {
     "count", "sum", "avg", "min", "max", "groupBy", "timechart", "sort",
     "head", "top", "select", "table", "regex", "parseJson", "session",
     "dedup", "in", "match", "percentile", "watermark", "sample",
-    "default", "rename", "drop",
+    "default", "rename", "drop", "replace", "concat", "format",
+    "splitString", "split",
 }
 
 _SPANS = {"s": "second", "m": "minute", "h": "hour", "d": "day", "w": "week"}
@@ -463,19 +535,29 @@ def _capture_group_numbers(pat: str) -> dict[str, int]:
     return out
 
 
-def _compile_filter(df: DataFrame, node) -> Column:
+def _now_column(now) -> Column:
+    """The anchor for relative-time filters: a pinned literal when the
+    caller supplies one (reproducible pipelines, oracle checks), else the
+    engine's query-start ``now()`` (Humio's live semantics — constant
+    within one query execution, unlike per-row clocks)."""
+    if now is None:
+        return F.expr("now()")
+    return F.lit(now).cast("timestamp")
+
+
+def _compile_filter(df: DataFrame, node, now=None) -> Column:
     if isinstance(node, And):
-        col = _compile_filter(df, node.parts[0])
+        col = _compile_filter(df, node.parts[0], now)
         for p in node.parts[1:]:
-            col = col & _compile_filter(df, p)
+            col = col & _compile_filter(df, p, now)
         return col
     if isinstance(node, Or):
-        col = _compile_filter(df, node.parts[0])
+        col = _compile_filter(df, node.parts[0], now)
         for p in node.parts[1:]:
-            col = col | _compile_filter(df, p)
+            col = col | _compile_filter(df, p, now)
         return col
     if isinstance(node, Not):
-        return ~_compile_filter(df, node.inner)
+        return ~_compile_filter(df, node.inner, now)
     if isinstance(node, FreeText):
         cols = _string_cols(df)
         if not cols:
@@ -509,6 +591,28 @@ def _compile_filter(df: DataFrame, node) -> Column:
             if node.op not in ("=", "!="):
                 raise HqlSyntaxError("glob match supports = / != only")
             return hit if node.op == "=" else ~hit
+        if node.is_duration:
+            # relative-time filter (Humio: `@timestamp > -1d` = "within
+            # the last day"): the UNQUOTED duration literal is an offset
+            # from the query anchor — negative into the past, positive
+            # into the future. Quoted values stay literal strings (the
+            # usual escape hatch). Compiles to a constant-foldable
+            # timestamp comparison, so it pushes to the scan as a plain
+            # range predicate — at 100 TB this is what makes "last hour
+            # over a year of data" a partition-pruned read.
+            neg = node.value.startswith("-")
+            secs = _span_to_seconds(node.value.lstrip("-"))
+            anchor = _now_column(now) + F.expr(
+                f"INTERVAL {'-' if neg else ''}{secs} SECONDS"
+            )
+            return {
+                "=": c == anchor,
+                "!=": c != anchor,
+                "<": c < anchor,
+                "<=": c <= anchor,
+                ">": c > anchor,
+                ">=": c >= anchor,
+            }[node.op]
         return {
             "=": c == node.value,
             "!=": c != node.value,
@@ -539,6 +643,8 @@ _EVAL_FUNCS = {
 def _compile_arith(node) -> Column:
     kind = node[0]
     if kind == "num":
+        return F.lit(node[1])
+    if kind == "str":
         return F.lit(node[1])
     if kind == "field":
         return F.col(node[1])
@@ -613,14 +719,66 @@ def _as_list(v) -> list:
     return v if isinstance(v, list) else [v]
 
 
+def _compile_case(df: DataFrame, node: CaseExpr, now=None) -> DataFrame:
+    """First-match-wins conditional dispatch, pure codegen: per assigned
+    field one CASE WHEN chain keyed on first-match conditions; events
+    matching no clause are dropped (add ``* | ...`` to keep them)."""
+    conds: list[Column] = []
+    prior: Column = F.lit(False)
+    has_wildcard = False
+    for sel, _assigns in node.clauses:
+        c = F.lit(True) if sel is None else _compile_filter(df, sel, now)
+        if sel is None:
+            has_wildcard = True
+        conds.append(c & ~prior)  # first match wins
+        prior = prior | c
+    # assigned fields in first-seen order -> deterministic output schema
+    fields: list[str] = []
+    for _sel, assigns in node.clauses:
+        for a in assigns:
+            if a.name not in fields:
+                fields.append(a.name)
+    out_cols: dict[str, Column] = {}
+    for f_name in fields:
+        chain: Column | None = None
+        for i, (_sel, assigns) in enumerate(node.clauses):
+            expr = next(
+                (_compile_arith(a.expr) for a in assigns if a.name == f_name),
+                None,
+            )
+            if expr is None:
+                continue
+            chain = (
+                F.when(conds[i], expr)
+                if chain is None
+                else chain.when(conds[i], expr)
+            )
+        # rows taken by a clause that does NOT assign this field keep the
+        # pre-existing column value (or null if the field is new)
+        if f_name in df.columns:
+            chain = chain.otherwise(F.col(f_name))
+        out_cols[f_name] = chain.alias(f_name)
+    out = df
+    for f_name, col in out_cols.items():
+        out = out.withColumn(f_name, col)
+    if not has_wildcard:
+        out = out.filter(prior)
+    return out
+
+
 def _compile_stage(
-    df: DataFrame, node, tables: dict[str, DataFrame] | None = None
+    df: DataFrame,
+    node,
+    tables: dict[str, DataFrame] | None = None,
+    now=None,
 ) -> DataFrame:
     tables = tables or {}
     if isinstance(node, (And, Or, Not, FreeText, Cmp)):
-        return df.filter(_compile_filter(df, node))
+        return df.filter(_compile_filter(df, node, now))
     if isinstance(node, Assign):
         return df.withColumn(node.name, _compile_arith(node.expr))
+    if isinstance(node, CaseExpr):
+        return _compile_case(df, node, now)
     if not isinstance(node, Call):
         raise HqlSyntaxError(f"cannot compile stage {node!r}")
 
@@ -791,6 +949,65 @@ def _compile_stage(
                 k.split(".")[-1], F.get_json_object(F.col(target), f"$.{k}")
             )
         return out
+    if name == "replace":
+        # LogScale replace(regex, with=..., field=..., [as=...]) —
+        # regexp_replace with $1-style backrefs, pure codegen
+        pat = node.args[0] if node.args else node.kwargs.get("regex")
+        repl = node.kwargs.get("with")
+        field = node.kwargs.get("field")
+        if pat is None or repl is None or field is None:
+            raise HqlSyntaxError(
+                "replace(regex, with=..., field=...) requires all three"
+            )
+        out_name = node.kwargs.get("as", field)
+        return df.withColumn(
+            out_name, F.regexp_replace(F.col(field), str(pat), str(repl))
+        )
+    if name == "concat":
+        # LogScale concat([f1, f2], as=out): null/missing values
+        # contribute the empty string (concat_ws semantics — matches
+        # DuckDB concat(), so it stays oracle-checkable)
+        fields = _as_list(node.args[0]) if node.args else []
+        out_name = node.kwargs.get("as")
+        if not fields or out_name is None:
+            raise HqlSyntaxError("concat([fields], as=out) requires both")
+        return df.withColumn(
+            out_name, F.concat_ws("", *[F.col(f).cast("string") for f in fields])
+        )
+    if name == "format":
+        # LogScale format("%s:%s", field=[a, b], as=out) — printf-style,
+        # compiles to format_string (JVM codegen)
+        fmt = node.args[0] if node.args else node.kwargs.get("format")
+        fields = _as_list(node.kwargs.get("field", []))
+        out_name = node.kwargs.get("as")
+        if fmt is None or not fields or out_name is None:
+            raise HqlSyntaxError(
+                'format("fmt", field=[...], as=out) requires all three'
+            )
+        return df.withColumn(
+            out_name, F.format_string(str(fmt), *[F.col(f) for f in fields])
+        )
+    if name == "splitString":
+        # splitString(field=f, by=regex, [as=out]) -> array<string>
+        field = node.args[0] if node.args else node.kwargs.get("field")
+        by = node.kwargs.get("by")
+        if field is None or by is None:
+            raise HqlSyntaxError("splitString(field=..., by=...) requires both")
+        out_name = node.kwargs.get("as", field)
+        return df.withColumn(out_name, F.split(F.col(field), str(by)))
+    if name == "split":
+        # LogScale split(field): fan one event out to one event per array
+        # element — element replaces the field, its position lands in
+        # ``_index``. posexplode stays a narrow codegen stage (no shuffle);
+        # at 100 TB the expansion cost is the output size, nothing else.
+        field = node.args[0] if node.args else node.kwargs.get("field")
+        if field is None:
+            raise HqlSyntaxError("split(field) requires the array field")
+        others = [c for c in df.columns if c != field]
+        return df.select(
+            *others,
+            F.posexplode(F.col(field)).alias("_index", field),
+        )
     if name == "regex":
         pat = node.args[0]
         target = node.kwargs.get("field")
@@ -806,12 +1023,18 @@ def _compile_stage(
 
 
 def hql(
-    df: DataFrame, query: str, tables: dict[str, DataFrame] | None = None
+    df: DataFrame,
+    query: str,
+    tables: dict[str, DataFrame] | None = None,
+    now: str | None = None,
 ) -> DataFrame:
     """Compile and apply an HQL pipe query to ``df``; returns the result
     DataFrame (lazily — nothing executes until an action). ``tables``
-    names the lookup DataFrames the ``match(...)`` stage may reference."""
+    names the lookup DataFrames the ``match(...)`` stage may reference.
+    ``now`` pins the anchor for relative-time filters (``ts > -1d``) to a
+    fixed timestamp string — pass it for reproducible pipelines and
+    oracle checks; default is the engine's query-start clock."""
     out = df
     for stage in parse(query):
-        out = _compile_stage(out, stage, tables or {})
+        out = _compile_stage(out, stage, tables or {}, now=now)
     return out

@@ -342,3 +342,190 @@ def hql_timechart_avg_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "timechart(span=1d, by=event_type, "
         "function=[count(), avg(value)])",
     )
+
+
+@query("hql_streaming_timechart_demo")  # streaming mechanics -> rows-only check
+def hql_streaming_timechart_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship HQL timechart run as a CONTINUOUS streaming query:
+    the same pipe string, with a ``watermark()`` stage, attached to a
+    file stream of the events table (two time-ordered micro-batches) in
+    APPEND mode — windows are emitted exactly once, after the watermark
+    closes them. Non-SQL-expressible (streaming finalization mechanics);
+    the append-output == batch-twin equivalence is pinned in
+    tests/test_hql.py::test_hql_timechart_runs_as_continuous_streaming_query."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    tmpdir = tempfile.mkdtemp(prefix="sgraft_hqlstream_")
+    try:
+        src = os.path.join(tmpdir, "src")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "ts"
+        )
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+        mid = lo + (hi - lo) / 2
+        ev.filter(F.col("ts") < mid).coalesce(1).write.parquet(
+            os.path.join(src, "a")
+        )
+        ev.filter(F.col("ts") >= mid).coalesce(1).write.parquet(
+            os.path.join(src, "b")
+        )
+        # file source orders micro-batches by mtime — pin it explicitly
+        t0 = 1_700_000_000
+        for i, sub in enumerate(("a", "b")):
+            d = os.path.join(src, sub)
+            for f in os.listdir(d):
+                os.utime(os.path.join(d, f), (t0 + i * 60,) * 2)
+        sch = spark.read.parquet(os.path.join(src, "*")).schema
+        stream = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(src, "*"))
+        )
+        out = hql(
+            stream,
+            "#event_type = error | watermark(field=ts, delay=10m) "
+            "| timechart(span=1h)",
+        )
+        rows: list = []
+
+        def sink(batch_df, batch_id) -> None:
+            rows.extend(batch_df.collect())
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError(
+                "hql_streaming_timechart_demo stream did not finish in 120s"
+            )
+        return spark.createDataFrame(
+            [(r["bucket_start"], r["_count"]) for r in rows],
+            "bucket_start long, _count long",
+        ).orderBy("bucket_start")
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+@query(
+    "hql_case_severity_bands",
+    oracle="""
+    SELECT CASE WHEN event_type = 'error' THEN 'high'
+                WHEN value > 90 THEN 'elevated'
+                ELSE 'normal' END AS sev,
+           COUNT(*) AS _count
+    FROM events GROUP BY 1
+    """,
+)
+def hql_case_severity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``case { … }`` multi-clause conditional dispatch (LogScale's
+    severity-banding idiom): first matching clause wins, the wildcard
+    keeps the rest. Compiles to ONE CASE WHEN chain in codegen — no
+    per-clause scan."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(
+        ev,
+        'case { event_type = error | sev := "high" ; '
+        'value > 90 | sev := "elevated" ; '
+        '* | sev := "normal" } | groupBy(sev)',
+    )
+
+
+@query(
+    "hql_replace_redact_digits",
+    oracle="""
+    SELECT regexp_replace(props, '[0-9]', '#', 'g') AS red,
+           COUNT(*) AS _count
+    FROM events GROUP BY 1
+    """,
+)
+def hql_replace_redact_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``replace()`` — regex substitution (here: digit redaction before
+    grouping, the classic PII-masking pipe). regexp_replace is global in
+    both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(
+        ev,
+        'replace("[0-9]", with="#", field=props, as=red) | groupBy(red)',
+    )
+
+
+@query(
+    "hql_concat_format_keys",
+    oracle="""
+    SELECT event_id,
+           event_type || CAST(user_id AS VARCHAR) AS ck,
+           printf('%s#%06d', event_type, user_id) AS fk
+    FROM events WHERE event_type = 'purchase'
+    ORDER BY event_id ASC LIMIT 50
+    """,
+)
+def hql_concat_format_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``concat()`` + printf-style ``format()`` — composite-key
+    construction. Both compile to JVM string expressions
+    (concat_ws / format_string); sort(limit=) is TakeOrdered."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(
+        ev,
+        "event_type = purchase "
+        "| concat([event_type, user_id], as=ck) "
+        '| format("%s#%06d", field=[event_type, user_id], as=fk) '
+        "| select([event_id, ck, fk]) "
+        "| sort([event_id], order=asc, limit=50)",
+    )
+
+
+@query(
+    "hql_split_tokens_top10",
+    oracle=r"""
+    WITH toks AS (
+      SELECT UNNEST(string_split_regex(text, '\s+')) AS tok FROM documents
+    )
+    SELECT tok, COUNT(*) AS _count FROM toks
+    GROUP BY tok ORDER BY _count DESC, tok ASC LIMIT 10
+    """,
+)
+def hql_split_tokens_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``splitString()`` (field -> array) + ``split()`` (array -> one
+    event per element, LogScale's event fan-out) + ``top()``. The explode
+    is a narrow codegen stage; only (tok) rows reach the count shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return hql(
+        docs,
+        'splitString(field=text, by="\\\\s+", as=tok) | split(tok) '
+        "| top(tok, limit=10)",
+    )
+
+
+@query(
+    "hql_recent_errors_relative_time",
+    oracle="""
+    SELECT CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT)
+             AS bucket_start,
+           COUNT(*) AS _count
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-31 00:00:00' - INTERVAL 7 DAY
+      AND event_type = 'error'
+    GROUP BY 1
+    """,
+)
+def hql_recent_errors_relative_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-time filter (``ts > -7d``): the unquoted duration is an
+    offset from the query anchor — pinned here for reproducibility, live
+    ``now()`` by default. Compiles to a constant timestamp range that
+    pushes to the scan (partition pruning at 100 TB: 'last week over a
+    year of data' reads one week)."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(
+        ev,
+        "ts > -7d event_type = error | timechart(span=1d)",
+        now="2024-01-31 00:00:00",
+    )

@@ -339,3 +339,174 @@ def streaming_cusum(
         outputMode="update",
         timeoutConf=_GST.NoTimeout,
     )
+
+
+SESSION_OUT_SCHEMA = (
+    "user bigint, session_start_us bigint, session_end_us bigint, "
+    "n_events bigint"
+)
+SESSION_STATE_SCHEMA = "start_us bigint, last_us bigint, n_events bigint"
+
+
+def streaming_sessionize_timeout(
+    keyed: DataFrame, gap_seconds: int, watermark_delay: str = "10 seconds"
+) -> DataFrame:
+    """Gap-based sessionization with TIMER-driven final emission: the
+    streaming twin of ``operators/windows.py::sessionize`` that solves the
+    problem batch logic can't — a session is only known CLOSED when no
+    event arrives for ``gap_seconds``, which on a stream is an absence of
+    data, not a row. The state store keeps (start, last, n) per key; every
+    update arms an EVENT-TIME timeout at ``last + gap``; when the
+    watermark passes it, the function fires with ``state.hasTimedOut`` and
+    the finished session is emitted exactly once (APPEND semantics).
+
+    In-stream closure needs no timer: a row that lands more than ``gap``
+    after ``last`` closes the previous session inline and starts the next.
+    Rows are scanned in event-time order within a batch; cross-batch order
+    is the stream's replay order (same contract as streaming_cusum).
+
+    Emits epoch-MICROSECOND bounds (engine-portable, no timestamp-repr
+    drift). State is three bigints per ACTIVE key and the timeout clears
+    it — at 100 TB/day the store holds only keys active within one gap,
+    not the key universe.
+    """
+    from pyspark.sql import functions as F
+
+    keyed = keyed.select("user", "ts").withWatermark("ts", watermark_delay)
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        closed: list[tuple[int, int, int]] = []
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            closed.append((start_us, last_us, n))
+            state.remove()
+        else:
+            start_us = None
+            if state.exists:
+                start_us, last_us, n = state.get
+            for pdf in pdfs:
+                pdf = pdf.sort_values("ts", kind="mergesort")
+                for ts in pdf["ts"]:
+                    us = ts.value // 1000  # pandas ns -> us
+                    if start_us is None:
+                        start_us, last_us, n = us, us, 1
+                    elif us - last_us > gap_us:
+                        closed.append((start_us, last_us, n))
+                        start_us, last_us, n = us, us, 1
+                    else:
+                        if us > last_us:
+                            last_us = us
+                        n += 1
+            if start_us is not None:
+                state.update((start_us, last_us, n))
+                # arm the event-time timer: fire when watermark > last+gap
+                state.setTimeoutTimestamp(
+                    last_us // 1000 + int(gap_seconds) * 1000
+                )
+        if closed:
+            yield _pd.DataFrame(
+                {
+                    "user": [int(key[0])] * len(closed),
+                    "session_start_us": [c[0] for c in closed],
+                    "session_end_us": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return keyed.groupBy("user").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def streaming_sessionize_tws(
+    keyed: DataFrame, gap_seconds: int, watermark_delay: str = "10 seconds"
+) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` twin of
+    ``streaming_sessionize_timeout`` using the REAL timer API
+    (``registerTimer`` / ``handleExpiredTimer``) instead of the classic
+    single-timeout conf: timers are explicit, per-key, and re-armed on
+    every update (``deleteTimer`` of the stale one first — TWS allows many
+    live timers per key, unlike the one-slot GroupState timeout). Same
+    output contract and APPEND semantics. Requires google.protobuf at
+    runtime (the TWS state-server protocol); tests importorskip."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    keyed = keyed.select("user", "ts").withWatermark("ts", watermark_delay)
+    gap_us = int(gap_seconds) * 1_000_000
+    gap_ms = int(gap_seconds) * 1000
+
+    class _Sessions(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._sess = handle.getValueState(
+                "sess", "start_us bigint, last_us bigint, n_events bigint"
+            )
+            self._handle = handle
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            closed: list[tuple[int, int, int]] = []
+            start_us = None
+            if self._sess.exists():
+                start_us, last_us, n = self._sess.get()
+                # re-arming: drop the stale timer before registering the
+                # new one so exactly one live timer tracks the session
+                self._handle.deleteTimer(last_us // 1000 + gap_ms)
+            for pdf in rows:
+                pdf = pdf.sort_values("ts", kind="mergesort")
+                for ts in pdf["ts"]:
+                    us = ts.value // 1000
+                    if start_us is None:
+                        start_us, last_us, n = us, us, 1
+                    elif us - last_us > gap_us:
+                        closed.append((start_us, last_us, n))
+                        start_us, last_us, n = us, us, 1
+                    else:
+                        if us > last_us:
+                            last_us = us
+                        n += 1
+            if start_us is not None:
+                self._sess.update((start_us, last_us, n))
+                self._handle.registerTimer(last_us // 1000 + gap_ms)
+            if closed:
+                yield _pd.DataFrame(
+                    {
+                        "user": [int(key[0])] * len(closed),
+                        "session_start_us": [c[0] for c in closed],
+                        "session_end_us": [c[1] for c in closed],
+                        "n_events": [c[2] for c in closed],
+                    }
+                )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            import pandas as _pd
+
+            if self._sess.exists():
+                start_us, last_us, n = self._sess.get()
+                self._sess.clear()
+                yield _pd.DataFrame(
+                    {
+                        "user": [int(key[0])],
+                        "session_start_us": [start_us],
+                        "session_end_us": [last_us],
+                        "n_events": [n],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return keyed.groupBy("user").transformWithStateInPandas(
+        statefulProcessor=_Sessions(),
+        outputStructType=SESSION_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )

@@ -562,6 +562,16 @@ def test_generated_filters_compile_and_run(spark):
             "value > 1e2 or value < -1e2",
             'props = "{\\"k\\": 9}"',
             "user_id = 3 user_id != 4 (value > 0 or value <= 0)",
+            # round-4 constructs
+            'case { event_type = error | s := "e" ; * | s := "o" } | groupBy(s)',
+            'case { value > 50 | band := 1 ; value > 10 | band := 2 }',
+            'replace("[0-9]+", with="N", field=props, as=r) | groupBy(r)',
+            "concat([event_type, user_id], as=ck) | count(ck)",
+            'format("%s/%d", field=[event_type, user_id], as=fk) | head(3)',
+            'splitString(field=props, by=",", as=parts) | split(parts) | count()',
+            "ts > -1d | count()",
+            "ts < -30m or ts >= -2h | count()",
+            'x := "lit" | y := length(x) | y > 1 | count()',
         ]
         for q in corpus:
             hql(ev, q).count()  # must not raise
@@ -588,3 +598,221 @@ def test_default_rename_drop_stages(spark):
     out = hql(df, 'default(field=tag, value="none") | rename(field=tag, as=label) | drop([id])')
     assert out.columns == ["label"]
     assert sorted(r["label"] for r in out.collect()) == ["none", "x"]
+
+
+# --- streaming HQL end-to-end ---------------------------------------------
+
+
+def test_hql_timechart_runs_as_continuous_streaming_query(spark, tmp_path):
+    """An HQL pipe with watermark + timechart must run sink-to-sink as a
+    CONTINUOUS streaming query in APPEND mode: windows finalize once the
+    watermark passes them and land in the sink exactly once, matching the
+    batch twin on the closed windows. Closes the loop the reference
+    delegates to Humio (README.md:70-94) entirely in-engine."""
+    import os as _os
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows1 = [
+        (i, "error" if i % 2 == 0 else "ok",
+         f"2024-01-01 0{h}:15:00")
+        for i, h in enumerate([0, 0, 1, 1, 1, 2, 3])
+    ]
+    rows2 = [(100, "error", "2024-01-03 02:00:00")]  # pushes watermark past day 1
+    df1 = spark.createDataFrame(rows1, "event_id long, event_type string, ts_s string")
+    df2 = spark.createDataFrame(rows2, "event_id long, event_type string, ts_s string")
+    for n, d in (("a", df1), ("b", df2)):
+        d.selectExpr(
+            "event_id", "event_type", "CAST(ts_s AS TIMESTAMP) AS ts"
+        ).coalesce(1).write.parquet(str(src / n))
+    # one batch per file, in pinned order (file source orders by mtime)
+    files = sorted(str(p) for p in src.rglob("*.parquet"))
+    assert len(files) == 2
+    for i, f in enumerate(sorted(files, key=lambda p: "/a/" not in p)):
+        _os.utime(f, (1_700_000_000 + i * 60,) * 2)
+
+    pipe = (
+        "#event_type = error | watermark(field=ts, delay=10m) "
+        "| timechart(span=1h)"
+    )
+    sch = "event_id long, event_type string, ts timestamp"
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    out = hql(stream, pipe)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hql_tc_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.bucket_start: r._count
+        for r in spark.sql("SELECT * FROM hql_tc_stream").collect()
+    }
+    # batch twin on the same data, restricted to windows the watermark
+    # closed (everything strictly before the last event's hour)
+    batch = spark.read.schema(sch).parquet(str(src / "*"))
+    want = {
+        r.bucket_start: r._count
+        for r in hql(batch, "#event_type = error | timechart(span=1h)").collect()
+        if r.bucket_start < 1704240000  # 2024-01-03 00:00:00 UTC
+    }
+    assert want  # day-1 error windows exist
+    assert got == want
+
+
+def test_hql_alert_rule_on_same_stream(spark, tmp_path):
+    """An HQL saved search attached to the SAME file stream via the alert
+    engine: the rule's pipe (filter | timechart) is evaluated per
+    micro-batch and fires with the batch's matching-window count."""
+    import shutil
+
+    from cses2humio_spark.streaming.alerts import AlertRule, run_alert_rules
+
+    src = tmp_path / "asrc"
+    src.mkdir()
+    shutil.copy(f"{SF_SMALL}/events.parquet", src / "p.parquet")
+    sch = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(sch).parquet(str(src))
+    rules = [
+        AlertRule(
+            "error_windows",
+            "#event_type = error | timechart(span=1h)",
+            min_rows=1,
+        )
+    ]
+    got: list[dict] = []
+    q = run_alert_rules(
+        stream, rules, on_alerts=got.extend,
+        checkpoint_dir=str(tmp_path / "ackpt"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    [rec] = got
+    n_windows = (
+        hql(spark.read.parquet(str(src)),
+            "#event_type = error | timechart(span=1h)").count()
+    )
+    assert rec["rule"] == "error_windows" and rec["observed"] == n_windows
+
+
+# --- round-4 constructs: case / replace / concat / format / split / time --
+
+
+def test_case_multi_clause_first_match_wins(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    out = hql(
+        ev,
+        'case { event_type = error | sev := "high" ; '
+        'value > 90 | sev := "elevated" ; '
+        '* | sev := "normal" } | groupBy(sev)',
+    )
+    got = {r["sev"]: r["_count"] for r in out.collect()}
+    want_high = ev.filter(F.col("event_type") == "error").count()
+    want_elev = ev.filter(
+        (F.col("event_type") != "error") & (F.col("value") > 90)
+    ).count()
+    assert got["high"] == want_high
+    assert got["elevated"] == want_elev
+    assert sum(got.values()) == ev.count()  # wildcard keeps everything
+
+
+def test_case_without_wildcard_drops_nonmatching(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    out = hql(ev, 'case { event_type = error | sev := "high" }')
+    assert out.count() == ev.filter(F.col("event_type") == "error").count()
+    assert out.select("sev").distinct().collect()[0]["sev"] == "high"
+
+
+def test_case_preserves_existing_field_on_unassigned_clause(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    # clause 2 assigns only 'other' -> 'event_type' keeps its original
+    # value for rows taken by clause 2
+    out = hql(
+        ev,
+        'case { event_type = error | event_type := "ERR" ; * | other := 1 }',
+    )
+    kinds = {r["event_type"] for r in out.select("event_type").distinct().collect()}
+    assert "ERR" in kinds and "error" not in kinds
+    assert out.count() == ev.count()
+
+
+def test_case_parse_errors_are_loud():
+    for bad in [
+        "case { }",
+        "case { event_type = error }",  # no assignment pipeline
+        "case { * | x := 1 ",  # unclosed brace
+    ]:
+        with pytest.raises(HqlSyntaxError):
+            parse(bad)
+
+
+def test_replace_stage(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    out = hql(ev, 'replace("[0-9]", with="#", field=props, as=red)')
+    row = out.select("props", "red").first()
+    import re as _re
+
+    assert row["red"] == _re.sub(r"[0-9]", "#", row["props"])
+
+
+def test_concat_and_format_stages(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    out = hql(
+        ev,
+        "concat([event_type, user_id], as=ck) "
+        '| format("%s#%04d", field=[event_type, user_id], as=fk)',
+    )
+    r = out.select("event_type", "user_id", "ck", "fk").first()
+    assert r["ck"] == f"{r['event_type']}{r['user_id']}"
+    assert r["fk"] == f"{r['event_type']}#{r['user_id']:04d}"
+
+
+def test_split_string_then_split_explodes_rows(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    out = hql(
+        docs,
+        'splitString(field=text, by="\\\\s+", as=tok) | split(tok)',
+    )
+    n_tokens = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+"))).count()
+    )
+    # trim() differences: HQL splitString doesn't trim; documents text has
+    # no leading/trailing whitespace in the fixture, so counts match
+    assert out.count() == n_tokens
+    assert "_index" in out.columns
+    first = out.filter(F.col("_index") == 0).count()
+    assert first == docs.count()  # every doc contributes an element 0
+
+
+def test_relative_time_filter_with_pinned_anchor(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    anchor = "2024-01-31 00:00:00"
+    got = hql(ev, "ts > -7d", now=anchor).count()
+    want = ev.filter(
+        F.col("ts") > F.lit("2024-01-24 00:00:00").cast("timestamp")
+    ).count()
+    assert got == want > 0
+    # quoted duration stays a literal string comparison (escape hatch)
+    assert hql(ev, 'event_type = "-7d"').count() == 0
+
+
+def test_relative_time_filter_live_anchor_runs(spark):
+    # default anchor = query-start now(): all 2024 data is in the past, so
+    # "within the last day" matches nothing and "older than 1 day" is all
+    ev = load_table(spark, SF_SMALL, "events")
+    assert hql(ev, "ts > -1d").count() == 0
+    assert hql(ev, "ts < -1d").count() == ev.count()
+
+
+def test_string_literals_in_assignment(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    out = hql(ev, 'tag := "fixed"')
+    assert out.select("tag").first()["tag"] == "fixed"

@@ -857,3 +857,175 @@ def test_incremental_rollup_prunes_versions_and_keeps_typed_key(spark, tmp_path)
     assert dict(out.dtypes)["uid"] == "bigint"
     got = {r["uid"]: (r["n_rows"], r["total"]) for r in out.collect()}
     assert got == {1: (5, 0.0 + 1 + 2 + 3 + 4), 2: (5, 5.0)}
+
+
+def _sessionize_src_files(spark, src, specs):
+    """Write one single-row-group parquet dir per (name, rows) spec with
+    strictly increasing mtimes so the file source replays them in order."""
+    for i, (name, rows) in enumerate(specs):
+        df = spark.createDataFrame(rows, "user bigint, ts_s string")
+        df.selectExpr("user", "CAST(ts_s AS TIMESTAMP) AS ts").coalesce(
+            1
+        ).write.parquet(os.path.join(src, name))
+        for f in glob.glob(os.path.join(src, name, "*")):
+            os.utime(f, (1_700_000_000 + i * 60,) * 2)
+
+
+def test_streaming_sessionize_timer_emits_on_watermark(spark, tmp_path):
+    """Timer path: a session with NO closing row is finalized when the
+    event-time watermark passes last+gap (state.hasTimedOut) — the absence
+    -of-data case batch sessionize cannot see. In-stream closure (a row
+    arriving > gap later) emits inline without a timer."""
+    from cses2humio_spark.streaming.stateful import (
+        streaming_sessionize_timeout,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _sessionize_src_files(
+        spark,
+        src,
+        [
+            ("a", [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:00:30")]),
+            ("b", [(1, "2024-01-01 10:05:00")]),  # closes session 1 inline
+            ("c", [(2, "2024-01-01 10:30:00")]),  # watermark -> timer fires
+        ],
+    )
+    stream = (
+        spark.readStream.schema("user bigint, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*"))
+    )
+    out = streaming_sessionize_timeout(stream, gap_seconds=60)
+    got: list = []
+
+    def sink(batch_df, batch_id) -> None:
+        got.extend(batch_df.collect())
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sess = sorted(
+        (r.user, r.session_start_us, r.session_end_us, r.n_events)
+        for r in got
+    )
+    base = 1_704_103_200_000_000  # 2024-01-01 10:00:00 UTC in micros
+    assert sess == [
+        (1, base, base + 30_000_000, 2),          # inline closure
+        (1, base + 300_000_000, base + 300_000_000, 1),  # timer closure
+    ]
+    # user 2's session is still OPEN (watermark never passed 10:31) — not
+    # emitted: append semantics emit exactly-closed sessions only
+
+
+def test_streaming_sessionize_timer_replay_determinism(spark, tmp_path):
+    """Kill/restart pin: restarting from the checkpoint neither re-emits
+    closed sessions nor loses open state — the open session closes
+    correctly from replayed state when its closing row arrives."""
+    from cses2humio_spark.streaming.stateful import (
+        streaming_sessionize_timeout,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _sessionize_src_files(
+        spark,
+        src,
+        [
+            ("a", [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:00:30")]),
+            ("b", [(1, "2024-01-01 10:05:00")]),
+            ("c", [(2, "2024-01-01 10:30:00")]),
+        ],
+    )
+
+    def run(collected):
+        stream = (
+            spark.readStream.schema("user bigint, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(src, "*"))
+        )
+        out = streaming_sessionize_timeout(stream, gap_seconds=60)
+
+        def sink(batch_df, batch_id) -> None:
+            collected.extend(batch_df.collect())
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run1: list = []
+    run(run1)
+    assert len(run1) == 2  # user 1's two sessions (see sibling test)
+
+    # "kill": the query terminated; add the closing row for user 2's open
+    # session and restart from the SAME checkpoint
+    _sessionize_src_files(
+        spark, str(tmp_path / "late"), [("d", [(2, "2024-01-01 11:30:00")])]
+    )
+    import shutil as _sh
+
+    _sh.move(str(tmp_path / "late" / "d"), os.path.join(src, "d"))
+    run2: list = []
+    run(run2)
+    sess2 = [(r.user, r.session_start_us, r.session_end_us, r.n_events) for r in run2]
+    base = 1_704_103_200_000_000
+    # exactly ONE new emission: user 2's replayed open session closed by
+    # the 11:30 row (gap exceeded inline); nothing from run1 re-emitted
+    assert sess2 == [(2, base + 1_800_000_000, base + 1_800_000_000, 1)]
+
+
+def test_streaming_sessionize_tws_timer_twin(spark, tmp_path):
+    """transformWithStateInPandas twin with REAL timers (registerTimer /
+    handleExpiredTimer) — same input, same emitted sessions."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from cses2humio_spark.streaming.stateful import streaming_sessionize_tws
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _sessionize_src_files(
+        spark,
+        src,
+        [
+            ("a", [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:00:30")]),
+            ("b", [(1, "2024-01-01 10:05:00")]),
+            ("c", [(2, "2024-01-01 10:30:00")]),
+        ],
+    )
+    stream = (
+        spark.readStream.schema("user bigint, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*"))
+    )
+    out = streaming_sessionize_tws(stream, gap_seconds=60)
+    got: list = []
+
+    def sink(batch_df, batch_id) -> None:
+        got.extend(batch_df.collect())
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sess = sorted(
+        (r.user, r.session_start_us, r.session_end_us, r.n_events)
+        for r in got
+    )
+    base = 1_704_103_200_000_000
+    assert sess == [
+        (1, base, base + 30_000_000, 2),
+        (1, base + 300_000_000, base + 300_000_000, 1),
+    ]
