@@ -161,6 +161,16 @@ class Call:
 
 
 @dataclass
+class Subquery:
+    """``{ stage | stage | … }`` — an embedded pipeline, used as the
+    first argument of ``join()``. Runs against the pipeline's ROOT frame
+    (LogScale: a join subquery is an independent search over the same
+    repository) or a named table via ``table=``."""
+
+    stages: list
+
+
+@dataclass
 class CaseExpr:
     """``case { selector | assignments ; ... }`` — LogScale's conditional
     dispatch. Each clause is (filter-AST-or-None-for-``*``, [Assign, ...]);
@@ -303,6 +313,15 @@ class _Parser:
 
     def value_or_list(self):
         t = self.peek()
+        if t.kind == "LBRACE":
+            # embedded pipeline: { stage | stage | ... }
+            self.next()
+            stages = [self.stage()]
+            while self.peek() is not None and self.peek().kind == "PIPE":
+                self.next()
+                stages.append(self.stage())
+            self.expect("RBRACE")
+            return Subquery(stages)
         if t.kind == "LBRACKET":
             self.next()
             items = []
@@ -422,6 +441,21 @@ class _Parser:
         if t.kind == "STRING":
             return ("str", _unquote(t.text))
         if t.kind == "IDENT":
+            # if(cond, then, else): the condition is a FILTER expression,
+            # not arithmetic — parse it with the filter grammar
+            if (
+                t.text == "if"
+                and self.peek() is not None
+                and self.peek().kind == "LPAREN"
+            ):
+                self.next()  # '('
+                cond = self.or_expr()
+                self.expect("COMMA")
+                then = self.arith()
+                self.expect("COMMA")
+                els = self.arith()
+                self.expect("RPAREN")
+                return ("if", cond, then, els)
             # scalar function call inside := expressions
             if self.peek() is not None and self.peek().kind == "LPAREN":
                 if t.text not in _EVAL_FUNCS:
@@ -468,7 +502,7 @@ _STAGE_FUNCS = {
     "head", "top", "select", "table", "regex", "parseJson", "session",
     "dedup", "in", "match", "percentile", "watermark", "sample",
     "default", "rename", "drop", "replace", "concat", "format",
-    "splitString", "split",
+    "splitString", "split", "stddev", "bucket", "join",
 }
 
 _SPANS = {"s": "second", "m": "minute", "h": "hour", "d": "day", "w": "week"}
@@ -637,10 +671,16 @@ _EVAL_FUNCS = {
     "exp": lambda a: F.exp(a[0]),
     "log": lambda a: F.log(a[0]),
     "pow": lambda a: F.pow(a[0], a[1]),
+    "coalesce": lambda a: F.coalesce(*a),
+    # LogScale parseInt/number coercion: non-numeric -> null, never a crash
+    "toNumber": lambda a: a[0].try_cast("double"),
+    # registered for the parser's known-function check; the compiler
+    # special-cases it (the pattern argument must stay a literal)
+    "formatTime": None,
 }
 
 
-def _compile_arith(node) -> Column:
+def _compile_arith(node, df: DataFrame | None = None, now=None) -> Column:
     kind = node[0]
     if kind == "num":
         return F.lit(node[1])
@@ -648,16 +688,33 @@ def _compile_arith(node) -> Column:
         return F.lit(node[1])
     if kind == "field":
         return F.col(node[1])
+    if kind == "if":
+        # if(cond, then, else): cond is a filter expression compiled with
+        # the filter grammar — one CASE WHEN in codegen
+        _, cond, then, els = node
+        return F.when(
+            _compile_filter(df, cond, now),
+            _compile_arith(then, df, now),
+        ).otherwise(_compile_arith(els, df, now))
     if kind == "call":
         _, name, arg_nodes = node
-        args = [_compile_arith(a) for a in arg_nodes]
+        args = [_compile_arith(a, df, now) for a in arg_nodes]
         if name == "round" and len(arg_nodes) > 1:
             if arg_nodes[1][0] != "num":
                 raise HqlSyntaxError("round() scale must be a literal number")
             return F.round(args[0], int(arg_nodes[1][1]))
+        if name == "formatTime":
+            # formatTime("yyyy-MM-dd", field) — the pattern must be a
+            # literal (it parameterizes the codegen'd date_format)
+            if len(arg_nodes) != 2 or arg_nodes[0][0] != "str":
+                raise HqlSyntaxError(
+                    'formatTime("pattern", field) needs a literal pattern '
+                    "and a field"
+                )
+            return F.date_format(args[1], arg_nodes[0][1])
         return _EVAL_FUNCS[name](args)
     _, op, left, right = node
-    lc, rc = _compile_arith(left), _compile_arith(right)
+    lc, rc = _compile_arith(left, df, now), _compile_arith(right, df, now)
     return {"+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc}[op]
 
 
@@ -705,6 +762,19 @@ def _agg_columns(call: Call) -> list[Column]:
         col = F.min(target)
     elif name == "max":
         col = F.max(target)
+    elif name == "stddev":
+        # sample stddev (LogScale stdDev) from EXACT decimal sufficient
+        # statistics (engine determinism contract — F.stddev's merge
+        # order is partitioning-dependent; sum/sum-of-squares over
+        # DECIMAL(18,6) are integer-exact under any partitioning),
+        # rounded to 4 as a second-moment statistic
+        v = target.cast("decimal(18,6)")
+        cnt = F.count(target)
+        sv = F.sum(v).cast("double")
+        svv = F.sum(v * v).cast("double")
+        col = F.round(
+            F.sqrt((svv - sv * sv / cnt) / (cnt - F.lit(1))), 4
+        )
     else:
         raise HqlSyntaxError(f"unknown aggregate {name!r}")
     return [col.alias(alias or f"_{name}")]
@@ -743,7 +813,7 @@ def _compile_case(df: DataFrame, node: CaseExpr, now=None) -> DataFrame:
         chain: Column | None = None
         for i, (_sel, assigns) in enumerate(node.clauses):
             expr = next(
-                (_compile_arith(a.expr) for a in assigns if a.name == f_name),
+                (_compile_arith(a.expr, df, now) for a in assigns if a.name == f_name),
                 None,
             )
             if expr is None:
@@ -771,19 +841,20 @@ def _compile_stage(
     node,
     tables: dict[str, DataFrame] | None = None,
     now=None,
+    root: DataFrame | None = None,
 ) -> DataFrame:
     tables = tables or {}
     if isinstance(node, (And, Or, Not, FreeText, Cmp)):
         return df.filter(_compile_filter(df, node, now))
     if isinstance(node, Assign):
-        return df.withColumn(node.name, _compile_arith(node.expr))
+        return df.withColumn(node.name, _compile_arith(node.expr, df, now))
     if isinstance(node, CaseExpr):
         return _compile_case(df, node, now)
     if not isinstance(node, Call):
         raise HqlSyntaxError(f"cannot compile stage {node!r}")
 
     name = node.name
-    if name in ("count", "sum", "avg", "min", "max", "percentile"):
+    if name in ("count", "sum", "avg", "min", "max", "stddev", "percentile"):
         return df.agg(*_agg_columns(node))
     if name == "in":
         field = node.args[0] if node.args else node.kwargs.get("field")
@@ -949,6 +1020,76 @@ def _compile_stage(
                 k.split(".")[-1], F.get_json_object(F.col(target), f"$.{k}")
             )
         return out
+    if name == "join":
+        # LogScale join({subquery}, field=..., key=..., [mode=inner|left],
+        # [table=name], [broadcast=true]): the subquery is an independent
+        # pipeline over the ROOT frame (or a named table), joined on
+        # field=key; the key column is dropped from the result (match()
+        # convention). mode=left keeps unmatched primary rows with nulls.
+        # The join stays a plain equi-join — Catalyst/AQE picks the
+        # strategy; broadcast=true forces the hint for subqueries the
+        # caller KNOWS are small (LogScale caps subquery results; an
+        # unbounded subquery at 100 TB should shuffle, not broadcast).
+        sub = node.args[0] if node.args else None
+        if not isinstance(sub, Subquery):
+            raise HqlSyntaxError(
+                "join({subquery}, field=..., key=...) needs an embedded "
+                "{ ... } pipeline as its first argument"
+            )
+        field = node.kwargs.get("field")
+        key = node.kwargs.get("key", field)
+        if field is None:
+            raise HqlSyntaxError("join(...) requires field=")
+        mode = str(node.kwargs.get("mode", "inner")).lower()
+        if mode not in ("inner", "left"):
+            raise HqlSyntaxError(
+                f"join mode must be inner or left, got {mode!r}"
+            )
+        tname = node.kwargs.get("table")
+        if tname is not None:
+            if tname not in tables:
+                raise HqlSyntaxError(
+                    f"join(): unknown table {tname!r} (available: "
+                    f"{', '.join(sorted(tables)) or 'none'})"
+                )
+            sub_df = tables[tname]
+        else:
+            if root is None:
+                raise HqlSyntaxError(
+                    "join() subquery needs the pipeline root frame"
+                )
+            sub_df = root
+        for st in sub.stages:
+            sub_df = _compile_stage(sub_df, st, tables, now=now, root=root)
+        # the subquery usually shares lineage with the primary side (both
+        # derive from the root frame) — rename its key to a fresh
+        # attribute so the equi-condition is never an ambiguous self-join
+        sub_df = sub_df.withColumnRenamed(key, "__hql_jk")
+        if str(node.kwargs.get("broadcast", "false")).lower() == "true":
+            sub_df = F.broadcast(sub_df)
+        return df.join(
+            sub_df, df[field] == sub_df["__hql_jk"], mode
+        ).drop("__hql_jk")
+    if name == "bucket":
+        # LogScale bucket(): discretize a field into fixed-width buckets,
+        # adding ``_bucket``. A NUMBER span buckets numerically
+        # (floor(v/span)*span); a DURATION span buckets a timestamp field
+        # into epoch-second bucket starts (the timechart grid without the
+        # aggregation). Pure codegen projection — no shuffle.
+        field = node.kwargs.get("field", "ts")
+        span = node.kwargs.get("span")
+        if span is None:
+            raise HqlSyntaxError("bucket(field=..., span=...) requires span=")
+        if isinstance(span, (int, float)):
+            if span <= 0:
+                raise HqlSyntaxError(f"bucket span must be > 0, got {span}")
+            b = F.floor(F.col(field) / F.lit(float(span))) * F.lit(float(span))
+            return df.withColumn("_bucket", b)
+        secs = _span_to_seconds(span)
+        b = (
+            F.floor(F.unix_timestamp(F.col(field)) / F.lit(secs)) * F.lit(secs)
+        ).cast("bigint")
+        return df.withColumn("_bucket", b)
     if name == "replace":
         # LogScale replace(regex, with=..., field=..., [as=...]) —
         # regexp_replace with $1-style backrefs, pure codegen
@@ -1036,5 +1177,5 @@ def hql(
     oracle checks; default is the engine's query-start clock."""
     out = df
     for stage in parse(query):
-        out = _compile_stage(out, stage, tables or {}, now=now)
+        out = _compile_stage(out, stage, tables or {}, now=now, root=df)
     return out

@@ -167,6 +167,13 @@ def minhash_candidate_pairs(
         rows_per_band=rows_per_band,
         shingles_df=shingles_df,
     )
+    if max_bucket_size is not None:
+        # The cap's bounded probe action (the logged-drop contract) would
+        # otherwise recompute the signature aggregation the self-join also
+        # needs twice — persist it so the probe PREPAYS the materialization
+        # and both join sides read the cache (net extra cost: one small
+        # bucket-count aggregation over cached signatures).
+        sigs = sigs.persist()
     a = sigs.select(F.col(id_col).alias("id_a"), "band", "sig")
     b = sigs.select(F.col(id_col).alias("id_b"), "band", "sig")
     if max_bucket_size is not None:

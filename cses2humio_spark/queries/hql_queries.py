@@ -529,3 +529,125 @@ def hql_recent_errors_relative_time(spark: SparkSession, sf_dir: str) -> DataFra
         "ts > -7d event_type = error | timechart(span=1d)",
         now="2024-01-31 00:00:00",
     )
+
+
+@query(
+    "hql_stddev_value_by_type",
+    oracle="""
+    WITH d AS (SELECT event_type,
+                 CAST(value AS DECIMAL(18,6)) AS v FROM events),
+    s AS (SELECT event_type, COUNT(*) AS n,
+            SUM(v) AS sv, SUM(v * v) AS svv
+          FROM d GROUP BY 1)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS _count,
+           ROUND(sqrt((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE)
+                       * CAST(sv AS DOUBLE) / n) / (n - 1)), 4) AS _stddev
+    FROM s
+    """,
+)
+def hql_stddev_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stddev()`` aggregate — computed from exact DECIMAL(18,6)
+    sufficient statistics (partition-order independent, the engine's
+    determinism contract), never F.stddev's order-dependent merge."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(
+        ev, "groupBy(event_type, function=[count(), stddev(value)])"
+    )
+
+
+@query(
+    "hql_bucket_value_histogram",
+    oracle="""
+    SELECT FLOOR(value / 10.0) * 10.0 AS _bucket, COUNT(*) AS _count
+    FROM events WHERE event_type = 'error'
+    GROUP BY 1 ORDER BY _bucket ASC
+    """,
+)
+def hql_bucket_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bucket()`` — LogScale's fixed-width discretization (here an
+    equi-width value histogram of error events). Pure codegen projection
+    before the count shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(
+        ev,
+        "event_type = error | bucket(field=value, span=10) "
+        "| groupBy(_bucket) | sort([_bucket], order=asc)",
+    )
+
+
+@query(
+    "hql_format_time_daily_users",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT user_id) AS _count
+    FROM events GROUP BY 1
+    """,
+)
+def hql_format_time_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``formatTime()`` eval + distinct count per formatted day — the
+    dashboard DAU one-liner. date_format stays in codegen; the distinct
+    agg gets map-side partials."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(
+        ev,
+        'day := formatTime("yyyy-MM-dd", ts) '
+        "| groupBy(day, function=count(user_id, distinct=true))",
+    )
+
+
+@query(
+    "hql_join_subquery_error_purchasers",
+    oracle="""
+    SELECT e.user_id, COUNT(*) AS _count
+    FROM events e
+    JOIN (SELECT user_id, COUNT(*) AS err_n FROM events
+          WHERE event_type = 'error' GROUP BY 1) s
+      ON s.user_id = e.user_id
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1 ORDER BY _count DESC, e.user_id ASC LIMIT 20
+    """,
+)
+def hql_join_subquery_error_purchasers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``join({subquery})`` — LogScale's correlation join: purchases by
+    users who ALSO logged errors (the classic two-search SIEM question).
+    The subquery pipeline runs against the root frame; the equi-join
+    stays a plain Catalyst join (AQE picks the strategy; the aggregated
+    subquery side is small, so AQE broadcasts it at this scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(
+        ev,
+        "event_type = purchase "
+        "| join({event_type = error "
+        "| groupBy(user_id, function=count(as=err_n))}, "
+        "field=user_id, key=user_id) "
+        "| top(user_id, limit=20)",
+    )
+
+
+@query(
+    "hql_if_value_banding",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN value > 90 THEN 'hot'
+                  WHEN value > 50 THEN 'warm'
+                  ELSE 'cold' END AS band,
+             CAST(value AS DECIMAL(28,6)) AS v
+      FROM events)
+    SELECT band, COUNT(*) AS _count,
+           CAST(SUM(v) AS DOUBLE) / COUNT(v) AS _avg
+    FROM b GROUP BY band
+    """,
+)
+def hql_if_value_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``if()`` eval (nested for the else-chain) — LogScale's conditional
+    expression, compiling to one CASE WHEN in codegen; banded stats via
+    exact-decimal avg."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(
+        ev,
+        'band := if(value > 90, "hot", if(value > 50, "warm", "cold")) '
+        "| groupBy(band, function=[count(), avg(value)])",
+    )

@@ -49,6 +49,12 @@ class AlertRule:
     min_rows: int = 1
     value_column: str | None = None
     threshold: float | None = None
+    #: Humio's alert throttling: after firing, suppress re-fires of this
+    #: rule for the next ``throttle_batches`` micro-batches. Suppression
+    #: state is driver-memory (per query run): a restart clears it, so a
+    #: replayed batch may re-fire — consistent with the engine's
+    #: at-least-once delivery; dedup on (rule, batch_id) as usual.
+    throttle_batches: int = 0
 
     def __post_init__(self) -> None:
         # a value-column rule without a threshold would compare against
@@ -58,6 +64,10 @@ class AlertRule:
             raise ValueError(
                 f"rule {self.name!r}: value_column and threshold must be "
                 "set together"
+            )
+        if self.throttle_batches < 0:
+            raise ValueError(
+                f"rule {self.name!r}: throttle_batches must be >= 0"
             )
 
 
@@ -142,12 +152,28 @@ def run_alert_rules(
     callback — alert volume is rule-bounded, not data-bounded). Returns
     the started StreamingQuery."""
 
+    last_fired: dict[str, int] = {}
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        # throttling (Humio's suppression window): a rule that fired
+        # within the last throttle_batches batches is EXCLUDED from the
+        # fused plan entirely — suppression saves its aggregate branch,
+        # not just the delivery
+        active = [
+            r
+            for r in rules
+            if r.name not in last_fired
+            or batch_id > last_fired[r.name] + r.throttle_batches
+        ]
+        if not active:
+            return
         batch_df.persist()
         try:
             alerts = evaluate_rules_on_batch(
-                batch_df, rules, batch_id, tables=tables
+                batch_df, active, batch_id, tables=tables
             )
+            for a in alerts:
+                last_fired[a["rule"]] = int(batch_id)
             if alerts:
                 on_alerts(alerts)
         finally:

@@ -192,3 +192,54 @@ def test_alert_record_carries_threshold(spark):
     assert recs["v"]["threshold"] == 1
     assert recs["rows"]["threshold"] is None
     assert set(recs["v"]) == {"batch_id", "rule", "observed", "threshold", "query"}
+
+
+def test_alert_throttle_suppresses_refires(spark, tmp_path):
+    """Humio-style throttling: a rule with throttle_batches=1 that would
+    fire every batch fires on batch 0, is suppressed on batch 1, and
+    fires again on batch 2."""
+    import glob
+    import os
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        d = str(src / f"f{i}")
+        load_table(spark, SF_SMALL, "events").limit(20).coalesce(
+            1
+        ).write.parquet(d)
+        for f in glob.glob(os.path.join(d, "*")):
+            os.utime(f, (1_700_000_000 + i * 60,) * 2)
+    sch = spark.read.parquet(str(src / "f0")).schema
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    rules = [
+        AlertRule("always", "count()", value_column="_count", threshold=1,
+                  throttle_batches=1),
+        AlertRule("every_batch", "count()", value_column="_count", threshold=1),
+    ]
+    got: list[dict] = []
+    q = run_alert_rules(
+        stream, rules, on_alerts=got.extend,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    fired = sorted(
+        (a["batch_id"], a["rule"]) for a in got
+    )
+    assert fired == [
+        (0, "always"), (0, "every_batch"),
+        (1, "every_batch"),
+        (2, "always"), (2, "every_batch"),
+    ]
+
+
+def test_alert_throttle_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        AlertRule("bad", "count()", throttle_batches=-1)

@@ -816,3 +816,141 @@ def test_string_literals_in_assignment(spark):
     ev = load_table(spark, SF_SMALL, "events")
     out = hql(ev, 'tag := "fixed"')
     assert out.select("tag").first()["tag"] == "fixed"
+
+
+def test_stddev_aggregate_matches_exact_moments(spark):
+    import math
+
+    ev = load_table(spark, SF_SMALL, "events")
+    got = hql(ev, "stddev(value)").first()["_stddev"]
+    vals = [r["value"] for r in ev.select("value").collect()]
+    mu = sum(vals) / len(vals)
+    want = math.sqrt(sum((v - mu) ** 2 for v in vals) / (len(vals) - 1))
+    assert abs(got - want) < 1e-3
+
+
+def test_bucket_numeric_and_time_spans(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    out = hql(ev, "bucket(field=value, span=25)")
+    r = out.select("value", "_bucket").first()
+    assert r["_bucket"] == (r["value"] // 25) * 25
+    out_t = hql(ev, "bucket(field=ts, span=1d)")
+    rt = out_t.select("ts", "_bucket").first()
+    assert rt["_bucket"] % 86400 == 0
+    with pytest.raises(HqlSyntaxError):
+        hql(ev, "bucket(field=value)")  # span required
+    with pytest.raises(HqlSyntaxError):
+        hql(ev, "bucket(field=value, span=0)")
+
+
+def test_coalesce_tonumber_formattime_evals(spark):
+    df = spark.createDataFrame(
+        [("42", None), ("abc", 7.0)], "s string, x double"
+    )
+    out = hql(df, 'n := toNumber(s) | c := coalesce(x, n, 0)')
+    rows = {r["s"]: (r["n"], r["c"]) for r in out.collect()}
+    assert rows["42"] == (42.0, 42.0)   # x null -> falls to toNumber(s)
+    assert rows["abc"] == (None, 7.0)   # non-numeric -> null; x wins
+    ev = load_table(spark, SF_SMALL, "events").limit(3)
+    r = hql(ev, 'd := formatTime("yyyy-MM-dd", ts)').select("ts", "d").first()
+    assert r["d"] == r["ts"].strftime("%Y-%m-%d")
+    with pytest.raises(HqlSyntaxError):
+        hql(ev, "x := formatTime(ts)")  # pattern must be a literal
+
+
+def test_join_subquery_against_root(spark):
+    """join({subquery}) — the subquery pipeline runs against the ROOT
+    frame (LogScale's independent-search semantics), equi-joined back."""
+    ev = load_table(spark, SF_SMALL, "events")
+    out = hql(
+        ev,
+        "event_type = purchase "
+        "| join({event_type = error "
+        "| groupBy(user_id, function=count(as=err_n))}, "
+        "field=user_id, key=user_id) "
+        "| top(user_id, limit=5)",
+    )
+    err_users = {
+        r["user_id"]
+        for r in ev.filter(F.col("event_type") == "error")
+        .select("user_id").distinct().collect()
+    }
+    want = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("user_id").isin(list(err_users))
+        )
+        .groupBy("user_id").count()
+        .orderBy(F.col("count").desc(), F.col("user_id").asc())
+        .limit(5)
+        .collect()
+    )
+    got = out.collect()
+    assert [(r["user_id"], r["_count"]) for r in got] == [
+        (r["user_id"], r["count"]) for r in want
+    ]
+
+
+def test_join_left_mode_and_named_table(spark):
+    orders = load_table(spark, SF_SMALL, "orders")
+    customer = load_table(spark, SF_SMALL, "customer")
+    out = hql(
+        orders,
+        "join({in(c_mktsegment, values=[BUILDING]) "
+        "| select([c_custkey, c_mktsegment])}, "
+        "field=o_custkey, key=c_custkey, mode=left, table=customer) "
+        "| count(c_mktsegment)",
+        tables={"customer": customer},
+    )
+    n_building_orders = (
+        orders.join(
+            customer.filter(F.col("c_mktsegment") == "BUILDING"),
+            orders["o_custkey"] == customer["c_custkey"],
+            "left_semi",
+        ).count()
+    )
+    assert out.first()["_count"] == n_building_orders
+    # left mode keeps every primary row
+    out_all = hql(
+        orders,
+        "join({select([c_custkey, c_mktsegment])}, field=o_custkey, "
+        "key=c_custkey, mode=left, table=customer) | count()",
+        tables={"customer": customer},
+    )
+    assert out_all.first()["_count"] == orders.count()
+
+
+def test_join_parse_and_config_errors(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    with pytest.raises(HqlSyntaxError):
+        hql(ev, "join(field=user_id)")  # no subquery
+    with pytest.raises(HqlSyntaxError):
+        hql(ev, "join({count()}, field=user_id, mode=full)")  # bad mode
+    with pytest.raises(HqlSyntaxError):
+        hql(ev, "join({count()}, field=u, table=nope)")  # unknown table
+
+
+def test_if_eval_function(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    out = hql(
+        ev,
+        'band := if(value > 90, "hot", "cold") '
+        "| bonus := if(event_type = error and value > 50, value * 2, 0)",
+    )
+    for r in out.select("value", "event_type", "band", "bonus").take(50):
+        assert r["band"] == ("hot" if r["value"] > 90 else "cold")
+        want = (
+            r["value"] * 2
+            if r["event_type"] == "error" and r["value"] > 50
+            else 0
+        )
+        assert abs(r["bonus"] - want) < 1e-9
+
+
+def test_if_nested_in_arith(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    out = hql(ev, "x := if(value > 50, 1, 0) + if(value > 90, 1, 0)")
+    for r in out.select("value", "x").take(50):
+        assert r["x"] == (1 if r["value"] > 50 else 0) + (
+            1 if r["value"] > 90 else 0
+        )

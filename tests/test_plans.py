@@ -205,8 +205,13 @@ def test_shingle_table_persisted_once_for_multi_consumer_pipeline(spark):
     docs = load_table(spark, SF_SMALL, "documents")
     sh = shingle_table(docs, "doc_id", "text", n=3).persist()
     try:
+        # audit the UNCAPPED plan: the round-4 bucket cap's probe action
+        # materializes the cache mid-build, which makes every
+        # InMemoryRelation print its cached child twice and skews the
+        # explode-per-cached-print accounting below; the capped path's
+        # star-collapse shape is pinned by its own tests in test_approx.py
         cands = minhash_candidate_pairs(
-            docs, "doc_id", "text", shingles_df=sh
+            docs, "doc_id", "text", shingles_df=sh, max_bucket_size=None
         )
         verified = jaccard_pairs(
             docs, cands, "doc_id", "text", shingles_df=sh, assume_overlap=True
