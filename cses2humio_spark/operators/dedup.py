@@ -491,3 +491,94 @@ def near_dup_clusters(
         )
     edges.unpersist()
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_rep"))
+
+
+def minhash_signatures_rowwise(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Banded MinHash signatures as a PURE PROJECTION — zero shuffle.
+
+    Identical output to ``minhash_signatures`` (pinned by test): each
+    band's min-hash is ``array_min`` over the row's own shingle array
+    instead of a groupBy over an exploded shingle table. The explode
+    formulation wins when several consumers share one persisted shingle
+    table (the batch near-dup pipeline); this one wins when signatures
+    are needed per row with no aggregation allowed — STREAMING append
+    mode (a groupBy would be a stateful agg), or any map-only context.
+    The band unpivot is posexplode of a ``bands``-element array — narrow.
+
+    Docs whose shingle set is empty (< n tokens) produce NULL band
+    signatures in both formulations' contract: here they are dropped,
+    matching the groupBy path (no shingle rows -> no group).
+    """
+    sh = _shingles_expr(F.split(F.trim(F.col(text_col)), r"\s+"), n)
+
+    def _hash_fn(prefix: str):
+        # closure factory: PySpark derives HOF lambda arity from the
+        # Python signature, so default-arg capture would read as 3 args
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    band_sigs = F.array(
+        *[
+            F.concat(
+                *[
+                    F.array_min(F.transform(sh, _hash_fn(f"b{b}h{j}:")))
+                    for j in range(rows_per_band)
+                ]
+            ).alias(f"__b{b}")
+            for b in range(bands)
+        ]
+    )
+    return (
+        df.select(F.col(id_col), F.posexplode(band_sigs).alias("band", "sig"))
+        .filter(F.col("sig").isNotNull())
+    )
+
+
+def streaming_near_dup_candidates(
+    stream_docs: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Streaming near-dup detection: incoming documents (a streaming
+    DataFrame) are checked against a STATIC corpus signature table —
+    the "dedup the incoming crawl against the existing corpus" shape of
+    a training-data pipeline.
+
+    Per-row signatures (``minhash_signatures_rowwise`` — no aggregation,
+    so the stream stays in APPEND mode with zero state) stream-static
+    equi-join the corpus band table on (band, sig). Stateless and
+    append-safe: every emitted row is a (new doc, corpus doc, band)
+    candidate hit; a pair matching in several bands emits once per band
+    (cross-band dedup is an aggregation — do it downstream or in
+    foreachBatch where the micro-batch is a plain batch frame).
+
+    ``corpus_sigs`` is the (id, band, sig) output of either signature
+    formulation over the corpus — at 100 TB it lives as a bucketed table
+    on (band, sig) so the stream side joins without shuffling the corpus.
+
+    Returns (``id_col`` of the new doc, corpus_id, band).
+    """
+    new_sigs = minhash_signatures_rowwise(
+        stream_docs.select(id_col, text_col),
+        id_col,
+        text_col,
+        n=n,
+        bands=bands,
+        rows_per_band=rows_per_band,
+    )
+    corpus = corpus_sigs.select(
+        F.col(id_col).alias("corpus_id"), "band", "sig"
+    )
+    return new_sigs.join(corpus, on=["band", "sig"], how="inner").select(
+        F.col(id_col), "corpus_id", "band"
+    )

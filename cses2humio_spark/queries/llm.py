@@ -30,6 +30,7 @@ from cses2humio_spark.operators.dedup import (
     dedup_exact_content,
     jaccard_pairs,
     minhash_candidate_pairs,
+    minhash_signatures_rowwise,
     minhash_signatures,
     simhash,
 )
@@ -234,6 +235,22 @@ def minhash_band_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature matrix (4 bands x 2 rows, 3-gram shingles)."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_signatures(docs, "doc_id", "text", n=3, bands=4, rows_per_band=2).filter(
+        F.col("doc_id") < 50
+    )
+
+
+@query(
+    "minhash_band_signatures_rowwise",
+    oracle=f"WITH {_SIG_CTE} SELECT doc_id, band, sig FROM sig WHERE doc_id < 50",
+)
+def minhash_band_signatures_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ZERO-SHUFFLE signature formulation (array_min over each row's
+    own shingle array — no explode, no groupBy): same oracle as the
+    aggregation path, proving both produce identical signatures. This is
+    the streaming-safe variant (no stateful agg) used by
+    ``streaming_near_dup_candidates``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures_rowwise(docs, "doc_id", "text").filter(
         F.col("doc_id") < 50
     )
 

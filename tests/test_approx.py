@@ -461,3 +461,42 @@ def test_minhash_cap_inactive_on_normal_corpus(spark):
         ).collect()
     }
     assert capped == uncapped
+
+
+def test_rowwise_signatures_identical_to_groupby_formulation(spark):
+    """The zero-shuffle rowwise MinHash signature (array_min over the
+    row's shingle array) must be ROW-IDENTICAL to the explode+groupBy
+    formulation — both orderings of the same min."""
+    from cses2humio_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_rowwise,
+    )
+    from cses2humio_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    a = {
+        (r["doc_id"], r["band"], r["sig"])
+        for r in minhash_signatures(docs, "doc_id", "text").collect()
+    }
+    b = {
+        (r["doc_id"], r["band"], r["sig"])
+        for r in minhash_signatures_rowwise(docs, "doc_id", "text").collect()
+    }
+    assert a == b and len(a) > 0
+    # short doc (< n tokens): no signature rows in either formulation
+    tiny = spark.createDataFrame([(1, "just two")], "doc_id long, text string")
+    assert minhash_signatures_rowwise(tiny, "doc_id", "text").count() == 0
+
+
+def test_rowwise_signatures_plan_has_no_shuffle(spark):
+    """The rowwise formulation's whole point: signatures as a projection —
+    the plan must contain NO Exchange."""
+    from cses2humio_spark.operators.dedup import minhash_signatures_rowwise
+    from cses2humio_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = (
+        minhash_signatures_rowwise(docs, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

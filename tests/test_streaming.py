@@ -1029,3 +1029,58 @@ def test_streaming_sessionize_tws_timer_twin(spark, tmp_path):
         (1, base, base + 30_000_000, 2),
         (1, base + 300_000_000, base + 300_000_000, 1),
     ]
+
+
+def test_streaming_near_dup_candidates_against_static_corpus(spark, tmp_path):
+    """Streaming near-dup: incoming docs (file stream) checked against a
+    static corpus signature table — per-row zero-state signatures
+    (rowwise MinHash) + stream-static band join, APPEND-safe. The shape
+    of 'dedup the incoming crawl against the existing corpus'."""
+    from cses2humio_spark.operators.dedup import (
+        minhash_signatures,
+        streaming_near_dup_candidates,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely different corpus content about databases here"),
+            (3, "a third unrelated document text with many words inside"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus_sigs = minhash_signatures(corpus, "doc_id", "text")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    new_docs = spark.createDataFrame(
+        [
+            # near-dup of corpus doc 1 (one word changed)
+            (101, "the quick brown fox jumps over the lazy dog today"),
+            # no corpus relative
+            (102, "entirely novel text sharing no shingles with anything"),
+        ],
+        "doc_id long, text string",
+    )
+    new_docs.coalesce(1).write.parquet(str(src / "a"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src / "*")
+    )
+    out = streaming_near_dup_candidates(stream, corpus_sigs)
+    assert out.isStreaming
+    got: list = []
+
+    def sink(batch_df, batch_id) -> None:
+        got.extend(batch_df.collect())
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    pairs = {(r.doc_id, r.corpus_id) for r in got}
+    assert (101, 1) in pairs
+    assert all(nid != 102 for nid, _ in pairs)
