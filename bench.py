@@ -51,6 +51,11 @@ HEADLINE = [
     "heavy_hitter_users",  # Misra-Gries candidates + exact verify
     "interpolated_hourly_value",  # spine densify + ignore-nulls windows
     "hql_error_timechart",  # DSL-compiled flagship timechart
+    # round 4: new DSL constructs promoted to the timed surface (no
+    # standing baseline yet — their first accepted bench becomes it)
+    "hql_join_subquery_error_purchasers",  # correlation join({subquery})
+    "hql_case_severity_bands",  # case {} -> single CASE WHEN chain
+    "hql_split_tokens_top10",  # splitString+split explode fan-out + top
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
@@ -96,6 +101,11 @@ STANDING_BASELINE_SF01 = {
     "heavy_hitter_users": 0.704,
     "interpolated_hourly_value": 0.869,
     "hql_error_timechart": 0.331,
+    # first accepted numbers (round-4 bench, sf0.1, local[32]) for the
+    # DSL constructs promoted to the headline set this round
+    "hql_join_subquery_error_purchasers": 0.549,
+    "hql_case_severity_bands": 0.379,
+    "hql_split_tokens_top10": 0.452,
 }
 
 
