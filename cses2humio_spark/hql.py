@@ -885,7 +885,19 @@ def _compile_stage(
         fields = _as_list(node.args[0]) if node.args else []
         funcs = _as_list(node.kwargs.get("function", Call("count")))
         aggs = [col for c in funcs for col in _agg_columns(c)]
-        return df.groupBy(*[F.col(f) for f in fields]).agg(*aggs)
+        out = df.groupBy(*[F.col(f) for f in fields]).agg(*aggs)
+        if "limit" in node.kwargs:
+            # LogScale's group cap (default 20k there; explicit here).
+            # Deterministic selection: the FIRST N groups in group-key
+            # order — TakeOrderedAndProject, so the cap also bounds the
+            # result collection, not just the display. An unbounded
+            # groupBy on a high-cardinality field at 100 TB is a
+            # result-set explosion; the cap is the guardrail.
+            lim = int(node.kwargs["limit"])
+            if lim <= 0:
+                raise HqlSyntaxError(f"groupBy limit must be > 0, got {lim}")
+            out = out.orderBy(*[F.col(f).asc() for f in fields]).limit(lim)
+        return out
     if name == "timechart":
         from cses2humio_spark.operators.aggregates import timechart
 
@@ -899,8 +911,22 @@ def _compile_stage(
         fields = _as_list(node.args[0]) if node.args else []
         if not fields:
             raise HqlSyntaxError("sort(...) requires at least one field")
-        desc = str(node.kwargs.get("order", "desc")).lower() != "asc"
-        cols = [F.col(f).desc() if desc else F.col(f).asc() for f in fields]
+        # order= accepts one direction for all fields, or a per-field
+        # list (LogScale: sort([a, b], order=[asc, desc]))
+        orders = _as_list(node.kwargs.get("order", "desc"))
+        if len(orders) == 1:
+            orders = orders * len(fields)
+        if len(orders) != len(fields):
+            raise HqlSyntaxError(
+                f"sort(): {len(fields)} fields but {len(orders)} order "
+                "entries — give one direction, or one per field"
+            )
+        cols = []
+        for f, o in zip(fields, orders):
+            o = str(o).lower()
+            if o not in ("asc", "desc"):
+                raise HqlSyntaxError(f"sort order must be asc|desc, got {o!r}")
+            cols.append(F.col(f).asc() if o == "asc" else F.col(f).desc())
         out = df.orderBy(*cols)
         if "limit" in node.kwargs:
             out = out.limit(int(node.kwargs["limit"]))

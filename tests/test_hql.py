@@ -954,3 +954,40 @@ def test_if_nested_in_arith(spark):
         assert r["x"] == (1 if r["value"] > 50 else 0) + (
             1 if r["value"] > 90 else 0
         )
+
+
+def test_groupby_limit_caps_groups_deterministically(spark):
+    """groupBy(limit=N): first N groups in key order — the LogScale
+    group-cap guardrail, compiled to TakeOrderedAndProject."""
+    from cses2humio_spark.plans.explain import assert_take_ordered
+
+    ev = load_table(spark, SF_SMALL, "events")
+    out = hql(ev, "groupBy(user_id, limit=10)")
+    rows = out.collect()
+    want = sorted(
+        r["user_id"] for r in ev.select("user_id").distinct().collect()
+    )[:10]
+    assert sorted(r["user_id"] for r in rows) == want
+    assert_take_ordered(out)
+    with pytest.raises(HqlSyntaxError):
+        hql(ev, "groupBy(user_id, limit=0)")
+
+
+def test_sort_per_field_order_list(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    out = hql(
+        ev,
+        "sort([event_type, value], order=[asc, desc], limit=5) "
+        "| select([event_type, value])",
+    ).collect()
+    want = (
+        ev.orderBy(F.col("event_type").asc(), F.col("value").desc())
+        .select("event_type", "value")
+        .limit(5)
+        .collect()
+    )
+    assert [tuple(r) for r in out] == [tuple(r) for r in want]
+    with pytest.raises(HqlSyntaxError):
+        hql(ev, "sort([a, b, c], order=[asc, desc])")
+    with pytest.raises(HqlSyntaxError):
+        hql(ev, "sort([value], order=sideways)")
