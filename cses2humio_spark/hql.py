@@ -502,7 +502,7 @@ _STAGE_FUNCS = {
     "head", "top", "select", "table", "regex", "parseJson", "session",
     "dedup", "in", "match", "percentile", "watermark", "sample",
     "default", "rename", "drop", "replace", "concat", "format",
-    "splitString", "split", "stddev", "bucket", "join",
+    "splitString", "split", "stddev", "bucket", "join", "window", "tail",
 }
 
 _SPANS = {"s": "second", "m": "minute", "h": "hour", "d": "day", "w": "week"}
@@ -1096,6 +1096,74 @@ def _compile_stage(
         return df.join(
             sub_df, df[field] == sub_df["__hql_jk"], mode
         ).drop("__hql_jk")
+    if name == "window":
+        # LogScale window(): MOVING aggregate over the trailing n events
+        # per series — batch semantics of the live sliding window. One
+        # shuffle on the series key; the frame is rows-based, so the
+        # order columns must include a unique tiebreak for determinism
+        # (default [timefield, event_id]-style: pass order=[...]).
+        from pyspark.sql.window import Window as _W
+
+        funcs = _as_list(node.kwargs.get("function", []))
+        n_rows = int(node.kwargs.get("n", 10))
+        by = _as_list(node.kwargs.get("by", []))
+        if not funcs or not by:
+            raise HqlSyntaxError(
+                "window(function=[agg(field)], n=N, by=key) requires "
+                "function= and by="
+            )
+        if n_rows < 1:
+            raise HqlSyntaxError(f"window n must be >= 1, got {n_rows}")
+        order = _as_list(node.kwargs.get("order", ["ts"]))
+        w = (
+            _W.partitionBy(*[F.col(k) for k in by])
+            .orderBy(*[F.col(o).asc() for o in order])
+            .rowsBetween(-(n_rows - 1), 0)
+        )
+        out = df
+        for c in funcs:
+            if not isinstance(c, Call):
+                raise HqlSyntaxError("window function= entries must be aggs")
+            fld = c.args[0] if c.args else None
+            alias = c.kwargs.get("as") or f"_{c.name}"
+            if c.name == "count":
+                col = (
+                    F.count(F.col(fld)) if fld else F.count(F.lit(1))
+                ).over(w)
+            elif fld is None:
+                raise HqlSyntaxError(f"window {c.name}() needs a field")
+            elif c.name == "sum":
+                col = (
+                    F.sum(F.col(fld).cast("decimal(28,6)"))
+                    .over(w)
+                    .cast("double")
+                )
+            elif c.name == "avg":
+                col = F.sum(F.col(fld).cast("decimal(28,6)")).over(w).cast(
+                    "double"
+                ) / F.count(F.col(fld)).over(w)
+            elif c.name == "min":
+                col = F.min(F.col(fld)).over(w)
+            elif c.name == "max":
+                col = F.max(F.col(fld)).over(w)
+            else:
+                raise HqlSyntaxError(
+                    f"window supports count/sum/avg/min/max, got {c.name!r}"
+                )
+            out = out.withColumn(alias, col)
+        return out
+    if name == "tail":
+        # LogScale tail(): the LAST N events by event time. Deterministic
+        # under ties via order=[...] (include a unique tiebreak);
+        # compiles to TakeOrdered on the reversed order — no full sort.
+        n_rows = (
+            int(node.args[0]) if node.args else int(node.kwargs.get("limit", 200))
+        )
+        order = _as_list(node.kwargs.get("order", ["ts"]))
+        picked = df.orderBy(*[F.col(o).desc() for o in order]).limit(n_rows)
+        # emit ascending (LogScale presents tail in time order); the
+        # final sort runs on <= n_rows rows
+        return picked.orderBy(*[F.col(o).asc() for o in order])
     if name == "bucket":
         # LogScale bucket(): discretize a field into fixed-width buckets,
         # adding ``_bucket``. A NUMBER span buckets numerically

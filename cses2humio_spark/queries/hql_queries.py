@@ -651,3 +651,51 @@ def hql_if_value_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
         'band := if(value > 90, "hot", if(value > 50, "warm", "cold")) '
         "| groupBy(band, function=[count(), avg(value)])",
     )
+
+
+@query(
+    "hql_window_moving_avg",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    w AS (SELECT event_id,
+            CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER win AS DOUBLE)
+            / COUNT(value) OVER win AS _avg
+          FROM p
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+    SELECT event_id, _avg FROM w ORDER BY event_id ASC LIMIT 100
+    """,
+)
+def hql_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``window()`` — LogScale's moving aggregate (trailing-10 average
+    per user). Rows-frame with an explicit unique tiebreak, exact
+    decimal sums inside the frame — deterministic under any
+    partitioning; one shuffle on the series key."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(
+        ev,
+        "event_type = purchase "
+        "| window(function=[avg(value)], n=10, by=user_id, "
+        "order=[ts, event_id]) "
+        "| select([event_id, _avg]) | sort([event_id], order=asc, limit=100)",
+    )
+
+
+@query(
+    "hql_tail_latest_events",
+    oracle="""
+    SELECT event_id, user_id FROM events
+    WHERE event_type = 'error'
+    ORDER BY ts DESC, event_id DESC LIMIT 25
+    """,
+)
+def hql_tail_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``tail()`` — the last N events by event time (unique tiebreak for
+    a deterministic cut); TakeOrdered on the reversed order, re-emitted
+    ascending."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(
+        ev,
+        "event_type = error | tail(25, order=[ts, event_id]) "
+        "| select([event_id, user_id])",
+    )

@@ -991,3 +991,50 @@ def test_sort_per_field_order_list(spark):
         hql(ev, "sort([a, b, c], order=[asc, desc])")
     with pytest.raises(HqlSyntaxError):
         hql(ev, "sort([value], order=sideways)")
+
+
+def test_window_moving_aggregate(spark):
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, SF_SMALL, "events")
+    out = hql(
+        ev,
+        "window(function=[avg(value), count()], n=5, by=user_id, "
+        "order=[ts, event_id])",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-4, 0)
+    )
+    want = ev.withColumn(
+        "want_avg",
+        F.sum(F.col("value").cast("decimal(28,6)")).over(w).cast("double")
+        / F.count("value").over(w),
+    ).withColumn("want_n", F.count(F.lit(1)).over(w))
+    joined = out.join(
+        want.select("event_id", "want_avg", "want_n"), "event_id"
+    )
+    bad = joined.filter(
+        (F.abs(F.col("_avg") - F.col("want_avg")) > 1e-9)
+        | (F.col("_count") != F.col("want_n"))
+    ).count()
+    assert bad == 0
+    assert out.count() == ev.count()
+    with pytest.raises(HqlSyntaxError):
+        hql(ev, "window(n=5, by=user_id)")  # function required
+    with pytest.raises(HqlSyntaxError):
+        hql(ev, "window(function=[avg(value)], n=0, by=user_id)")
+
+
+def test_tail_last_n_in_time_order(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    out = hql(ev, "tail(7, order=[ts, event_id])").collect()
+    want = (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(7)
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .collect()
+    )
+    assert [r["event_id"] for r in out] == [r["event_id"] for r in want]
+    assert len(out) == 7
