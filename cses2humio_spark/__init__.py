@@ -30,8 +30,10 @@ from cses2humio_spark.operators.dedup import (  # noqa: F401
     dedup_exact_content,
     jaccard_pairs,
     minhash_candidate_pairs,
+    minhash_signatures_rowwise,
     near_dup_clusters,
     simhash,
+    streaming_near_dup_candidates,
 )
 from cses2humio_spark.operators.similarity import (  # noqa: F401
     cosine_topk_bruteforce,
@@ -44,6 +46,14 @@ from cses2humio_spark.operators.reshape import (  # noqa: F401
     pivot_map_to_columns,
 )
 from cses2humio_spark.streaming.joins import stream_interval_join  # noqa: F401
+from cses2humio_spark.streaming.alerts import (  # noqa: F401
+    AlertRule,
+    run_alert_rules,
+)
+from cses2humio_spark.streaming.stateful import (  # noqa: F401
+    streaming_sessionize_timeout,
+)
+from cses2humio_spark.hql import hql  # noqa: F401
 from cses2humio_spark.streaming.pipeline import (  # noqa: F401
     enrich_events,
     parse_events,

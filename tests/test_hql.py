@@ -572,6 +572,20 @@ def test_generated_filters_compile_and_run(spark):
             "ts > -1d | count()",
             "ts < -30m or ts >= -2h | count()",
             'x := "lit" | y := length(x) | y > 1 | count()',
+            # round-4 second wave
+            'b := if(value > 50, "hi", "lo") | groupBy(b, limit=5)',
+            "groupBy([event_type, user_id], limit=3)",
+            "sort([event_type, value], order=[asc, desc], limit=4)",
+            "window(function=[sum(value), count()], n=3, by=user_id, "
+            "order=[ts, event_id]) | head(5)",
+            "tail(5, order=[ts, event_id])",
+            "stddev(value)",
+            "bucket(field=value, span=7) | groupBy(_bucket)",
+            "bucket(field=ts, span=6h) | count()",
+            "join({value > 90 | groupBy(user_id, function=count(as=n))}, "
+            "field=user_id, key=user_id, mode=left) | count()",
+            'n := toNumber(props) | c := coalesce(n, value) | count(c)',
+            'd := formatTime("HH", ts) | top(d, limit=3)',
         ]
         for q in corpus:
             hql(ev, q).count()  # must not raise
