@@ -503,6 +503,7 @@ _STAGE_FUNCS = {
     "dedup", "in", "match", "percentile", "watermark", "sample",
     "default", "rename", "drop", "replace", "concat", "format",
     "splitString", "split", "stddev", "bucket", "join", "window", "tail",
+    "collect", "parseTimestamp",
 }
 
 _SPANS = {"s": "second", "m": "minute", "h": "hour", "d": "day", "w": "week"}
@@ -740,6 +741,16 @@ def _agg_columns(call: Call) -> list[Column]:
     if not call.args:
         raise HqlSyntaxError(f"{name}() needs a field argument")
     field = call.args[0]
+    if name == "collect":
+        # LogScale collect(): gather the group's values into one field.
+        # Deliberate determinism deviation: the array is SORTED (and
+        # distinct with distinct=true) — collect_list order is
+        # partitioning-dependent, which would flake any reproducible
+        # pipeline built on it.
+        col = F.collect_list(F.col(field))
+        if str(call.kwargs.get("distinct", "false")).lower() == "true":
+            col = F.collect_set(F.col(field))
+        return [F.array_sort(col).alias(alias or "_collect")]
     if name == "percentile":
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", str(field)):
             raise HqlSyntaxError(f"bad percentile field {field!r}")
@@ -854,7 +865,10 @@ def _compile_stage(
         raise HqlSyntaxError(f"cannot compile stage {node!r}")
 
     name = node.name
-    if name in ("count", "sum", "avg", "min", "max", "stddev", "percentile"):
+    if name in (
+        "count", "sum", "avg", "min", "max", "stddev", "percentile",
+        "collect",
+    ):
         return df.agg(*_agg_columns(node))
     if name == "in":
         field = node.args[0] if node.args else node.kwargs.get("field")
@@ -1164,6 +1178,22 @@ def _compile_stage(
         # emit ascending (LogScale presents tail in time order); the
         # final sort runs on <= n_rows rows
         return picked.orderBy(*[F.col(o).asc() for o in order])
+    if name == "parseTimestamp":
+        # LogScale parseTimestamp(): parse a string field into an event
+        # timestamp with an explicit pattern (explicit, like parseJson —
+        # inference would be a schema scan). try_to_timestamp semantics:
+        # unparseable values -> null, never a crashed query.
+        field = node.args[0] if node.args else node.kwargs.get("field")
+        fmt = node.kwargs.get("format")
+        if field is None or fmt is None:
+            raise HqlSyntaxError(
+                'parseTimestamp(field, format="...") requires both'
+            )
+        out_name = node.kwargs.get("as", field)
+        return df.withColumn(
+            out_name,
+            F.try_to_timestamp(F.col(field), F.lit(str(fmt))),
+        )
     if name == "bucket":
         # LogScale bucket(): discretize a field into fixed-width buckets,
         # adding ``_bucket``. A NUMBER span buckets numerically

@@ -699,3 +699,56 @@ def hql_tail_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type = error | tail(25, order=[ts, event_id]) "
         "| select([event_id, user_id])",
     )
+
+
+@query(
+    "hql_collect_users_per_type",
+    oracle="""
+    SELECT event_type,
+           array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users
+    FROM events WHERE event_type IN ('error', 'signup')
+    GROUP BY event_type
+    """,
+)
+def hql_collect_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``collect()`` aggregate — LogScale's gather-into-field, with the
+    engine's determinism deviation: the array is SORTED (collect order is
+    partitioning-dependent). Serialized with array_join for the oracle
+    contract (the hasher cannot hash list cells)."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    out = hql(
+        ev,
+        "in(event_type, values=[error, signup]) "
+        "| groupBy(event_type, function=[collect(user_id, distinct=true)])",
+    )
+    return out.select(
+        "event_type",
+        F.array_join(F.col("_collect").cast("array<string>"), ",").alias(
+            "users"
+        ),
+    )
+
+
+@query(
+    "hql_parse_timestamp_roundtrip_daily",
+    oracle="""
+    SELECT CAST(FLOOR(epoch(ts) / 86400) * 86400 AS BIGINT) AS _bucket,
+           COUNT(*) AS _count
+    FROM events GROUP BY 1
+    """,
+)
+def hql_parse_timestamp_roundtrip_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``parseTimestamp()`` — format a timestamp to a string and parse it
+    back (the classic log-line timestamp recovery), then daily bucket
+    counts. try_to_timestamp: unparseable -> null, never a crash."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(
+        ev,
+        'raw := formatTime("yyyy-MM-dd HH:mm:ss", ts) '
+        '| parseTimestamp(raw, format="yyyy-MM-dd HH:mm:ss", as=pts) '
+        "| bucket(field=pts, span=1d) | groupBy(_bucket)",
+    )

@@ -1052,3 +1052,33 @@ def test_tail_last_n_in_time_order(spark):
     )
     assert [r["event_id"] for r in out] == [r["event_id"] for r in want]
     assert len(out) == 7
+
+
+def test_collect_aggregate_is_sorted_deterministic(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    out = hql(
+        ev,
+        "groupBy(event_type, function=[collect(user_id, distinct=true)])",
+    )
+    row = {r["event_type"]: r["_collect"] for r in out.collect()}
+    for et, arr in row.items():
+        want = sorted(
+            r["user_id"]
+            for r in ev.filter(F.col("event_type") == et)
+            .select("user_id").distinct().collect()
+        )
+        assert arr == want
+
+
+def test_parse_timestamp_stage(spark):
+    df = spark.createDataFrame(
+        [("2024-03-01 10:30:00",), ("garbage",)], ["raw"]
+    )
+    out = hql(
+        df, 'parseTimestamp(raw, format="yyyy-MM-dd HH:mm:ss", as=ts)'
+    ).collect()
+    vals = {r["raw"]: r["ts"] for r in out}
+    assert vals["2024-03-01 10:30:00"] is not None
+    assert vals["garbage"] is None  # unparseable -> null, not a crash
+    with pytest.raises(HqlSyntaxError):
+        hql(df, "parseTimestamp(raw)")  # format required
