@@ -41,6 +41,11 @@ from cses2humio_spark.operators.similarity import (  # noqa: F401
     ivf_topk,
     lsh_topk,
 )
+from cses2humio_spark.operators.decomposition import (  # noqa: F401
+    PcaModel,
+    pca_fit,
+    pca_project,
+)
 from cses2humio_spark.operators.reshape import (  # noqa: F401
     compact_for_scan,
     pivot_map_to_columns,

@@ -1545,3 +1545,27 @@ def random_projection_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim").cast("int").alias("dim"),
         F.round(F.col("comp") / 4.0, 6).alias("comp"),
     )
+
+
+@query("embedding_pca_explained_variance")  # eigendecomposition -> rows-only
+def embedding_pca_explained_variance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PCA over the embeddings table (``operators/decomposition.py``):
+    top-4 explained variances + ratios. One shuffle-free moment pass +
+    driver d x d eigh; non-SQL-expressible (eigenvectors), so rows-only —
+    subspace recovery / centering / partitioning-independence are pinned
+    in tests/test_decomposition.py."""
+    from cses2humio_spark.operators.decomposition import pca_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, "embedding", k=4)
+    rows = [
+        (j, round(ev, 6), round(ratio, 6))
+        for j, (ev, ratio) in enumerate(
+            zip(model.explained_variance, model.explained_variance_ratio)
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "component int, variance double, ratio double"
+    )
