@@ -80,3 +80,41 @@ def test_pca_fit_validates_inputs(spark):
     empty = df.filter("id < 0")
     with pytest.raises(ValueError, match="no non-null vectors"):
         pca_fit(empty, "v", k=1)
+
+
+def test_pca_then_ann_preserves_neighbors_on_low_rank_data(spark):
+    """The composition the operator exists for: reduce dim, then ANN.
+    On low-rank data (3-d subspace in R^16 + small noise), exact cosine
+    top-5 in the PCA(3) space must recover the full-dim top-5 almost
+    perfectly — the projection is the structure."""
+    import numpy as np
+
+    from cses2humio_spark.operators.similarity import cosine_topk_bruteforce
+
+    rng = np.random.RandomState(11)
+    basis, _ = np.linalg.qr(rng.randn(16, 3))
+    x = rng.randn(300, 3) @ basis.T + rng.randn(300, 16) * 0.01
+    corpus = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    ).persist()
+    probes = corpus.filter("vec_id < 10").selectExpr(
+        "vec_id AS probe_id", "embedding"
+    )
+
+    def pairs(df):
+        return {(r.probe_id, r.vec_id) for r in df.collect() if r.rank <= 5}
+
+    truth = pairs(cosine_topk_bruteforce(corpus, probes, k=5))
+
+    model = pca_fit(corpus, "embedding", k=3)
+    corpus_p = pca_project(corpus, "embedding", model, "pe").select(
+        "vec_id", F.col("pe").alias("embedding")
+    )
+    probes_p = pca_project(probes, "embedding", model, "pe").select(
+        "probe_id", F.col("pe").alias("embedding")
+    )
+    got = pairs(cosine_topk_bruteforce(corpus_p, probes_p, k=5))
+    recall = len(truth & got) / len(truth)
+    corpus.unpersist()
+    assert recall >= 0.9, recall
