@@ -675,6 +675,11 @@ _EVAL_FUNCS = {
     "coalesce": lambda a: F.coalesce(*a),
     # LogScale parseInt/number coercion: non-numeric -> null, never a crash
     "toNumber": lambda a: a[0].try_cast("double"),
+    # Humio shannonEntropy(): the DGA/encoded-payload signal — pure
+    # codegen HOF fold (functions/text.py), oracle-parity addition order
+    "shannonEntropy": lambda a: __import__(
+        "cses2humio_spark.functions.text", fromlist=["shannon_entropy"]
+    ).shannon_entropy(a[0]),
     # registered for the parser's known-function check; the compiler
     # special-cases it (the pattern argument must stay a literal)
     "formatTime": None,

@@ -752,3 +752,37 @@ def hql_parse_timestamp_roundtrip_daily(
         '| parseTimestamp(raw, format="yyyy-MM-dd HH:mm:ss", as=pts) '
         "| bucket(field=pts, span=1d) | groupBy(_bucket)",
     )
+
+
+@query(
+    "hql_entropy_extremes",
+    oracle="""
+    WITH e AS (
+      SELECT event_id,
+             ROUND(CASE WHEN length(props) = 0 THEN 0.0 ELSE -1.0 *
+               list_reduce(list_transform(list_sort(list_distinct(
+                 list_filter(string_split(props, ''), x -> x != ''))),
+                 c -> (len(list_filter(list_filter(string_split(props, ''),
+                        x -> x != ''), x -> x = c))
+                       / CAST(length(props) AS DOUBLE))
+                      * log2(len(list_filter(list_filter(string_split(props, ''),
+                        x -> x != ''), x -> x = c))
+                       / CAST(length(props) AS DOUBLE))),
+                 (a, b) -> a + b) END, 6) AS ent
+      FROM events)
+    SELECT event_id, ent FROM e
+    ORDER BY ent DESC, event_id ASC LIMIT 20
+    """,
+)
+def hql_entropy_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``shannonEntropy()`` as an HQL eval — the DGA-domain / encoded-
+    payload detector written as its Humio one-liner: score every props
+    payload, take the 20 highest-entropy events. Pure codegen fold; the
+    oracle replays the identical sorted-alphabet addition order."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(
+        ev,
+        "e := round(shannonEntropy(props), 6) "
+        "| sort([e, event_id], order=[desc, asc], limit=20) "
+        "| select([event_id, e]) | rename(field=e, as=ent)",
+    )

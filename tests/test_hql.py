@@ -1082,3 +1082,18 @@ def test_parse_timestamp_stage(spark):
     assert vals["garbage"] is None  # unparseable -> null, not a crash
     with pytest.raises(HqlSyntaxError):
         hql(df, "parseTimestamp(raw)")  # format required
+
+
+def test_shannon_entropy_eval(spark):
+    from cses2humio_spark.functions.text import shannon_entropy
+
+    ev = load_table(spark, SF_SMALL, "events").limit(20)
+    got = hql(ev, "e := shannonEntropy(props)").select("props", "e").collect()
+    want = {
+        r["props"]: r["w"]
+        for r in ev.select(
+            "props", shannon_entropy(F.col("props")).alias("w")
+        ).collect()
+    }
+    for r in got:
+        assert abs(r["e"] - want[r["props"]]) < 1e-12
