@@ -672,3 +672,124 @@ def sample_video_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
         "doc_id", "frame_idx", "width", "height",
         F.round("mean_r", 6).alias("mean_r"),
     )
+
+
+TGA_FEATURES_SCHEMA = (
+    "doc_id bigint, width int, height int, top_down int, id_len int, "
+    "mean_r double, mean_g double, mean_b double, "
+    "top_row_sum bigint, byte_checksum bigint"
+)
+
+
+def synthesize_tga_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary): a valid uncompressed 24-bpp Targa (TGA,
+    image type 2) per document. TGA's quirks differ from BMP's: the
+    18-byte header is little-endian with a VARIABLE-length image-ID field
+    the decoder must skip (here ``sgraft-<id>`` when doc_id % 3 == 0,
+    absent otherwise), the row origin is CONDITIONAL (descriptor bit 5:
+    top-down when doc_id is even, bottom-up otherwise — a per-file flip,
+    not BMP's constant one), pixels are BGR with NO stride padding.
+    Pixel (x, y), y=0 at the top: B = (3*doc_id + 5*x + 7*y) % 256,
+    G = +11, R = +22. w = 4 + doc_id % 7, h = 3 + doc_id % 6.
+    """
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 7, 3 + d % 6
+                x = _np.arange(w, dtype=_np.int64)[None, :]
+                y = _np.arange(h, dtype=_np.int64)[:, None]
+                base = 3 * d + 5 * x + 7 * y
+                img = _np.stack(  # image-space rows, BGR channel order
+                    [base % 256, (base + 11) % 256, (base + 22) % 256], axis=2
+                ).astype(_np.uint8)
+                ident = f"sgraft-{d}".encode() if d % 3 == 0 else b""
+                top_down = d % 2 == 0
+                descriptor = 0x20 if top_down else 0x00
+                hdr = _struct.pack(
+                    "<BBBHHBHHHHBB",
+                    len(ident), 0, 2,  # idlength, no colormap, type 2
+                    0, 0, 0,           # colormap spec
+                    0, 0, w, h, 24, descriptor,
+                )
+                rows = img if top_down else img[::-1]
+                payloads.append(hdr + ident + rows.tobytes())
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(_gen, "doc_id bigint, payload binary")
+
+
+def decode_tga(media: DataFrame) -> DataFrame:
+    """REAL TGA decode via mapInPandas: parse the 18-byte little-endian
+    header, SKIP the variable image-ID field, honor descriptor bit 5 (the
+    per-file top-down/bottom-up origin — a decoder that assumes one
+    orientation fails half the corpus on the flip-sensitive top-row sum),
+    and swap BGR→RGB. Only uncompressed true-color (type 2, 24 bpp) is
+    supported; anything else raises."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "width", "height", "top_down", "id_len",
+                    "mean_r", "mean_g", "mean_b", "top_row_sum",
+                    "byte_checksum",
+                )
+            }
+            for d, b in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(b)
+                if len(buf) < 18:
+                    raise ValueError("not a TGA (short header)")
+                (
+                    id_len, cmap_type, img_type,
+                    _cm_first, _cm_len, _cm_bpp,
+                    _x0, _y0, w, h, bpp, desc,
+                ) = _struct.unpack_from("<BBBHHBHHHHBB", buf, 0)
+                if img_type != 2 or cmap_type != 0 or bpp != 24:
+                    raise ValueError(
+                        f"unsupported TGA (type={img_type}, bpp={bpp})"
+                    )
+                data_at = 18 + id_len
+                if len(buf) < data_at + w * h * 3:
+                    raise ValueError("truncated TGA pixel data")
+                raw = _np.frombuffer(
+                    buf, dtype=_np.uint8, count=w * h * 3, offset=data_at
+                ).reshape(h, w, 3)
+                top_down = bool(desc & 0x20)
+                img = (raw if top_down else raw[::-1])[:, :, ::-1]  # ->RGB
+                f = img.astype(_np.float64)
+                rows["doc_id"].append(int(d))
+                rows["width"].append(int(w))
+                rows["height"].append(int(h))
+                rows["top_down"].append(int(top_down))
+                rows["id_len"].append(int(id_len))
+                rows["mean_r"].append(float(f[:, :, 0].mean()))
+                rows["mean_g"].append(float(f[:, :, 1].mean()))
+                rows["mean_b"].append(float(f[:, :, 2].mean()))
+                rows["top_row_sum"].append(int(img[0].astype(_np.int64).sum()))
+                rows["byte_checksum"].append(
+                    int(img.astype(_np.int64).sum()) % 10**9
+                )
+            yield _pd.DataFrame(rows)
+
+    out = media.mapInPandas(_decode, TGA_FEATURES_SCHEMA)
+    return out.select(
+        "doc_id", "width", "height", "top_down", "id_len",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "top_row_sum", "byte_checksum",
+    )

@@ -1569,3 +1569,52 @@ def embedding_pca_explained_variance(
     return spark.createDataFrame(
         rows, "component int, variance double, ratio double"
     )
+
+
+@query(
+    "tga_decode_stats",
+    oracle="""
+    WITH d3 AS (SELECT doc_id, 4 + doc_id % 7 AS w, 3 + doc_id % 6 AS h
+                FROM documents WHERE doc_id < 300),
+    g AS (SELECT t.doc_id, ux.x, uy.y,
+                 3*t.doc_id + 5*ux.x + 7*uy.y AS base
+          FROM d3 t,
+               UNNEST(generate_series(0, t.w - 1)) AS ux(x),
+               UNNEST(generate_series(0, t.h - 1)) AS uy(y)),
+    m AS (SELECT doc_id,
+            ROUND(AVG((base + 22) % 256), 6) AS mean_r,
+            ROUND(AVG((base + 11) % 256), 6) AS mean_g,
+            ROUND(AVG(base % 256), 6) AS mean_b,
+            CAST(SUM(CASE WHEN y = 0 THEN
+                   base % 256 + (base + 11) % 256 + (base + 22) % 256
+                 ELSE 0 END) AS BIGINT) AS top_row_sum,
+            CAST(SUM(base % 256 + (base + 11) % 256 + (base + 22) % 256)
+                 % 1000000000 AS BIGINT) AS byte_checksum
+          FROM g GROUP BY doc_id)
+    SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+           CAST(CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT)
+             AS top_down,
+           CAST(CASE WHEN d.doc_id % 3 = 0
+                THEN 7 + length(CAST(d.doc_id AS VARCHAR)) ELSE 0 END AS INT)
+             AS id_len,
+           m.mean_r, m.mean_g, m.mean_b, m.top_row_sum, m.byte_checksum
+    FROM d3 d JOIN m ON m.doc_id = d.doc_id
+    """,
+)
+def tga_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Targa (TGA) decode, oracle-checked — the third structurally
+    distinct image container after PNM and BMP: a variable-length
+    image-ID field the decoder must SKIP, and a PER-FILE row origin
+    (descriptor bit 5 — top-down for even ids, bottom-up for odd), with
+    unpadded BGR pixels. The flip-sensitive top-row sum fails any decoder
+    that assumes one orientation; the oracle recomputes every feature
+    from the generative formula over an (x, y) grid — it never touches
+    bytes."""
+    from cses2humio_spark.operators.multimodal import (
+        decode_tga,
+        repartition_for_media,
+        synthesize_tga_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return decode_tga(repartition_for_media(synthesize_tga_media(docs)))

@@ -268,3 +268,46 @@ def test_bmp_decode_rejects_truncated_and_unsupported(spark):
     df2 = spark.createDataFrame([Row(doc_id=1, payload=bytearray(bad_bpp))])
     with pytest.raises(PythonException, match="unsupported BMP"):
         decode_bmp(df2).collect()
+
+
+def test_tga_decoder_honors_per_file_origin_and_id_field(spark):
+    """TGA's two quirks vs BMP: a VARIABLE image-ID field (must be
+    skipped) and a PER-FILE origin bit. Even ids are top-down, odd ids
+    bottom-up — the flip-sensitive top_row_sum must still agree with the
+    image-space formula for both."""
+    from cses2humio_spark.operators.multimodal import (
+        decode_tga,
+        synthesize_tga_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    out = {r["doc_id"]: r for r in decode_tga(synthesize_tga_media(docs)).collect()}
+    for d in range(12):
+        r = out[d]
+        assert r["top_down"] == (1 if d % 2 == 0 else 0)
+        assert r["id_len"] == (7 + len(str(d)) if d % 3 == 0 else 0)
+        w = 4 + d % 7
+        want_top = sum(
+            (3 * d + 5 * x) % 256
+            + (3 * d + 5 * x + 11) % 256
+            + (3 * d + 5 * x + 22) % 256
+            for x in range(w)
+        )
+        assert r["top_row_sum"] == want_top, d
+
+
+def test_tga_decoder_rejects_unsupported(spark):
+    import pytest as _pytest
+
+    from cses2humio_spark.operators.multimodal import decode_tga
+
+    # RLE-compressed type (10) must raise, not silently mis-decode
+    bad = bytes([0, 0, 10] + [0] * 15)
+    df = spark.createDataFrame([(1, bytearray(bad))], "doc_id long, payload binary")
+    with _pytest.raises(Exception, match="unsupported TGA"):
+        decode_tga(df).collect()
+    short = spark.createDataFrame(
+        [(2, bytearray(b"xy"))], "doc_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="short header"):
+        decode_tga(short).collect()
