@@ -680,9 +680,13 @@ _EVAL_FUNCS = {
     "shannonEntropy": lambda a: __import__(
         "cses2humio_spark.functions.text", fromlist=["shannon_entropy"]
     ).shannon_entropy(a[0]),
+    # IOC hashing (hash a field, match against indicator lists)
+    "md5": lambda a: F.md5(a[0].cast("string")),
+    "sha256": lambda a: F.sha2(a[0].cast("string"), 256),
     # registered for the parser's known-function check; the compiler
-    # special-cases it (the pattern argument must stay a literal)
+    # special-cases them (literal arguments)
     "formatTime": None,
+    "substring": None,
 }
 
 
@@ -709,6 +713,19 @@ def _compile_arith(node, df: DataFrame | None = None, now=None) -> Column:
             if arg_nodes[1][0] != "num":
                 raise HqlSyntaxError("round() scale must be a literal number")
             return F.round(args[0], int(arg_nodes[1][1]))
+        if name == "substring":
+            # substring(field, start, len) — 1-indexed, literal bounds
+            if (
+                len(arg_nodes) != 3
+                or arg_nodes[1][0] != "num"
+                or arg_nodes[2][0] != "num"
+            ):
+                raise HqlSyntaxError(
+                    "substring(field, start, len) needs literal start/len"
+                )
+            return F.substring(
+                args[0], int(arg_nodes[1][1]), int(arg_nodes[2][1])
+            )
         if name == "formatTime":
             # formatTime("yyyy-MM-dd", field) — the pattern must be a
             # literal (it parameterizes the codegen'd date_format)

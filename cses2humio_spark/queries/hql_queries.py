@@ -786,3 +786,27 @@ def hql_entropy_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "| sort([e, event_id], order=[desc, asc], limit=20) "
         "| select([event_id, e]) | rename(field=e, as=ent)",
     )
+
+
+@query(
+    "hql_ioc_hash_profile",
+    oracle="""
+    SELECT md5(props) AS h,
+           substr(sha256(props), 1, 16) AS sha_prefix,
+           COUNT(*) AS _count
+    FROM events
+    GROUP BY 1, 2 ORDER BY _count DESC, h ASC LIMIT 15
+    """,
+)
+def hql_ioc_hash_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``md5()`` / ``sha256()`` / ``substring()`` evals — the IOC-hashing
+    shape (hash a payload field, profile the indicator space). Both
+    digests are hex-identical across engines; one count shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(
+        ev,
+        "h := md5(props) | sp := sha256(props) "
+        "| sha_prefix := substring(sp, 1, 16) "
+        "| groupBy([h, sha_prefix]) "
+        "| sort([_count, h], order=[desc, asc], limit=15)",
+    )

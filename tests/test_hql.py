@@ -1097,3 +1097,19 @@ def test_shannon_entropy_eval(spark):
     }
     for r in got:
         assert abs(r["e"] - want[r["props"]]) < 1e-12
+
+
+def test_hash_and_substring_evals(spark):
+    import hashlib
+
+    ev = load_table(spark, SF_SMALL, "events").limit(10)
+    out = hql(
+        ev,
+        "h := md5(props) | s := sha256(props) | p := substring(h, 1, 8)",
+    ).select("props", "h", "s", "p").collect()
+    for r in out:
+        assert r["h"] == hashlib.md5(r["props"].encode()).hexdigest()
+        assert r["s"] == hashlib.sha256(r["props"].encode()).hexdigest()
+        assert r["p"] == r["h"][:8]
+    with pytest.raises(HqlSyntaxError):
+        hql(ev, "x := substring(props, 1)")  # needs 3 args
