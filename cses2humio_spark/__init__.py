@@ -20,6 +20,7 @@ idiomatic Spark engine:
 __version__ = "0.1.0"
 
 from cses2humio_spark.session import get_spark  # noqa: F401
+from cses2humio_spark.sources.catalog import load_lookup_csv  # noqa: F401
 from cses2humio_spark.operators.joins import (  # noqa: F401
     asof_join,
     range_join,
@@ -53,6 +54,7 @@ from cses2humio_spark.operators.reshape import (  # noqa: F401
 from cses2humio_spark.streaming.joins import stream_interval_join  # noqa: F401
 from cses2humio_spark.streaming.alerts import (  # noqa: F401
     AlertRule,
+    load_alert_rules,
     run_alert_rules,
 )
 from cses2humio_spark.streaming.stateful import (  # noqa: F401

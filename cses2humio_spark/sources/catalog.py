@@ -72,6 +72,18 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         df.createOrReplaceTempView(name)
 
 
+def load_lookup_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Humio-style lookup file: a header-rowed CSV read as ALL-STRING
+    columns (lookup files carry no types — exactly how Humio treats
+    them), for the HQL ``match(table, ...)`` / ``join(..., table=...)``
+    stages via ``hql(df, q, tables={"name": load_lookup_csv(...)})``.
+
+    Lookups are dimension-sized by contract: match() broadcasts them, so
+    a lookup that doesn't fit a broadcast is a modeling error, not a
+    loading concern."""
+    return spark.read.option("header", "true").csv(path)
+
+
 def fan_out(df: DataFrame) -> DataFrame:
     """Ensure at least default-parallelism partitions before CPU-heavy
     per-row map work (shingling, per-token hashing, vector math).

@@ -71,6 +71,43 @@ class AlertRule:
             )
 
 
+def load_alert_rules(path: str) -> list[AlertRule]:
+    """Rules-as-config: read a JSON file holding a list of AlertRule
+    field dicts (name/query required; min_rows, value_column, threshold,
+    throttle_batches optional). Unknown keys are a LOUD error — a typo'd
+    'treshold' must not silently produce a never-firing rule."""
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        raw = json.load(f)
+    if not isinstance(raw, list):
+        raise ValueError(f"{path}: expected a JSON list of rule objects")
+    allowed = {
+        "name", "query", "min_rows", "value_column", "threshold",
+        "throttle_batches",
+    }
+    rules = []
+    for i, obj in enumerate(raw):
+        if not isinstance(obj, dict):
+            raise ValueError(f"{path}[{i}]: expected an object")
+        unknown = set(obj) - allowed
+        if unknown:
+            raise ValueError(
+                f"{path}[{i}]: unknown rule key(s) {sorted(unknown)} "
+                f"(allowed: {sorted(allowed)})"
+            )
+        for req in ("name", "query"):
+            if req not in obj:
+                raise ValueError(f"{path}[{i}]: missing required {req!r}")
+        rules.append(AlertRule(**obj))
+    names = [r.name for r in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"{path}: duplicate rule names (dedup keys collide): {names}"
+        )
+    return rules
+
+
 def evaluate_rules_on_batch(
     batch_df: DataFrame,
     rules: list[AlertRule],

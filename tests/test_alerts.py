@@ -243,3 +243,33 @@ def test_alert_throttle_validation():
 
     with pytest.raises(ValueError):
         AlertRule("bad", "count()", throttle_batches=-1)
+
+
+def test_load_alert_rules_from_json(tmp_path):
+    import json
+
+    import pytest
+
+    from cses2humio_spark.streaming.alerts import load_alert_rules
+
+    p = tmp_path / "rules.json"
+    p.write_text(json.dumps([
+        {"name": "errs", "query": "#event_type = error | count()",
+         "value_column": "_count", "threshold": 5, "throttle_batches": 2},
+        {"name": "any", "query": "event_type = view", "min_rows": 3},
+    ]))
+    rules = load_alert_rules(str(p))
+    assert [r.name for r in rules] == ["errs", "any"]
+    assert rules[0].threshold == 5 and rules[0].throttle_batches == 2
+    assert rules[1].min_rows == 3
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps([{"name": "x", "query": "count()",
+                                "treshold": 1}]))
+    with pytest.raises(ValueError, match="unknown rule key"):
+        load_alert_rules(str(bad))
+    dup = tmp_path / "dup.json"
+    dup.write_text(json.dumps([{"name": "x", "query": "a = 1"},
+                               {"name": "x", "query": "b = 2"}]))
+    with pytest.raises(ValueError, match="duplicate rule names"):
+        load_alert_rules(str(dup))

@@ -1113,3 +1113,24 @@ def test_hash_and_substring_evals(spark):
         assert r["p"] == r["h"][:8]
     with pytest.raises(HqlSyntaxError):
         hql(ev, "x := substring(props, 1)")  # needs 3 args
+
+
+def test_match_with_csv_lookup_file(spark, tmp_path):
+    """Humio lookup-file flow: a header CSV loaded all-string, wired into
+    match() — the stringly join still matches typed event fields via the
+    compiler's comparison semantics (field == string value)."""
+    from cses2humio_spark.sources.catalog import load_lookup_csv
+
+    p = tmp_path / "severity.csv"
+    p.write_text("event_type,severity\nerror,high\nsignup,low\n")
+    lk = load_lookup_csv(spark, str(p))
+    assert dict(lk.dtypes) == {"event_type": "string", "severity": "string"}
+    ev = load_table(spark, SF_SMALL, "events")
+    out = hql(
+        ev,
+        "match(severity, field=event_type) | groupBy(severity)",
+        tables={"severity": lk},
+    )
+    got = {r["severity"]: r["_count"] for r in out.collect()}
+    assert got["high"] == ev.filter(F.col("event_type") == "error").count()
+    assert got["low"] == ev.filter(F.col("event_type") == "signup").count()
