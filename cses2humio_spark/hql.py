@@ -897,6 +897,12 @@ def _compile_stage(
         values = _as_list(node.kwargs.get("values", []))
         if field is None or not values:
             raise HqlSyntaxError("in(field, values=[...]) requires both")
+        if str(node.kwargs.get("ignoreCase", "false")).lower() == "true":
+            return df.filter(
+                F.lower(F.col(field).cast("string")).isin(
+                    *[str(v).lower() for v in values]
+                )
+            )
         return df.filter(F.col(field).isin(*values))
     if name == "match":
         # Humio's match()/lookup enrichment: broadcast-join a named lookup
@@ -1103,10 +1109,15 @@ def _compile_stage(
         if field is None:
             raise HqlSyntaxError("join(...) requires field=")
         mode = str(node.kwargs.get("mode", "inner")).lower()
-        if mode not in ("inner", "left"):
+        if mode not in ("inner", "left", "anti", "semi"):
             raise HqlSyntaxError(
-                f"join mode must be inner or left, got {mode!r}"
+                f"join mode must be inner/left/semi/anti, got {mode!r}"
             )
+        # LogScale's negated join (!join / "events with NO match in the
+        # subquery") and its filter-only positive twin: semi/anti joins
+        # keep only primary columns, so the key-rename/drop is moot
+        if mode in ("anti", "semi"):
+            mode = f"left_{mode}"
         tname = node.kwargs.get("table")
         if tname is not None:
             if tname not in tables:

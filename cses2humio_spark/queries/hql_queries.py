@@ -810,3 +810,31 @@ def hql_ioc_hash_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "| groupBy([h, sha_prefix]) "
         "| sort([_count, h], order=[desc, asc], limit=15)",
     )
+
+
+@query(
+    "hql_anti_join_error_free_purchasers",
+    oracle="""
+    SELECT e.user_id, COUNT(*) AS _count
+    FROM events e
+    WHERE e.event_type = 'purchase'
+      AND NOT EXISTS (SELECT 1 FROM events x
+                      WHERE x.event_type = 'error'
+                        AND x.user_id = e.user_id)
+    GROUP BY 1 ORDER BY _count DESC, e.user_id ASC LIMIT 15
+    """,
+)
+def hql_anti_join_error_free_purchasers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``join(mode=anti)`` — LogScale's negated join (!join): purchases
+    by users with NO error events. Compiles to a left-anti equi-join;
+    only primary columns survive."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(
+        ev,
+        "event_type = purchase "
+        "| join({event_type = error | select([user_id])}, "
+        "field=user_id, key=user_id, mode=anti) "
+        "| top(user_id, limit=15)",
+    )

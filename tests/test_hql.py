@@ -1134,3 +1134,43 @@ def test_match_with_csv_lookup_file(spark, tmp_path):
     got = {r["severity"]: r["_count"] for r in out.collect()}
     assert got["high"] == ev.filter(F.col("event_type") == "error").count()
     assert got["low"] == ev.filter(F.col("event_type") == "signup").count()
+
+
+def test_join_semi_and_anti_modes(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    err_users = {
+        r["user_id"]
+        for r in ev.filter(F.col("event_type") == "error")
+        .select("user_id").distinct().collect()
+    }
+    base = ev.filter(F.col("event_type") == "purchase")
+    anti = hql(
+        ev,
+        "event_type = purchase "
+        "| join({event_type = error | select([user_id])}, "
+        "field=user_id, key=user_id, mode=anti)",
+    )
+    semi = hql(
+        ev,
+        "event_type = purchase "
+        "| join({event_type = error | select([user_id])}, "
+        "field=user_id, key=user_id, mode=semi)",
+    )
+    assert anti.count() == base.filter(
+        ~F.col("user_id").isin(list(err_users))
+    ).count()
+    assert semi.count() == base.filter(
+        F.col("user_id").isin(list(err_users))
+    ).count()
+    # semi/anti keep ONLY primary columns
+    assert set(anti.columns) == set(ev.columns)
+    with pytest.raises(HqlSyntaxError):
+        hql(ev, "join({count()}, field=user_id, mode=full)")
+
+
+def test_in_ignore_case(spark):
+    df = spark.createDataFrame(
+        [("Error",), ("ERROR",), ("view",)], ["t"]
+    )
+    assert hql(df, "in(t, values=[error], ignoreCase=true)").count() == 2
+    assert hql(df, "in(t, values=[error])").count() == 0
