@@ -57,6 +57,10 @@ from cses2humio_spark.streaming.alerts import (  # noqa: F401
     load_alert_rules,
     run_alert_rules,
 )
+from cses2humio_spark.streaming.materialized import (  # noqa: F401
+    IncrementalRollup,
+    MaterializedHqlSearch,
+)
 from cses2humio_spark.streaming.stateful import (  # noqa: F401
     streaming_sessionize_timeout,
 )

@@ -838,3 +838,79 @@ def hql_anti_join_error_free_purchasers(
         "field=user_id, key=user_id, mode=anti) "
         "| top(user_id, limit=15)",
     )
+
+
+@query(
+    "hql_materialized_search_table",
+    oracle="""
+    SELECT event_type, COUNT(*) AS _count,
+           MIN(value) AS _min, MAX(value) AS _max
+    FROM events WHERE event_type != 'view'
+    GROUP BY event_type
+    """,
+)
+def hql_materialized_search_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A saved HQL search maintained as a LIVE TABLE
+    (``streaming/materialized.py::MaterializedHqlSearch``): the pipe's
+    mergeable aggregates are merged incrementally across micro-batches
+    with exactly-once versioned commits — and the FINAL table must equal
+    the one-shot SQL answer over all the data, which is exactly what this
+    oracle checks (count/min/max merge exactly; float sums are excluded
+    here by design — their last bits depend on batch boundaries)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cses2humio_spark.streaming.materialized import MaterializedHqlSearch
+
+    tmpdir = tempfile.mkdtemp(prefix="sgraft_matsearch_")
+    try:
+        src = os.path.join(tmpdir, "src")
+        ev = load_table(spark, sf_dir, "events")
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+        mid = lo + (hi - lo) / 2
+        ev.filter(F.col("ts") < mid).coalesce(1).write.parquet(
+            os.path.join(src, "a")
+        )
+        ev.filter(F.col("ts") >= mid).coalesce(1).write.parquet(
+            os.path.join(src, "b")
+        )
+        t0 = 1_700_000_000
+        for i, sub in enumerate(("a", "b")):
+            d = os.path.join(src, sub)
+            for f in os.listdir(d):
+                os.utime(os.path.join(d, f), (t0 + i * 60,) * 2)
+        search = MaterializedHqlSearch(
+            os.path.join(tmpdir, "tbl"),
+            "event_type != view "
+            "| groupBy(event_type, function=[count(), min(value), "
+            "max(value)])",
+        )
+        sch = spark.read.parquet(os.path.join(src, "*")).schema
+        stream = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(src, "*"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(search)
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError(
+                "hql_materialized_search_table stream did not finish in 120s"
+            )
+        # materialize the final version BEFORE the tempdir is removed
+        rows = search.read(spark).collect()
+        return spark.createDataFrame(
+            rows, "event_type string, _count bigint, _min double, _max double"
+        )
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)

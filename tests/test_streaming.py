@@ -1084,3 +1084,91 @@ def test_streaming_near_dup_candidates_against_static_corpus(spark, tmp_path):
     pairs = {(r.doc_id, r.corpus_id) for r in got}
     assert (101, 1) in pairs
     assert all(nid != 102 for nid, _ in pairs)
+
+
+def test_materialized_hql_search_matches_batch_answer(spark, tmp_path):
+    """A saved HQL search maintained as a live table must, after draining
+    N micro-batches, equal the same pipe run over ALL the data in one
+    batch — the mergeable-aggregate contract (count/sum/min/max)."""
+    from cses2humio_spark.hql import hql
+    from cses2humio_spark.sources.catalog import load_table
+    from cses2humio_spark.streaming.materialized import MaterializedHqlSearch
+    from tests.conftest import SF_SMALL
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ev = load_table(spark, SF_SMALL, "events")
+    parts = ev.randomSplit([1.0, 1.0, 1.0], seed=5)
+    for i, p in enumerate(parts):
+        d = str(src / f"f{i}")
+        p.coalesce(1).write.parquet(d)
+        for f in glob.glob(os.path.join(d, "*")):
+            os.utime(f, (1_700_000_000 + i * 60,) * 2)
+
+    pipe = (
+        "event_type != view "
+        "| groupBy(event_type, function=[count(), sum(value), "
+        "min(value), max(value)])"
+    )
+    search = MaterializedHqlSearch(str(tmp_path / "tbl"), pipe)
+    sch = spark.read.parquet(str(src / "f0")).schema
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(search)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["event_type"]: (r["_count"], r["_sum"], r["_min"], r["_max"])
+        for r in search.read(spark).collect()
+    }
+    want = {
+        r["event_type"]: (r["_count"], r["_sum"], r["_min"], r["_max"])
+        for r in hql(ev, pipe).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]  # counts exact
+        assert abs(got[k][1] - want[k][1]) < 1e-6  # float sum across merges
+        assert got[k][2] == want[k][2] and got[k][3] == want[k][3]
+
+
+def test_materialized_hql_search_refuses_non_mergeable():
+    from cses2humio_spark.streaming.materialized import MaterializedHqlSearch
+
+    for bad, msg in [
+        ("groupBy(x, function=avg(v))", "not mergeable"),
+        ("groupBy(x, function=count(v, distinct=true))", "not mergeable"),
+        ("count()", "must end in groupBy"),
+        ("groupBy(x, function=[sum(a), sum(b)])", "duplicate aggregate"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            MaterializedHqlSearch("/tmp/nope", bad)
+
+
+def test_materialized_hql_search_replay_is_exactly_once(spark, tmp_path):
+    """A replayed batch_id must be skipped (its effect is already in the
+    committed version) — counts don't double."""
+    from cses2humio_spark.sources.catalog import load_table
+    from cses2humio_spark.streaming.materialized import MaterializedHqlSearch
+    from tests.conftest import SF_SMALL
+
+    search = MaterializedHqlSearch(
+        str(tmp_path / "tbl"), "groupBy(event_type)"
+    )
+    ev = load_table(spark, SF_SMALL, "events").limit(50)
+    search(ev, 0)
+    once = {r["event_type"]: r["_count"] for r in search.read(spark).collect()}
+    search(ev, 0)  # replay
+    twice = {r["event_type"]: r["_count"] for r in search.read(spark).collect()}
+    assert once == twice
+    search(ev, 1)  # a genuinely new batch DOES merge
+    after = {r["event_type"]: r["_count"] for r in search.read(spark).collect()}
+    assert all(after[k] == 2 * once[k] for k in once)
