@@ -944,11 +944,20 @@ def _compile_stage(
         from cses2humio_spark.operators.aggregates import timechart
 
         span = _span_to_interval(node.kwargs.get("span", "1h"))
+        # slide= -> sliding windows (each event lands in span/slide
+        # buckets, expanded map-side); omitted -> tumbling
+        slide = (
+            _span_to_interval(node.kwargs["slide"])
+            if "slide" in node.kwargs
+            else None
+        )
         dims = _as_list(node.kwargs["by"]) if "by" in node.kwargs else []
         funcs = _as_list(node.kwargs.get("function", Call("count")))
         aggs = [col for c in funcs for col in _agg_columns(c)]
         ts_col = node.kwargs.get("timefield", "ts")
-        return timechart(df, ts_col=ts_col, span=span, aggs=aggs, dims=dims)
+        return timechart(
+            df, ts_col=ts_col, span=span, aggs=aggs, dims=dims, slide=slide
+        )
     if name == "sort":
         fields = _as_list(node.args[0]) if node.args else []
         if not fields:
@@ -986,6 +995,20 @@ def _compile_stage(
             metric = _agg_column(Call("count"))
             mname = "_count"
         grouped = df.groupBy(*[F.col(f) for f in fields]).agg(metric)
+        if str(node.kwargs.get("percent", "false")).lower() == "true":
+            # Humio's top(percent=true): share of the TOTAL (all groups,
+            # computed before the limit cut). The total is one broadcast
+            # scalar row — never a single-partition global window, which
+            # would serialize a high-cardinality group set at scale.
+            total = grouped.agg(F.sum(mname).alias("__tot"))
+            grouped = (
+                grouped.crossJoin(F.broadcast(total))
+                .withColumn(
+                    "_percent",
+                    F.round(F.col(mname) / F.col("__tot") * 100, 4),
+                )
+                .drop("__tot")
+            )
         order = [F.col(mname).desc()] + [F.col(f).asc() for f in fields]
         return grouped.orderBy(*order).limit(limit)
     if name in ("select", "table"):

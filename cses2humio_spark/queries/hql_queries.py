@@ -914,3 +914,46 @@ def hql_materialized_search_table(
         )
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+@query(
+    "hql_sliding_timechart_errors",
+    oracle="""
+    WITH b AS (
+      SELECT to_timestamp(FLOOR(epoch(ts)/1800)*1800) AS b0
+      FROM events WHERE event_type = 'error'
+    ), exploded AS (
+      SELECT UNNEST([b0, b0 - INTERVAL 30 MINUTE]) AS bucket FROM b
+    )
+    SELECT CAST(FLOOR(epoch(bucket)) AS BIGINT) AS bucket_start,
+           COUNT(*) AS _count
+    FROM exploded GROUP BY bucket
+    """,
+)
+def hql_sliding_timechart_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding ``timechart(span=1h, slide=30m)`` — each event expands
+    into span/slide buckets map-side (smoothed trend lines, the Humio
+    dashboard default for spiky series)."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(
+        ev, "#event_type = error | timechart(span=1h, slide=30m)"
+    )
+
+
+@query(
+    "hql_top_with_percent",
+    oracle="""
+    WITH g AS (SELECT event_type, COUNT(*) AS _count
+               FROM events GROUP BY 1),
+    t AS (SELECT SUM(_count) AS tot FROM g)
+    SELECT g.event_type, g._count,
+           ROUND(g._count / CAST(t.tot AS DOUBLE) * 100, 4) AS _percent
+    FROM g, t ORDER BY g._count DESC, g.event_type ASC LIMIT 5
+    """,
+)
+def hql_top_with_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``top(percent=true)`` — Humio's share-of-total column, computed
+    against ALL groups before the limit cut via one broadcast scalar
+    (never a single-partition global window)."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(ev, "top(event_type, limit=5, percent=true)")

@@ -1174,3 +1174,19 @@ def test_in_ignore_case(spark):
     )
     assert hql(df, "in(t, values=[error], ignoreCase=true)").count() == 2
     assert hql(df, "in(t, values=[error])").count() == 0
+
+
+def test_timechart_slide_and_top_percent(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    slid = hql(ev, "timechart(span=1h, slide=30m)")
+    tumb = hql(ev, "timechart(span=1h)")
+    # every event lands in exactly span/slide = 2 sliding buckets
+    assert (
+        slid.agg(F.sum("_count")).first()[0]
+        == 2 * tumb.agg(F.sum("_count")).first()[0]
+    )
+    top = hql(ev, "top(event_type, percent=true)").collect()
+    assert abs(sum(r["_percent"] for r in top) - 100.0) < 0.01
+    n = ev.count()
+    for r in top:
+        assert abs(r["_percent"] - round(r["_count"] / n * 100, 4)) < 1e-9
