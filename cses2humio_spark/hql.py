@@ -955,9 +955,40 @@ def _compile_stage(
         funcs = _as_list(node.kwargs.get("function", Call("count")))
         aggs = [col for c in funcs for col in _agg_columns(c)]
         ts_col = node.kwargs.get("timefield", "ts")
-        return timechart(
+        out = timechart(
             df, ts_col=ts_col, span=span, aggs=aggs, dims=dims, slide=slide
         )
+        if str(node.kwargs.get("fill", "false")).lower() == "true":
+            # Humio renders EMPTY buckets as zero; a bare GROUP BY drops
+            # them. The spine is one sequence over the result's own
+            # bucket bounds (tiny — one row per span of retention), the
+            # aggregates left-join onto it and ZERO-fill. Dimensioned or
+            # sliding fills are refused (a spine x dims cross product /
+            # overlapping-window fill need explicit modeling, not a
+            # silent guess).
+            if dims or slide:
+                raise HqlSyntaxError(
+                    "timechart(fill=true) supports undimensioned tumbling "
+                    "charts only"
+                )
+            step = _span_to_seconds(node.kwargs.get("span", "1h"))
+            spine = out.agg(
+                F.min("bucket_start").alias("__lo"),
+                F.max("bucket_start").alias("__hi"),
+            ).select(
+                F.explode(
+                    F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
+                ).alias("bucket_start")
+            )
+            agg_cols = [c for c in out.columns if c != "bucket_start"]
+            out = spine.join(out, "bucket_start", "left").select(
+                "bucket_start",
+                *[
+                    F.coalesce(F.col(c), F.lit(0)).alias(c)
+                    for c in agg_cols
+                ],
+            )
+        return out
     if name == "sort":
         fields = _as_list(node.args[0]) if node.args else []
         if not fields:

@@ -957,3 +957,28 @@ def hql_top_with_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never a single-partition global window)."""
     ev = load_table(spark, sf_dir, "events")
     return hql(ev, "top(event_type, limit=5, percent=true)")
+
+
+@query(
+    "hql_dense_timechart_errors",
+    oracle="""
+    WITH agg AS (SELECT CAST(FLOOR(epoch(date_trunc('hour', ts)))
+                   AS BIGINT) AS bucket_start, COUNT(*) AS n
+                 FROM events WHERE event_type = 'error' GROUP BY 1),
+    bounds AS (SELECT MIN(bucket_start) AS lo, MAX(bucket_start) AS hi
+               FROM agg),
+    spine AS (SELECT UNNEST(generate_series(lo, hi, 3600)) AS bucket_start
+              FROM bounds)
+    SELECT s.bucket_start, COALESCE(a.n, 0) AS _count
+    FROM spine s LEFT JOIN agg a USING (bucket_start)
+    """,
+)
+def hql_dense_timechart_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``timechart(fill=true)`` — gap-filled chart: empty buckets render
+    as zero (Humio's display contract). One sequence spine over the
+    result's own bounds + a left join; the spine is one row per span of
+    retention."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(
+        ev, "#event_type = error | timechart(span=1h, fill=true)"
+    )

@@ -1190,3 +1190,18 @@ def test_timechart_slide_and_top_percent(spark):
     n = ev.count()
     for r in top:
         assert abs(r["_percent"] - round(r["_count"] / n * 100, 4)) < 1e-9
+
+
+def test_timechart_fill_zero_fills_gaps(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00"), (2, "2024-01-01 03:30:00")],
+        "event_id long, ts_s string",
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+    out = hql(df, "timechart(span=1h, fill=true)").orderBy("bucket_start")
+    rows = out.collect()
+    assert len(rows) == 4  # 00:00..03:00 inclusive
+    assert [r["_count"] for r in rows] == [1, 0, 0, 1]
+    with pytest.raises(HqlSyntaxError):
+        hql(df, "timechart(span=1h, by=event_id, fill=true)")
+    with pytest.raises(HqlSyntaxError):
+        hql(df, "timechart(span=1h, slide=30m, fill=true)")
