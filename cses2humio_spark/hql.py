@@ -20,18 +20,23 @@ Surface:
   analog of Humio's @rawstring search), combined with ``and`` / ``or`` /
   ``not`` / parentheses; adjacent terms are implicit AND (Humio rule).
   ``#field`` / ``@field`` sugar strips to ``field``.
-- Stages: ``count([field], [as=])``, ``sum/avg/min/max(field, [as=])``,
-  ``groupBy(field | [f1, f2], [function=[agg, ...]])``,
-  ``timechart([span=1h], [by=field], [function=agg])``,
-  ``sort(field | [f1, f2], [order=asc|desc], [limit=N])``, ``head(N)``,
-  ``top(field, [limit=N], [sum=field])``, ``select([f1, f2])`` /
-  ``table([...])``, ``regex("pat", field=f)`` (named-group extraction,
-  non-matching rows dropped — Humio semantics), assignment
-  ``name := arithmetic`` and any filter expression as a stage;
-  ``replace/concat/format/splitString/split`` field transforms,
-  ``case { sel | f := v ; ... }`` first-match dispatch, and
-  relative-time filters (``ts > -1d`` against the query anchor —
-  see docs/HQL.md for the full stage table).
+- Aggregates: ``count`` (plain/field/distinct), ``sum/avg/min/max``
+  (exact-decimal accumulation), ``stddev`` (exact sufficient
+  statistics), ``percentile``, ``collect`` (sorted array).
+- Stages: ``groupBy`` (+``limit=`` group cap), ``timechart``
+  (tumbling/sliding/gap-filled), ``sort`` (per-field order lists),
+  ``head/tail/top`` (+``percent=``), ``select/table/rename/drop/
+  default``, ``regex`` named-group extraction, ``parseJson``,
+  ``parseTimestamp``, ``replace/concat/format/splitString/split``,
+  ``bucket``, ``session``, ``dedup``, ``in`` (+``ignoreCase``),
+  ``match`` lookup enrichment, ``join({subquery})``
+  (inner/left/semi/anti), ``window`` moving aggregates, ``sample``,
+  ``watermark`` (streaming pipes), ``case { sel | f := v ; ... }``
+  first-match dispatch, assignment ``name := arithmetic`` (with
+  ``if()``, ``formatTime()``, ``shannonEntropy()``, ``md5/sha256``,
+  string/math evals), any filter as a stage, and relative-time
+  filters (``ts > -1d`` against the query anchor) — full stage table
+  with semantics in docs/HQL.md.
 
 Determinism contract (same as the rest of the engine,
 queries/registry.py): ``sum``/``avg`` accumulate in exact
