@@ -56,6 +56,10 @@ HEADLINE = [
     "hql_join_subquery_error_purchasers",  # correlation join({subquery})
     "hql_case_severity_bands",  # case {} -> single CASE WHEN chain
     "hql_split_tokens_top10",  # splitString+split explode fan-out + top
+    # round 4 second wave (no standing baseline yet — first accepted
+    # bench becomes it)
+    "hql_window_moving_avg",  # trailing-N rows frame per series
+    "tga_decode_stats",  # Arrow-batched real binary decode path
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
@@ -106,6 +110,9 @@ STANDING_BASELINE_SF01 = {
     "hql_join_subquery_error_purchasers": 0.549,
     "hql_case_severity_bands": 0.379,
     "hql_split_tokens_top10": 0.452,
+    # first accepted numbers (round-4 closing bench) for the second wave
+    "hql_window_moving_avg": 0.441,
+    "tga_decode_stats": 0.486,
 }
 
 
