@@ -145,6 +145,7 @@ def test_no_query_degenerates_to_cartesian(spark):
         "benford_first_digit_deviation",  # single-row total scalar broadcast
         "functional_dependency_check",  # three single-row counters combined
         "first_seen_user_type_pairs",  # single-row data-horizon scalar broadcast
+        "hql_top_with_percent",  # single-row share-of-total scalar broadcast
     }
     # building these queries runs heavy side effects (a full streaming
     # query, a driver-side iteration loop, a key-discovery collect) just to
