@@ -156,6 +156,9 @@ def test_no_query_degenerates_to_cartesian(spark):
         "connector_event_map_pivot",
         "rollup_materialized_counts",  # runs a full streaming query to build
         "alert_rules_demo",  # runs a full streaming query to build
+        "hql_streaming_timechart_demo",  # runs a full streaming query
+        "hql_materialized_search_table",  # runs a full streaming query
+        "embedding_pca_explained_variance",  # driver-side eigh to build
     }
     offenders = []
     for name, fn in QUERIES.items():
