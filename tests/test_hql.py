@@ -1205,3 +1205,39 @@ def test_timechart_fill_zero_fills_gaps(spark):
         hql(df, "timechart(span=1h, by=event_id, fill=true)")
     with pytest.raises(HqlSyntaxError):
         hql(df, "timechart(span=1h, slide=30m, fill=true)")
+
+
+def test_percentile_inside_timechart_and_groupby_compose(spark):
+    """percentile() composes in any function= list (groupBy pinned by
+    the oracle query; timechart pinned here): exact interpolated per
+    bucket, one column per requested percentile."""
+    ev = load_table(spark, SF_SMALL, "events")
+    out = hql(
+        ev,
+        "timechart(span=1d, function=[count(), "
+        "percentile(value, percentiles=[50, 90])])",
+    )
+    assert set(out.columns) == {"bucket_start", "_count", "_p50", "_p90"}
+    day = out.orderBy("bucket_start").first()
+    lo = F.from_unixtime(F.lit(day["bucket_start"])).cast("timestamp")
+    vals = sorted(
+        r["value"]
+        for r in ev.filter(
+            (F.col("ts") >= lo)
+            & (
+                F.col("ts")
+                < F.from_unixtime(
+                    F.lit(day["bucket_start"] + 86400)
+                ).cast("timestamp")
+            )
+        ).select("value").collect()
+    )
+    import math
+
+    def interp(p):
+        k = (len(vals) - 1) * p
+        f, c = math.floor(k), math.ceil(k)
+        return vals[f] if f == c else vals[f] + (k - f) * (vals[c] - vals[f])
+
+    assert abs(day["_p50"] - round(interp(0.5), 4)) < 1e-9
+    assert abs(day["_p90"] - round(interp(0.9), 4)) < 1e-9
