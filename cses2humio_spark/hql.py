@@ -823,6 +823,18 @@ def _agg_column(call: Call) -> Column:
     return col
 
 
+def _additive_agg_aliases(funcs: list[Call]) -> set[str]:
+    """Output column names whose aggregate is ADDITIVE (count/sum): an
+    empty bucket legitimately reads 0 for those. avg/min/max/stddev/
+    percentile/collect have no value over zero rows — fabricating a 0
+    observation there would be a wrong answer, so fills leave them NULL."""
+    out: set[str] = set()
+    for c in funcs:
+        if c.name in ("count", "sum"):
+            out.add(c.kwargs.get("as") or f"_{c.name}")
+    return out
+
+
 def _as_list(v) -> list:
     return v if isinstance(v, list) else [v]
 
@@ -835,9 +847,15 @@ def _compile_case(df: DataFrame, node: CaseExpr, now=None) -> DataFrame:
     prior: Column = F.lit(False)
     has_wildcard = False
     for sel, _assigns in node.clauses:
-        c = F.lit(True) if sel is None else _compile_filter(df, sel, now)
         if sel is None:
+            c = F.lit(True)
             has_wildcard = True
+        else:
+            # Coerce SQL three-valued logic to two-valued: a selector that
+            # evaluates to NULL (e.g. `value > 90` on a NULL value) must
+            # count as non-matching, not poison `prior` so later clauses
+            # (including the `*` wildcard) evaluate to NULL too.
+            c = F.coalesce(_compile_filter(df, sel, now), F.lit(False))
         conds.append(c & ~prior)  # first match wins
         prior = prior | c
     # assigned fields in first-seen order -> deterministic output schema
@@ -986,10 +1004,15 @@ def _compile_stage(
                 ).alias("bucket_start")
             )
             agg_cols = [c for c in out.columns if c != "bucket_start"]
+            # zero-fill ONLY additive aggregates; an empty bucket has no
+            # average/min/percentile, so non-additive columns stay NULL
+            additive = _additive_agg_aliases(funcs)
             out = spine.join(out, "bucket_start", "left").select(
                 "bucket_start",
                 *[
                     F.coalesce(F.col(c), F.lit(0)).alias(c)
+                    if c in additive
+                    else F.col(c)
                     for c in agg_cols
                 ],
             )
@@ -1197,6 +1220,35 @@ def _compile_stage(
         # derive from the root frame) — rename its key to a fresh
         # attribute so the equi-condition is never an ambiguous self-join
         sub_df = sub_df.withColumnRenamed(key, "__hql_jk")
+        if mode in ("inner", "left"):
+            # LogScale include= picks which subquery fields ride along;
+            # without it, keep only columns the subquery CREATED — a
+            # non-aggregating subquery retains every root column, and
+            # carrying duplicates of primary-side names would make every
+            # downstream reference AMBIGUOUS_REFERENCE (or silently
+            # resolve to one side).
+            include = _as_list(node.kwargs.get("include", []))
+            if include:
+                missing = [c for c in include if c not in sub_df.columns]
+                if missing:
+                    raise HqlSyntaxError(
+                        f"join include= fields not in subquery output: "
+                        f"{missing}"
+                    )
+                clash = [c for c in include if c in df.columns and c != key]
+                if clash:
+                    raise HqlSyntaxError(
+                        f"join include= fields {clash} collide with "
+                        "primary-side columns; rename them in the "
+                        "subquery (field := expr) first"
+                    )
+                sub_df = sub_df.select("__hql_jk", *include)
+            else:
+                keep = [
+                    c for c in sub_df.columns
+                    if c == "__hql_jk" or c not in df.columns
+                ]
+                sub_df = sub_df.select(*keep)
         if str(node.kwargs.get("broadcast", "false")).lower() == "true":
             sub_df = F.broadcast(sub_df)
         return df.join(

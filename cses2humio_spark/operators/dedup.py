@@ -156,8 +156,11 @@ def minhash_candidate_pairs(
     (``near_dup_clusters``) still reaches every member through the hub.
     Exact per-pair Jaccard is unchanged for the emitted pairs; only
     redundant within-cluster edges are dropped, and the drop is LOGGED
-    (no-silent-caps rule) via one warning naming the oversized buckets'
-    sizes. Pass ``None`` to disable (full clique output)."""
+    (no-silent-caps rule) — via an ``Observation`` metric that fires
+    inside the CONSUMER's action, so the guard launches ZERO extra Spark
+    jobs and persists nothing (the eager bounded probe of earlier rounds
+    cost one job + a leaked cache entry per call even when every bucket
+    was healthy). Pass ``None`` to disable (full clique output)."""
     sigs = minhash_signatures(
         df,
         id_col,
@@ -167,58 +170,88 @@ def minhash_candidate_pairs(
         rows_per_band=rows_per_band,
         shingles_df=shingles_df,
     )
-    if max_bucket_size is not None:
-        # The cap's bounded probe action (the logged-drop contract) would
-        # otherwise recompute the signature aggregation the self-join also
-        # needs twice — persist it so the probe PREPAYS the materialization
-        # and both join sides read the cache (net extra cost: one small
-        # bucket-count aggregation over cached signatures).
-        sigs = sigs.persist()
     a = sigs.select(F.col(id_col).alias("id_a"), "band", "sig")
     b = sigs.select(F.col(id_col).alias("id_b"), "band", "sig")
     if max_bucket_size is not None:
         # One extra pre-aggregation on the SAME (band, sig) shuffle key the
         # join already needs: per-bucket size + min id. Normal buckets take
         # the clique path unchanged; oversized ones emit hub→member edges.
+        # All three consumers of `sigs` live in ONE query, so Catalyst's
+        # ReuseExchange shares the signature aggregation — no persist, no
+        # second computation, no cache to leak.
         stats = sigs.groupBy("band", "sig").agg(
             F.count(F.lit(1)).alias("__bn"),
             F.min(id_col).alias("__hub"),
         )
-        oversized = stats.filter(F.col("__bn") > max_bucket_size)
-        # Bounded driver state: one row per OVERSIZED bucket (pathological
-        # by definition — a handful, or the cap is misconfigured).
-        over_rows = oversized.limit(20).collect()
-        if over_rows:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "minhash_candidate_pairs: %d (band, sig) bucket(s) exceed "
-                "max_bucket_size=%d (sizes: %s%s) — emitting star (hub-to-"
-                "member) edges instead of the full clique for those buckets",
-                len(over_rows),
-                max_bucket_size,
-                ", ".join(str(r["__bn"]) for r in over_rows[:5]),
-                ", ..." if len(over_rows) > 5 else "",
-            )
-            # Prune the LEFT side of the self-join before the pairs exist:
-            # in an oversized bucket only the hub row survives as id_a, so
-            # that bucket contributes O(size) hub→member rows to the join
-            # output instead of O(size^2) clique rows — the cap acts on
-            # join CPU, not just on the result.
-            a = (
-                a.join(stats, on=["band", "sig"])
-                .filter(
-                    (F.col("__bn") <= max_bucket_size)
-                    | (F.col("id_a") == F.col("__hub"))
-                )
-                .select("id_a", "band", "sig")
-            )
+        over = F.col("__bn") > F.lit(max_bucket_size)
+        stats = _observe_star_cap(stats, over, max_bucket_size)
+        # Prune the LEFT side of the self-join before the pairs exist: in
+        # an oversized bucket only the hub row survives as id_a, so that
+        # bucket contributes O(size) hub→member rows to the join output
+        # instead of O(size^2) clique rows — the cap acts on join CPU,
+        # not just on the result. For healthy buckets the filter keeps
+        # every row, so this branch is a co-partitioned no-op join.
+        a = (
+            a.join(stats, on=["band", "sig"])
+            .filter(~over | (F.col("id_a") == F.col("__hub")))
+            .select("id_a", "band", "sig")
+        )
     return (
         a.join(b, on=["band", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def _observe_star_cap(
+    stats: DataFrame, over: Column, max_bucket_size: int
+) -> DataFrame:
+    """Attach the star-cap's logged-drop contract as ``Observation``
+    metrics on the bucket-stats frame: the numbers are computed DURING the
+    consumer's action (zero extra jobs) and a daemon thread logs one
+    warning if any bucket collapsed. The thread blocks on ``obs.get``; if
+    the caller never runs an action it idles harmlessly (daemon)."""
+    import logging
+    import threading
+
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    stats = stats.observe(
+        obs,
+        F.sum(over.cast("long")).alias("n_oversized"),
+        F.max(F.when(over, F.col("__bn"))).alias("max_bucket"),
+        # dropped edges per oversized bucket: clique C(n,2) minus star n-1
+        F.sum(
+            F.when(
+                over,
+                F.col("__bn") * (F.col("__bn") - 1) / 2 - (F.col("__bn") - 1),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("dropped_pairs"),
+    )
+
+    def _log() -> None:
+        try:
+            m = obs.get  # blocks until the consumer's first action
+        except Exception:  # session torn down before any action
+            return
+        if m.get("n_oversized"):
+            logging.getLogger(__name__).warning(
+                "minhash_candidate_pairs: %d (band, sig) bucket(s) exceed "
+                "max_bucket_size=%d (largest: %s) — emitted star (hub-to-"
+                "member) edges instead of the full clique, dropping %s "
+                "redundant within-cluster pair edges",
+                m["n_oversized"],
+                max_bucket_size,
+                m["max_bucket"],
+                m["dropped_pairs"],
+            )
+
+    threading.Thread(
+        target=_log, name="minhash-star-cap-log", daemon=True
+    ).start()
+    return stats
 
 
 def jaccard_pairs(

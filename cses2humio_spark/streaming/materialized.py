@@ -7,29 +7,37 @@ Structured Streaming's own parquet sink is append-only; a maintained
 aggregate needs merge-on-write. The standard production answer is a
 transactional table format (Delta/Iceberg ``MERGE INTO``); this module
 implements the same contract on plain parquet with the minimal
-transaction machinery:
+transaction machinery — SHARDED by hash bucket so a micro-batch rewrites
+only the buckets its delta touches, never the whole key space:
 
-- every applied batch writes a FULL new table version to
-  ``<dir>/v=<batch_id>`` (versions are immutable — no in-place update);
+- keys are hash-partitioned into ``n_buckets`` fixed buckets
+  (``pmod(hash(keys), n_buckets)``, pinned in ``_TABLE.json`` for the
+  table's lifetime);
+- an applied batch merges CURRENT data for the TOUCHED buckets only with
+  the batch delta (pre-aggregated map-side, so the shuffle carries
+  per-key partials, never raw events) and writes each touched bucket as
+  an immutable new version dir ``bucket=<i>/v=<batch_id>`` — write
+  amplification is O(|keys in touched buckets|), independent of the
+  table's total key count;
+- a per-version manifest (``manifest_v=<batch_id>.json``) maps every
+  bucket to the batch that last rewrote it; untouched buckets carry
+  their old version forward BY REFERENCE — their files are not read,
+  not rewritten, not even stat-ed;
 - a one-line ``_LATEST`` pointer file is switched via ``os.replace``
-  (atomic on POSIX), so readers always see a complete version;
+  (atomic on POSIX), so readers always see one complete, consistent
+  manifest;
 - replayed batches (crash after merge, before checkpoint commit — the
   at-least-once window) are detected by ``batch_id <= latest`` and
   skipped, upgrading foreachBatch's at-least-once to exactly-once;
-- superseded versions are pruned after each commit (``keep_versions``
-  retained), so disk stays O(keep_versions x |keys|) for unbounded
-  streams instead of growing per batch.
-
-Scale: the merge unions the CURRENT rollup (|keys| rows) with the batch
-DELTA (pre-aggregated map-side, so the shuffle carries per-key partials,
-never raw events) and re-aggregates — O(|keys|) per batch, independent
-of stream volume. For key spaces too large to rewrite per batch, the
-same pattern applies per hash-bucket subdirectory (rewrite only buckets
-the delta touches); the version-pointer commit is unchanged.
+- superseded bucket versions and manifests are pruned after each commit
+  (``keep_versions`` manifests retained; a bucket version survives while
+  ANY retained manifest references it), so disk stays bounded for
+  unbounded streams instead of growing per batch.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,10 +58,10 @@ class IncrementalRollup:
         value_col: str,
         key_type: str = "string",
         keep_versions: int = 2,
+        n_buckets: int = 16,
     ):
         if keep_versions < 1:
             raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
-        self.table_dir = table_dir
         self.key_col = key_col
         self.value_col = value_col
         # the empty pre-first-commit frame must carry the REAL key type:
@@ -64,9 +72,36 @@ class IncrementalRollup:
         # keeping the pointer target plus keep_versions-1 predecessors
         # (readers of an in-flight older version finish before it ages out)
         self.keep_versions = keep_versions
-        os.makedirs(table_dir, exist_ok=True)
+        self._init_table(table_dir, n_buckets)
 
-    # -- version pointer ---------------------------------------------------
+    # -- table config ------------------------------------------------------
+
+    def _init_table(self, table_dir: str, n_buckets: int) -> None:
+        """Pin ``n_buckets`` for the table's lifetime: bucket membership is
+        a function of the bucket count, so reopening with a different one
+        would split every key's history across two bucketings."""
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        self.table_dir = table_dir
+        os.makedirs(table_dir, exist_ok=True)
+        cfg_path = os.path.join(table_dir, "_TABLE.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path, encoding="ascii") as fh:
+                cfg = json.load(fh)
+            if cfg.get("n_buckets") != n_buckets:
+                raise ValueError(
+                    f"{table_dir}: table was created with "
+                    f"n_buckets={cfg.get('n_buckets')}, reopened with "
+                    f"{n_buckets} — bucket membership would change"
+                )
+        else:
+            tmp = cfg_path + ".tmp"
+            with open(tmp, "w", encoding="ascii") as fh:
+                json.dump({"n_buckets": n_buckets}, fh)
+            os.replace(tmp, cfg_path)
+        self.n_buckets = n_buckets
+
+    # -- version pointer + manifests ---------------------------------------
 
     @property
     def _pointer(self) -> str:
@@ -79,49 +114,119 @@ class IncrementalRollup:
         except FileNotFoundError:
             return None
 
+    def _manifest_path(self, batch_id: int) -> str:
+        return os.path.join(self.table_dir, f"manifest_v={batch_id}.json")
+
+    def _load_manifest(self, batch_id: int) -> dict[int, int]:
+        """bucket id -> batch id of the version holding that bucket."""
+        with open(self._manifest_path(batch_id), encoding="ascii") as fh:
+            return {int(k): int(v) for k, v in json.load(fh).items()}
+
+    def _write_manifest(self, batch_id: int, manifest: dict[int, int]) -> None:
+        tmp = self._manifest_path(batch_id) + ".tmp"
+        with open(tmp, "w", encoding="ascii") as fh:
+            json.dump({str(k): v for k, v in manifest.items()}, fh)
+        os.replace(tmp, self._manifest_path(batch_id))
+
     def _commit(self, batch_id: int) -> None:
         tmp = self._pointer + ".tmp"
         with open(tmp, "w", encoding="ascii") as fh:
             fh.write(str(batch_id))
         os.replace(tmp, self._pointer)  # atomic pointer switch
 
-    # -- read / merge ------------------------------------------------------
+    def _bucket_dir(self, bucket: int, version: int) -> str:
+        return os.path.join(self.table_dir, f"bucket={bucket}", f"v={version}")
+
+    # -- read --------------------------------------------------------------
+
+    def _empty(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(
+            [], f"{self.key_col} {self.key_type}, n_rows bigint, total double"
+        )
 
     def read(self, spark: SparkSession) -> DataFrame:
         latest = self.latest_batch_id()
         if latest is None:
-            return spark.createDataFrame(
-                [], f"{self.key_col} {self.key_type}, n_rows bigint, total double"
-            )
-        return spark.read.parquet(os.path.join(self.table_dir, f"v={latest}"))
+            return self._empty(spark)
+        manifest = self._load_manifest(latest)
+        if not manifest:
+            return self._empty(spark)
+        paths = [self._bucket_dir(b, v) for b, v in sorted(manifest.items())]
+        return spark.read.parquet(*paths)
+
+    def _read_buckets(
+        self, spark: SparkSession, manifest: dict[int, int], buckets: list[int]
+    ) -> DataFrame | None:
+        paths = [
+            self._bucket_dir(b, manifest[b]) for b in buckets if b in manifest
+        ]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    # -- pruning -----------------------------------------------------------
 
     def _prune_versions(self, committed: int) -> None:
+        """Retain the ``keep_versions`` newest manifests; a bucket version
+        dir survives while ANY retained manifest references it."""
         import re
         import shutil
 
-        keep_floor = []
+        manifest_ids = sorted(
+            (
+                int(m.group(1))
+                for name in os.listdir(self.table_dir)
+                if (m := re.fullmatch(r"manifest_v=(\d+)\.json", name))
+            ),
+            reverse=True,
+        )
+        retained = [i for i in manifest_ids if i <= committed][
+            : self.keep_versions
+        ]
+        live: dict[int, set[int]] = {}
+        for mid in retained:
+            for b, v in self._load_manifest(mid).items():
+                live.setdefault(b, set()).add(v)
+        for mid in manifest_ids:
+            if mid < committed and mid not in retained:
+                try:
+                    os.remove(self._manifest_path(mid))
+                except FileNotFoundError:
+                    pass
         for name in os.listdir(self.table_dir):
-            m = re.fullmatch(r"v=(\d+)", name)
-            if m:
-                keep_floor.append(int(m.group(1)))
-        keep_floor.sort(reverse=True)
-        for vid in keep_floor[self.keep_versions :]:
-            if vid < committed:  # never touch the pointer target or newer
-                shutil.rmtree(
-                    os.path.join(self.table_dir, f"v={vid}"), ignore_errors=True
-                )
+            m = re.fullmatch(r"bucket=(\d+)", name)
+            if not m:
+                if name.startswith("_staging_v=") and not name.endswith(
+                    f"={committed}"
+                ):
+                    shutil.rmtree(
+                        os.path.join(self.table_dir, name), ignore_errors=True
+                    )
+                continue
+            b = int(m.group(1))
+            bdir = os.path.join(self.table_dir, name)
+            for vname in os.listdir(bdir):
+                vm = re.fullmatch(r"v=(\d+)", vname)
+                if vm:
+                    vid = int(vm.group(1))
+                    if vid < committed and vid not in live.get(b, set()):
+                        shutil.rmtree(
+                            os.path.join(bdir, vname), ignore_errors=True
+                        )
 
-    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        latest = self.latest_batch_id()
-        if latest is not None and batch_id <= latest:
-            # replayed micro-batch: its effect is already in the table
-            return
-        delta = batch_df.groupBy(self.key_col).agg(
+    # -- merge -------------------------------------------------------------
+
+    def _key_cols(self) -> list[str]:
+        return [self.key_col]
+
+    def _delta(self, batch_df: DataFrame) -> DataFrame:
+        return batch_df.groupBy(self.key_col).agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
             F.sum(F.col(self.value_col).cast("double")).alias("total"),
         )
-        current = self.read(batch_df.sparkSession)
-        merged = (
+
+    def _merge(self, current: DataFrame, delta: DataFrame) -> DataFrame:
+        return (
             current.unionByName(delta)
             .groupBy(self.key_col)
             .agg(
@@ -129,11 +234,63 @@ class IncrementalRollup:
                 F.sum("total").alias("total"),
             )
         )
-        merged.write.mode("overwrite").parquet(
-            os.path.join(self.table_dir, f"v={batch_id}")
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        latest = self.latest_batch_id()
+        if latest is not None and batch_id <= latest:
+            # replayed micro-batch: its effect is already in the table
+            return
+        spark = batch_df.sparkSession
+        bucket_of = F.pmod(
+            F.hash(*[F.col(k) for k in self._key_cols()]),
+            F.lit(self.n_buckets),
         )
-        self._commit(batch_id)
-        self._prune_versions(batch_id)
+        delta = self._delta(batch_df).withColumn("__b", bucket_of).persist()
+        try:
+            # bounded driver state: at most n_buckets rows
+            touched = sorted(
+                r["__b"] for r in delta.select("__b").distinct().collect()
+            )
+            prev = self._load_manifest(latest) if latest is not None else {}
+            if not touched:
+                # empty batch: commit a manifest carrying every bucket
+                # forward so batch-id monotonicity (the replay guard)
+                # still advances — no data is read or written
+                self._write_manifest(batch_id, prev)
+                self._commit(batch_id)
+                self._prune_versions(batch_id)
+                return
+            current = self._read_buckets(spark, prev, touched)
+            if current is None:
+                merged = delta.drop("__b")
+            else:
+                merged = self._merge(current, delta.drop("__b"))
+            staging = os.path.join(
+                self.table_dir, f"_staging_v={batch_id}"
+            )
+            # one partitioned write: only touched buckets exist in the
+            # delta, so only touched buckets appear under the staging dir
+            merged.withColumn("__b", bucket_of).write.mode(
+                "overwrite"
+            ).partitionBy("__b").parquet(staging)
+            import shutil
+
+            for b in touched:
+                src = os.path.join(staging, f"__b={b}")
+                dst = self._bucket_dir(b, batch_id)
+                if os.path.exists(dst):  # crashed earlier attempt
+                    shutil.rmtree(dst)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(src, dst)
+            shutil.rmtree(staging, ignore_errors=True)
+            manifest = dict(prev)
+            for b in touched:
+                manifest[b] = batch_id
+            self._write_manifest(batch_id, manifest)
+            self._commit(batch_id)
+            self._prune_versions(batch_id)
+        finally:
+            delta.unpersist()
 
 
 class MaterializedHqlSearch(IncrementalRollup):
@@ -144,9 +301,10 @@ class MaterializedHqlSearch(IncrementalRollup):
     each micro-batch contributes a pre-aggregated delta (map-side
     partials; raw events never reach the merge), merged into the current
     version with the aggregate's own merge function (sum-of-counts,
-    sum-of-sums, min-of-mins, max-of-maxes). Versioned-pointer commits
-    and replay skipping are inherited — exactly-once under micro-batch
-    replay, same as IncrementalRollup.
+    sum-of-sums, min-of-mins, max-of-maxes). Sharded bucket versions,
+    manifest commits and replay skipping are inherited — exactly-once
+    under micro-batch replay, rewrite cost O(touched buckets), same as
+    IncrementalRollup.
 
     Non-mergeable aggregates (avg, percentile, count distinct, stddev)
     are REFUSED loudly at construction: silently maintaining a wrong
@@ -166,6 +324,7 @@ class MaterializedHqlSearch(IncrementalRollup):
         query: str,
         tables: dict[str, DataFrame] | None = None,
         keep_versions: int = 2,
+        n_buckets: int = 16,
     ):
         from cses2humio_spark.hql import Call, parse
 
@@ -214,13 +373,15 @@ class MaterializedHqlSearch(IncrementalRollup):
                 f"duplicate aggregate aliases {aliases} — use as= to "
                 "disambiguate"
             )
-        self.table_dir = table_dir
         self.keep_versions = keep_versions
         self._prefix = stages[:-1]
         self._keys = [str(k) for k in keys]
         self._specs = specs
         self._tables = tables or {}
-        os.makedirs(table_dir, exist_ok=True)
+        self._init_table(table_dir, n_buckets)
+
+    def _key_cols(self) -> list[str]:
+        return self._keys
 
     def _delta(self, batch_df: DataFrame) -> DataFrame:
         from cses2humio_spark.hql import _compile_stage
@@ -243,6 +404,18 @@ class MaterializedHqlSearch(IncrementalRollup):
             aggs.append(col.alias(alias))
         return df.groupBy(*[F.col(k) for k in self._keys]).agg(*aggs)
 
+    def _merge(self, current: DataFrame, delta: DataFrame) -> DataFrame:
+        merge = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+        return current.unionByName(delta).groupBy(
+            *[F.col(k) for k in self._keys]
+        ).agg(
+            *[
+                (merge[kind](alias).cast("bigint") if kind == "count"
+                 else merge[kind](alias)).alias(alias)
+                for kind, _f, alias in self._specs
+            ]
+        )
+
     def read(self, spark: SparkSession) -> DataFrame:
         latest = self.latest_batch_id()
         if latest is None:
@@ -250,31 +423,11 @@ class MaterializedHqlSearch(IncrementalRollup):
                 f"{self.table_dir}: no committed version yet — the search "
                 "has not processed a batch"
             )
-        return spark.read.parquet(os.path.join(self.table_dir, f"v={latest}"))
-
-    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        latest = self.latest_batch_id()
-        if latest is not None and batch_id <= latest:
-            return  # replayed micro-batch: already merged
-        delta = self._delta(batch_df)
-        if latest is None:
-            merged = delta
-        else:
-            merge = {
-                "count": F.sum, "sum": F.sum, "min": F.min, "max": F.max,
-            }
-            current = self.read(batch_df.sparkSession)
-            merged = current.unionByName(delta).groupBy(
-                *[F.col(k) for k in self._keys]
-            ).agg(
-                *[
-                    (merge[kind](alias).cast("bigint") if kind == "count"
-                     else merge[kind](alias)).alias(alias)
-                    for kind, _f, alias in self._specs
-                ]
+        manifest = self._load_manifest(latest)
+        if not manifest:
+            raise ValueError(
+                f"{self.table_dir}: committed only empty batches — the "
+                "search holds no rows yet (schema unknowable without data)"
             )
-        merged.write.mode("overwrite").parquet(
-            os.path.join(self.table_dir, f"v={batch_id}")
-        )
-        self._commit(batch_id)
-        self._prune_versions(batch_id)
+        paths = [self._bucket_dir(b, v) for b, v in sorted(manifest.items())]
+        return spark.read.parquet(*paths)

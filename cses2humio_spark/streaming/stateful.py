@@ -348,31 +348,10 @@ SESSION_OUT_SCHEMA = (
 SESSION_STATE_SCHEMA = "start_us bigint, last_us bigint, n_events bigint"
 
 
-def streaming_sessionize_timeout(
-    keyed: DataFrame, gap_seconds: int, watermark_delay: str = "10 seconds"
-) -> DataFrame:
-    """Gap-based sessionization with TIMER-driven final emission: the
-    streaming twin of ``operators/windows.py::sessionize`` that solves the
-    problem batch logic can't — a session is only known CLOSED when no
-    event arrives for ``gap_seconds``, which on a stream is an absence of
-    data, not a row. The state store keeps (start, last, n) per key; every
-    update arms an EVENT-TIME timeout at ``last + gap``; when the
-    watermark passes it, the function fires with ``state.hasTimedOut`` and
-    the finished session is emitted exactly once (APPEND semantics).
-
-    In-stream closure needs no timer: a row that lands more than ``gap``
-    after ``last`` closes the previous session inline and starts the next.
-    Rows are scanned in event-time order within a batch; cross-batch order
-    is the stream's replay order (same contract as streaming_cusum).
-
-    Emits epoch-MICROSECOND bounds (engine-portable, no timestamp-repr
-    drift). State is three bigints per ACTIVE key and the timeout clears
-    it — at 100 TB/day the store holds only keys active within one gap,
-    not the key universe.
-    """
-    from pyspark.sql import functions as F
-
-    keyed = keyed.select("user", "ts").withWatermark("ts", watermark_delay)
+def _make_session_update(gap_seconds: int):
+    """Per-key applyInPandasWithState update for gap sessionization —
+    module-level factory so the timer-clamp branch is unit-testable with
+    a fake GroupState (the real trigger needs a watermark race)."""
     gap_us = int(gap_seconds) * 1_000_000
 
     def update(key, pdfs, state):
@@ -401,11 +380,21 @@ def streaming_sessionize_timeout(
                             last_us = us
                         n += 1
             if start_us is not None:
-                state.update((start_us, last_us, n))
-                # arm the event-time timer: fire when watermark > last+gap
-                state.setTimeoutTimestamp(
-                    last_us // 1000 + int(gap_seconds) * 1000
-                )
+                timer_ms = last_us // 1000 + int(gap_seconds) * 1000
+                # Spark refuses a timeout timestamp <= the current
+                # watermark (IllegalArgumentException kills the query). A
+                # batch of late-but-in-watermark rows can yield last+gap
+                # already behind the watermark — that session is over by
+                # definition, so close it inline instead of arming.
+                wm_ms = state.getCurrentWatermarkMs()
+                if wm_ms > 0 and timer_ms <= wm_ms:
+                    closed.append((start_us, last_us, n))
+                    if state.exists:
+                        state.remove()
+                else:
+                    state.update((start_us, last_us, n))
+                    # arm the event-time timer: fire when wm > last+gap
+                    state.setTimeoutTimestamp(timer_ms)
         if closed:
             yield _pd.DataFrame(
                 {
@@ -415,6 +404,36 @@ def streaming_sessionize_timeout(
                     "n_events": [c[2] for c in closed],
                 }
             )
+
+    return update
+
+
+def streaming_sessionize_timeout(
+    keyed: DataFrame, gap_seconds: int, watermark_delay: str = "10 seconds"
+) -> DataFrame:
+    """Gap-based sessionization with TIMER-driven final emission: the
+    streaming twin of ``operators/windows.py::sessionize`` that solves the
+    problem batch logic can't — a session is only known CLOSED when no
+    event arrives for ``gap_seconds``, which on a stream is an absence of
+    data, not a row. The state store keeps (start, last, n) per key; every
+    update arms an EVENT-TIME timeout at ``last + gap``; when the
+    watermark passes it, the function fires with ``state.hasTimedOut`` and
+    the finished session is emitted exactly once (APPEND semantics).
+
+    In-stream closure needs no timer: a row that lands more than ``gap``
+    after ``last`` closes the previous session inline and starts the next.
+    Rows are scanned in event-time order within a batch; cross-batch order
+    is the stream's replay order (same contract as streaming_cusum).
+
+    Emits epoch-MICROSECOND bounds (engine-portable, no timestamp-repr
+    drift). State is three bigints per ACTIVE key and the timeout clears
+    it — at 100 TB/day the store holds only keys active within one gap,
+    not the key universe.
+    """
+    from pyspark.sql import functions as F
+
+    keyed = keyed.select("user", "ts").withWatermark("ts", watermark_delay)
+    update = _make_session_update(gap_seconds)
 
     return keyed.groupBy("user").applyInPandasWithState(
         update,

@@ -420,10 +420,26 @@ def test_minhash_mass_duplicate_bucket_cap(spark, caplog):
             docs, "doc_id", "text", max_bucket_size=50
         )
         rows = pairs.collect()
+        # the drop notice is an Observation metric logged from a daemon
+        # thread once the action's metrics land — wait for it briefly
+        import time
+
+        for _ in range(100):
+            if any("max_bucket_size" in r.message for r in caplog.records):
+                break
+            time.sleep(0.05)
     # star: hub (min id 0) -> each of the other n-1 members, once
     assert len(rows) == n - 1, len(rows)
     assert {(r.id_a, r.id_b) for r in rows} == {(0, i) for i in range(1, n)}
     assert any("max_bucket_size" in r.message for r in caplog.records)
+    drop_msg = next(
+        r.message for r in caplog.records if "max_bucket_size" in r.message
+    )
+    # one oversized bucket per band (identical docs collide in all 4
+    # bands); each drops clique C(300,2) minus star 299 = 44551
+    # bucket-local edges -> 4 x 44551, observed during the consumer's
+    # own action
+    assert "178204" in drop_msg and "largest: 300" in drop_msg, drop_msg
     # clustering still reaches every member through the hub
     clusters = near_dup_clusters(
         docs.select("doc_id"), pairs, id_col="doc_id"
@@ -431,6 +447,39 @@ def test_minhash_mass_duplicate_bucket_cap(spark, caplog):
     reps = {r.doc_id: r.cluster_rep for r in clusters}
     assert all(reps[i] == 0 for i in range(n))
     assert reps[n] == n  # the distinct doc stays a singleton
+
+
+def test_minhash_cap_guard_runs_zero_extra_jobs(spark):
+    """Scale contract (VERDICT r4 #3): the mass-dup guard must be
+    action-free — BUILDING the capped plan launches no Spark job, and
+    collecting it costs the same job count as the uncapped plan (the
+    bucket-stats branch rides the consumer's action via ReuseExchange +
+    an Observation, never an eager probe)."""
+    from cses2humio_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon word{i % 7}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("massdup-build", "plan build must be lazy")
+    try:
+        pairs = minhash_candidate_pairs(
+            docs, "doc_id", "text", max_bucket_size=50
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    build_jobs = sc.statusTracker().getJobIdsForGroup("massdup-build")
+    assert len(build_jobs) == 0, (
+        f"building the capped plan launched {len(build_jobs)} job(s) — "
+        "the guard must not run an eager probe action"
+    )
+
+    # the logged-drop contract rides the consumer's action as a
+    # CollectMetrics (Observation) node inside the ONE query — not a
+    # separate probe query
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "CollectMetrics" in plan, plan
 
 
 def test_minhash_cap_inactive_on_normal_corpus(spark):

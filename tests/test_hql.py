@@ -1241,3 +1241,96 @@ def test_percentile_inside_timechart_and_groupby_compose(spark):
 
     assert abs(day["_p50"] - round(interp(0.5), 4)) < 1e-9
     assert abs(day["_p90"] - round(interp(0.9), 4)) < 1e-9
+
+
+def test_case_null_selector_falls_through_to_later_clauses(spark):
+    """ADVICE r4: a selector evaluating to NULL (value > 90 on a NULL
+    value) must count as NON-matching — not poison the first-match chain
+    so later clauses (including the wildcard) emit NULL."""
+    df = spark.createDataFrame(
+        [(1, 95.0), (2, 10.0), (3, None)], "id long, value double"
+    )
+    out = hql(
+        df,
+        'case { value > 90 | sev := "hi" ; * | sev := "normal" }',
+    )
+    got = {r["id"]: r["sev"] for r in out.collect()}
+    assert got == {1: "hi", 2: "normal", 3: "normal"}
+    # without a wildcard, the NULL-selector row is DROPPED (two-valued
+    # filter), not kept with sev=NULL
+    out2 = hql(df, 'case { value > 90 | sev := "hi" }')
+    assert {r["id"] for r in out2.collect()} == {1}
+
+
+def test_join_subquery_drops_colliding_root_columns(spark):
+    """ADVICE r4: a NON-aggregating subquery retains every root column;
+    the join must project those away (keep key + subquery-created fields
+    only) so downstream stages never hit AMBIGUOUS_REFERENCE."""
+    ev = load_table(spark, SF_SMALL, "events")
+    out = hql(
+        ev,
+        "event_type = purchase "
+        "| join({event_type = error | flagged := 1}, "
+        "field=user_id, key=user_id, mode=left) "
+        "| groupBy(event_type)",  # would be ambiguous pre-fix
+    )
+    rows = out.collect()
+    assert [r["event_type"] for r in rows] == ["purchase"]
+    assert rows[0]["_count"] >= ev.filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id").distinct().count() > 0
+    # no duplicate column names anywhere in the joined schema
+    mid = hql(
+        ev,
+        "event_type = purchase | join({event_type = error | flagged := 1}, "
+        "field=user_id, key=user_id, mode=left)",
+    )
+    assert len(mid.columns) == len(set(mid.columns))
+    assert "flagged" in mid.columns
+
+
+def test_join_include_selects_subquery_fields(spark):
+    """LogScale include=: explicit subquery fields ride along; a field
+    colliding with a primary-side column raises loudly."""
+    orders = load_table(spark, SF_SMALL, "orders")
+    customer = load_table(spark, SF_SMALL, "customer")
+    out = hql(
+        orders,
+        "join({select([c_custkey, c_mktsegment, c_name])}, "
+        "field=o_custkey, key=c_custkey, table=customer, "
+        "include=[c_mktsegment])",
+        tables={"customer": customer},
+    )
+    assert "c_mktsegment" in out.columns and "c_name" not in out.columns
+    with pytest.raises(HqlSyntaxError):
+        hql(
+            orders,
+            "join({select([c_custkey, c_name])}, field=o_custkey, "
+            "key=c_custkey, table=customer, include=[missing_field])",
+            tables={"customer": customer},
+        )
+
+
+def test_timechart_fill_leaves_nonadditive_aggs_null(spark):
+    """ADVICE r4: fill=true zero-fills ONLY additive aggregates
+    (count/sum); an empty bucket has no average/min — those stay NULL."""
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00", 10.0), (2, "2024-01-01 02:30:00", 30.0)],
+        "event_id long, ts_s string, value double",
+    ).selectExpr(
+        "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "value"
+    )
+    out = (
+        hql(
+            df,
+            "timechart(span=1h, fill=true, function=[count(), "
+            "sum(value, as=_sum), avg(value, as=_avg), "
+            "max(value, as=_max)])",
+        )
+        .orderBy("bucket_start")
+        .collect()
+    )
+    assert [r["_count"] for r in out] == [1, 0, 1]
+    assert [r["_sum"] for r in out] == [10.0, 0.0, 30.0]
+    assert [r["_avg"] for r in out] == [10.0, None, 30.0]
+    assert [r["_max"] for r in out] == [10.0, None, 30.0]
