@@ -27,6 +27,8 @@ Surface:
   (tumbling/sliding/gap-filled), ``sort`` (per-field order lists),
   ``head/tail/top`` (+``percent=``), ``select/table/rename/drop/
   default``, ``regex`` named-group extraction, ``parseJson``,
+  ``kvParse``, ``parseUrl``, ``parseCsv``, ``parseXml``, ``cidr``
+  subnet filtering,
   ``parseTimestamp``, ``replace/concat/format/splitString/split``,
   ``bucket``, ``session``, ``dedup``, ``in`` (+``ignoreCase``),
   ``match`` lookup enrichment, ``join({subquery})``
@@ -508,7 +510,8 @@ _STAGE_FUNCS = {
     "dedup", "in", "match", "percentile", "watermark", "sample",
     "default", "rename", "drop", "replace", "concat", "format",
     "splitString", "split", "stddev", "bucket", "join", "window", "tail",
-    "collect", "parseTimestamp",
+    "collect", "parseTimestamp", "kvParse", "parseUrl", "parseCsv",
+    "parseXml", "cidr",
 }
 
 _SPANS = {"s": "second", "m": "minute", "h": "hour", "d": "day", "w": "week"}
@@ -1170,6 +1173,120 @@ def _compile_stage(
                 k.split(".")[-1], F.get_json_object(F.col(target), f"$.{k}")
             )
         return out
+    if name == "kvParse":
+        # LogScale kvParse(): split a raw `k=v k=v` line into fields.
+        # Same deliberate deviation as parseJson: extracted KEYS are
+        # EXPLICIT — inferring the key set per event at 100 TB is a full
+        # extra scan, while element_at on named keys of one str_to_map
+        # stays in codegen (common-subexpression eliminated across keys).
+        target = node.args[0] if node.args else node.kwargs.get("field")
+        keys = _as_list(node.kwargs.get("keys", []))
+        if target is None or not keys:
+            raise HqlSyntaxError("kvParse(field, keys=[...]) requires both")
+        sep = str(node.kwargs.get("sep", " "))
+        kvsep = str(node.kwargs.get("kvsep", "="))
+        m = F.str_to_map(F.col(target), F.lit(sep), F.lit(kvsep))
+        out = df
+        for k in keys:
+            out = out.withColumn(str(k), F.element_at(m, str(k)))
+        return out
+    if name == "parseUrl":
+        # LogScale parseUrl(): decompose a URL column into component
+        # fields via the JVM parse_url expression. parts= picks the
+        # components (default scheme/host/path/query); param=[k, ...]
+        # additionally extracts named query parameters as fields.
+        target = node.args[0] if node.args else node.kwargs.get("field")
+        if target is None:
+            raise HqlSyntaxError("parseUrl(field) requires a field")
+        part_of = {
+            "scheme": "PROTOCOL", "host": "HOST", "path": "PATH",
+            "query": "QUERY", "file": "FILE", "authority": "AUTHORITY",
+            "fragment": "REF",
+        }
+        parts = [
+            str(p)
+            for p in _as_list(
+                node.kwargs.get("parts", ["scheme", "host", "path", "query"])
+            )
+        ]
+        bad = [p for p in parts if p not in part_of]
+        if bad:
+            raise HqlSyntaxError(
+                f"parseUrl parts must be among {sorted(part_of)}, got {bad}"
+            )
+        out = df
+        for p in parts:
+            out = out.withColumn(
+                p, F.parse_url(F.col(target), F.lit(part_of[p]))
+            )
+        for k in _as_list(node.kwargs.get("param", [])):
+            out = out.withColumn(
+                str(k),
+                F.parse_url(F.col(target), F.lit("QUERY"), F.lit(str(k))),
+            )
+        return out
+    if name == "parseCsv":
+        # LogScale parseCsv(columns=[...]): recover positional fields
+        # from a delimited line. Compiles to the JVM from_csv expression
+        # (real CSV quoting, not split-and-pray); fields land as STRINGS,
+        # matching LogScale — aggregates cast on use.
+        target = node.args[0] if node.args else node.kwargs.get("field")
+        columns = [str(c) for c in _as_list(node.kwargs.get("columns", []))]
+        if target is None or not columns:
+            raise HqlSyntaxError("parseCsv(field, columns=[...]) requires both")
+        for c in columns:
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c):
+                raise HqlSyntaxError(f"bad parseCsv column name {c!r}")
+        schema = ", ".join(f"{c} STRING" for c in columns)
+        opts = {}
+        if "sep" in node.kwargs:
+            opts["sep"] = str(node.kwargs["sep"])
+        parsed = F.from_csv(F.col(target), F.lit(schema), opts)
+        out = df.withColumn("__csv", parsed)
+        for c in columns:
+            out = out.withColumn(c, F.col(f"__csv.{c}"))
+        return out.drop("__csv")
+    if name == "parseXml":
+        # LogScale parseXml(): extract element text from an XML payload.
+        # Explicit dotted element paths (same rationale as parseJson) —
+        # each `a.b.c` compiles to xpath_string('/a/b/c/text()'), the
+        # field name is the last segment. Elements only; attribute
+        # extraction needs the typed from_xml surface (queries/logs.py).
+        target = node.args[0] if node.args else node.kwargs.get("field")
+        keys = [str(k) for k in _as_list(node.kwargs.get("keys", []))]
+        if target is None or not keys:
+            raise HqlSyntaxError("parseXml(field, keys=[...]) requires both")
+        out = df
+        for k in keys:
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", k):
+                raise HqlSyntaxError(f"bad parseXml path {k!r}")
+            xpath = "/" + k.replace(".", "/") + "/text()"
+            out = out.withColumn(
+                k.split(".")[-1], F.xpath_string(F.col(target), F.lit(xpath))
+            )
+        return out
+    if name == "cidr":
+        # LogScale cidr(): FILTER events whose IPv4 field falls inside
+        # any of the given subnets (negate=true inverts). Compiles to
+        # the codegen'd prefix-compare in functions/net.py — no UDF, the
+        # predicate pushes like any other filter.
+        from cses2humio_spark.functions.net import cidr_match
+
+        target = node.args[0] if node.args else node.kwargs.get("field")
+        subnets = [str(s) for s in _as_list(node.kwargs.get("subnet", []))]
+        if target is None or not subnets:
+            raise HqlSyntaxError("cidr(field, subnet=...) requires both")
+        cond = None
+        for s in subnets:
+            try:
+                c = cidr_match(F.col(target), s)
+            except ValueError as exc:
+                raise HqlSyntaxError(str(exc)) from exc
+            cond = c if cond is None else (cond | c)
+        cond = F.coalesce(cond, F.lit(False))
+        if str(node.kwargs.get("negate", "false")).lower() == "true":
+            cond = ~cond
+        return df.filter(cond)
     if name == "join":
         # LogScale join({subquery}, field=..., key=..., [mode=inner|left],
         # [table=name], [broadcast=true]): the subquery is an independent

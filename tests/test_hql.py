@@ -1334,3 +1334,84 @@ def test_timechart_fill_leaves_nonadditive_aggs_null(spark):
     assert [r["_sum"] for r in out] == [10.0, 0.0, 30.0]
     assert [r["_avg"] for r in out] == [10.0, None, 30.0]
     assert [r["_max"] for r in out] == [10.0, None, 30.0]
+
+
+def test_kvparse_stage_extracts_named_keys(spark):
+    df = spark.createDataFrame(
+        [("type=error user=3 val=9.50",), ("type=view user=4 val=1.25",)],
+        "raw string",
+    )
+    out = hql(df, "kvParse(raw, keys=[type, val]) | type = error")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["type"] == "error"
+    assert rows[0]["val"] == "9.50"  # fields land as strings (LogScale)
+    # custom separators
+    df2 = spark.createDataFrame([("a:1;b:2",)], "raw string")
+    r = hql(df2, 'kvParse(raw, keys=[b], sep=";", kvsep=":")').first()
+    assert r["b"] == "2"
+    with pytest.raises(HqlSyntaxError):
+        hql(df, "kvParse(raw)")  # keys are explicit by design
+
+
+def test_parseurl_stage_components_and_params(spark):
+    df = spark.createDataFrame(
+        [("https://ex.com/a/b?x=1&y=2#frag",)], "url string"
+    )
+    r = hql(
+        df,
+        "parseUrl(url, parts=[scheme, host, path, fragment], param=[y])",
+    ).first()
+    assert (r["scheme"], r["host"], r["path"], r["fragment"], r["y"]) == (
+        "https", "ex.com", "/a/b", "frag", "2"
+    )
+    with pytest.raises(HqlSyntaxError, match="parts"):
+        hql(df, "parseUrl(url, parts=[hostname])")
+
+
+def test_parsecsv_stage_quoting_and_errors(spark):
+    # real CSV quoting, not split-and-pray
+    df = spark.createDataFrame([('"a,b",2,c',)], "line string")
+    r = hql(df, "parseCsv(line, columns=[x, y, z])").first()
+    assert (r["x"], r["y"], r["z"]) == ("a,b", "2", "c")
+    with pytest.raises(HqlSyntaxError):
+        hql(df, "parseCsv(line)")  # columns required
+    with pytest.raises(HqlSyntaxError, match="column name"):
+        hql(df, 'parseCsv(line, columns=["bad name"])')
+
+
+def test_parsexml_stage_dotted_paths(spark):
+    df = spark.createDataFrame(
+        [("<ev><type>error</type><val>7</val></ev>",)], "xml string"
+    )
+    r = hql(df, "parseXml(xml, keys=[ev.type, ev.val])").first()
+    assert (r["type"], r["val"]) == ("error", "7")
+    with pytest.raises(HqlSyntaxError):
+        hql(df, "parseXml(xml)")
+
+
+def test_cidr_stage_filters_and_negates(spark):
+    df = spark.createDataFrame(
+        [("10.0.0.5",), ("10.64.1.1",), ("192.168.0.1",), (None,)],
+        "ip string",
+    )
+    kept = {r["ip"] for r in hql(df, 'cidr(ip, subnet="10.0.0.0/10")').collect()}
+    assert kept == {"10.0.0.5"}
+    # list of subnets = any-match; negate inverts under TWO-valued logic:
+    # a NULL ip is "not in the subnet", so positive drops it and negate
+    # keeps it (never a silent NULL row-kill on the positive side)
+    kept2 = {
+        r["ip"]
+        for r in hql(
+            df, 'cidr(ip, subnet=["10.0.0.0/10", "192.168.0.0/16"])'
+        ).collect()
+    }
+    assert kept2 == {"10.0.0.5", "192.168.0.1"}
+    neg = {
+        r["ip"]
+        for r in hql(
+            df, 'cidr(ip, subnet="10.0.0.0/8", negate=true)'
+        ).collect()
+    }
+    assert neg == {"192.168.0.1", None}
+    with pytest.raises(HqlSyntaxError):
+        hql(df, 'cidr(ip, subnet="10.0.0.0/33")')
