@@ -1548,6 +1548,54 @@ def _compile_stage(
     raise HqlSyntaxError(f"unknown stage function {name!r}")
 
 
+#: evals whose per-row CPU dominates the scan (per-character HOF folds,
+#: cryptographic hashing) — a pipe containing one gets the same fan_out
+#: treatment the Python-API operators apply before heavy map phases
+_EXPENSIVE_EVALS = {"shannonEntropy", "md5", "sha256"}
+
+
+def _arith_call_names(node, out: set) -> None:
+    if not isinstance(node, tuple):
+        return
+    kind = node[0]
+    if kind in ("num", "str", "field"):
+        return
+    if kind == "call":
+        out.add(node[1])
+        for a in node[2]:
+            _arith_call_names(a, out)
+        return
+    if kind == "if":
+        _arith_call_names(node[2], out)
+        _arith_call_names(node[3], out)
+        return
+    if len(node) == 4:  # binary op
+        _arith_call_names(node[2], out)
+        _arith_call_names(node[3], out)
+
+
+def _uses_expensive_eval(stages) -> bool:
+    names: set[str] = set()
+
+    def walk(st) -> None:
+        if isinstance(st, Assign):
+            _arith_call_names(st.expr, names)
+        elif isinstance(st, CaseExpr):
+            for _sel, assigns in st.clauses:
+                for a in assigns:
+                    _arith_call_names(a.expr, names)
+        elif isinstance(st, Call):
+            for v in list(st.args) + list(st.kwargs.values()):
+                for x in (v if isinstance(v, list) else [v]):
+                    if isinstance(x, Subquery):
+                        for s2 in x.stages:
+                            walk(s2)
+
+    for st in stages:
+        walk(st)
+    return bool(names & _EXPENSIVE_EVALS)
+
+
 def hql(
     df: DataFrame,
     query: str,
@@ -1559,8 +1607,21 @@ def hql(
     names the lookup DataFrames the ``match(...)`` stage may reference.
     ``now`` pins the anchor for relative-time filters (``ts > -1d``) to a
     fixed timestamp string — pass it for reproducible pipelines and
-    oracle checks; default is the engine's query-start clock."""
+    oracle checks; default is the engine's query-start clock.
+
+    Pipes containing a CPU-expensive eval (``shannonEntropy``, ``md5``,
+    ``sha256``) route the input through ``sources.catalog.fan_out``
+    first: a small single-row-group file scans as ONE task locally,
+    which would serialize the per-row fold on one core; at cluster
+    scale the input already has enough splits and fan_out is a no-op.
+    Filters still push — Catalyst moves predicates through the
+    round-robin repartition."""
+    stages = parse(query)
+    if _uses_expensive_eval(stages):
+        from cses2humio_spark.sources.catalog import fan_out
+
+        df = fan_out(df)
     out = df
-    for stage in parse(query):
+    for stage in stages:
         out = _compile_stage(out, stage, tables or {}, now=now, root=df)
     return out
