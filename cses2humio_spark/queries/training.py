@@ -639,3 +639,65 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("q").cast("int").alias("max_code"),
         F.array_min("q").cast("int").alias("min_code"),
     )
+
+
+#: fixed seed corpus for the registered BPE queries — merges must be the
+#: SAME literal table in the Spark plan and the DuckDB oracle, so they
+#: are learned from this deterministic constant, never from the data
+_BPE_SEED = [
+    "the quick brown fox jumps over the lazy dog",
+    "spark streams process the event data quickly",
+    "training data pipelines tokenize and pack documents",
+    "the lowest latency wins the benchmark every time",
+    "lower and lower goes the newest widest estimate",
+]
+_BPE_NUM_MERGES = 24
+
+
+def _bpe_merges():
+    from cses2humio_spark.operators.bpe import train_bpe
+
+    return train_bpe(_BPE_SEED, _BPE_NUM_MERGES)
+
+
+def _bpe_oracle_tokens_sql() -> str:
+    from cses2humio_spark.operators.bpe import bpe_encode_sql
+
+    return bpe_encode_sql("lower(text)", _bpe_merges())
+
+
+@query(
+    "bpe_subword_stats",
+    oracle=f"""
+    WITH sw AS (SELECT UNNEST({_bpe_oracle_tokens_sql()}) AS subword
+                FROM documents)
+    SELECT subword, COUNT(*) AS n
+    FROM sw GROUP BY subword
+    ORDER BY n DESC, subword ASC LIMIT 30
+    """,
+)
+def bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-subword (BPE) tokenization applied corpus-wide — the
+    operator every real training-data pass runs before counting/packing
+    (VERDICT r4 #5). The merge table (learned once, driver-side, from a
+    fixed seed) rides the plan as a folded literal and is applied as a
+    pure-codegen replace fold per word (operators/bpe.py) — no UDF, no
+    join, no Python worker; the DuckDB oracle replays the identical
+    fold. fan_out parallelizes the single-row-group local file; at
+    cluster scale it is a no-op and the whole stage is a projection
+    feeding one aggregation shuffle of (subword) partials."""
+    from cses2humio_spark.operators.bpe import bpe_encode
+    from cses2humio_spark.sources.catalog import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    sw = docs.select(
+        F.explode(bpe_encode(F.lower(F.col("text")), _bpe_merges())).alias(
+            "subword"
+        )
+    )
+    return (
+        sw.groupBy("subword")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("subword").asc())
+        .limit(30)
+    )
