@@ -116,12 +116,14 @@ STANDING_BASELINE_SF01 = {
 }
 
 
-def bench_connector(spark, sf_dir: str) -> tuple[float, int]:
+def bench_connector(spark, sf_dir: str, mult: int = 1) -> tuple[float, int]:
     """Connector-pipeline throughput: the sf events table rendered as
     CrowdStrike-style NDJSON (off the clock), then parse → enrich →
     foreachBatch counted through an availableNow streaming run with a
-    checkpoint — the full R1-R11 path. Returns (wall_seconds, n_events);
-    events/s compares against BASELINE.md's ≥20 events/s/partition floor."""
+    checkpoint — the full R1-R11 path. ``mult`` replicates the volume
+    with disjoint offsets (replay-dedup safe) for the marginal-slope
+    measurement. Returns (wall_seconds, n_events); events/s compares
+    against BASELINE.md's ≥20 events/s/partition floor."""
     import shutil
     import tempfile
 
@@ -136,6 +138,18 @@ def bench_connector(spark, sf_dir: str) -> tuple[float, int]:
     ckpt = os.path.join(scratch, "ckpt")
     try:
         ev = load_table(spark, sf_dir, "events")
+        n_base = ev.count()
+        if mult > 1:
+            copies = [
+                ev.withColumn(
+                    "event_id", F.col("event_id") + F.lit(i * n_base)
+                )
+                for i in range(mult)
+            ]
+            base = copies[0]
+            for c in copies[1:]:
+                base = base.unionByName(c)
+            ev = base
         lines = ev.select(
             F.to_json(
                 F.struct(
@@ -149,7 +163,7 @@ def bench_connector(spark, sf_dir: str) -> tuple[float, int]:
             ).alias("value")
         )
         lines.write.mode("overwrite").text(src)
-        n_expected = ev.count()
+        n_expected = n_base * mult
 
         counted = {"n": 0}
 
@@ -256,6 +270,30 @@ def main() -> None:
     timings["connector_pipeline"] = round(connector_wall, 3)
     total += connector_wall
 
+    # Marginal throughput (VERDICT r4 #6): the headline events/s bounced
+    # 60-78k across rounds purely on fixed stream-startup/WAL cost while
+    # the isolated marginal profile measured ~423k. Two availableNow runs
+    # at 1x and 10x volume give a slope that cancels the fixed cost:
+    # marginal = d(events)/d(wall); fixed = wall_1x - n_1x/marginal.
+    # min-of-two per volume (the suite's standard) tames WAL jitter; the
+    # 10x spread keeps the marginal leg well above the ~±0.3 s noise.
+    connector_marginal = None
+    connector_fixed = None
+    try:
+        wall1b, _ = bench_connector(spark, sf_dir)
+        wall1 = min(connector_wall, wall1b)
+        wall10, n10 = bench_connector(spark, sf_dir, mult=10)
+        wall10b, _ = bench_connector(spark, sf_dir, mult=10)
+        wall10 = min(wall10, wall10b)
+        d_wall = wall10 - wall1
+        if d_wall > 0.1:
+            connector_marginal = round((n10 - connector_events) / d_wall)
+            connector_fixed = round(
+                max(0.0, wall1 - connector_events / connector_marginal), 3
+            )
+    except Exception:
+        pass  # slope is informational; the gated wall stands regardless
+
     out = {
         "metric": "headline_query_wall_seconds",
         "value": round(total, 3),
@@ -263,6 +301,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "connector_events_per_sec": round(connector_events / connector_wall),
+        "connector_marginal_events_per_sec": connector_marginal,
+        "connector_fixed_overhead_sec": connector_fixed,
     }
     # ≤2x per-query regression gate vs the standing baseline (sf0.1 only —
     # the baseline was measured there). Informational in the JSON; the

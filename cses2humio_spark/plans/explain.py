@@ -87,3 +87,42 @@ def assert_partial_aggregation(df: DataFrame) -> None:
 def assert_take_ordered(df: DataFrame) -> None:
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan, "global top-k did not plan as TakeOrderedAndProject"
+
+
+#: physical-plan markers whose COUNT defines a query's "shape" — join
+#: strategies, exchanges, and the scale-critical operators. A broadcast
+#: silently becoming a shuffle survives a small-SF wall-clock bench; it
+#: does not survive a shape diff.
+_SHAPE_MARKERS = {
+    "broadcast_hash_join": r"\bBroadcastHashJoin\b",
+    "sort_merge_join": r"\bSortMergeJoin\b",
+    "shuffled_hash_join": r"\bShuffledHashJoin\b",
+    "broadcast_nl_join": r"\bBroadcastNestedLoopJoin\b",
+    "cartesian": r"\bCartesianProduct\b",
+    "exchange_hash": r"Exchange hashpartitioning",
+    "exchange_range": r"Exchange rangepartitioning",
+    "exchange_single": r"Exchange SinglePartition",
+    "exchange_round_robin": r"Exchange RoundRobinPartitioning",
+    "broadcast_exchange": r"\bBroadcastExchange\b",
+    "take_ordered": r"\bTakeOrderedAndProject\b",
+    "window_group_limit": r"\bWindowGroupLimit\b",
+    "window": r"\bWindow\b",
+    "generate": r"\bGenerate\b",
+    "python_eval": r"EvalPython",
+}
+
+
+def plan_shape(df: DataFrame) -> dict[str, int]:
+    """Counts of the scale-critical physical markers in the query's
+    INITIAL physical plan (pre-AQE — the statically chosen strategies;
+    a single print, unlike explain('formatted') which prints each node
+    twice). Zero-count markers are omitted so snapshots read tight."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    out = {}
+    for key, pat in _SHAPE_MARKERS.items():
+        n = len(re.findall(pat, plan))
+        if n:
+            out[key] = n
+    return out

@@ -452,3 +452,30 @@ def test_interpolation_windows_partition_by_series(spark):
     plan = formatted_plan(df)
     assert "hashpartitioning(event_type" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_plan_shapes_match_snapshot(spark):
+    """Plan-drift lint (VERDICT r4 #7): the bench gate catches slow; this
+    catches ABOUT-to-be-slow-at-scale — a broadcast silently becoming a
+    shuffle, a TakeOrdered degrading to a global sort, a new exchange —
+    none of which move a sf0.1 wall-clock enough to trip the 2x gate.
+    On intended plan changes: rerun `python scripts/dump_plans.py` and
+    commit the refreshed tests/plan_shapes.json together with the code,
+    naming the plan change in the commit message."""
+    import json
+    import os
+
+    from cses2humio_spark.plans.explain import plan_shape
+
+    snap_path = os.path.join(os.path.dirname(__file__), "plan_shapes.json")
+    with open(snap_path) as f:
+        want = json.load(f)
+    drift = {}
+    for name, expected in want.items():
+        got = plan_shape(QUERIES[name](spark, SF_SMALL))
+        if got != expected:
+            drift[name] = {"snapshot": expected, "now": got}
+    assert not drift, (
+        "physical plan shape drifted (see docstring for the refresh "
+        f"protocol): {json.dumps(drift, indent=1, sort_keys=True)}"
+    )
