@@ -51,9 +51,11 @@ class AlertRule:
     threshold: float | None = None
     #: Humio's alert throttling: after firing, suppress re-fires of this
     #: rule for the next ``throttle_batches`` micro-batches. Suppression
-    #: state is driver-memory (per query run): a restart clears it, so a
-    #: replayed batch may re-fire — consistent with the engine's
-    #: at-least-once delivery; dedup on (rule, batch_id) as usual.
+    #: state is PERSISTED next to the checkpoint (_alert_throttle.json,
+    #: written atomically AFTER delivery), so a restart honors an open
+    #: suppression window instead of re-firing throttled rules. The
+    #: crash-between-delivery-and-state-write window re-fires on replay —
+    #: the engine's at-least-once contract; dedup on (rule, batch_id).
     throttle_batches: int = 0
 
     def __post_init__(self) -> None:
@@ -175,6 +177,47 @@ def evaluate_rules_on_batch(
     return alerts
 
 
+class ThrottleState:
+    """Per-rule suppression window (rule -> last-fired batch id),
+    persisted next to the streaming checkpoint so a RESTART honors an
+    open window instead of re-firing every throttled rule. One tiny JSON
+    file (O(rules) bytes), rewritten atomically (tmp + os.replace) only
+    on batches that fired; loaded once at query start. Written AFTER
+    delivery: a crash between delivery and the write replays the batch
+    and re-fires — at-least-once, never a lost alert."""
+
+    def __init__(self, checkpoint_dir: str):
+        import os
+
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        self._path = os.path.join(checkpoint_dir, "_alert_throttle.json")
+        self.last_fired: dict[str, int] = {}
+        try:
+            import json
+
+            with open(self._path, encoding="utf-8") as f:
+                self.last_fired = {
+                    str(k): int(v) for k, v in json.load(f).items()
+                }
+        except FileNotFoundError:
+            pass
+
+    def record(self, fired_rules: list[str], batch_id: int) -> None:
+        import json
+        import os
+
+        for name in fired_rules:
+            self.last_fired[name] = int(batch_id)
+        tmp = self._path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(self.last_fired, f)
+        os.replace(tmp, self._path)
+
+    def suppressed(self, rule: AlertRule, batch_id: int) -> bool:
+        last = self.last_fired.get(rule.name)
+        return last is not None and batch_id <= last + rule.throttle_batches
+
+
 def run_alert_rules(
     stream_df: DataFrame,
     rules: list[AlertRule],
@@ -189,7 +232,7 @@ def run_alert_rules(
     callback — alert volume is rule-bounded, not data-bounded). Returns
     the started StreamingQuery."""
 
-    last_fired: dict[str, int] = {}
+    throttle = ThrottleState(checkpoint_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         # throttling (Humio's suppression window): a rule that fired
@@ -197,10 +240,7 @@ def run_alert_rules(
         # fused plan entirely — suppression saves its aggregate branch,
         # not just the delivery
         active = [
-            r
-            for r in rules
-            if r.name not in last_fired
-            or batch_id > last_fired[r.name] + r.throttle_batches
+            r for r in rules if not throttle.suppressed(r, batch_id)
         ]
         if not active:
             return
@@ -209,10 +249,9 @@ def run_alert_rules(
             alerts = evaluate_rules_on_batch(
                 batch_df, active, batch_id, tables=tables
             )
-            for a in alerts:
-                last_fired[a["rule"]] = int(batch_id)
             if alerts:
                 on_alerts(alerts)
+                throttle.record([a["rule"] for a in alerts], batch_id)
         finally:
             batch_df.unpersist()
 

@@ -273,3 +273,62 @@ def test_load_alert_rules_from_json(tmp_path):
                                {"name": "x", "query": "b = 2"}]))
     with pytest.raises(ValueError, match="duplicate rule names"):
         load_alert_rules(str(dup))
+
+
+def test_alert_throttle_survives_restart(spark, tmp_path):
+    """VERDICT r4 #8: the suppression window is persisted next to the
+    checkpoint — a restarted query must NOT re-fire a rule whose window
+    is still open, and must fire again once it closes. Four availableNow
+    runs = four restarts, one micro-batch each."""
+    import glob
+    import os
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, SF_SMALL, "events").limit(20)
+    sch = None
+    got: list[dict] = []
+
+    def add_file_and_run(i):
+        nonlocal sch
+        d = str(src / f"f{i}")
+        ev.coalesce(1).write.parquet(d)
+        for f in glob.glob(os.path.join(d, "*")):
+            os.utime(f, (1_700_000_000 + i * 60,) * 2)
+        if sch is None:
+            sch = spark.read.parquet(d).schema
+        stream = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        rules = [
+            AlertRule("throttled", "count()", value_column="_count",
+                      threshold=1, throttle_batches=2),
+            AlertRule("every_batch", "count()", value_column="_count",
+                      threshold=1),
+        ]
+        q = run_alert_rules(
+            stream, rules, on_alerts=got.extend, checkpoint_dir=ckpt,
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+
+    for i in range(4):
+        add_file_and_run(i)  # each call is a fresh query over the ckpt
+
+    fired = sorted((a["batch_id"], a["rule"]) for a in got)
+    # throttled fires at batch 0, stays suppressed across the RESTARTS
+    # that process batches 1 and 2, fires again at batch 3
+    assert fired == [
+        (0, "every_batch"), (0, "throttled"),
+        (1, "every_batch"),
+        (2, "every_batch"),
+        (3, "every_batch"), (3, "throttled"),
+    ], fired
+    # the state file exists and names the last fired batches
+    import json
+
+    state = json.load(open(os.path.join(ckpt, "_alert_throttle.json")))
+    assert state == {"throttled": 3, "every_batch": 3}
