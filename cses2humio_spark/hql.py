@@ -781,6 +781,17 @@ def _agg_columns(call: Call) -> list[Column]:
         if str(call.kwargs.get("distinct", "false")).lower() == "true":
             col = F.collect_set(F.col(field))
         return [F.array_sort(col).alias(alias or "_collect")]
+    if name == "approxDistinct":
+        # mergeable DataSketches HLL estimate — the same sketch the
+        # materialized-search path maintains across micro-batches, so a
+        # batch recompute and a maintained live table agree exactly
+        return [
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col(field).cast("string"))
+            )
+            .cast("bigint")
+            .alias(alias or "_approxdistinct")
+        ]
     if name == "percentile":
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", str(field)):
             raise HqlSyntaxError(f"bad percentile field {field!r}")

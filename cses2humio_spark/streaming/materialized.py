@@ -306,11 +306,20 @@ class MaterializedHqlSearch(IncrementalRollup):
     under micro-batch replay, rewrite cost O(touched buckets), same as
     IncrementalRollup.
 
-    Non-mergeable aggregates (avg, percentile, count distinct, stddev)
-    are REFUSED loudly at construction: silently maintaining a wrong
-    average would be the worst dashboard failure mode. (avg = maintain
-    sum + count and divide at read time; distinct needs a sketch — both
-    are deliberate future surface, not silent approximations.)
+    ``avg`` is maintained EXACTLY via its mergeable sufficient
+    statistics — hidden ``__<alias>_sum`` / ``__<alias>_cnt`` columns in
+    the stored table, divided (and hidden) at read time.
+    ``approxDistinct`` is maintained via a mergeable HLL sketch (Spark's
+    DataSketches ``hll_sketch_agg`` / ``hll_union_agg``; the stored
+    column is the binary sketch, estimated at read) — the EXPLICIT
+    opt-in spelling, mirroring LogScale's own estimate-above-100k
+    behavior for ``count(distinct=true)``.
+
+    Genuinely non-mergeable aggregates (percentile, stddev, EXACT count
+    distinct) are REFUSED loudly at construction: silently maintaining a
+    wrong answer would be the worst dashboard failure mode — a user who
+    accepts the sketch's ~2% error writes ``approxDistinct``; one who
+    does not gets an error, never a quietly-drifting number.
 
     Merge-order caveat: sums are merged as doubles across versions, so a
     float sum's last bits depend on batch boundaries; integer-valued
@@ -351,21 +360,27 @@ class MaterializedHqlSearch(IncrementalRollup):
             if c.name == "count":
                 if str(c.kwargs.get("distinct", "false")).lower() == "true":
                     raise ValueError(
-                        "count(distinct=true) is not mergeable across "
-                        "batches — refusing to maintain a wrong answer"
+                        "EXACT count(distinct=true) is not mergeable "
+                        "across batches — use approxDistinct(field) to "
+                        "opt into the mergeable HLL-sketch estimate"
                     )
                 specs.append(("count", c.args[0] if c.args else None,
                               c.kwargs.get("as") or "_count"))
-            elif c.name in ("sum", "min", "max"):
+            elif c.name in ("sum", "min", "max", "avg", "approxDistinct"):
                 if not c.args:
                     raise ValueError(f"{c.name}() needs a field")
+                default_alias = (
+                    "_approxdistinct" if c.name == "approxDistinct"
+                    else f"_{c.name}"
+                )
                 specs.append(
-                    (c.name, c.args[0], c.kwargs.get("as") or f"_{c.name}")
+                    (c.name, c.args[0], c.kwargs.get("as") or default_alias)
                 )
             else:
                 raise ValueError(
                     f"aggregate {c.name!r} is not mergeable across "
-                    "micro-batches (mergeable: count/sum/min/max)"
+                    "micro-batches (mergeable: count/sum/min/max/avg/"
+                    "approxDistinct)"
                 )
         aliases = [a for _, _, a in specs]
         if len(set(aliases)) != len(aliases):
@@ -392,29 +407,62 @@ class MaterializedHqlSearch(IncrementalRollup):
         aggs = []
         for kind, field, alias in self._specs:
             if kind == "count":
-                col = (
-                    F.count(F.col(field)) if field else F.count(F.lit(1))
-                ).cast("bigint")
+                aggs.append(
+                    (F.count(F.col(field)) if field else F.count(F.lit(1)))
+                    .cast("bigint")
+                    .alias(alias)
+                )
             elif kind == "sum":
-                col = F.sum(F.col(field).cast("double"))
-            elif kind == "min":
-                col = F.min(F.col(field))
-            else:
-                col = F.max(F.col(field))
-            aggs.append(col.alias(alias))
+                aggs.append(F.sum(F.col(field).cast("double")).alias(alias))
+            elif kind in ("min", "max"):
+                aggs.append(getattr(F, kind)(F.col(field)).alias(alias))
+            elif kind == "avg":
+                # exact mergeable sufficient statistics, divided at read
+                aggs.append(
+                    F.sum(F.col(field).cast("double")).alias(
+                        f"__{alias}_sum"
+                    )
+                )
+                aggs.append(
+                    F.count(F.col(field)).cast("bigint").alias(
+                        f"__{alias}_cnt"
+                    )
+                )
+            else:  # approxDistinct: mergeable DataSketches HLL
+                aggs.append(
+                    F.hll_sketch_agg(F.col(field).cast("string")).alias(
+                        f"__{alias}_hll"
+                    )
+                )
         return df.groupBy(*[F.col(k) for k in self._keys]).agg(*aggs)
 
     def _merge(self, current: DataFrame, delta: DataFrame) -> DataFrame:
-        merge = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+        aggs = []
+        for kind, _f, alias in self._specs:
+            if kind == "count":
+                aggs.append(F.sum(alias).cast("bigint").alias(alias))
+            elif kind == "sum":
+                aggs.append(F.sum(alias).alias(alias))
+            elif kind in ("min", "max"):
+                aggs.append(getattr(F, kind)(alias).alias(alias))
+            elif kind == "avg":
+                aggs.append(
+                    F.sum(f"__{alias}_sum").alias(f"__{alias}_sum")
+                )
+                aggs.append(
+                    F.sum(f"__{alias}_cnt").cast("bigint").alias(
+                        f"__{alias}_cnt"
+                    )
+                )
+            else:  # approxDistinct: sketch union IS the merge function
+                aggs.append(
+                    F.hll_union_agg(f"__{alias}_hll").alias(
+                        f"__{alias}_hll"
+                    )
+                )
         return current.unionByName(delta).groupBy(
             *[F.col(k) for k in self._keys]
-        ).agg(
-            *[
-                (merge[kind](alias).cast("bigint") if kind == "count"
-                 else merge[kind](alias)).alias(alias)
-                for kind, _f, alias in self._specs
-            ]
-        )
+        ).agg(*aggs)
 
     def read(self, spark: SparkSession) -> DataFrame:
         latest = self.latest_batch_id()
@@ -430,4 +478,22 @@ class MaterializedHqlSearch(IncrementalRollup):
                 "search holds no rows yet (schema unknowable without data)"
             )
         paths = [self._bucket_dir(b, v) for b, v in sorted(manifest.items())]
-        return spark.read.parquet(*paths)
+        stored = spark.read.parquet(*paths)
+        cols = [F.col(k) for k in self._keys]
+        for kind, _f, alias in self._specs:
+            if kind == "avg":
+                cols.append(
+                    (
+                        F.col(f"__{alias}_sum")
+                        / F.col(f"__{alias}_cnt").cast("double")
+                    ).alias(alias)
+                )
+            elif kind == "approxDistinct":
+                cols.append(
+                    F.hll_sketch_estimate(F.col(f"__{alias}_hll"))
+                    .cast("bigint")
+                    .alias(alias)
+                )
+            else:
+                cols.append(F.col(alias))
+        return stored.select(*cols)

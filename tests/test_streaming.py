@@ -1307,3 +1307,81 @@ def test_session_timer_clamped_when_behind_watermark():
     out = list(update((7,), [rows], ahead))
     assert out == [] and ahead.updated is not None
     assert ahead.armed == start // 1000 + 5000
+
+
+def test_materialized_search_maintains_avg_and_approx_distinct(spark, tmp_path):
+    """avg is maintained EXACTLY via hidden sum/count sufficient
+    statistics (divided and hidden at read); approxDistinct via a
+    mergeable HLL sketch union — both must equal the one-shot batch
+    recompute over the concatenation of all micro-batches (avg exactly;
+    the sketch estimate IDENTICALLY, since batch hql uses the same
+    DataSketches aggregate)."""
+    import glob
+    import os
+
+    from cses2humio_spark.hql import hql
+    from cses2humio_spark.streaming.materialized import MaterializedHqlSearch
+
+    src = tmp_path / "src"
+    src.mkdir()
+    chunks = [
+        [(i, "error" if i % 3 == 0 else "view", float(i), i % 17)
+         for i in rng]
+        for rng in (range(0, 40), range(40, 90), range(90, 120))
+    ]
+    for i, rows in enumerate(chunks):
+        d = str(src / f"f{i}")
+        spark.createDataFrame(
+            rows, "event_id long, event_type string, value double, uid long"
+        ).coalesce(1).write.parquet(d)
+        for f in glob.glob(os.path.join(d, "*")):
+            os.utime(f, (1_700_000_000 + i * 60,) * 2)
+
+    pipe = (
+        "groupBy(event_type, function=[count(), avg(value, as=mean_v), "
+        "approxDistinct(uid, as=n_uid)])"
+    )
+    search = MaterializedHqlSearch(str(tmp_path / "tbl"), pipe, n_buckets=4)
+    sch = spark.read.parquet(str(src / "f0")).schema
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(search)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    all_rows = spark.createDataFrame(
+        [r for c in chunks for r in c],
+        "event_id long, event_type string, value double, uid long",
+    )
+    want = {
+        r["event_type"]: (r["_count"], r["mean_v"], r["n_uid"])
+        for r in hql(all_rows, pipe).collect()
+    }
+    got = {
+        r["event_type"]: (r["_count"], r["mean_v"], r["n_uid"])
+        for r in search.read(spark).collect()
+    }
+    assert set(got) == set(want) == {"error", "view"}
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-9, (k, got[k], want[k])
+        assert got[k][2] == want[k][2]  # same sketch -> same estimate
+    # the visible schema hides the sufficient statistics
+    assert set(search.read(spark).columns) == {
+        "event_type", "_count", "mean_v", "n_uid"
+    }
+    # exact count distinct still refused loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="approxDistinct"):
+        MaterializedHqlSearch(
+            str(tmp_path / "tbl2"),
+            "groupBy(event_type, function=[count(uid, distinct=true)])",
+        )
