@@ -793,3 +793,248 @@ def decode_tga(media: DataFrame) -> DataFrame:
         F.round("mean_b", 6).alias("mean_b"),
         "top_row_sum", "byte_checksum",
     )
+
+
+# -- PNG (REAL decode: zlib inflate + all five scanline filters) -----------
+
+PNG_FEATURES_SCHEMA = (
+    "doc_id bigint, width int, height int, n_idat int, mean_r double, "
+    "mean_g double, mean_b double, top_row_sum bigint, byte_checksum bigint"
+)
+
+
+def synthesize_png_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary): a VALID 8-bit RGB PNG per document —
+    signature, IHDR, IDAT (zlib-deflated filtered scanlines, split into
+    TWO IDAT chunks when the stream is long enough to prove chunk
+    reassembly), IEND, each chunk CRC32-stamped. Pixel (x, y):
+    R = (3*doc_id + 5*x + 7*y) % 256, G = +11, B = +22 (the BMP family's
+    formula in RGB order). Every scanline is filtered with type
+    (doc_id + row) % 5, so a decoder must implement ALL FIVE reverse
+    filters (None/Sub/Up/Average/Paeth) — a decoder that fakes any one
+    of them cannot reproduce the closed-form means.
+    w = 5 + doc_id mod 9, h = 4 + doc_id mod 5."""
+
+    def _paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        if pb <= pc:
+            return b
+        return c
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+        import zlib as _zlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        def chunk(tag: bytes, body: bytes) -> bytes:
+            return (
+                _struct.pack(">I", len(body))
+                + tag
+                + body
+                + _struct.pack(">I", _zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 5 + d % 9, 4 + d % 5
+                x = _np.arange(w, dtype=_np.int64)[None, :]
+                y = _np.arange(h, dtype=_np.int64)[:, None]
+                base = 3 * d + 5 * x + 7 * y
+                img = _np.stack(
+                    [base % 256, (base + 11) % 256, (base + 22) % 256],
+                    axis=2,
+                ).astype(_np.uint8)
+                bpp = 3  # bytes per pixel
+                raw = bytearray()
+                prev = bytes(w * bpp)
+                for r in range(h):
+                    line = img[r].tobytes()
+                    ft = (d + r) % 5
+                    raw.append(ft)
+                    if ft == 0:  # None
+                        raw += line
+                    elif ft == 1:  # Sub
+                        raw += bytes(
+                            (line[i] - (line[i - bpp] if i >= bpp else 0))
+                            % 256
+                            for i in range(len(line))
+                        )
+                    elif ft == 2:  # Up
+                        raw += bytes(
+                            (line[i] - prev[i]) % 256
+                            for i in range(len(line))
+                        )
+                    elif ft == 3:  # Average
+                        raw += bytes(
+                            (
+                                line[i]
+                                - (
+                                    (line[i - bpp] if i >= bpp else 0)
+                                    + prev[i]
+                                )
+                                // 2
+                            )
+                            % 256
+                            for i in range(len(line))
+                        )
+                    else:  # Paeth
+                        raw += bytes(
+                            (
+                                line[i]
+                                - _paeth(
+                                    line[i - bpp] if i >= bpp else 0,
+                                    prev[i],
+                                    prev[i - bpp] if i >= bpp else 0,
+                                )
+                            )
+                            % 256
+                            for i in range(len(line))
+                        )
+                    prev = line
+                z = _zlib.compress(bytes(raw), 6)
+                ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                # split the zlib stream across two IDATs when possible:
+                # chunk boundaries are arbitrary in PNG and a decoder
+                # must concatenate before inflating
+                if len(z) > 16:
+                    out += chunk(b"IDAT", z[:16]) + chunk(b"IDAT", z[16:])
+                else:
+                    out += chunk(b"IDAT", z)
+                out += chunk(b"IEND", b"")
+                payloads.append(out)
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(_gen, "doc_id bigint, payload binary")
+
+
+def decode_png(media: DataFrame) -> DataFrame:
+    """REAL PNG decode via mapInPandas — no imaging library: chunk walk
+    with CRC32 verification, multi-IDAT reassembly, zlib inflate, and
+    the full reverse filter pass (None/Sub/Up/Average/Paeth with the
+    spec's predictor; Average divides the SUM before adding, Paeth
+    compares in the spec's tie order). 8-bit RGB non-interlaced only —
+    anything else raises loudly. Emits the multimodal family's standard
+    stats; top_row_sum is filter-order sensitive (an Up/Paeth bug
+    corrupts later rows more than earlier ones)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+        import zlib as _zlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            if pb <= pc:
+                return b
+            return c
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "n_idat", "mean_r", "mean_g",
+                "mean_b", "top_row_sum", "byte_checksum",
+            )}
+            for d, b in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(b)
+                if buf[:8] != b"\x89PNG\r\n\x1a\n":
+                    raise ValueError("not a PNG")
+                pos, w = 8, None
+                idat = bytearray()
+                n_idat = 0
+                while pos < len(buf):
+                    (ln,) = _struct.unpack_from(">I", buf, pos)
+                    tag = buf[pos + 4 : pos + 8]
+                    body = buf[pos + 8 : pos + 8 + ln]
+                    (crc,) = _struct.unpack_from(">I", buf, pos + 8 + ln)
+                    if _zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+                        raise ValueError(f"bad CRC in {tag!r} chunk")
+                    if tag == b"IHDR":
+                        w, h, depth, ctype, comp, filt, inter = (
+                            _struct.unpack(">IIBBBBB", body)
+                        )
+                        if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+                            raise ValueError(
+                                "unsupported PNG (need 8-bit RGB, "
+                                "non-interlaced): depth="
+                                f"{depth} ctype={ctype} interlace={inter}"
+                            )
+                    elif tag == b"IDAT":
+                        idat += body
+                        n_idat += 1
+                    elif tag == b"IEND":
+                        break
+                    pos += 12 + ln
+                if w is None or not idat:
+                    raise ValueError("missing IHDR/IDAT")
+                raw = _zlib.decompress(bytes(idat))
+                bpp = 3
+                stride = w * bpp
+                if len(raw) != h * (stride + 1):
+                    raise ValueError("inflated size mismatch")
+                img = _np.zeros((h, stride), dtype=_np.uint8)
+                prev = _np.zeros(stride, dtype=_np.int64)
+                for r in range(h):
+                    ft = raw[r * (stride + 1)]
+                    line = _np.frombuffer(
+                        raw, dtype=_np.uint8, count=stride,
+                        offset=r * (stride + 1) + 1,
+                    ).astype(_np.int64)
+                    out = _np.zeros(stride, dtype=_np.int64)
+                    if ft == 0:
+                        out = line
+                    elif ft == 1:  # Sub
+                        for i in range(stride):
+                            left = out[i - bpp] if i >= bpp else 0
+                            out[i] = (line[i] + left) % 256
+                    elif ft == 2:  # Up
+                        out = (line + prev) % 256
+                    elif ft == 3:  # Average
+                        for i in range(stride):
+                            left = out[i - bpp] if i >= bpp else 0
+                            out[i] = (line[i] + (left + prev[i]) // 2) % 256
+                    elif ft == 4:  # Paeth
+                        for i in range(stride):
+                            left = out[i - bpp] if i >= bpp else 0
+                            ul = prev[i - bpp] if i >= bpp else 0
+                            out[i] = (
+                                line[i] + paeth(left, prev[i], ul)
+                            ) % 256
+                    else:
+                        raise ValueError(f"bad filter type {ft}")
+                    img[r] = out.astype(_np.uint8)
+                    prev = out
+                px = img.reshape(h, w, bpp)
+                f = px.astype(_np.float64)
+                rows["doc_id"].append(int(d))
+                rows["width"].append(int(w))
+                rows["height"].append(int(h))
+                rows["n_idat"].append(int(n_idat))
+                rows["mean_r"].append(float(f[:, :, 0].mean()))
+                rows["mean_g"].append(float(f[:, :, 1].mean()))
+                rows["mean_b"].append(float(f[:, :, 2].mean()))
+                rows["top_row_sum"].append(int(px[0].astype(_np.int64).sum()))
+                rows["byte_checksum"].append(
+                    int(px.astype(_np.int64).sum()) % 10**9
+                )
+            yield _pd.DataFrame(rows)
+
+    out = media.mapInPandas(_decode, PNG_FEATURES_SCHEMA)
+    return out.select(
+        "doc_id", "width", "height", "n_idat",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "top_row_sum", "byte_checksum",
+    )

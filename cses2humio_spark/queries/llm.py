@@ -1618,3 +1618,51 @@ def tga_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return decode_tga(repartition_for_media(synthesize_tga_media(docs)))
+
+
+@query(
+    "png_decode_stats",
+    oracle="""
+    WITH d3 AS (SELECT doc_id, 5 + doc_id % 9 AS w, 4 + doc_id % 5 AS h
+                FROM documents WHERE doc_id < 300),
+    g AS (SELECT t.doc_id, ux.x, uy.y,
+                 3*t.doc_id + 5*ux.x + 7*uy.y AS base
+          FROM d3 t,
+               UNNEST(generate_series(0, t.w - 1)) AS ux(x),
+               UNNEST(generate_series(0, t.h - 1)) AS uy(y)),
+    m AS (SELECT doc_id,
+            ROUND(AVG(base % 256), 6) AS mean_r,
+            ROUND(AVG((base + 11) % 256), 6) AS mean_g,
+            ROUND(AVG((base + 22) % 256), 6) AS mean_b,
+            CAST(SUM(CASE WHEN y = 0 THEN
+                   base % 256 + (base + 11) % 256 + (base + 22) % 256
+                 ELSE 0 END) AS BIGINT) AS top_row_sum,
+            CAST(SUM(base % 256 + (base + 11) % 256 + (base + 22) % 256)
+                 % 1000000000 AS BIGINT) AS byte_checksum
+          FROM g GROUP BY doc_id)
+    SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+           m.mean_r, m.mean_g, m.mean_b, m.top_row_sum, m.byte_checksum
+    FROM d3 d JOIN m ON m.doc_id = d.doc_id
+    """,
+)
+def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode, oracle-checked — the first COMPRESSED image
+    codec decoded byte-for-byte (zlib is stdlib; JPEG/H.264 stay behind
+    the NotImplementedError seam): chunk walk with CRC32 verification,
+    multi-IDAT reassembly, inflate, and the full reverse scanline-filter
+    pass. Each synthesized row is filtered with type (doc_id+row) % 5,
+    so all five reverse filters (None/Sub/Up/Average/Paeth) are
+    exercised — faking any one cannot reproduce the closed-form means
+    the oracle computes from the generative formula without touching
+    bytes. n_idat is excluded here (chunk split depends on deflate
+    output length, not SQL-expressible) and pinned by unit test."""
+    from cses2humio_spark.operators.multimodal import (
+        decode_png,
+        repartition_for_media,
+        synthesize_png_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return decode_png(
+        repartition_for_media(synthesize_png_media(docs))
+    ).drop("n_idat")

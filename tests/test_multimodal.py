@@ -311,3 +311,74 @@ def test_tga_decoder_rejects_unsupported(spark):
     )
     with _pytest.raises(Exception, match="short header"):
         decode_tga(short).collect()
+
+
+def test_png_roundtrip_all_filters_and_multi_idat(spark):
+    """The synthesized PNGs cycle scanline filters (doc_id+row) % 5, so
+    docs 0..4 collectively start at every filter type; the decoder must
+    reverse all five and reassemble split IDAT chunks."""
+    from cses2humio_spark.operators.multimodal import (
+        decode_png,
+        synthesize_png_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    out = {
+        r["doc_id"]: r
+        for r in decode_png(synthesize_png_media(docs)).collect()
+    }
+    assert len(out) == 10
+    # closed-form check against the generative formula
+    for d, r in out.items():
+        w, h = 5 + d % 9, 4 + d % 5
+        assert (r["width"], r["height"]) == (w, h)
+        vals = [
+            (3 * d + 5 * x + 7 * y) % 256
+            for x in range(w) for y in range(h)
+        ]
+        assert abs(r["mean_r"] - round(sum(vals) / len(vals), 6)) < 1e-6
+        top = sum(
+            (3 * d + 5 * x) % 256
+            + (3 * d + 5 * x + 11) % 256
+            + (3 * d + 5 * x + 22) % 256
+            for x in range(w)
+        )
+        assert r["top_row_sum"] == top
+    # the zlib stream is long enough to split -> exactly two IDAT chunks
+    assert {r["n_idat"] for r in out.values()} <= {1, 2}
+    assert any(r["n_idat"] == 2 for r in out.values())
+
+
+def test_png_decoder_rejects_corruption(spark):
+    import struct
+
+    from cses2humio_spark.operators.multimodal import (
+        decode_png,
+        synthesize_png_media,
+    )
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    [row] = synthesize_png_media(docs).collect()
+    buf = bytearray(bytes(row["payload"]))
+    # flip one bit inside the first IDAT body -> CRC check must fire
+    pos = 8
+    while True:
+        (ln,) = struct.unpack_from(">I", buf, pos)
+        tag = bytes(buf[pos + 4 : pos + 8])
+        if tag == b"IDAT":
+            buf[pos + 8] ^= 0x01
+            break
+        pos += 12 + ln
+    bad = spark.createDataFrame(
+        [(1, bytes(buf))], "doc_id long, payload binary"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="CRC"):
+        decode_png(bad).collect()
+    # truncated signature
+    bad2 = spark.createDataFrame(
+        [(1, b"\x89PNX" + bytes(16))], "doc_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="not a PNG"):
+        decode_png(bad2).collect()
