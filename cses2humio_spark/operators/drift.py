@@ -77,3 +77,47 @@ def cusum_per_key(
         )
 
     return df.groupBy(key_col).applyInPandas(scan, cusum_schema(key_col))
+
+
+def ewma_final(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average (the UEBA baseline
+    smoother: s_0 = v_0, s_i = alpha*v_i + (1-alpha)*s_{i-1}) — final
+    state plus the last value's deviation from it, the 'is the newest
+    observation off its own baseline' signal.
+
+    Pure Catalyst: one shuffle on the key, the ordered series folds
+    sequentially inside ``aggregate`` (left fold over the sorted array —
+    IEEE order identical to the oracle's ``list_reduce``, so doubles
+    match bit-for-bit under any partitioning). Per-key state is the
+    collected series; keys with very long histories should pre-bucket
+    time (the same contract as every collect_list family op here)."""
+    from pyspark.sql import functions as F
+
+    arr = F.array_sort(
+        F.collect_list(F.struct(*[F.col(c) for c in order_cols], F.col(value_col)))
+    )
+    grouped = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.transform(arr, lambda s: s[value_col]).alias("__vs"),
+    )
+    vs = F.col("__vs")
+    a = float(alpha)
+    ewma = F.aggregate(
+        F.slice(vs, 2, F.size(vs) - 1),
+        F.element_at(vs, 1),
+        lambda acc, v: F.lit(a) * v + F.lit(1.0 - a) * acc,
+    )
+    last = F.element_at(vs, -1)
+    return grouped.select(
+        key_col,
+        "n_events",
+        F.round(last, 6).alias("last_value"),
+        F.round(ewma, 6).alias("ewma"),
+        F.round(last - ewma, 6).alias("deviation"),
+    )

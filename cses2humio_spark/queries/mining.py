@@ -799,3 +799,35 @@ def markov_sequence_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tr").cast("bigint").alias("n_transitions"),
         F.round(-F.col("sl") / F.col("n_tr"), 6).alias("avg_nll"),
     )
+
+
+@query(
+    "ewma_user_baseline",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, COUNT(*) AS n,
+             list(value ORDER BY ts, event_id) AS vs
+      FROM events GROUP BY user_id),
+    f AS (
+      SELECT user_id, n, vs[n] AS last_v,
+             list_reduce(vs, (acc, v) -> 0.3*v + 0.7*acc) AS ew
+      FROM s)
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           ROUND(last_v, 6) AS last_value,
+           ROUND(ew, 6) AS ewma,
+           ROUND(last_v - ew, 6) AS deviation
+    FROM f
+    """,
+)
+def ewma_user_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA baseline (alpha=0.3) over the value series in event
+    order, with the newest observation's deviation from it — the UEBA
+    'off own baseline' smoother completing the drift family (CUSUM
+    catches sustained shift, MAD catches population outliers, EWMA
+    scores the newest point against the user's own history). The fold
+    runs left-to-right inside aggregate() in both engines, so doubles
+    match bit-for-bit."""
+    from cses2humio_spark.operators.drift import ewma_final
+
+    ev = load_table(spark, sf_dir, "events")
+    return ewma_final(ev, "user_id", ["ts", "event_id"], "value", alpha=0.3)

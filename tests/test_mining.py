@@ -560,3 +560,33 @@ def test_heavy_hitters_null_key_counted(spark):
     got = {r["key"]: r["n_rows"] for r in heavy_hitters(df, "key", 3).collect()}
     # n=100, k=3: threshold > 33.3 rows — NULL (60) qualifies, 'a' (30) not
     assert got == {None: 60}
+
+
+def test_ewma_final_matches_sequential_and_is_partition_independent(spark):
+    from cses2humio_spark.operators.drift import ewma_final
+
+    rows = [(1, i, float(v)) for i, v in enumerate([10, 20, 5, 40, 8])]
+    rows += [(2, 0, 100.0)]
+    df = spark.createDataFrame(rows, "uid long, seq long, value double")
+
+    def ref(vals, a=0.3):
+        s = vals[0]
+        for v in vals[1:]:
+            s = a * v + (1 - a) * s
+        return s
+
+    for parts in (1, 7):
+        out = {
+            r["uid"]: r
+            for r in ewma_final(
+                df.repartition(parts), "uid", ["seq"], "value"
+            ).collect()
+        }
+        assert out[1]["n_events"] == 5
+        assert out[1]["ewma"] == round(ref([10, 20, 5, 40, 8]), 6)
+        assert out[1]["last_value"] == 8.0
+        assert out[1]["deviation"] == round(
+            8.0 - ref([10, 20, 5, 40, 8]), 6
+        )
+        # single observation: baseline IS the value, deviation 0
+        assert out[2]["ewma"] == 100.0 and out[2]["deviation"] == 0.0
