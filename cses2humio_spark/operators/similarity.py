@@ -619,3 +619,168 @@ def signed_random_projection(
     return df.selectExpr(
         id_col, f"stack({out_dims}, {stack}) AS (dim, comp)"
     )
+
+
+# -- product quantization (ADC approximate nearest neighbor) ---------------
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 between two double arrays — zip in index order, left
+    fold (0.0 + e1 + e2 ... == the oracle's list_reduce, IEEE-exact)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebook(
+    src: DataFrame,
+    m: int,
+    k_codes: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic PQ codebooks: subspace j's centroids are the j-th
+    slices of the first ``k_codes`` vectors (the same id-prefix
+    convention the IVF query uses for coarse centroids — a k-means
+    refinement drops in without changing any downstream shape). Returns
+    (sub_id, code, cvec); m*k_codes rows — broadcast-sized by
+    construction."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub_len = dim // m
+    subs = F.explode(
+        F.array(*[F.lit(s) for s in range(m)])
+    ).alias("sub_id")
+    return (
+        src.filter(F.col(id_col) < k_codes)
+        .select(F.col(id_col).alias("code"), vec_col)
+        .select("code", subs, F.col(vec_col))
+        .select(
+            "sub_id",
+            "code",
+            F.transform(
+                F.slice(
+                    F.col(vec_col),
+                    F.col("sub_id") * sub_len + 1,
+                    sub_len,
+                ),
+                lambda x: x.cast("double"),
+            ).alias("cvec"),
+        )
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding: (vec_id, sub_id, code) — each vector's j-th slice
+    mapped to its nearest subspace centroid (squared L2, rounded to 8
+    for the cross-engine determinism contract; ties -> lowest code).
+    The codebook joins as a broadcast EQUI-join on sub_id (never a
+    cross product), so the shuffle carries (vec, sub, candidate) rows
+    that a per-(vec, sub) argmin collapses."""
+    from cses2humio_spark.sources.catalog import fan_out
+
+    sub_len = dim // m
+    subs = F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("sub_id")
+    sliced = fan_out(corpus).select(F.col(id_col), F.col(vec_col)).select(
+        id_col,
+        subs,
+        F.col(vec_col),
+    ).select(
+        id_col,
+        "sub_id",
+        F.transform(
+            F.slice(F.col(vec_col), F.col("sub_id") * sub_len + 1, sub_len),
+            lambda x: x.cast("double"),
+        ).alias("__svec"),
+    )
+    scored = sliced.join(F.broadcast(codebook), on="sub_id").select(
+        id_col,
+        "sub_id",
+        "code",
+        F.round(_l2sq(F.col("__svec"), F.col("cvec")), 8).alias("__d"),
+    )
+    w = Window.partitionBy(id_col, "sub_id").orderBy(
+        F.col("__d").asc(), F.col("code").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "sub_id", "code")
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    m: int,
+    k_codes: int,
+    dim: int,
+    k: int,
+    codebook_src: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation —
+    the memory-bound half of the FAISS recipe (IVF prunes candidates;
+    PQ compresses what remains so the scan touches m bytes per vector,
+    not the vector). (1) corpus -> m-byte codes (``pq_encode``, one
+    pass); (2) each probe precomputes its (sub, code) -> squared-L2
+    table against the codebook; (3) approx distance = the m table
+    lookups, expressed as a broadcast equi-join on (sub_id, code) plus
+    a per-(probe, vec) sum of the m partials (exact DECIMAL — the
+    cross-subspace addition order must not depend on partitioning);
+    (4) top-k smallest. Recall < 1 by design; at 100 TB the candidate
+    scan ships codes, never embeddings."""
+    cb = pq_codebook(
+        codebook_src if codebook_src is not None else corpus,
+        m, k_codes, dim, id_col, vec_col,
+    )
+    codes = pq_encode(corpus, cb, m, dim, id_col, vec_col)
+    sub_len = dim // m
+    subs = F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("sub_id")
+    p_sliced = probes.select(
+        F.col(probe_id_col), subs, F.col(vec_col)
+    ).select(
+        probe_id_col,
+        "sub_id",
+        F.transform(
+            F.slice(F.col(vec_col), F.col("sub_id") * sub_len + 1, sub_len),
+            lambda x: x.cast("double"),
+        ).alias("__pvec"),
+    )
+    tables = p_sliced.join(F.broadcast(cb), on="sub_id").select(
+        probe_id_col,
+        "sub_id",
+        "code",
+        F.round(_l2sq(F.col("__pvec"), F.col("cvec")), 8).alias("__d"),
+    )
+    approx = (
+        codes.join(F.broadcast(tables), on=["sub_id", "code"])
+        .groupBy(probe_id_col, id_col)
+        .agg(
+            F.sum(F.col("__d").cast("decimal(28,8)"))
+            .cast("double")
+            .alias("adist"),
+            F.count(F.lit(1)).alias("__m"),
+        )
+        .filter(F.col("__m") == m)  # every subspace contributed
+    )
+    wk = Window.partitionBy(probe_id_col).orderBy(
+        F.col("adist").asc(), F.col(id_col).asc()
+    )
+    return (
+        approx.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(probe_id_col, id_col, F.round("adist", 6).alias("adist"), "rank")
+    )

@@ -1666,3 +1666,59 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_png(
         repartition_for_media(synthesize_png_media(docs))
     ).drop("n_idat")
+
+
+def _l2sq_sql(a: str, b: str) -> str:
+    return _FOLD_SUM.format(
+        expr=f"list_transform(generate_series(1, len({a})), "
+        f"i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i]))"
+    )
+
+
+@query(
+    "pq_adc_topk",
+    oracle=f"""
+    WITH ev AS (SELECT vec_id, {_DOUBLE_VEC} AS v FROM embeddings),
+    subs AS (SELECT UNNEST(generate_series(0, 3)) AS sub_id),
+    cb AS (SELECT s.sub_id, e.vec_id AS code,
+                  e.v[s.sub_id*16+1 : s.sub_id*16+16] AS cvec
+           FROM ev e CROSS JOIN subs s WHERE e.vec_id < 16),
+    slc AS (SELECT e.vec_id, s.sub_id,
+                   e.v[s.sub_id*16+1 : s.sub_id*16+16] AS svec
+            FROM ev e CROSS JOIN subs s),
+    enc0 AS (SELECT sl.vec_id, sl.sub_id, cb.code,
+                    ROUND({_l2sq_sql('sl.svec', 'cb.cvec')}, 8) AS d
+             FROM slc sl JOIN cb ON cb.sub_id = sl.sub_id),
+    enc AS (SELECT vec_id, sub_id, code FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                          ORDER BY d ASC, code ASC) AS rn FROM enc0) t
+            WHERE rn = 1),
+    pt AS (SELECT vec_id AS probe_id, sub_id, code, d
+           FROM enc0 WHERE vec_id < 8),
+    ad AS (SELECT pt.probe_id, enc.vec_id,
+                  CAST(SUM(CAST(pt.d AS DECIMAL(28,8))) AS DOUBLE) AS dd
+           FROM enc JOIN pt ON pt.sub_id = enc.sub_id
+                           AND pt.code = enc.code
+           GROUP BY 1, 2)
+    SELECT probe_id, vec_id, ROUND(dd, 6) AS adist, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                  ORDER BY dd ASC, vec_id ASC) AS INT) AS rank
+      FROM ad) t
+    WHERE rank <= 5
+    """,
+)
+def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the memory-bound half of the FAISS
+    recipe, complementing the IVF query): corpus vectors compressed to
+    m=4 subspace codes against a deterministic 16-centroid codebook per
+    subspace, 8 probes scored by asymmetric distance (per-probe lookup
+    tables, broadcast equi-join on (sub, code), exact-DECIMAL partial
+    sum), top-5 smallest. At 100 TB the candidate scan ships m bytes
+    per vector — embeddings never ride the distance shuffle."""
+    from cses2humio_spark.operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return pq_adc_topk(emb, probes, m=4, k_codes=16, dim=64, k=5)

@@ -549,3 +549,58 @@ def test_rowwise_signatures_plan_has_no_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_pq_adc_recall_floor_vs_exact_l2(spark):
+    """PQ-ADC is approximate by design; on the embeddings table its
+    top-5 must still overlap the EXACT squared-L2 top-5 well (recall
+    floor 0.5 averaged over probes — 4x16 codebooks on 64 dims), and
+    the approx distance of the true nearest neighbor (the probe itself,
+    distance 0) must rank it first."""
+    import numpy as np
+
+    from cses2humio_spark.operators.similarity import pq_adc_topk
+    from cses2humio_spark.sources.catalog import load_table
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    got = pq_adc_topk(emb, probes, m=4, k_codes=16, dim=64, k=5).collect()
+    by_probe = {}
+    for r in got:
+        by_probe.setdefault(r["probe_id"], []).append((r["rank"], r["vec_id"]))
+    assert set(by_probe) == set(range(8))
+    # exact ground truth
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    recalls = []
+    for p in range(8):
+        pv = vecs[p]
+        exact = sorted(
+            vecs, key=lambda v: (float(((vecs[v] - pv) ** 2).sum()), v)
+        )[:5]
+        approx = [v for _, v in sorted(by_probe[p])]
+        # a probe is its own nearest neighbor at distance exactly 0
+        assert approx[0] == p, (p, approx)
+        recalls.append(len(set(exact) & set(approx)) / 5.0)
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_pq_plan_is_equi_join_only(spark):
+    """The codebook and probe tables ride broadcast EQUI-joins — a PQ
+    regression to a cross product would explode at corpus scale."""
+    from cses2humio_spark.operators.similarity import pq_adc_topk
+    from cses2humio_spark.plans.explain import assert_no_cartesian
+    from cses2humio_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    df = pq_adc_topk(emb, probes, m=4, k_codes=8, dim=64, k=3)
+    assert_no_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
