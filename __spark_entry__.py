@@ -36,15 +36,15 @@ _PRIORITY = [
     "scd2_user_status_history",
     "sessionize_users",
     "heavy_hitter_users",
-    "kv_parse_extract",
+    "hql_kv_parse",
     # LLM-pipeline operators
     "doc_token_stats",
     "exact_dedup_survivors",
     "jaccard_near_dups",
     "simhash_near_dups",
-    "cosine_topk",
+    "pq_adc_topk",
     "embedding_near_dups",
-    "tfidf_top50",
+    "bpe_subword_stats",
     "udaf_weighted_value",
     "kmeans_clusters",
     "sequence_pack_assignments",
@@ -76,7 +76,7 @@ _PRIORITY = [
     # dedup_first_event moved out of the window (exact_dedup_survivors
     # already covers the exact-dedup row; judge verifies the tail) to make
     # room for the second real-decoder family member
-    "pgm_decode_stats",
+    "png_decode_stats",
     "sql_exists_and_scalar_subquery",
     # round-4 additions: one driver-green representative per
     # still-never-driver-checked round-3 family
@@ -84,9 +84,18 @@ _PRIORITY = [
     "markov_sequence_anomaly",
     "orders_expectations_report",
     "benford_first_digit_deviation",
-    "cusum_drift_alarms",
+    "ewma_user_baseline",
     "equi_depth_price_histogram",
 ]
+# Round-5 window refresh: five slots whose families stay covered by an
+# in-window sibling or at the judge-verified tail rotated out for the
+# round-5 families the driver has never checked — kv_parse_extract ->
+# hql_kv_parse (same parse family, now through the pipe language),
+# pgm_decode_stats -> png_decode_stats (the compressed-codec decoder),
+# cosine_topk -> pq_adc_topk (exact baseline stays at the tail; the ANN
+# slot now checks the PQ path), tfidf_top50 -> bpe_subword_stats
+# (learned-subword tokenization), cusum_drift_alarms (driver-green in
+# r4) -> ewma_user_baseline (the drift family's new member).
 # Round-4 window refresh: six slots whose §2 rows were double-covered by
 # in-window siblings rotated out (timechart_errors — the identical-oracle
 # DSL twin hql_error_timechart stays; rank_parts_by_size — ranking pinned
