@@ -144,11 +144,43 @@ class IncrementalRollup:
             [], f"{self.key_col} {self.key_type}, n_rows bigint, total double"
         )
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def versions(self) -> list[int]:
+        """Committed batch ids still on disk, oldest first — the
+        time-travel window (``keep_versions`` manifests are retained)."""
+        import re
+
+        return sorted(
+            int(m.group(1))
+            for name in os.listdir(self.table_dir)
+            if (m := re.fullmatch(r"manifest_v=(\d+)\.json", name))
+        )
+
+    def _resolve_version(self, version: int | None) -> int | None:
         latest = self.latest_batch_id()
-        if latest is None:
+        if version is None or latest is None:
+            return latest
+        if version > latest:
+            raise ValueError(
+                f"{self.table_dir}: version {version} not committed "
+                f"(latest is {latest})"
+            )
+        if not os.path.exists(self._manifest_path(version)):
+            raise ValueError(
+                f"{self.table_dir}: version {version} pruned (retained: "
+                f"{self.versions()}) — raise keep_versions for a longer "
+                "time-travel window"
+            )
+        return version
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Current table state — or, with ``version=``, the exact state
+        as of that committed batch (time travel: manifests are immutable
+        and bucket versions survive while any retained manifest
+        references them)."""
+        at = self._resolve_version(version)
+        if at is None:
             return self._empty(spark)
-        manifest = self._load_manifest(latest)
+        manifest = self._load_manifest(at)
         if not manifest:
             return self._empty(spark)
         paths = [self._bucket_dir(b, v) for b, v in sorted(manifest.items())]
@@ -464,14 +496,16 @@ class MaterializedHqlSearch(IncrementalRollup):
             *[F.col(k) for k in self._keys]
         ).agg(*aggs)
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        latest = self.latest_batch_id()
-        if latest is None:
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Current search results — or the state as of ``version=``
+        (time travel over the retained manifest window)."""
+        at = self._resolve_version(version)
+        if at is None:
             raise ValueError(
                 f"{self.table_dir}: no committed version yet — the search "
                 "has not processed a batch"
             )
-        manifest = self._load_manifest(latest)
+        manifest = self._load_manifest(at)
         if not manifest:
             raise ValueError(
                 f"{self.table_dir}: committed only empty batches — the "

@@ -1385,3 +1385,41 @@ def test_materialized_search_maintains_avg_and_approx_distinct(spark, tmp_path):
             str(tmp_path / "tbl2"),
             "groupBy(event_type, function=[count(uid, distinct=true)])",
         )
+
+
+def test_materialized_view_time_travel(spark, tmp_path):
+    """Manifests are immutable and bucket versions survive while any
+    retained manifest references them — so read(version=) reproduces the
+    exact table state as of that batch, pruned versions refuse loudly,
+    and versions() names the travel window."""
+    from cses2humio_spark.streaming.materialized import IncrementalRollup
+
+    table = str(tmp_path / "tt")
+    r = IncrementalRollup(
+        table, key_col="uid", value_col="v", key_type="bigint",
+        keep_versions=3, n_buckets=4,
+    )
+    for b in range(4):
+        r(
+            spark.createDataFrame([(b % 2, 10.0 * b)], "uid bigint, v double"),
+            b,
+        )
+    assert r.versions() == [1, 2, 3]  # keep_versions=3 of 4 commits
+
+    def snap(version=None):
+        return {
+            row["uid"]: (row["n_rows"], row["total"])
+            for row in r.read(spark, version=version).collect()
+        }
+
+    # state as of batch 1: uid0 <- batches 0 (v=0.0), uid1 <- batch 1
+    assert snap(1) == {0: (1, 0.0), 1: (1, 10.0)}
+    # state as of batch 2: uid0 accumulated batch 2's 20.0
+    assert snap(2) == {0: (2, 20.0), 1: (1, 10.0)}
+    assert snap() == snap(3) == {0: (2, 20.0), 1: (2, 40.0)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pruned"):
+        r.read(spark, version=0)
+    with _pytest.raises(ValueError, match="not committed"):
+        r.read(spark, version=99)
