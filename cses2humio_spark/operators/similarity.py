@@ -784,3 +784,114 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select(probe_id_col, id_col, F.round("adist", 6).alias("adist"), "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    centroids: DataFrame,
+    m: int,
+    k_codes: int,
+    dim: int,
+    k: int,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    cid_col: str = "cid",
+) -> DataFrame:
+    """The full FAISS recipe as one dataflow: IVF coarse quantization
+    prunes the candidate set (each probe touches ~nprobe/n_cells of the
+    corpus) and PQ over the RESIDUALS (vector minus its cell centroid —
+    the classic formulation; residuals are smaller, so the codebook
+    spends its codes on what the cell didn't explain) compresses the
+    scan to m code bytes per candidate. ADC tables are per (probe,
+    cell): the probe's residual differs per cell, so each visited cell
+    gets its own (sub, code) table — still broadcast-sized
+    (P * nprobe * m * k_codes rows). Distances sum in exact DECIMAL;
+    smallest-first top-k."""
+    dvec = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    assign = ivf_assign(corpus, centroids, id_col, vec_col, cid_col)
+    cvecs = centroids.select(F.col(cid_col), F.col(vec_col).alias("__cvec"))
+    resid = (
+        corpus.join(assign, on=id_col)
+        .join(F.broadcast(cvecs), on=cid_col)
+        .select(
+            id_col,
+            cid_col,
+            F.zip_with(
+                dvec(F.col(vec_col)), dvec(F.col("__cvec")),
+                lambda a, b: a - b,
+            ).alias("__rvec"),
+        )
+    )
+    cb = pq_codebook(resid, m, k_codes, dim, id_col, "__rvec")
+    codes = pq_encode(resid, cb, m, dim, id_col, "__rvec")
+
+    p = probes.select(F.col(probe_id_col), F.col(vec_col).alias("__pvec"))
+    probe_cent = p.join(F.broadcast(cvecs)).select(
+        probe_id_col,
+        cid_col,
+        "__pvec",
+        cosine_similarity(F.col("__pvec"), F.col("__cvec")).alias("__cos"),
+    )
+    wp = Window.partitionBy(probe_id_col).orderBy(
+        F.col("__cos").desc(), F.col(cid_col).asc()
+    )
+    probe_lists = (
+        probe_cent.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= nprobe)
+        .select(probe_id_col, cid_col, "__pvec")
+    )
+    sub_len = dim // m
+    subs = F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("sub_id")
+    probe_resid = probe_lists.join(F.broadcast(cvecs), on=cid_col).select(
+        probe_id_col,
+        cid_col,
+        F.zip_with(
+            dvec(F.col("__pvec")), dvec(F.col("__cvec")), lambda a, b: a - b
+        ).alias("__prvec"),
+    )
+    tables = (
+        probe_resid.select(probe_id_col, cid_col, subs, "__prvec")
+        .select(
+            probe_id_col,
+            cid_col,
+            "sub_id",
+            F.slice(
+                F.col("__prvec"), F.col("sub_id") * sub_len + 1, sub_len
+            ).alias("__pslice"),
+        )
+        .join(F.broadcast(cb), on="sub_id")
+        .select(
+            probe_id_col,
+            cid_col,
+            "sub_id",
+            "code",
+            F.round(_l2sq(F.col("__pslice"), F.col("cvec")), 8).alias("__d"),
+        )
+    )
+    cand = probe_lists.select(probe_id_col, cid_col).join(assign, on=cid_col)
+    approx = (
+        cand.join(codes, on=id_col)
+        .join(
+            F.broadcast(tables),
+            on=[probe_id_col, cid_col, "sub_id", "code"],
+        )
+        .groupBy(probe_id_col, id_col)
+        .agg(
+            F.sum(F.col("__d").cast("decimal(28,8)"))
+            .cast("double")
+            .alias("adist"),
+            F.count(F.lit(1)).alias("__m"),
+        )
+        .filter(F.col("__m") == m)
+    )
+    wk = Window.partitionBy(probe_id_col).orderBy(
+        F.col("adist").asc(), F.col(id_col).asc()
+    )
+    return (
+        approx.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(probe_id_col, id_col, F.round("adist", 6).alias("adist"), "rank")
+    )

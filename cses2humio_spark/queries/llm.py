@@ -1722,3 +1722,92 @@ def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"), "embedding"
     )
     return pq_adc_topk(emb, probes, m=4, k_codes=16, dim=64, k=5)
+
+
+_SUB_DIFF = "list_transform(generate_series(1, 64), i -> {a}[i] - {b}[i])"
+
+
+@query(
+    "ivfpq_topk",
+    oracle=f"""
+    WITH ev AS (SELECT vec_id, {_DOUBLE_VEC} AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM ev WHERE vec_id < 16),
+    probes AS (SELECT vec_id AS probe_id, v AS pv FROM ev WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e.v', 'c.cv')} DESC, c.cid)
+                 AS rn
+        FROM ev e CROSS JOIN cent c) t WHERE rn = 1),
+    resid AS (
+      SELECT e.vec_id, a.cid, {_SUB_DIFF.format(a='e.v', b='c.cv')} AS rv
+      FROM ev e JOIN assign a ON a.vec_id = e.vec_id
+                JOIN cent c ON c.cid = a.cid),
+    subs AS (SELECT UNNEST(generate_series(0, 3)) AS sub_id),
+    cb AS (SELECT s.sub_id, r.vec_id AS code,
+                  r.rv[s.sub_id*16+1 : s.sub_id*16+16] AS cvec
+           FROM resid r CROSS JOIN subs s WHERE r.vec_id < 16),
+    slc AS (SELECT r.vec_id, s.sub_id,
+                   r.rv[s.sub_id*16+1 : s.sub_id*16+16] AS svec
+            FROM resid r CROSS JOIN subs s),
+    enc AS (SELECT vec_id, sub_id, code FROM (
+              SELECT sl.vec_id, sl.sub_id, cb.code,
+                     ROW_NUMBER() OVER (PARTITION BY sl.vec_id, sl.sub_id
+                       ORDER BY ROUND({_l2sq_sql('sl.svec', 'cb.cvec')}, 8)
+                                ASC, cb.code ASC) AS rn
+              FROM slc sl JOIN cb ON cb.sub_id = sl.sub_id) t
+            WHERE rn = 1),
+    plist AS (
+      SELECT probe_id, cid, pv FROM (
+        SELECT p.probe_id, c.cid, p.pv,
+               ROW_NUMBER() OVER (PARTITION BY p.probe_id
+                                  ORDER BY {_cos_sql('p.pv', 'c.cv')} DESC, c.cid)
+                 AS rn
+        FROM probes p CROSS JOIN cent c) t WHERE rn <= 2),
+    presid AS (
+      SELECT pl.probe_id, pl.cid,
+             {_SUB_DIFF.format(a='pl.pv', b='c.cv')} AS prv
+      FROM plist pl JOIN cent c ON c.cid = pl.cid),
+    tbl AS (SELECT pr.probe_id, pr.cid, s.sub_id, cb.code,
+                   ROUND({_l2sq_sql("pr.prv[s.sub_id*16+1 : s.sub_id*16+16]", 'cb.cvec')}, 8) AS d
+            FROM presid pr CROSS JOIN subs s
+            JOIN cb ON cb.sub_id = s.sub_id),
+    cand AS (SELECT pl.probe_id, pl.cid, a.vec_id
+             FROM plist pl JOIN assign a ON a.cid = pl.cid),
+    ad AS (SELECT ca.probe_id, ca.vec_id,
+                  CAST(SUM(CAST(t.d AS DECIMAL(28,8))) AS DOUBLE) AS dd,
+                  COUNT(*) AS nm
+           FROM cand ca
+           JOIN enc e ON e.vec_id = ca.vec_id
+           JOIN tbl t ON t.probe_id = ca.probe_id AND t.cid = ca.cid
+                     AND t.sub_id = e.sub_id AND t.code = e.code
+           GROUP BY 1, 2)
+    SELECT probe_id, vec_id, ROUND(dd, 6) AS adist, rank FROM (
+      SELECT probe_id, vec_id, dd,
+             CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                    ORDER BY dd ASC, vec_id ASC) AS INT) AS rank
+      FROM ad WHERE nm = 4) t
+    WHERE rank <= 5
+    """,
+)
+def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the full FAISS recipe oracle-checked end to end: coarse
+    cells prune candidates (nprobe=2 of 16), residual-encoded PQ (m=4,
+    16 codes) scores them via per-(probe, cell) ADC tables, exact-
+    DECIMAL partial sums, top-5 smallest. Residual encoding is the
+    classic formulation — codes describe what the cell centroid didn't
+    explain — and everything (coarse assign, residuals, codebooks,
+    tables, ranking) replays identically in the DuckDB twin."""
+    from cses2humio_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return ivfpq_topk(
+        emb, probes, cent, m=4, k_codes=16, dim=64, k=5, nprobe=2
+    )

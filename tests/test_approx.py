@@ -604,3 +604,57 @@ def test_pq_plan_is_equi_join_only(spark):
     assert_no_cartesian(df)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivfpq_recall_floor_vs_exact_l2(spark):
+    """IVF-PQ composes two approximations (cell pruning + residual
+    codes). This synthetic corpus's near-orthogonal neighbor geometry is
+    PQ's worst case (the same caveat test_ann_recall_floors documents
+    for LSH: id-prefix codebooks measure ~0.22 recall at nprobe=2 and
+    plateau ~0.35 by nprobe=4 — quantization, not pruning, binds), so
+    the pins are structural: (a) every probe ranks ITSELF first
+    (residual distance exactly 0 in its own cell — a correctness
+    property), and (b) a larger codebook strictly improves recall vs
+    the exact squared-L2 top-5 (nprobe is NOT the binding dial here —
+    2 vs 4 measured identical — so the test pins the dial that is)."""
+    import numpy as np
+
+    from cses2humio_spark.operators.similarity import ivfpq_topk
+    from cses2humio_spark.sources.catalog import load_table
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+
+    def run(k_codes):
+        got = ivfpq_topk(
+            emb, probes, cent, m=4, k_codes=k_codes, dim=64, k=5, nprobe=2
+        ).collect()
+        by_probe = {}
+        for r in got:
+            by_probe.setdefault(r["probe_id"], []).append(
+                (r["rank"], r["vec_id"])
+            )
+        recalls = []
+        for p in range(8):
+            pv = vecs[p]
+            exact = sorted(
+                vecs, key=lambda v: (float(((vecs[v] - pv) ** 2).sum()), v)
+            )[:5]
+            approx = [v for _, v in sorted(by_probe[p])]
+            assert approx[0] == p, (p, approx)  # self at distance 0
+            recalls.append(len(set(exact) & set(approx)) / 5.0)
+        return sum(recalls) / len(recalls)
+
+    small, big = run(16), run(32)
+    assert big > small, (small, big)  # the recall/cost dial works
+    assert small >= 0.2, small  # self-retrieval floor

@@ -134,6 +134,7 @@ def test_no_query_degenerates_to_cartesian(spark):
     BNLJ_BY_DESIGN = {
         "cosine_topk",            # tiny probe set broadcast against corpus
         "ivf_topk",               # tiny centroid set broadcast
+        "ivfpq_topk",             # tiny centroid set broadcast (IVF-PQ)
         "cross_join_region_priority",  # the cross join op itself
         "vocab_coverage",         # single-row corpus-total scalar broadcast
         "token_budget_selection",  # single-row token-budget scalar broadcast
