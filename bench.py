@@ -60,6 +60,15 @@ HEADLINE = [
     # bench becomes it)
     "hql_window_moving_avg",  # trailing-N rows frame per series
     "tga_decode_stats",  # Arrow-batched real binary decode path
+    # round 5: new families promoted to the timed surface (no standing
+    # baseline yet — their first accepted bench becomes it)
+    "bpe_subword_stats",  # pure-codegen learned-subword replace fold
+    "pq_adc_topk",  # product-quantization ADC ANN
+    "ivfpq_topk",  # IVF + residual-PQ composition
+    "png_decode_stats",  # zlib inflate + 5-filter reverse pass
+    "ewma_user_baseline",  # per-key sequential smoothing fold
+    "hql_kv_parse",  # parser stage through the pipe language
+    "hql_entropy_extremes",  # heavy eval, now fan_out-parallelized
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
