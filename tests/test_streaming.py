@@ -1223,8 +1223,11 @@ def test_materialized_hql_search_refuses_non_mergeable():
     from cses2humio_spark.streaming.materialized import MaterializedHqlSearch
 
     for bad, msg in [
-        ("groupBy(x, function=avg(v))", "not mergeable"),
-        ("groupBy(x, function=count(v, distinct=true))", "not mergeable"),
+        # avg became mergeable (hidden sum/count) in round 5; the
+        # genuinely non-mergeable aggregates still refuse loudly
+        ("groupBy(x, function=stddev(v))", "not mergeable"),
+        ("groupBy(x, function=percentile(v))", "not mergeable"),
+        ("groupBy(x, function=count(v, distinct=true))", "approxDistinct"),
         ("count()", "must end in groupBy"),
         ("groupBy(x, function=[sum(a), sum(b)])", "duplicate aggregate"),
     ]:
