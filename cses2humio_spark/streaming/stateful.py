@@ -529,3 +529,60 @@ def streaming_sessionize_tws(
         outputMode="Append",
         timeMode="EventTime",
     )
+
+
+EWMA_OUT_SCHEMA = (
+    "user bigint, n_events bigint, last_value double, ewma double, "
+    "deviation double"
+)
+EWMA_STATE_SCHEMA = "ewma double, last_value double, n_events bigint"
+
+
+def streaming_ewma(keyed: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Streaming twin of ``operators/drift.py::ewma_final``: the EWMA
+    recurrence (s_0 = v_0, s_i = alpha*v_i + (1-alpha)*s_{i-1})
+    maintained ACROSS micro-batches via ``applyInPandasWithState`` —
+    state is three scalars per key. Rows are scanned in ts order WITHIN
+    each batch; cross-batch order is the stream's arrival order (the
+    replayed-source contract, same as streaming_cusum). IEEE-exact
+    updates: a stream chunked ANY way over time-ordered input produces
+    bit-identical state to the batch fold — pinned by
+    test_streaming_ewma_matches_batch_fold. Emits the newest
+    observation's deviation from the key's own baseline each batch
+    (update mode)."""
+    a = float(alpha)
+
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        if state.exists:
+            ew, last, n = state.get
+        else:
+            ew, last, n = None, None, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts"], kind="mergesort")
+            for xi in pdf["value"].astype("float64"):
+                ew = xi if ew is None else a * xi + (1.0 - a) * ew
+                last = xi
+                n += 1
+        if n:
+            state.update((ew, last, n))
+            yield _pd.DataFrame(
+                {
+                    "user": [int(key[0])],
+                    "n_events": [n],
+                    "last_value": [last],
+                    "ewma": [ew],
+                    "deviation": [last - ew],
+                }
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout as _GST
+
+    return keyed.groupBy("user").applyInPandasWithState(
+        update,
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=_GST.NoTimeout,
+    )

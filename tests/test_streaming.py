@@ -1426,3 +1426,62 @@ def test_materialized_view_time_travel(spark, tmp_path):
         r.read(spark, version=0)
     with _pytest.raises(ValueError, match="not committed"):
         r.read(spark, version=99)
+
+
+def test_streaming_ewma_matches_batch_fold(spark, tmp_path):
+    """The applyInPandasWithState EWMA must produce bit-identical final
+    state to the batch ewma_final fold for any chunking of a
+    time-ordered stream (IEEE-exact updates, same addition order)."""
+    import pandas as pd
+
+    from cses2humio_spark.operators.drift import ewma_final
+    from cses2humio_spark.streaming.stateful import streaming_ewma
+
+    vals = [37.0, 120.0, 15.5, 260.25, 88.0, 41.5, 300.0, 12.25, 199.5]
+    rows = [
+        {"user": i % 3, "ts": 1_700_000_000 + i, "value": vals[i % len(vals)] + (i % 5) * 2.5}
+        for i in range(45)
+    ]
+    batch_df = spark.createDataFrame(
+        [(r["user"], r["ts"], r["value"]) for r in rows],
+        "uid long, seq long, value double",
+    )
+    truth = {
+        r["uid"]: (r["n_events"], r["ewma"], r["deviation"])
+        for r in ewma_final(batch_df, "uid", ["seq"], "value", 0.3).collect()
+    }
+
+    src = tmp_path / "ewma_src"
+    src.mkdir()
+    for c, chunk in enumerate([rows[:15], rows[15:30], rows[30:]]):
+        p = src / f"{c}.ndjson"
+        pd.DataFrame(chunk).to_json(p, orient="records", lines=True)
+        os.utime(p, (1_700_000_000 + c * 60,) * 2)
+    stream = (
+        spark.readStream.schema("user bigint, ts bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        streaming_ewma(stream, alpha=0.3)
+        .writeStream.format("memory")
+        .queryName("ewma_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT * FROM ewma_stream").toPandas()
+    final = {}
+    for _, r in out.sort_values("n_events").iterrows():
+        final[int(r["user"])] = (
+            int(r["n_events"]),
+            round(float(r["ewma"]), 6),
+            round(float(r["deviation"]), 6),
+        )
+    assert set(final) == set(truth)
+    for u in truth:
+        assert final[u] == (truth[u][0], truth[u][1], truth[u][2]), (
+            u, final[u], truth[u]
+        )
