@@ -49,6 +49,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="Max rows printed (the query itself is not limited)",
     )
     p.add_argument("--master", default="local[*]")
+    p.add_argument(
+        "--explain",
+        action="store_true",
+        help="Print the compiled physical plan (explain formatted) "
+        "instead of executing — shows pushed filters, join strategies "
+        "and exchanges for the pipe",
+    )
     return p
 
 
@@ -82,6 +89,11 @@ def main(argv: list[str] | None = None) -> int:
     except HqlSyntaxError as exc:
         print(f"query error: {exc}", file=sys.stderr)
         return 2
+    if args.explain:
+        from cses2humio_spark.plans.explain import formatted_plan
+
+        print(formatted_plan(out))
+        return 0
     rows = out.limit(args.limit).collect()
     cols = out.columns
     if args.fmt == "json":

@@ -230,3 +230,19 @@ def test_console_script_end_to_end(capsys):
     )
     assert proc.returncode == 0, proc.stderr[-500:]
     assert "falcon_api_id" in proc.stdout
+
+
+def test_query_cli_explain_flag(spark, capsys, monkeypatch):
+    """--explain prints the compiled physical plan (pushed filters
+    visible) without executing the query."""
+    from cses2humio_spark.query_cli import main as qmain
+
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    rc = qmain(
+        ["#event_type = error | timechart(span=1d)",
+         "--sf-dir", "/root/testdata/sf0.001", "--explain"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "PushedFilters" in out and "event_type" in out
+    assert "HashAggregate" in out
