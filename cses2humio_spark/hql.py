@@ -506,7 +506,7 @@ def parse(src: str) -> list:
 
 _STAGE_FUNCS = {
     "count", "sum", "avg", "min", "max", "groupBy", "timechart", "sort",
-    "head", "top", "select", "table", "regex", "parseJson", "session",
+    "head", "top", "rare", "transpose", "select", "table", "regex", "parseJson", "session",
     "dedup", "in", "match", "percentile", "watermark", "sample",
     "default", "rename", "drop", "replace", "concat", "format",
     "splitString", "split", "stddev", "bucket", "join", "window", "tail",
@@ -1084,6 +1084,69 @@ def _compile_stage(
             )
         order = [F.col(mname).desc()] + [F.col(f).asc() for f in fields]
         return grouped.orderBy(*order).limit(limit)
+    if name == "rare":
+        # LogScale rare(): the ascending twin of top() — the LEAST
+        # common values (anomaly hunting: what almost never happens).
+        # Same TakeOrderedAndProject shape, inverted metric order; ties
+        # break by group value ascending (determinism contract).
+        fields = _as_list(node.args[0]) if node.args else []
+        if not fields:
+            raise HqlSyntaxError("rare(field | [f1, f2]) requires a field")
+        limit = int(node.kwargs.get("limit", 10))
+        grouped = df.groupBy(*[F.col(f) for f in fields]).agg(
+            _agg_column(Call("count"))
+        )
+        order = [F.col("_count").asc()] + [F.col(f).asc() for f in fields]
+        return grouped.orderBy(*order).limit(limit)
+    if name == "transpose":
+        # LogScale transpose(): swap a SMALL result table's rows and
+        # columns for dashboard rendering — each distinct value of
+        # header= becomes a column; every other input column becomes one
+        # output row (named in `field`). Cells are strings (mixed source
+        # types share columns). EAGER by necessity: the output SCHEMA is
+        # the header's value set, so the distinct headers are collected
+        # at compile — bounded by limit= (default 20), refused loudly
+        # beyond it. Intended for post-aggregate tables, mirroring
+        # LogScale's own result-table cap; duplicate headers take the
+        # MIN cell (never a partitioning-dependent first).
+        header = node.kwargs.get("header")
+        if header is None:
+            raise HqlSyntaxError("transpose(header=field) requires header=")
+        if header not in df.columns:
+            raise HqlSyntaxError(
+                f"transpose header {header!r} not in columns {df.columns}"
+            )
+        limit = int(node.kwargs.get("limit", 20))
+        hdr_rows = (
+            df.select(F.col(header).cast("string"))
+            .distinct()
+            .limit(limit + 1)
+            .collect()
+        )
+        if len(hdr_rows) > limit:
+            raise HqlSyntaxError(
+                f"transpose: more than limit={limit} distinct values in "
+                f"{header!r} — transpose is for small result tables; "
+                "aggregate or raise limit="
+            )
+        hdr_vals = sorted(r[0] for r in hdr_rows if r[0] is not None)
+        others = [c for c in df.columns if c != header]
+        if not others:
+            raise HqlSyntaxError("transpose: no columns besides the header")
+        melted = None
+        for c in others:
+            part = df.select(
+                F.lit(c).alias("field"),
+                F.col(header).cast("string").alias("__h"),
+                F.col(c).cast("string").alias("__v"),
+            )
+            melted = part if melted is None else melted.unionByName(part)
+        return (
+            melted.groupBy("field")
+            .pivot("__h", hdr_vals)
+            .agg(F.min("__v"))
+            .orderBy("field")
+        )
     if name in ("select", "table"):
         fields = _as_list(node.args[0]) if node.args else []
         return df.select(*[F.col(f) for f in fields])

@@ -1155,3 +1155,48 @@ def hql_cidr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "| groupBy(event_type, function=[count(as=n), "
         "count(user_id, distinct=true, as=n_users)])",
     )
+
+
+@query(
+    "hql_rare_user_events",
+    oracle="""
+    SELECT user_id, COUNT(*) AS _count
+    FROM events
+    GROUP BY user_id
+    ORDER BY _count ASC, user_id ASC
+    LIMIT 10
+    """,
+)
+def hql_rare_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rare()`` — the ascending twin of top(): the LEAST active users
+    (anomaly hunting's first question: what almost never happens).
+    Compiles to the same TakeOrderedAndProject shape as top() with the
+    metric order inverted; count ties break by group value ascending so
+    the LIMIT cut is engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(ev, "rare(user_id, limit=10)")
+
+
+@query(
+    "hql_transpose_type_counts",
+    oracle="""
+    WITH g AS (SELECT event_type, COUNT(*) AS _count
+               FROM events GROUP BY event_type)
+    SELECT '_count' AS field,
+      CAST(MIN(CASE WHEN event_type = 'click' THEN _count END) AS VARCHAR) AS click,
+      CAST(MIN(CASE WHEN event_type = 'error' THEN _count END) AS VARCHAR) AS error,
+      CAST(MIN(CASE WHEN event_type = 'purchase' THEN _count END) AS VARCHAR) AS purchase,
+      CAST(MIN(CASE WHEN event_type = 'signup' THEN _count END) AS VARCHAR) AS signup,
+      CAST(MIN(CASE WHEN event_type = 'view' THEN _count END) AS VARCHAR) AS view
+    FROM g
+    """,
+)
+def hql_transpose_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``transpose()`` — the dashboard row/column swap: per-type counts
+    become one row with one column per event type. The header's value
+    set is the output SCHEMA, so the stage is eager-by-necessity with a
+    loud cap (LogScale's own small-result-table contract); cells are
+    strings, duplicate headers take MIN (never a partitioning-dependent
+    first)."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(ev, "groupBy(event_type) | transpose(header=event_type)")

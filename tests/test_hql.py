@@ -1444,3 +1444,36 @@ def test_expensive_eval_pipes_fan_out_single_split_inputs(spark):
         ev, "#event_type = error | e := shannonEntropy(props) | count()"
     )
     assert_pushed_filters(filtered_heavy, "EqualTo(event_type,error)")
+
+
+def test_rare_is_ascending_twin_of_top(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 2 + [("c",)] * 9 + [("d",)] * 2,
+        "k string",
+    )
+    rows = hql(df, "rare(k, limit=3)").collect()
+    assert [(r["k"], r["_count"]) for r in rows] == [
+        ("b", 2), ("d", 2), ("a", 5)  # ties break by value ascending
+    ]
+    with pytest.raises(HqlSyntaxError):
+        hql(df, "rare()")
+
+
+def test_transpose_swaps_rows_and_columns(spark):
+    df = spark.createDataFrame(
+        [("error", 5, 1.5), ("view", 9, 2.5)],
+        "etype string, n long, avg_v double",
+    )
+    out = hql(df, "transpose(header=etype)")
+    assert out.columns == ["field", "error", "view"]
+    got = {r["field"]: (r["error"], r["view"]) for r in out.collect()}
+    # cells are strings; one row per non-header input column
+    assert got == {"n": ("5", "9"), "avg_v": ("1.5", "2.5")}
+    # loud cap: more distinct headers than limit refuses
+    big = spark.createDataFrame([(str(i), i) for i in range(30)], "h string, v long")
+    with pytest.raises(HqlSyntaxError, match="limit"):
+        hql(big, "transpose(header=h)")
+    with pytest.raises(HqlSyntaxError):
+        hql(df, "transpose()")  # header required
+    with pytest.raises(HqlSyntaxError, match="not in columns"):
+        hql(df, "transpose(header=nope)")
