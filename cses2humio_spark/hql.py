@@ -1057,6 +1057,30 @@ def _compile_stage(
         return out
     if name == "head":
         n = int(node.args[0]) if node.args else int(node.kwargs.get("limit", 200))
+        if "by" in node.kwargs:
+            # grouped head (engine extension): the first N rows PER KEY
+            # under order= — "latest 3 events per user". Compiles to a
+            # rank window that Spark executes as WindowGroupLimit
+            # (per-partition top-N heaps — never materializes a full
+            # per-key sort at scale); include a unique tiebreak in
+            # order= for determinism.
+            by = _as_list(node.kwargs["by"])
+            order = _as_list(node.kwargs.get("order", ["ts"]))
+            direction = str(node.kwargs.get("dir", "desc")).lower()
+            if direction not in ("asc", "desc"):
+                raise HqlSyntaxError(f"head dir must be asc|desc, got {direction!r}")
+            from pyspark.sql.window import Window as _W
+
+            cols = [
+                F.col(o).desc() if direction == "desc" else F.col(o).asc()
+                for o in order
+            ]
+            w = _W.partitionBy(*[F.col(k) for k in by]).orderBy(*cols)
+            return (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= n)
+                .drop("__rn")
+            )
         return df.limit(n)
     if name == "top":
         fields = _as_list(node.args[0]) if node.args else []

@@ -1200,3 +1200,28 @@ def hql_transpose_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     first)."""
     ev = load_table(spark, sf_dir, "events")
     return hql(ev, "groupBy(event_type) | transpose(header=event_type)")
+
+
+@query(
+    "hql_head_latest_per_user",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_id, event_type
+    FROM r WHERE rn <= 2
+    """,
+)
+def hql_head_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ``head(by=)`` — the everyday "latest N events per key"
+    ask, compiled to a rank window Spark executes as WindowGroupLimit
+    (per-partition top-N heaps, never a full per-key sort); event_id in
+    order= is the unique tiebreak that keeps the cut deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(
+        ev,
+        "head(2, by=user_id, order=[ts, event_id]) "
+        "| select([user_id, event_id, event_type])",
+    )

@@ -1477,3 +1477,26 @@ def test_transpose_swaps_rows_and_columns(spark):
         hql(df, "transpose()")  # header required
     with pytest.raises(HqlSyntaxError, match="not in columns"):
         hql(df, "transpose(header=nope)")
+
+
+def test_head_grouped_is_window_group_limit(spark):
+    """head(by=) compiles to the rank-window shape Spark executes as
+    WindowGroupLimit — bounded per-partition heaps, not a full sort."""
+    ev = load_table(spark, SF_SMALL, "events")
+    df = hql(ev, "head(3, by=user_id, order=[ts, event_id])")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    # ascending direction + per-key cap honored
+    out = hql(ev, "head(1, by=user_id, order=[ts, event_id], dir=asc)")
+    rows = out.groupBy("user_id").count().collect()
+    assert rows and all(r["count"] == 1 for r in rows)
+    first = {r["user_id"]: r["event_id"] for r in out.collect()}
+    w_first = {
+        r["user_id"]: r["event_id"]
+        for r in ev.orderBy("ts", "event_id")
+        .dropDuplicates(["user_id"])
+        .collect()
+    }
+    assert first == w_first
+    with pytest.raises(HqlSyntaxError):
+        hql(ev, "head(3, by=user_id, dir=sideways)")
