@@ -1811,3 +1811,50 @@ def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         emb, probes, cent, m=4, k_codes=16, dim=64, k=5, nprobe=2
     )
+
+
+@query(
+    "gif_decode_stats",
+    oracle="""
+    WITH d3 AS (SELECT doc_id, 5 + doc_id % 9 AS w, 4 + doc_id % 5 AS h
+                FROM documents WHERE doc_id < 300),
+    g AS (SELECT t.doc_id, ux.x, uy.y,
+                 (3*t.doc_id + 5*ux.x + 7*uy.y) % 256 AS idx
+          FROM d3 t,
+               UNNEST(generate_series(0, t.w - 1)) AS ux(x),
+               UNNEST(generate_series(0, t.h - 1)) AS uy(y)),
+    m AS (SELECT doc_id,
+            ROUND(AVG(idx), 6) AS mean_r,
+            ROUND(AVG((idx + 11) % 256), 6) AS mean_g,
+            ROUND(AVG((idx + 22) % 256), 6) AS mean_b,
+            CAST(SUM(CASE WHEN y = 0 THEN
+                   idx + (idx + 11) % 256 + (idx + 22) % 256
+                 ELSE 0 END) AS BIGINT) AS top_row_sum,
+            CAST(SUM(idx + (idx + 11) % 256 + (idx + 22) % 256)
+                 % 1000000000 AS BIGINT) AS byte_checksum
+          FROM g GROUP BY doc_id)
+    SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+           m.mean_r, m.mean_g, m.mean_b, m.top_row_sum, m.byte_checksum
+    FROM d3 d JOIN m ON m.doc_id = d.doc_id
+    """,
+)
+def gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode, oracle-checked — the second compressed codec
+    decoded byte-for-byte (LZW with variable 9..12-bit codes, LSB-first
+    bit unpacking, dictionary growth, CLEAR resets and the KwKwK case —
+    a wholly different compression family from PNG's zlib): palette
+    lookup then the multimodal family's standard stats, with the oracle
+    computing everything from the generative index formula without
+    touching bytes. n_subblocks (the 255-byte sub-block framing) is
+    excluded here — it depends on the LZW output length — and pinned by
+    unit test."""
+    from cses2humio_spark.operators.multimodal import (
+        decode_gif,
+        repartition_for_media,
+        synthesize_gif_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return decode_gif(
+        repartition_for_media(synthesize_gif_media(docs))
+    ).drop("n_subblocks")

@@ -382,3 +382,77 @@ def test_png_decoder_rejects_corruption(spark):
     )
     with _pytest.raises(Exception, match="not a PNG"):
         decode_png(bad2).collect()
+
+
+def test_gif_lzw_roundtrip_and_sub_blocks(spark):
+    """The GIF decoder must reproduce the generative formula through a
+    REAL LZW stream (multi-char dictionary entries, code-width growth,
+    CLEAR resets) reassembled from 255-byte sub-blocks."""
+    from cses2humio_spark.operators.multimodal import (
+        decode_gif,
+        synthesize_gif_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    out = {r["doc_id"]: r for r in decode_gif(synthesize_gif_media(docs)).collect()}
+    assert len(out) == 12
+    for d, r in out.items():
+        w, h = 5 + d % 9, 4 + d % 5
+        assert (r["width"], r["height"]) == (w, h)
+        idx = [
+            (3 * d + 5 * x + 7 * y) % 256
+            for y in range(h) for x in range(w)
+        ]
+        assert abs(r["mean_r"] - round(sum(idx) / len(idx), 6)) < 1e-6
+        top = sum(
+            i + (i + 11) % 256 + (i + 22) % 256 for i in idx[:w]
+        )
+        assert r["top_row_sum"] == top
+        assert r["n_subblocks"] >= 1
+
+
+def test_gif_decoder_rejects_unsupported(spark):
+    import pytest as _pytest
+
+    from cses2humio_spark.operators.multimodal import (
+        decode_gif,
+        synthesize_gif_media,
+    )
+
+    [row] = synthesize_gif_media(
+        spark.createDataFrame([(1,)], "doc_id long")
+    ).collect()
+    buf = bytearray(bytes(row["payload"]))
+
+    def df_of(payload):
+        return spark.createDataFrame(
+            [(1, bytes(payload))], "doc_id long, payload binary"
+        )
+
+    with _pytest.raises(Exception, match="not a GIF"):
+        decode_gif(df_of(b"JIF87a" + bytes(20))).collect()
+    bad = bytearray(buf)
+    bad[13 + 768 + 9] |= 0x40  # set interlace flag in the image descriptor
+    with _pytest.raises(Exception, match="interlaced"):
+        decode_gif(df_of(bad)).collect()
+    # truncating the LZW stream mid-code must fail loudly, not wrap
+    cut = buf[: len(buf) // 2]
+    with _pytest.raises(Exception):
+        decode_gif(df_of(cut)).collect()
+
+
+def test_lzw_codec_adversarial_roundtrips():
+    """The shared LZW pair must roundtrip the shapes that break naive
+    implementations: KwKwK self-reference, table-full CLEAR resets,
+    full-byte alphabets."""
+    from cses2humio_spark.operators.multimodal import _make_lzw_codec
+
+    enc, dec = _make_lzw_codec()
+    cases = [
+        [1] * 50,                      # immediate KwKwK
+        list(range(256)) * 2,
+        [5] * 4096 + [7] * 4096,       # forces CLEAR mid-stream
+        [0],
+    ]
+    for c in cases:
+        assert dec(enc(c, 8), 8, len(c)) == c
