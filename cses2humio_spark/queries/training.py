@@ -701,3 +701,62 @@ def bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("subword").asc())
         .limit(30)
     )
+
+
+def _bpe_pack_cte() -> str:
+    # d/o are MATERIALIZED: DuckDB re-evaluates plain CTEs per
+    # recursion step, which would rerun the BPE fold depth times
+    return rf"""
+d AS MATERIALIZED (SELECT doc_id,
+             ('0x' || substr(md5('pack:' || doc_id), 1, 8))::BIGINT % 8
+               AS bucket,
+             CAST(len({_bpe_oracle_tokens_sql()}) AS BIGINT) AS n_tokens
+      FROM documents),
+o AS MATERIALIZED (SELECT doc_id, bucket, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+      FROM d),
+p AS (
+  SELECT bucket, rn, doc_id, n_tokens,
+         n_tokens AS acc,
+         CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_pos
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT nxt.bucket, nxt.rn, nxt.doc_id, nxt.n_tokens,
+         CASE WHEN p.acc + nxt.n_tokens > 1024
+              THEN nxt.n_tokens ELSE p.acc + nxt.n_tokens END,
+         CASE WHEN p.acc + nxt.n_tokens > 1024
+              THEN p.pack_id + 1 ELSE p.pack_id END,
+         CASE WHEN p.acc + nxt.n_tokens > 1024
+              THEN 0 ELSE p.pack_pos + 1 END
+  FROM p JOIN o nxt ON nxt.bucket = p.bucket AND nxt.rn = p.rn + 1)
+"""
+
+
+@query(
+    "bpe_pack_assignments",
+    oracle=f"""
+    WITH RECURSIVE {_bpe_pack_cte()}
+    SELECT bucket, doc_id, n_tokens, pack_id, pack_pos FROM p
+    """,
+)
+def bpe_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-pipeline composition the BPE operator exists for: learned
+    subwords FEED the packing surface — per-doc subword counts (the
+    pure-codegen BPE fold, length only: subword text never rides the
+    shuffle) packed greedily into 1024-subword training sequences within
+    8 deterministic hash buckets. The oracle replays tokenize-and-pack
+    end to end (BPE fold inside the recursive packing CTE). Same scale
+    shape as sequence_pack_assignments: the only shuffle carries
+    (bucket, id, n_tokens)."""
+    from cses2humio_spark.operators.bpe import bpe_encode
+    from cses2humio_spark.operators.packing import pack_sequences
+    from cses2humio_spark.sources.catalog import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    narrow = docs.select(
+        "doc_id",
+        F.size(bpe_encode(F.lower(F.col("text")), _bpe_merges())).alias(
+            "n_tokens"
+        ),
+    )
+    return pack_sequences(narrow, budget=1024, n_buckets=8)
