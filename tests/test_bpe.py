@@ -101,3 +101,28 @@ def test_bpe_plan_is_python_free_and_fans_out(spark):
     assert "EvalPython" not in plan  # pure Catalyst fold
     # the merge fold rides as a literal — no extra join in the plan
     assert "Join" not in plan
+
+
+def test_bpe_property_random_corpora_match_reference(spark):
+    """Property test: for RANDOM corpora and random application texts,
+    the distributed fold must equal the reference implementation exactly
+    (hypothesis-style but with a fixed seed so the case set is
+    reproducible; one Spark job for all cases)."""
+    import random
+
+    rng = random.Random(20260814)
+    alphabet = "abcdefg "
+    for trial in range(6):
+        corpus = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randrange(5, 60)))
+            for _ in range(rng.randrange(2, 6))
+        ]
+        merges = train_bpe(corpus, rng.randrange(1, 30))
+        texts = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 80)))
+            for _ in range(8)
+        ]
+        ref = [reference_bpe_encode(t, merges) for t in texts]
+        df = spark.createDataFrame([(t,) for t in texts], "t string")
+        got = [r[0] for r in df.select(bpe_encode("t", merges)).collect()]
+        assert got == ref, (trial, merges, texts)

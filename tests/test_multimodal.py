@@ -456,3 +456,21 @@ def test_lzw_codec_adversarial_roundtrips():
     ]
     for c in cases:
         assert dec(enc(c, 8), 8, len(c)) == c
+
+
+def test_lzw_property_random_roundtrips():
+    """Property test: random index streams of varied lengths/alphabets
+    roundtrip the LZW pair exactly (fixed seed, includes the streams
+    that push code width to 12 bits and through CLEAR resets)."""
+    import random
+
+    from cses2humio_spark.operators.multimodal import _make_lzw_codec
+
+    enc, dec = _make_lzw_codec()
+    rng = random.Random(7_2026)
+    for trial in range(12):
+        n = rng.choice([1, 2, 17, 300, 3000, 9000])
+        alpha = rng.choice([2, 5, 256])
+        seq = [rng.randrange(alpha) for _ in range(n)]
+        z = enc(seq, 8)
+        assert dec(z, 8, n) == seq, (trial, n, alpha)
