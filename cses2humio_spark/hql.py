@@ -506,7 +506,7 @@ def parse(src: str) -> list:
 
 _STAGE_FUNCS = {
     "count", "sum", "avg", "min", "max", "groupBy", "timechart", "sort",
-    "head", "top", "rare", "transpose", "select", "table", "regex", "parseJson", "session",
+    "head", "top", "rare", "transpose", "fieldSummary", "select", "table", "regex", "parseJson", "session",
     "dedup", "in", "match", "percentile", "watermark", "sample",
     "default", "rename", "drop", "replace", "concat", "format",
     "splitString", "split", "stddev", "bucket", "join", "window", "tail",
@@ -1122,6 +1122,33 @@ def _compile_stage(
         )
         order = [F.col("_count").asc()] + [F.col(f).asc() for f in fields]
         return grouped.orderBy(*order).limit(limit)
+    if name == "fieldSummary":
+        # LogScale fieldstats() analog: one profile row per column of
+        # the CURRENT result — non-null count, exact distinct count,
+        # min/max (rendered as strings so mixed types share the schema).
+        # ONE aggregation job: every per-column stat is an aggregate in
+        # a single global agg, unpivoted afterwards with stack (a free
+        # narrow projection). limit= caps which columns are profiled.
+        fields = _as_list(node.args[0]) if node.args else list(df.columns)
+        missing = [f for f in fields if f not in df.columns]
+        if missing:
+            raise HqlSyntaxError(f"fieldSummary: unknown fields {missing}")
+        aggs = []
+        for i, f_name in enumerate(fields):
+            c = F.col(f_name)
+            aggs.append(F.count(c).alias(f"__n_{i}"))
+            aggs.append(F.count_distinct(c).alias(f"__d_{i}"))
+            aggs.append(F.min(c).cast("string").alias(f"__mn_{i}"))
+            aggs.append(F.max(c).cast("string").alias(f"__mx_{i}"))
+        one = df.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{f_name}', __n_{i}, __d_{i}, __mn_{i}, __mx_{i}"
+            for i, f_name in enumerate(fields)
+        )
+        return one.selectExpr(
+            f"stack({len(fields)}, {stack_args}) AS "
+            "(field, n_nonnull, n_distinct, min_value, max_value)"
+        )
     if name == "transpose":
         # LogScale transpose(): swap a SMALL result table's rows and
         # columns for dashboard rendering — each distinct value of

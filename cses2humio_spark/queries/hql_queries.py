@@ -1225,3 +1225,34 @@ def hql_head_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         "head(2, by=user_id, order=[ts, event_id]) "
         "| select([user_id, event_id, event_type])",
     )
+
+
+@query(
+    "hql_field_summary",
+    oracle="""
+    SELECT 'event_type' AS field, CAST(COUNT(event_type) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct,
+           CAST(MIN(event_type) AS VARCHAR) AS min_value,
+           CAST(MAX(event_type) AS VARCHAR) AS max_value
+    FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(COUNT(user_id) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'value', CAST(COUNT(value) AS BIGINT),
+           CAST(COUNT(DISTINCT value) AS BIGINT),
+           CAST(MIN(value) AS VARCHAR), CAST(MAX(value) AS VARCHAR)
+    FROM events
+    """,
+)
+def hql_field_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``fieldSummary()`` — the data-exploration profile (LogScale's
+    fieldstats): one row per column with non-null count, exact distinct
+    count, and min/max rendered as strings. All columns' stats compute
+    in ONE aggregation job (a single global agg unpivoted with stack);
+    the double→string rendering is shortest-repr identical in both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(ev, "fieldSummary([event_type, user_id, value])")

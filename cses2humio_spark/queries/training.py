@@ -760,3 +760,76 @@ def bpe_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return pack_sequences(narrow, budget=1024, n_buckets=8)
+
+
+@query(
+    "span_corruption_stats",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    m AS (SELECT doc_id, source, len(toks) AS n_toks,
+            list_transform(generate_series(1, len(toks)),
+              i -> CASE WHEN ('0x' || substr(md5('span:' || doc_id || ':' || i), 1, 8))::BIGINT
+                             % 100 < 15 THEN 1 ELSE 0 END) AS mask
+          FROM t),
+    s AS (SELECT doc_id, source, n_toks,
+            list_reduce(list_prepend(0, mask), (a, b) -> a + b) AS n_masked,
+            list_reduce(list_prepend(0,
+              list_transform(generate_series(1, len(mask)),
+                i -> CASE WHEN mask[i] = 1 AND (i = 1 OR mask[i-1] = 0)
+                          THEN 1 ELSE 0 END)), (a, b) -> a + b) AS n_spans
+          FROM m)
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+      CAST(SUM(n_masked) AS BIGINT) AS masked_tokens,
+      CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+      ROUND(SUM(n_masked) / CAST(SUM(n_toks) AS DOUBLE), 6) AS corruption_rate
+    FROM s GROUP BY source
+    """,
+)
+def span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic span-corruption sampling (the T5-style masking
+    step of a training pipeline): each token position masks iff
+    md5('span:'||doc_id||':'||i) lands under the 15% rate — a pure
+    function of (doc_id, position), so the corruption pattern is
+    reproducible across runs, engines and partitioning (the same
+    md5-uniform idiom as the source-mixing sampler). Reports per-source
+    token/mask/span counts; spans are maximal masked runs, counted via
+    a shifted zip (codegen — no per-index HOF lookup in the hot path
+    beyond the hash itself). At 100 TB this is a narrow map stage
+    feeding a 10-row aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    did = F.col("doc_id").cast("string")
+    mask = F.transform(
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda i: F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("span:"), did, F.lit(":"), i.cast("string"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("bigint") % 100
+            < 15,
+            1,
+        ).otherwise(0),
+    )
+    m = docs.select("source", F.size(toks).alias("n_toks"), mask.alias("mask"))
+    prev = F.concat(F.array(F.lit(0)), F.slice(F.col("mask"), 1, F.size(F.col("mask")) - 1))
+    starts = F.zip_with(F.col("mask"), prev, lambda a, b: a * (1 - b))
+    s = m.select(
+        "source",
+        "n_toks",
+        F.aggregate(F.col("mask"), F.lit(0), lambda a, b: a + b).alias("n_masked"),
+        F.aggregate(starts, F.lit(0), lambda a, b: a + b).alias("n_spans"),
+    )
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.sum("n_masked").cast("bigint").alias("masked_tokens"),
+        F.sum("n_spans").cast("bigint").alias("n_spans"),
+        F.round(
+            F.sum("n_masked") / F.sum("n_toks").cast("double"), 6
+        ).alias("corruption_rate"),
+    )
