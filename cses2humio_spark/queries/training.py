@@ -833,3 +833,56 @@ def span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_masked") / F.sum("n_toks").cast("double"), 6
         ).alias("corruption_rate"),
     )
+
+
+@query(
+    "bpe_vocab_oov_rate",
+    oracle=f"""
+    WITH sw AS (SELECT lang, UNNEST({_bpe_oracle_tokens_sql()}) AS sub
+                FROM documents),
+    freq AS (SELECT sub, COUNT(*) AS cnt FROM sw GROUP BY sub),
+    vocab AS (SELECT sub FROM freq ORDER BY cnt DESC, sub LIMIT 50)
+    SELECT s.lang,
+      CAST(COUNT(*) AS BIGINT) AS total_subwords,
+      CAST(SUM(CASE WHEN v.sub IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS oov_subwords,
+      ROUND(SUM(CASE WHEN v.sub IS NULL THEN 1 ELSE 0 END)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+    FROM sw s LEFT JOIN vocab v ON v.sub = s.sub
+    GROUP BY s.lang
+    """,
+)
+def bpe_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vocab/OOV surface fed by LEARNED subwords (completing the
+    round-5 BPE story alongside bpe_pack_assignments): a frequency-
+    ranked top-50 subword vocabulary (ties broken by subword — a
+    deterministic cut), then per-language out-of-vocabulary rates over
+    the subword stream. Same scale shape as vocab_apply_oov_rate: the
+    vocab is tiny -> broadcast; the subword explode never shuffles, only
+    per-language counters do."""
+    from cses2humio_spark.operators.bpe import bpe_encode
+    from cses2humio_spark.sources.catalog import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    sw = docs.select(
+        "lang",
+        F.explode(bpe_encode(F.lower(F.col("text")), _bpe_merges())).alias(
+            "sub"
+        ),
+    )
+    freq = sw.groupBy("sub").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = freq.orderBy(F.col("cnt").desc(), "sub").limit(50).select("sub")
+    joined = sw.join(
+        F.broadcast(vocab.withColumn("__in", F.lit(1))), on="sub", how="left"
+    )
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_subwords"),
+        F.sum(F.col("__in").isNull().cast("int"))
+        .cast("bigint")
+        .alias("oov_subwords"),
+        F.round(
+            F.sum(F.col("__in").isNull().cast("int"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("oov_rate"),
+    )
