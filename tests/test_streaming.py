@@ -1485,3 +1485,50 @@ def test_streaming_ewma_matches_batch_fold(spark, tmp_path):
         assert final[u] == (truth[u][0], truth[u][1], truth[u][2]), (
             u, final[u], truth[u]
         )
+
+
+def test_materialized_search_with_parser_stage_prefix(spark, tmp_path):
+    """The round-5 parser stages work inside a MAINTAINED search's pipe
+    prefix: raw k=v lines are kvParse'd per micro-batch before the
+    mergeable groupBy — the 'saved search over raw logs as a live
+    table' shape."""
+    import glob
+    import os
+
+    from cses2humio_spark.streaming.materialized import MaterializedHqlSearch
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [("type=error val=3",), ("type=view val=5",)],
+        [("type=error val=7",)],
+    ]
+    for i, rows in enumerate(batches):
+        d = str(src / f"f{i}")
+        spark.createDataFrame(rows, "raw string").coalesce(1).write.parquet(d)
+        for f in glob.glob(os.path.join(d, "*")):
+            os.utime(f, (1_700_000_000 + i * 60,) * 2)
+
+    search = MaterializedHqlSearch(
+        str(tmp_path / "tbl"),
+        "kvParse(raw, keys=[type, val]) "
+        "| groupBy(type, function=[count(), sum(val, as=total)])",
+        n_buckets=4,
+    )
+    stream = (
+        spark.readStream.schema("raw string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(search)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["type"]: (r["_count"], r["total"])
+        for r in search.read(spark).collect()
+    }
+    assert got == {"error": (2, 10.0), "view": (1, 5.0)}
