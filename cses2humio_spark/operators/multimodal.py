@@ -1282,3 +1282,163 @@ def decode_gif(media: DataFrame) -> DataFrame:
         F.round("mean_b", 6).alias("mean_b"),
         "top_row_sum", "byte_checksum",
     )
+
+
+# -- PCX (REAL decode: RLE runs + VGA palette) ------------------------------
+
+PCX_FEATURES_SCHEMA = (
+    "doc_id bigint, width int, height int, rle_ratio double, mean_r double, "
+    "mean_g double, mean_b double, top_row_sum bigint, byte_checksum bigint"
+)
+
+
+def synthesize_pcx_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary): a VALID 8-bit PCX (version 5) per
+    document — 128-byte header (window coords, 8 bpp, 1 plane, even
+    bytes-per-line stride), REAL RLE-compressed scanlines (runs encoded
+    as 0xC0|len + value, literals >= 0xC0 forced into 1-runs — the
+    format's escape rule), and the 256-entry VGA palette after the 0x0C
+    marker. Pixel index and palette share the GIF family's closed form:
+    index(x, y) = (3*doc_id + 5*x + 7*y) % 256, palette[i] = (i,
+    (i+11)%256, (i+22)%256). To exercise real runs, every third row is
+    CONSTANT (index of its first pixel), so RLE produces genuine
+    multi-byte runs alongside literal stretches."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import pandas as _pd
+
+        def rle_encode(row):
+            out = bytearray()
+            i = 0
+            while i < len(row):
+                v = row[i]
+                run = 1
+                while i + run < len(row) and row[i + run] == v and run < 63:
+                    run += 1
+                if run > 1 or v >= 0xC0:
+                    out.append(0xC0 | run)
+                out.append(v)
+                i += run
+            return bytes(out)
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 5 + d % 9, 4 + d % 5
+                stride = w + (w & 1)  # even bytes-per-line per the spec
+                hdr = bytearray(128)
+                hdr[0] = 0x0A           # manufacturer
+                hdr[1] = 5              # version 5 (palette-capable)
+                hdr[2] = 1              # RLE encoding
+                hdr[3] = 8              # bits per pixel
+                _struct.pack_into("<HHHH", hdr, 4, 0, 0, w - 1, h - 1)
+                _struct.pack_into("<HH", hdr, 12, 72, 72)  # dpi
+                hdr[65] = 1             # planes
+                _struct.pack_into("<H", hdr, 66, stride)
+                body = bytearray()
+                for y in range(h):
+                    if y % 3 == 2:  # constant row -> genuine RLE runs
+                        base = (3 * d + 7 * y) % 256
+                        row = bytes([base]) * w
+                    else:
+                        row = bytes(
+                            (3 * d + 5 * x + 7 * y) % 256 for x in range(w)
+                        )
+                    row = row + b"\x00" * (stride - w)
+                    body += rle_encode(row)
+                palette = bytearray()
+                for i in range(256):
+                    palette += bytes((i, (i + 11) % 256, (i + 22) % 256))
+                payloads.append(bytes(hdr) + bytes(body) + b"\x0c" + bytes(palette))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(_gen, "doc_id bigint, payload binary")
+
+
+def decode_pcx(media: DataFrame) -> DataFrame:
+    """REAL PCX decode via mapInPandas — no imaging library: header
+    parse (window-relative dimensions, even-stride bytes-per-line),
+    RLE expansion (0xC0-escaped runs, literals below 0xC0), stride-
+    padding strip, trailing VGA-palette lookup behind the 0x0C marker.
+    8-bit single-plane only; anything else raises loudly. Emits the
+    multimodal family's standard stats plus the measured RLE
+    compression ratio (expanded/encoded — proves real runs were
+    decoded, not a passthrough)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "rle_ratio", "mean_r",
+                "mean_g", "mean_b", "top_row_sum", "byte_checksum",
+            )}
+            for d, b in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(b)
+                if len(buf) < 128 + 769 or buf[0] != 0x0A:
+                    raise ValueError("not a PCX")
+                if buf[2] != 1 or buf[3] != 8 or buf[65] != 1:
+                    raise ValueError(
+                        "unsupported PCX (need RLE, 8 bpp, 1 plane): "
+                        f"enc={buf[2]} bpp={buf[3]} planes={buf[65]}"
+                    )
+                x0, y0, x1, y1 = _struct.unpack_from("<HHHH", buf, 4)
+                (stride,) = _struct.unpack_from("<H", buf, 66)
+                w, h = x1 - x0 + 1, y1 - y0 + 1
+                if buf[-769] != 0x0C:
+                    raise ValueError("missing VGA palette marker")
+                palette = _np.frombuffer(
+                    buf, dtype=_np.uint8, count=768, offset=len(buf) - 768
+                ).reshape(256, 3)
+                need = stride * h
+                out = bytearray()
+                pos = 128
+                end = len(buf) - 769
+                while len(out) < need:
+                    if pos >= end:
+                        raise ValueError("truncated PCX scanline data")
+                    v = buf[pos]
+                    pos += 1
+                    if (v & 0xC0) == 0xC0:
+                        run = v & 0x3F
+                        if pos >= end:
+                            raise ValueError("dangling RLE escape")
+                        out += bytes([buf[pos]]) * run
+                        pos += 1
+                    else:
+                        out.append(v)
+                if len(out) != need:
+                    raise ValueError("RLE expansion overran the image")
+                ratio = need / max(1, pos - 128)
+                idx = _np.frombuffer(bytes(out), dtype=_np.uint8).reshape(
+                    h, stride
+                )[:, :w]
+                img = palette[idx.astype(_np.int32)]
+                f = img.astype(_np.float64)
+                rows["doc_id"].append(int(d))
+                rows["width"].append(int(w))
+                rows["height"].append(int(h))
+                rows["rle_ratio"].append(float(round(ratio, 6)))
+                rows["mean_r"].append(float(f[:, :, 0].mean()))
+                rows["mean_g"].append(float(f[:, :, 1].mean()))
+                rows["mean_b"].append(float(f[:, :, 2].mean()))
+                rows["top_row_sum"].append(int(img[0].astype(_np.int64).sum()))
+                rows["byte_checksum"].append(
+                    int(img.astype(_np.int64).sum()) % 10**9
+                )
+            yield _pd.DataFrame(rows)
+
+    out = media.mapInPandas(_decode, PCX_FEATURES_SCHEMA)
+    return out.select(
+        "doc_id", "width", "height", "rle_ratio",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "top_row_sum", "byte_checksum",
+    )

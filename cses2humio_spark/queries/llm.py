@@ -1858,3 +1858,53 @@ def gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_gif(
         repartition_for_media(synthesize_gif_media(docs))
     ).drop("n_subblocks")
+
+
+@query(
+    "pcx_decode_stats",
+    oracle="""
+    WITH d3 AS (SELECT doc_id, 5 + doc_id % 9 AS w, 4 + doc_id % 5 AS h
+                FROM documents WHERE doc_id < 300),
+    g AS (SELECT t.doc_id, ux.x, uy.y,
+                 CASE WHEN uy.y % 3 = 2
+                      THEN (3*t.doc_id + 7*uy.y) % 256
+                      ELSE (3*t.doc_id + 5*ux.x + 7*uy.y) % 256
+                 END AS idx
+          FROM d3 t,
+               UNNEST(generate_series(0, t.w - 1)) AS ux(x),
+               UNNEST(generate_series(0, t.h - 1)) AS uy(y)),
+    m AS (SELECT doc_id,
+            ROUND(AVG(idx), 6) AS mean_r,
+            ROUND(AVG((idx + 11) % 256), 6) AS mean_g,
+            ROUND(AVG((idx + 22) % 256), 6) AS mean_b,
+            CAST(SUM(CASE WHEN y = 0 THEN
+                   idx + (idx + 11) % 256 + (idx + 22) % 256
+                 ELSE 0 END) AS BIGINT) AS top_row_sum,
+            CAST(SUM(idx + (idx + 11) % 256 + (idx + 22) % 256)
+                 % 1000000000 AS BIGINT) AS byte_checksum
+          FROM g GROUP BY doc_id)
+    SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+           m.mean_r, m.mean_g, m.mean_b, m.top_row_sum, m.byte_checksum
+    FROM d3 d JOIN m ON m.doc_id = d.doc_id
+    """,
+)
+def pcx_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCX decode, oracle-checked — the THIRD compression family
+    decoded byte-for-byte (RLE with the 0xC0 escape rule, alongside
+    PNG's zlib and GIF's LZW): even-stride scanline expansion, padding
+    strip, trailing VGA-palette lookup. Every third synthesized row is
+    constant so genuine multi-byte runs are exercised (the measured RLE
+    ratio is emitted but excluded here — encoded length is not
+    SQL-expressible — and pinned by unit test); the oracle computes all
+    stats from the generative formula, including the constant-row
+    branch, without touching bytes."""
+    from cses2humio_spark.operators.multimodal import (
+        decode_pcx,
+        repartition_for_media,
+        synthesize_pcx_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return decode_pcx(
+        repartition_for_media(synthesize_pcx_media(docs))
+    ).drop("rle_ratio")

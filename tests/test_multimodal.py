@@ -474,3 +474,50 @@ def test_lzw_property_random_roundtrips():
         seq = [rng.randrange(alpha) for _ in range(n)]
         z = enc(seq, 8)
         assert dec(z, 8, n) == seq, (trial, n, alpha)
+
+
+def test_pcx_rle_runs_and_rejections(spark):
+    """The PCX decoder must expand REAL RLE runs (constant rows give
+    rle_ratio > 1), honor the 0xC0 escape for high literals, and refuse
+    malformed payloads loudly."""
+    import pytest as _pytest
+
+    from cses2humio_spark.operators.multimodal import (
+        decode_pcx,
+        synthesize_pcx_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    out = {r["doc_id"]: r for r in decode_pcx(synthesize_pcx_media(docs)).collect()}
+    assert len(out) == 10
+    for d, r in out.items():
+        w, h = 5 + d % 9, 4 + d % 5
+        assert (r["width"], r["height"]) == (w, h)
+
+        def idx(x, y):
+            return (
+                (3 * d + 7 * y) % 256 if y % 3 == 2
+                else (3 * d + 5 * x + 7 * y) % 256
+            )
+
+        vals = [idx(x, y) for y in range(h) for x in range(w)]
+        assert abs(r["mean_r"] - round(sum(vals) / len(vals), 6)) < 1e-6
+    # docs with a constant row (h >= 3) must show real compression
+    assert any(
+        r["rle_ratio"] > 1.0 for r in out.values() if r["height"] >= 3
+    )
+
+    def df_of(payload):
+        return spark.createDataFrame(
+            [(1, bytes(payload))], "doc_id long, payload binary"
+        )
+
+    with _pytest.raises(Exception, match="not a PCX"):
+        decode_pcx(df_of(b"\x00" * 1000)).collect()
+    [row] = synthesize_pcx_media(
+        spark.createDataFrame([(1,)], "doc_id long")
+    ).collect()
+    buf = bytearray(bytes(row["payload"]))
+    buf[-769] = 0x00  # clobber the palette marker
+    with _pytest.raises(Exception, match="palette"):
+        decode_pcx(df_of(buf)).collect()
