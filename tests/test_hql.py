@@ -1500,3 +1500,48 @@ def test_head_grouped_is_window_group_limit(spark):
     assert first == w_first
     with pytest.raises(HqlSyntaxError):
         hql(ev, "head(3, by=user_id, dir=sideways)")
+
+
+def test_approx_distinct_composes_in_timechart_and_groupby(spark):
+    """approxDistinct rides any function= list; on small exact-coverage
+    buckets the DataSketches estimate is exact, so this pins both the
+    composition and the small-cardinality behavior."""
+    ev = load_table(spark, SF_SMALL, "events")
+    out = hql(
+        ev,
+        "timechart(span=1d, function=[count(), "
+        "approxDistinct(event_type, as=n_types)])",
+    )
+    rows = out.collect()
+    assert set(out.columns) == {"bucket_start", "_count", "n_types"}
+    assert rows and all(1 <= r["n_types"] <= 5 for r in rows)
+    g = hql(ev, "groupBy(event_type, function=approxDistinct(user_id))")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in g.collect():
+        rel = abs(r["_approxdistinct"] - exact[r["event_type"]]) / max(
+            1, exact[r["event_type"]]
+        )
+        assert rel < 0.05, (r, exact[r["event_type"]])
+
+
+def test_hql_parser_fuzz_never_crashes_unstructured():
+    """Property: arbitrary garbage input must either parse or raise
+    HqlSyntaxError — never an unhandled exception (an alert rule file
+    with a typo must fail loudly AND cleanly). Fixed seed for a
+    reproducible case set."""
+    import random
+    import string
+
+    rng = random.Random(55_2026)
+    chars = string.ascii_letters + string.digits + ' |=<>!*()[]{}:=/"#@.,-_;'
+    for _ in range(400):
+        q = "".join(rng.choice(chars) for _ in range(rng.randrange(0, 60)))
+        try:
+            parse(q)
+        except HqlSyntaxError:
+            pass

@@ -185,3 +185,47 @@ def test_parquet_zstd_codec_roundtrip(spark, tmp_path):
     probe = back.where(F.col("event_type") == "error")
     assert probe.count() == ev.where(F.col("event_type") == "error").count()
     assert "PushedFilters" in formatted_plan(probe.select("event_id"))
+
+
+def test_ndjson_stream_reads_gzipped_drops(spark, tmp_path):
+    """Real log drops arrive gzipped; the text-based NDJSON stream must
+    ingest .ndjson.gz transparently (Hadoop codec inference by
+    extension) alongside plain files, through the full parse→enrich
+    pipeline."""
+    import gzip
+    import json as _json
+
+    from cses2humio_spark.sources.event_source import ndjson_stream
+    from cses2humio_spark.streaming.pipeline import enrich_events, parse_events
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def line(off):
+        return _json.dumps(
+            {"metadata": {"offset": off, "eventCreationTime": 1723500000000 + off},
+             "event": {"n": off}}
+        )
+
+    with gzip.open(src / "a.ndjson.gz", "wt") as f:
+        f.write("\n".join(line(o) for o in range(5)) + "\n")
+    with open(src / "b.ndjson", "w") as f:
+        f.write("\n".join(line(o) for o in range(5, 8)) + "\n")
+
+    enveloped = enrich_events(parse_events(ndjson_stream(spark, str(src))))
+    q = (
+        enveloped.writeStream.format("memory")
+        .queryName("gz_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    offs = sorted(
+        r.o
+        for r in spark.sql(
+            "SELECT attributes.metadata.offset AS o FROM gz_test"
+        ).collect()
+    )
+    assert offs == list(range(8)), offs
