@@ -1442,3 +1442,195 @@ def decode_pcx(media: DataFrame) -> DataFrame:
         F.round("mean_b", 6).alias("mean_b"),
         "top_row_sum", "byte_checksum",
     )
+
+
+# -- TIFF (REAL decode: IFD tag walk + strip reassembly) --------------------
+
+TIFF_FEATURES_SCHEMA = (
+    "doc_id bigint, width int, height int, n_strips int, mean_r double, "
+    "mean_g double, mean_b double, top_row_sum bigint, byte_checksum bigint"
+)
+
+
+def synthesize_tiff_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary): a VALID little-endian baseline TIFF per
+    document — 'II*\\0' header, one IFD with the required baseline tags
+    (width/length, BitsPerSample 8,8,8 stored BY OFFSET, Compression=1,
+    Photometric=RGB, SamplesPerPixel=3, RowsPerStrip=2 so images split
+    into MULTIPLE strips with per-strip offsets/bytecounts arrays), and
+    uncompressed RGB strip data. Pixel (x, y): R = (3*doc_id + 5*x +
+    7*y) % 256, G = +11, B = +22 (the PNG family's formula).
+    Short-count tag values that fit 4 bytes are stored INLINE — the
+    TIFF subtlety a decoder must honor both ways."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 5 + d % 9, 4 + d % 5
+                x = _np.arange(w, dtype=_np.int64)[None, :]
+                y = _np.arange(h, dtype=_np.int64)[:, None]
+                base = 3 * d + 5 * x + 7 * y
+                img = _np.stack(
+                    [base % 256, (base + 11) % 256, (base + 22) % 256],
+                    axis=2,
+                ).astype(_np.uint8)
+                rows_per_strip = 2
+                strips = [
+                    img[r : r + rows_per_strip].tobytes()
+                    for r in range(0, h, rows_per_strip)
+                ]
+                n_strips = len(strips)
+                # layout: header(8) | IFD | bits-array | offsets | counts | strips
+                n_tags = 9
+                ifd_at = 8
+                ifd_size = 2 + n_tags * 12 + 4
+                bits_at = ifd_at + ifd_size
+                soff_at = bits_at + 6
+                scnt_at = soff_at + 4 * n_strips
+                data_at = scnt_at + 4 * n_strips
+                strip_offsets = []
+                pos = data_at
+                for s in strips:
+                    strip_offsets.append(pos)
+                    pos += len(s)
+
+                def entry(tag, typ, count, value):
+                    return _struct.pack("<HHI4s", tag, typ, count, value)
+
+                def inline_short(v):
+                    return _struct.pack("<HH", v, 0)
+
+                def inline_long(v):
+                    return _struct.pack("<I", v)
+
+                entries = [
+                    entry(256, 3, 1, inline_short(w)),       # ImageWidth
+                    entry(257, 3, 1, inline_short(h)),       # ImageLength
+                    entry(258, 3, 3, inline_long(bits_at)),  # BitsPerSample -> offset
+                    entry(259, 3, 1, inline_short(1)),       # Compression: none
+                    entry(262, 3, 1, inline_short(2)),       # Photometric: RGB
+                    entry(
+                        273, 4, n_strips,
+                        inline_long(strip_offsets[0]) if n_strips == 1
+                        else inline_long(soff_at),
+                    ),                                       # StripOffsets
+                    entry(277, 3, 1, inline_short(3)),       # SamplesPerPixel
+                    entry(278, 3, 1, inline_short(rows_per_strip)),
+                    entry(
+                        279, 4, n_strips,
+                        inline_long(len(strips[0])) if n_strips == 1
+                        else inline_long(scnt_at),
+                    ),                                       # StripByteCounts
+                ]
+                out = b"II*\x00" + _struct.pack("<I", ifd_at)
+                out += _struct.pack("<H", n_tags) + b"".join(entries)
+                out += _struct.pack("<I", 0)  # no next IFD
+                out += _struct.pack("<HHH", 8, 8, 8)
+                out += b"".join(_struct.pack("<I", o) for o in strip_offsets)
+                out += b"".join(_struct.pack("<I", len(s)) for s in strips)
+                out += b"".join(strips)
+                payloads.append(out)
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(_gen, "doc_id bigint, payload binary")
+
+
+def decode_tiff(media: DataFrame) -> DataFrame:
+    """REAL TIFF decode via mapInPandas — no imaging library: byte-order
+    check, IFD tag walk with the inline-vs-offset value rule (SHORT and
+    LONG types; values whose byte size fits 4 bytes live inside the
+    entry, larger ones behind an offset), multi-strip reassembly via the
+    StripOffsets/StripByteCounts arrays. Baseline uncompressed 8-bit RGB
+    little-endian only; anything else raises loudly."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        TYPE_SIZE = {3: 2, 4: 4}
+
+        def read_values(buf, typ, count, raw):
+            size = TYPE_SIZE.get(typ)
+            if size is None:
+                raise ValueError(f"unsupported TIFF tag type {typ}")
+            fmt = "<" + ("H" if typ == 3 else "I") * count
+            if size * count <= 4:
+                return list(_struct.unpack_from(fmt, raw, 0))
+            (off,) = _struct.unpack_from("<I", raw, 0)
+            return list(_struct.unpack_from(fmt, buf, off))
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "n_strips", "mean_r", "mean_g",
+                "mean_b", "top_row_sum", "byte_checksum",
+            )}
+            for d, b in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(b)
+                if buf[:4] != b"II*\x00":
+                    raise ValueError(
+                        "not a little-endian TIFF (big-endian 'MM' and "
+                        "BigTIFF unsupported)"
+                    )
+                (ifd_at,) = _struct.unpack_from("<I", buf, 4)
+                (n_tags,) = _struct.unpack_from("<H", buf, ifd_at)
+                tags = {}
+                for i in range(n_tags):
+                    tag, typ, count = _struct.unpack_from(
+                        "<HHI", buf, ifd_at + 2 + i * 12
+                    )
+                    raw = buf[ifd_at + 2 + i * 12 + 8 : ifd_at + 2 + i * 12 + 12]
+                    tags[tag] = read_values(buf, typ, count, raw)
+                for req in (256, 257, 273, 279):
+                    if req not in tags:
+                        raise ValueError(f"missing required TIFF tag {req}")
+                w, h = tags[256][0], tags[257][0]
+                if tags.get(259, [1])[0] != 1:
+                    raise ValueError("compressed TIFF unsupported")
+                if tags.get(277, [1])[0] != 3 or tags.get(258, [8, 8, 8]) != [8, 8, 8]:
+                    raise ValueError("need 8-bit RGB samples")
+                offs, cnts = tags[273], tags[279]
+                if len(offs) != len(cnts):
+                    raise ValueError("strip offset/count arity mismatch")
+                data = bytearray()
+                for o, c in zip(offs, cnts):
+                    if o + c > len(buf):
+                        raise ValueError("truncated TIFF strip")
+                    data += buf[o : o + c]
+                if len(data) != w * h * 3:
+                    raise ValueError(
+                        f"strip bytes {len(data)} != {w}x{h}x3"
+                    )
+                img = _np.frombuffer(bytes(data), dtype=_np.uint8).reshape(
+                    h, w, 3
+                )
+                f = img.astype(_np.float64)
+                rows["doc_id"].append(int(d))
+                rows["width"].append(int(w))
+                rows["height"].append(int(h))
+                rows["n_strips"].append(len(offs))
+                rows["mean_r"].append(float(f[:, :, 0].mean()))
+                rows["mean_g"].append(float(f[:, :, 1].mean()))
+                rows["mean_b"].append(float(f[:, :, 2].mean()))
+                rows["top_row_sum"].append(int(img[0].astype(_np.int64).sum()))
+                rows["byte_checksum"].append(
+                    int(img.astype(_np.int64).sum()) % 10**9
+                )
+            yield _pd.DataFrame(rows)
+
+    out = media.mapInPandas(_decode, TIFF_FEATURES_SCHEMA)
+    return out.select(
+        "doc_id", "width", "height", "n_strips",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "top_row_sum", "byte_checksum",
+    )

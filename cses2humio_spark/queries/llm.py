@@ -1908,3 +1908,49 @@ def pcx_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_pcx(
         repartition_for_media(synthesize_pcx_media(docs))
     ).drop("rle_ratio")
+
+
+@query(
+    "tiff_decode_stats",
+    oracle="""
+    WITH d3 AS (SELECT doc_id, 5 + doc_id % 9 AS w, 4 + doc_id % 5 AS h,
+                       CAST(CEIL((4 + doc_id % 5) / 2.0) AS INT) AS n_strips
+                FROM documents WHERE doc_id < 300),
+    g AS (SELECT t.doc_id, ux.x, uy.y,
+                 3*t.doc_id + 5*ux.x + 7*uy.y AS base
+          FROM d3 t,
+               UNNEST(generate_series(0, t.w - 1)) AS ux(x),
+               UNNEST(generate_series(0, t.h - 1)) AS uy(y)),
+    m AS (SELECT doc_id,
+            ROUND(AVG(base % 256), 6) AS mean_r,
+            ROUND(AVG((base + 11) % 256), 6) AS mean_g,
+            ROUND(AVG((base + 22) % 256), 6) AS mean_b,
+            CAST(SUM(CASE WHEN y = 0 THEN
+                   base % 256 + (base + 11) % 256 + (base + 22) % 256
+                 ELSE 0 END) AS BIGINT) AS top_row_sum,
+            CAST(SUM(base % 256 + (base + 11) % 256 + (base + 22) % 256)
+                 % 1000000000 AS BIGINT) AS byte_checksum
+          FROM g GROUP BY doc_id)
+    SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+           d.n_strips, m.mean_r, m.mean_g, m.mean_b, m.top_row_sum,
+           m.byte_checksum
+    FROM d3 d JOIN m ON m.doc_id = d.doc_id
+    """,
+)
+def tiff_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-TIFF decode, oracle-checked: the IFD tag walk with
+    the format's inline-vs-offset value rule (SHORT/LONG values whose
+    byte size fits 4 bytes live inside the entry; larger arrays —
+    BitsPerSample, the per-strip offset/count tables — behind offsets)
+    plus multi-strip reassembly (RowsPerStrip=2, so strip count is
+    ceil(h/2) and IS oracle-checkable, unlike the compression-dependent
+    framing of the PNG/GIF twins). The oracle recomputes everything,
+    including the strip count, from the closed form."""
+    from cses2humio_spark.operators.multimodal import (
+        decode_tiff,
+        repartition_for_media,
+        synthesize_tiff_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return decode_tiff(repartition_for_media(synthesize_tiff_media(docs)))

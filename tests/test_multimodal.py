@@ -521,3 +521,52 @@ def test_pcx_rle_runs_and_rejections(spark):
     buf[-769] = 0x00  # clobber the palette marker
     with _pytest.raises(Exception, match="palette"):
         decode_pcx(df_of(buf)).collect()
+
+
+def test_tiff_ifd_walk_and_rejections(spark):
+    """The TIFF decoder must honor the inline-vs-offset value rule
+    (single-doc images with one strip store StripOffsets INLINE; taller
+    ones store the array behind an offset) and refuse non-baseline
+    payloads loudly."""
+    import struct
+
+    import pytest as _pytest
+
+    from cses2humio_spark.operators.multimodal import (
+        decode_tiff,
+        synthesize_tiff_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    out = {r["doc_id"]: r for r in decode_tiff(synthesize_tiff_media(docs)).collect()}
+    for d, r in out.items():
+        w, h = 5 + d % 9, 4 + d % 5
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["n_strips"] == (h + 1) // 2  # RowsPerStrip=2
+        vals = [
+            (3 * d + 5 * x + 7 * y) % 256
+            for x in range(w) for y in range(h)
+        ]
+        assert abs(r["mean_r"] - round(sum(vals) / len(vals), 6)) < 1e-6
+    # both storage forms of StripOffsets occur across h=4..8
+    assert {r["n_strips"] for r in out.values()} >= {2, 3}
+
+    def df_of(payload):
+        return spark.createDataFrame(
+            [(1, bytes(payload))], "doc_id long, payload binary"
+        )
+
+    with _pytest.raises(Exception, match="not a little-endian TIFF"):
+        decode_tiff(df_of(b"MM\x00*" + bytes(16))).collect()
+    [row] = synthesize_tiff_media(
+        spark.createDataFrame([(1,)], "doc_id long")
+    ).collect()
+    buf = bytearray(bytes(row["payload"]))
+    # flip Compression (tag 259, 4th entry) to LZW=5 -> loud refusal
+    ifd_at = struct.unpack_from("<I", buf, 4)[0]
+    for i in range(struct.unpack_from("<H", buf, ifd_at)[0]):
+        tag = struct.unpack_from("<H", buf, ifd_at + 2 + i * 12)[0]
+        if tag == 259:
+            struct.pack_into("<H", buf, ifd_at + 2 + i * 12 + 8, 5)
+    with _pytest.raises(Exception, match="compressed TIFF"):
+        decode_tiff(df_of(buf)).collect()
