@@ -511,7 +511,7 @@ _STAGE_FUNCS = {
     "default", "rename", "drop", "replace", "concat", "format",
     "splitString", "split", "stddev", "bucket", "join", "window", "tail",
     "collect", "parseTimestamp", "kvParse", "parseUrl", "parseCsv",
-    "parseXml", "cidr",
+    "parseXml", "cidr", "parseCef",
 }
 
 _SPANS = {"s": "second", "m": "minute", "h": "hour", "d": "day", "w": "week"}
@@ -1389,6 +1389,37 @@ def _compile_stage(
             out = out.withColumn(
                 k.split(".")[-1], F.xpath_string(F.col(target), F.lit(xpath))
             )
+        return out
+    if name == "parseCef":
+        # ArcSight CEF — the SIEM interchange format the reference's
+        # event domain lives in: `CEF:0|vendor|product|version|sigid|
+        # name|severity|key=value key=value...`. Header fields become
+        # cef_* columns (split on |, positions fixed by the spec); the
+        # extension's keys are EXPLICIT (ext=[...], same rationale as
+        # kvParse/parseJson). Pure codegen: one split + element_at
+        # projections + one str_to_map for the extension.
+        target = node.args[0] if node.args else node.kwargs.get("field")
+        if target is None:
+            raise HqlSyntaxError("parseCef(field) requires a field")
+        ext_keys = [str(k) for k in _as_list(node.kwargs.get("ext", []))]
+        parts = F.split(F.col(target), r"\|")
+        out = df
+        header = [
+            ("cef_version", F.regexp_replace(parts[0], "^CEF:", "")),
+            ("cef_vendor", parts[1]),
+            ("cef_product", parts[2]),
+            ("cef_device_version", parts[3]),
+            ("cef_sig_id", parts[4]),
+            ("cef_name", parts[5]),
+            ("cef_severity", parts[6]),
+        ]
+        for cname, expr in header:
+            out = out.withColumn(cname, expr)
+        if ext_keys:
+            ext = F.element_at(parts, 8)
+            m = F.str_to_map(ext, F.lit(" "), F.lit("="))
+            for k in ext_keys:
+                out = out.withColumn(k, F.element_at(m, k))
         return out
     if name == "cidr":
         # LogScale cidr(): FILTER events whose IPv4 field falls inside

@@ -1256,3 +1256,45 @@ def hql_field_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     ev = load_table(spark, sf_dir, "events")
     return hql(ev, "fieldSummary([event_type, user_id, value])")
+
+
+@query(
+    "hql_parse_cef",
+    oracle="""
+    SELECT event_type AS cef_name, CAST(user_id % 10 AS VARCHAR) AS cef_severity,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_val
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def hql_parse_cef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``parseCef()`` — the ArcSight CEF interchange format of the
+    reference's SIEM domain, as a pipe stage: CEF lines rendered from
+    typed columns (header pipes + a k=v extension), re-parsed by the
+    stage (fixed header positions + explicit extension keys), and
+    aggregated on the EXTRACTED fields; the oracle aggregates the
+    originals, so parse-extract must invert formatting exactly (money
+    through the exact 2-decimal string)."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("CEF:0|SecCorp|EventStream|1.0|"),
+        F.col("event_id").cast("string"),
+        F.lit("|"), F.col("event_type"), F.lit("|"),
+        (F.col("user_id") % 10).cast("string"),
+        F.lit("|"),
+        F.concat(
+            F.lit("uid="), F.col("user_id").cast("string"),
+            F.lit(" val="),
+            F.col("value").cast("decimal(12,2)").cast("string"),
+        ),
+    )
+    lines = ev.select(line.alias("raw"))
+    return hql(
+        lines,
+        "parseCef(raw, ext=[uid, val]) "
+        "| groupBy([cef_name, cef_severity], function=[count(as=n), "
+        "sum(val, as=sum_val)])",
+    )

@@ -1545,3 +1545,20 @@ def test_hql_parser_fuzz_never_crashes_unstructured():
             parse(q)
         except HqlSyntaxError:
             pass
+
+
+def test_parsecef_stage_header_and_extension(spark):
+    df = spark.createDataFrame(
+        [("CEF:0|Vendor|Prod|2.1|sig9|Port Scan|7|src=10.0.0.1 act=deny",)],
+        "raw string",
+    )
+    r = hql(df, "parseCef(raw, ext=[src, act])").first()
+    assert (r["cef_version"], r["cef_vendor"], r["cef_product"]) == (
+        "0", "Vendor", "Prod"
+    )
+    assert (r["cef_sig_id"], r["cef_name"], r["cef_severity"]) == (
+        "sig9", "Port Scan", "7"
+    )
+    assert (r["src"], r["act"]) == ("10.0.0.1", "deny")
+    with pytest.raises(HqlSyntaxError):
+        hql(df, "parseCef()")
