@@ -511,7 +511,7 @@ _STAGE_FUNCS = {
     "default", "rename", "drop", "replace", "concat", "format",
     "splitString", "split", "stddev", "bucket", "join", "window", "tail",
     "collect", "parseTimestamp", "kvParse", "parseUrl", "parseCsv",
-    "parseXml", "cidr", "parseCef",
+    "parseXml", "cidr", "parseCef", "parseLeef",
 }
 
 _SPANS = {"s": "second", "m": "minute", "h": "hour", "d": "day", "w": "week"}
@@ -1418,6 +1418,32 @@ def _compile_stage(
         if ext_keys:
             ext = F.element_at(parts, 8)
             m = F.str_to_map(ext, F.lit(" "), F.lit("="))
+            for k in ext_keys:
+                out = out.withColumn(k, F.element_at(m, k))
+        return out
+    if name == "parseLeef":
+        # IBM QRadar LEEF — CEF's sibling SIEM interchange format:
+        # `LEEF:2.0|vendor|product|version|event_id|key=value<TAB>...`.
+        # Header positions fixed by the spec; extension keys EXPLICIT
+        # (tab-delimited k=v via str_to_map). Pure codegen.
+        target = node.args[0] if node.args else node.kwargs.get("field")
+        if target is None:
+            raise HqlSyntaxError("parseLeef(field) requires a field")
+        ext_keys = [str(k) for k in _as_list(node.kwargs.get("ext", []))]
+        parts = F.split(F.col(target), r"\|")
+        out = df
+        for cname, expr in [
+            ("leef_version", F.regexp_replace(parts[0], "^LEEF:", "")),
+            ("leef_vendor", parts[1]),
+            ("leef_product", parts[2]),
+            ("leef_device_version", parts[3]),
+            ("leef_event_id", parts[4]),
+        ]:
+            out = out.withColumn(cname, expr)
+        if ext_keys:
+            m = F.str_to_map(
+                F.element_at(parts, 6), F.lit("\t"), F.lit("=")
+            )
             for k in ext_keys:
                 out = out.withColumn(k, F.element_at(m, k))
         return out

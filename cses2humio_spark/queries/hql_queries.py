@@ -1298,3 +1298,35 @@ def hql_parse_cef(spark: SparkSession, sf_dir: str) -> DataFrame:
         "| groupBy([cef_name, cef_severity], function=[count(as=n), "
         "sum(val, as=sum_val)])",
     )
+
+
+@query(
+    "hql_parse_leef",
+    oracle="""
+    SELECT CAST(event_id AS VARCHAR) AS leef_event_id,
+           event_type AS etype, COUNT(*) AS n
+    FROM events WHERE event_id < 3000
+    GROUP BY 1, 2
+    """,
+)
+def hql_parse_leef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``parseLeef()`` — QRadar's LEEF interchange format as a pipe
+    stage (CEF's tab-delimited sibling): rendered from typed columns,
+    re-parsed (fixed header positions + explicit tab-separated extension
+    keys), aggregated on the extracted fields; the oracle aggregates the
+    originals (faithful-inverse contract)."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    line = F.concat(
+        F.lit("LEEF:2.0|SecCorp|EventStream|1.0|"),
+        F.col("event_id").cast("string"),
+        F.lit("|etype="), F.col("event_type"),
+        F.lit("\tuid="), F.col("user_id").cast("string"),
+    )
+    lines = ev.select(line.alias("raw"))
+    return hql(
+        lines,
+        "parseLeef(raw, ext=[etype, uid]) "
+        "| groupBy([leef_event_id, etype], function=count(as=n))",
+    )

@@ -1562,3 +1562,19 @@ def test_parsecef_stage_header_and_extension(spark):
     assert (r["src"], r["act"]) == ("10.0.0.1", "deny")
     with pytest.raises(HqlSyntaxError):
         hql(df, "parseCef()")
+
+
+def test_parseleef_stage_header_and_extension(spark):
+    df = spark.createDataFrame(
+        [("LEEF:2.0|IBM|QRadar|9.1|evt42|src=10.1.1.1\tusrName=alice",)],
+        "raw string",
+    )
+    r = hql(df, "parseLeef(raw, ext=[src, usrName])").first()
+    assert (r["leef_version"], r["leef_vendor"], r["leef_product"]) == (
+        "2.0", "IBM", "QRadar"
+    )
+    assert (r["leef_event_id"], r["src"], r["usrName"]) == (
+        "evt42", "10.1.1.1", "alice"
+    )
+    with pytest.raises(HqlSyntaxError):
+        hql(df, "parseLeef()")
