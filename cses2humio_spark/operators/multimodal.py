@@ -1634,3 +1634,198 @@ def decode_tiff(media: DataFrame) -> DataFrame:
         F.round("mean_b", 6).alias("mean_b"),
         "top_row_sum", "byte_checksum",
     )
+
+
+# -- QOI (REAL decode: run/index/diff/luma op stream) -----------------------
+
+QOI_FEATURES_SCHEMA = (
+    "doc_id bigint, width int, height int, qoi_ratio double, mean_r double, "
+    "mean_g double, mean_b double, top_row_sum bigint, byte_checksum bigint"
+)
+
+
+def _make_qoi_codec():
+    """Factory for the QOI encode/decode pair (the 2021 public 'Quite OK
+    Image' spec, RGB): a running 64-slot color index (hash r*3+g*5+b*7+
+    a*11 mod 64), RUN/INDEX/DIFF/LUMA/RGB ops, 8-byte end marker."""
+
+    def qhash(r, g, b):
+        return (r * 3 + g * 5 + b * 7 + 255 * 11) % 64
+
+    def qoi_encode(pixels, w, h):
+        import struct as _struct
+
+        out = bytearray(b"qoif" + _struct.pack(">IIBB", w, h, 3, 1))
+        index = [(0, 0, 0)] * 64
+        prev = (0, 0, 0)
+        run = 0
+        for px in pixels:
+            if px == prev:
+                run += 1
+                if run == 62:
+                    out.append(0xC0 | (run - 1))
+                    run = 0
+                continue
+            if run:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            i = qhash(*px)
+            if index[i] == px:
+                out.append(i)
+            else:
+                index[i] = px
+                dr = (px[0] - prev[0] + 128) % 256 - 128
+                dg = (px[1] - prev[1] + 128) % 256 - 128
+                db = (px[2] - prev[2] + 128) % 256 - 128
+                if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                    out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+                elif (
+                    -32 <= dg <= 31
+                    and -8 <= dr - dg <= 7
+                    and -8 <= db - dg <= 7
+                ):
+                    out.append(0x80 | (dg + 32))
+                    out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+                else:
+                    out += bytes((0xFE, *px))
+            prev = px
+        if run:
+            out.append(0xC0 | (run - 1))
+        out += b"\x00" * 7 + b"\x01"
+        return bytes(out)
+
+    def qoi_decode(buf):
+        import struct as _struct
+
+        if buf[:4] != b"qoif":
+            raise ValueError("not a QOI image")
+        w, h, channels, _cs = _struct.unpack_from(">IIBB", buf, 4)
+        if channels != 3:
+            raise ValueError(f"unsupported QOI channels={channels}")
+        need = w * h
+        px = (0, 0, 0)
+        index = [(0, 0, 0)] * 64
+        out = []
+        pos = 14
+        while len(out) < need:
+            if pos >= len(buf) - 8:
+                raise ValueError("truncated QOI stream")
+            b1 = buf[pos]
+            pos += 1
+            if b1 == 0xFE:  # RGB
+                px = (buf[pos], buf[pos + 1], buf[pos + 2])
+                pos += 3
+            elif b1 == 0xFF:
+                raise ValueError("RGBA op in a 3-channel stream")
+            elif b1 >> 6 == 0:  # INDEX
+                px = index[b1]
+                out.append(px)
+                # INDEX does not re-insert; continue without hash update
+                continue
+            elif b1 >> 6 == 1:  # DIFF
+                px = (
+                    (px[0] + ((b1 >> 4) & 3) - 2) % 256,
+                    (px[1] + ((b1 >> 2) & 3) - 2) % 256,
+                    (px[2] + (b1 & 3) - 2) % 256,
+                )
+            elif b1 >> 6 == 2:  # LUMA
+                dg = (b1 & 0x3F) - 32
+                b2 = buf[pos]
+                pos += 1
+                px = (
+                    (px[0] + dg + ((b2 >> 4) & 0x0F) - 8) % 256,
+                    (px[1] + dg) % 256,
+                    (px[2] + dg + (b2 & 0x0F) - 8) % 256,
+                )
+            else:  # RUN
+                run = (b1 & 0x3F) + 1
+                out.extend([px] * run)
+                continue
+            index[(px[0] * 3 + px[1] * 5 + px[2] * 7 + 255 * 11) % 64] = px
+            out.append(px)
+        if len(out) != need:
+            raise ValueError(f"QOI decoded {len(out)} of {need} pixels")
+        if buf[pos : pos + 8] != b"\x00" * 7 + b"\x01":
+            raise ValueError("missing QOI end marker")
+        return w, h, out, pos + 8
+
+    return qoi_encode, qoi_decode
+
+
+def synthesize_qoi_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary): a VALID QOI (RGB) per document, really
+    encoded — the +5/+7 formula steps emit LUMA ops, every fourth row
+    is constant (RUN ops), repeated colors hit the 64-slot INDEX, and
+    first-of-kind pixels fall back to full RGB ops. Pixel (x, y):
+    R = (3*doc_id + 5*x + 7*y) % 256 (G = +11, B = +22), except rows
+    with y % 4 == 3 which repeat their first pixel."""
+    qoi_encode, _ = _make_qoi_codec()
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 5 + d % 9, 4 + d % 5
+                pixels = []
+                for y in range(h):
+                    for x in range(w):
+                        xe = 0 if y % 4 == 3 else x
+                        base = (3 * d + 5 * xe + 7 * y) % 256
+                        pixels.append(
+                            (base, (base + 11) % 256, (base + 22) % 256)
+                        )
+                payloads.append(qoi_encode(pixels, w, h))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(_gen, "doc_id bigint, payload binary")
+
+
+def decode_qoi(media: DataFrame) -> DataFrame:
+    """REAL QOI decode via mapInPandas — no imaging library: the full op
+    dispatch (RUN with its 62 cap, the running 64-slot color INDEX with
+    the spec's multiplicative hash, 2-bit DIFF, LUMA green-delta
+    encoding, literal RGB) plus end-marker verification. 3-channel only;
+    emits the multimodal family's standard stats and the measured
+    compression ratio."""
+    _, qoi_decode = _make_qoi_codec()
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "qoi_ratio", "mean_r",
+                "mean_g", "mean_b", "top_row_sum", "byte_checksum",
+            )}
+            for d, b in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(b)
+                w, h, pixels, consumed = qoi_decode(buf)
+                img = _np.array(pixels, dtype=_np.uint8).reshape(h, w, 3)
+                f = img.astype(_np.float64)
+                rows["doc_id"].append(int(d))
+                rows["width"].append(int(w))
+                rows["height"].append(int(h))
+                rows["qoi_ratio"].append(
+                    float(round(w * h * 3 / max(1, consumed - 22), 6))
+                )
+                rows["mean_r"].append(float(f[:, :, 0].mean()))
+                rows["mean_g"].append(float(f[:, :, 1].mean()))
+                rows["mean_b"].append(float(f[:, :, 2].mean()))
+                rows["top_row_sum"].append(int(img[0].astype(_np.int64).sum()))
+                rows["byte_checksum"].append(
+                    int(img.astype(_np.int64).sum()) % 10**9
+                )
+            yield _pd.DataFrame(rows)
+
+    out = media.mapInPandas(_decode, QOI_FEATURES_SCHEMA)
+    return out.select(
+        "doc_id", "width", "height", "qoi_ratio",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "top_row_sum", "byte_checksum",
+    )

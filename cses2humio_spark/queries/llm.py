@@ -1954,3 +1954,52 @@ def tiff_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return decode_tiff(repartition_for_media(synthesize_tiff_media(docs)))
+
+
+@query(
+    "qoi_decode_stats",
+    oracle="""
+    WITH d3 AS (SELECT doc_id, 5 + doc_id % 9 AS w, 4 + doc_id % 5 AS h
+                FROM documents WHERE doc_id < 300),
+    g AS (SELECT t.doc_id, ux.x, uy.y,
+                 (3*t.doc_id
+                  + 5*(CASE WHEN uy.y % 4 = 3 THEN 0 ELSE ux.x END)
+                  + 7*uy.y) % 256 AS base
+          FROM d3 t,
+               UNNEST(generate_series(0, t.w - 1)) AS ux(x),
+               UNNEST(generate_series(0, t.h - 1)) AS uy(y)),
+    m AS (SELECT doc_id,
+            ROUND(AVG(base), 6) AS mean_r,
+            ROUND(AVG((base + 11) % 256), 6) AS mean_g,
+            ROUND(AVG((base + 22) % 256), 6) AS mean_b,
+            CAST(SUM(CASE WHEN y = 0 THEN
+                   base + (base + 11) % 256 + (base + 22) % 256
+                 ELSE 0 END) AS BIGINT) AS top_row_sum,
+            CAST(SUM(base + (base + 11) % 256 + (base + 22) % 256)
+                 % 1000000000 AS BIGINT) AS byte_checksum
+          FROM g GROUP BY doc_id)
+    SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+           m.mean_r, m.mean_g, m.mean_b, m.top_row_sum, m.byte_checksum
+    FROM d3 d JOIN m ON m.doc_id = d.doc_id
+    """,
+)
+def qoi_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL QOI decode, oracle-checked — the FOURTH compression family
+    (the 2021 public spec's op-stream: RUN with its 62 cap, the running
+    64-slot hashed color INDEX, 2-bit DIFF, LUMA green-delta, literal
+    RGB; alongside zlib, LZW and RLE): the synthesizer is a real QOI
+    encoder, the formula's +5/+7 steps emit LUMA ops, every fourth row
+    is constant (RUN) and revisited colors hit the INDEX. The measured
+    compression ratio is excluded (encoded length is not
+    SQL-expressible; unit-pinned); the oracle computes all stats,
+    including the constant-row branch, from the closed form."""
+    from cses2humio_spark.operators.multimodal import (
+        decode_qoi,
+        repartition_for_media,
+        synthesize_qoi_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return decode_qoi(
+        repartition_for_media(synthesize_qoi_media(docs))
+    ).drop("qoi_ratio")

@@ -570,3 +570,57 @@ def test_tiff_ifd_walk_and_rejections(spark):
             struct.pack_into("<H", buf, ifd_at + 2 + i * 12 + 8, 5)
     with _pytest.raises(Exception, match="compressed TIFF"):
         decode_tiff(df_of(buf)).collect()
+
+
+def test_qoi_ops_exercised_and_rejections(spark):
+    """The QOI pair must exercise every op class on the synthesized
+    corpus (LUMA from the +5/+7 steps, RUN from constant rows, INDEX
+    from revisited colors, RGB on first-of-kind) and refuse malformed
+    streams loudly."""
+    import pytest as _pytest
+
+    from cses2humio_spark.operators.multimodal import (
+        _make_qoi_codec,
+        decode_qoi,
+        synthesize_qoi_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    out = {r["doc_id"]: r for r in decode_qoi(synthesize_qoi_media(docs)).collect()}
+    for d, r in out.items():
+        w, h = 5 + d % 9, 4 + d % 5
+        assert (r["width"], r["height"]) == (w, h)
+        vals = [
+            (3 * d + 5 * (0 if y % 4 == 3 else x) + 7 * y) % 256
+            for y in range(h) for x in range(w)
+        ]
+        assert abs(r["mean_r"] - round(sum(vals) / len(vals), 6)) < 1e-6
+    # constant rows compress -> ratio > 1 somewhere
+    assert any(r["qoi_ratio"] > 1.0 for r in out.values())
+    # op coverage on one payload: every op class present
+    [row] = synthesize_qoi_media(
+        spark.createDataFrame([(7,)], "doc_id long")
+    ).collect()
+    buf = bytes(row["payload"])
+    ops = set()
+    pos = 14
+    while pos < len(buf) - 8:
+        b1 = buf[pos]
+        pos += 1
+        if b1 == 0xFE:
+            ops.add("rgb"); pos += 3
+        elif b1 >> 6 == 0:
+            ops.add("index")
+        elif b1 >> 6 == 1:
+            ops.add("diff")
+        elif b1 >> 6 == 2:
+            ops.add("luma"); pos += 1
+        else:
+            ops.add("run")
+    assert {"rgb", "luma", "run", "index"} <= ops, ops
+
+    _, qoi_decode = _make_qoi_codec()
+    with _pytest.raises(ValueError, match="not a QOI"):
+        qoi_decode(b"qoix" + bytes(20))
+    with _pytest.raises(ValueError, match="truncated"):
+        qoi_decode(buf[: len(buf) // 2])
