@@ -263,3 +263,115 @@ def run_alert_rules(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_alert_rules_from_file(
+    stream_df: DataFrame,
+    rules_path: str,
+    on_alerts: Callable[[list[dict]], None],
+    checkpoint_dir: str,
+    tables: dict[str, DataFrame] | None = None,
+    trigger_available_now: bool = False,
+):
+    """Rules-as-config with HOT RELOAD: the JSON rule file is re-read at
+    the start of any micro-batch whose mtime changed — edit a saved
+    search and the next batch evaluates the new set, no stream restart.
+    A BROKEN edit (syntax error, typo'd key, duplicate name) keeps the
+    LAST KNOWN-GOOD rule set running — persisted next to the checkpoint
+    (``_alert_rules_last_good.json``) so even a RESTART under a broken
+    file resumes the previous rules — and logs one loud warning per bad
+    version: an alerting pipeline must never die, or go silent, because
+    of a config typo. A broken file with NO known-good snapshot refuses
+    to start. Throttle state is shared across reloads (keyed by rule
+    name next to the checkpoint, as in run_alert_rules)."""
+    import logging
+    import os
+    import shutil
+
+    throttle = ThrottleState(checkpoint_dir)
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    last_good = os.path.join(checkpoint_dir, "_alert_rules_last_good.json")
+    state = {
+        "mtime": None,
+        "rules": [],
+        "warned_mtime": None,
+    }
+
+    def _load() -> None:
+        try:
+            mtime = os.stat(rules_path).st_mtime_ns
+        except OSError as exc:
+            if state["warned_mtime"] != -1:
+                logging.getLogger(__name__).warning(
+                    "alert rules file %s unreadable (%s) — keeping the "
+                    "previous %d rule(s)",
+                    rules_path, exc, len(state["rules"]),
+                )
+                state["warned_mtime"] = -1
+            return
+        if mtime == state["mtime"]:
+            return
+        try:
+            state["rules"] = load_alert_rules(rules_path)
+            state["mtime"] = mtime
+            state["warned_mtime"] = None
+            tmp = last_good + ".tmp"
+            shutil.copyfile(rules_path, tmp)
+            os.replace(tmp, last_good)
+            logging.getLogger(__name__).info(
+                "alert rules reloaded: %d rule(s) from %s",
+                len(state["rules"]), rules_path,
+            )
+        except (ValueError, OSError) as exc:
+            if state["warned_mtime"] != mtime:
+                logging.getLogger(__name__).warning(
+                    "alert rules file %s rejected (%s) — keeping the "
+                    "previous %d rule(s)",
+                    rules_path, exc, len(state["rules"]),
+                )
+                state["warned_mtime"] = mtime
+
+    _load()
+    if not state["rules"] and state["mtime"] is None:
+        # broken INITIAL file: fall back to the checkpoint's last
+        # known-good snapshot (restart-under-broken-edit), else refuse
+        if os.path.exists(last_good):
+            state["rules"] = load_alert_rules(last_good)
+            logging.getLogger(__name__).warning(
+                "alert rules file %s broken at startup — resuming the "
+                "checkpoint's last known-good set (%d rule(s))",
+                rules_path, len(state["rules"]),
+            )
+        else:
+            raise ValueError(
+                f"{rules_path}: initial rule load failed and no "
+                "known-good snapshot exists — refusing to start an "
+                "alert stream with zero rules"
+            )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _load()
+        active = [
+            r for r in state["rules"] if not throttle.suppressed(r, batch_id)
+        ]
+        if not active:
+            return
+        batch_df.persist()
+        try:
+            alerts = evaluate_rules_on_batch(
+                batch_df, active, batch_id, tables=tables
+            )
+            if alerts:
+                on_alerts(alerts)
+                throttle.record([a["rule"] for a in alerts], batch_id)
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

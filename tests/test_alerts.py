@@ -332,3 +332,83 @@ def test_alert_throttle_survives_restart(spark, tmp_path):
 
     state = json.load(open(os.path.join(ckpt, "_alert_throttle.json")))
     assert state == {"throttled": 3, "every_batch": 3}
+
+
+def test_alert_rules_hot_reload_and_bad_edit_safety(spark, tmp_path, caplog):
+    """Rules-as-config hot reload: an edited rules file takes effect on
+    the next batch without a stream restart; a BROKEN edit keeps the
+    previous rule set running with a loud warning (an alerting pipeline
+    must never die, or go silent, on a config typo); a broken INITIAL
+    file refuses to start."""
+    import glob
+    import json as _json
+    import logging
+    import os
+
+    from cses2humio_spark.streaming.alerts import run_alert_rules_from_file
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rules_path = str(tmp_path / "rules.json")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, SF_SMALL, "events").limit(20)
+    got: list[dict] = []
+    sch = spark.createDataFrame([], ev.schema).schema
+
+    def write_rules(obj, raw=None):
+        with open(rules_path, "w") as f:
+            f.write(raw if raw is not None else _json.dumps(obj))
+        os.utime(rules_path, None)
+
+    def add_file_and_run(i):
+        d = str(src / f"f{i}")
+        ev.coalesce(1).write.parquet(d)
+        for f in glob.glob(os.path.join(d, "*")):
+            os.utime(f, (1_700_000_000 + i * 60,) * 2)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        q = run_alert_rules_from_file(
+            stream, rules_path, on_alerts=got.extend,
+            checkpoint_dir=ckpt, trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+
+    write_rules([{"name": "r_a", "query": "count()",
+                  "value_column": "_count", "threshold": 1}])
+    add_file_and_run(0)
+    assert [(a["batch_id"], a["rule"]) for a in got] == [(0, "r_a")]
+
+    # edit: different rule set takes effect on the next batch
+    write_rules([{"name": "r_b", "query": "value > -1 | count()",
+                  "value_column": "_count", "threshold": 1}])
+    add_file_and_run(1)
+    assert [(a["batch_id"], a["rule"]) for a in got][-1] == (1, "r_b")
+
+    # broken edit + restart: the checkpoint's last known-good set (r_b)
+    # resumes, with a loud warning
+    with caplog.at_level(logging.WARNING,
+                         logger="cses2humio_spark.streaming.alerts"):
+        write_rules(None, raw='[{"name": "oops", "treshold": 1}]')
+        add_file_and_run(2)
+    assert [(a["batch_id"], a["rule"]) for a in got][-1] == (2, "r_b")
+    assert any("last known-good" in r.message for r in caplog.records)
+
+    # a broken INITIAL file refuses to start
+    import pytest as _pytest
+
+    bad_path = str(tmp_path / "bad.json")
+    with open(bad_path, "w") as f:
+        f.write("{not json")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    with _pytest.raises(ValueError, match="initial rule load"):
+        run_alert_rules_from_file(
+            stream, bad_path, on_alerts=got.extend,
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+        )
