@@ -1,0 +1,471 @@
+"""Persisted ANN index: the build-once / search-many split for the PQ
+family (SURVEY.md §2.2 similarity surface; VERDICT r5 next-round #1).
+
+The fused query operators (``similarity.pq_adc_topk`` / ``ivfpq_topk``)
+re-encode the corpus inside every query — right for oracle-checkability,
+wrong for production: at 100 TB the index is built ONCE (the pass that
+touches every vector) and searched MANY times (each search touches the
+m-byte codes, never the embeddings). ``PQIndex`` persists exactly the
+artifacts the fused plan computes inline —
+
+- ``codebook`` (sub_id, code, cvec): m * k_codes rows, broadcast-sized;
+- (ivfpq mode) ``centroids`` (cid, vector): the coarse cells;
+- ``codes`` segments (vec_id[, cid], sub_id, code): m rows per vector —
+  the ONLY per-vector artifact a search reads; ivfpq segments are
+  partitioned by ``cid`` so a search's nprobe cells prune at the scan —
+
+and searches them through the SAME ``adc_tables``/``adc_rank`` (and
+``ivfpq_probe_tables``/ADC-join) code path the fused operators use, so
+index search results are IDENTICAL to the fused query by construction
+(pinned in tests/test_ann_index.py).
+
+Transaction machinery mirrors ``streaming.materialized`` (the sharded-MV
+pattern): immutable segment dirs, a JSON manifest per committed version
+naming the segment set + codebook version, an atomic ``_LATEST`` pointer
+(``os.replace``), replayed micro-batches skipped by ``batch_id <=
+latest`` (exactly-once under foreachBatch replay), and superseded
+segments/codebooks pruned once no retained manifest references them.
+Unlike the MV (merge-on-write per bucket), codes are APPEND-ONLY — a
+vector's code never changes under a frozen codebook — so ingest writes
+one new segment per micro-batch and carries prior segments forward by
+reference: write amplification is O(|delta|), independent of index size.
+
+Reference parity note: the reference connector (app.py) has no ANN; this
+implements the LLM-pipeline surface's production index lifecycle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cses2humio_spark.operators.similarity import (
+    adc_rank,
+    adc_tables,
+    ivf_assign,
+    ivfpq_probe_tables,
+    pq_codebook,
+    pq_encode,
+)
+
+
+class PQIndex:
+    """Versioned on-disk PQ / IVF-PQ index.
+
+    ``mode="pq"``: flat product quantization — every search scans all
+    codes (m small ints per vector) through the broadcast ADC join.
+    ``mode="ivfpq"``: coarse cells + residual PQ — codes carry their
+    cell id, segments are partitioned by it, and a search fetches only
+    its nprobe cells' inverted lists.
+
+    The geometry (m, k_codes, dim, mode) is pinned in ``_TABLE.json``
+    for the index's lifetime: codes are meaningless under a different
+    codebook shape, so reopening with different geometry is a loud
+    error, never a silent re-interpretation.
+    """
+
+    def __init__(
+        self,
+        index_dir: str,
+        m: int,
+        k_codes: int,
+        dim: int,
+        mode: str = "pq",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        keep_versions: int = 2,
+    ):
+        if mode not in ("pq", "ivfpq"):
+            raise ValueError(f"mode must be 'pq' or 'ivfpq', got {mode!r}")
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+        if keep_versions < 1:
+            raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
+        self.index_dir = index_dir
+        self.m, self.k_codes, self.dim, self.mode = m, k_codes, dim, mode
+        self.id_col, self.vec_col = id_col, vec_col
+        self.keep_versions = keep_versions
+        os.makedirs(index_dir, exist_ok=True)
+        cfg_path = os.path.join(index_dir, "_TABLE.json")
+        geometry = {"m": m, "k_codes": k_codes, "dim": dim, "mode": mode}
+        if os.path.exists(cfg_path):
+            with open(cfg_path, encoding="ascii") as fh:
+                cfg = json.load(fh)
+            if cfg != geometry:
+                raise ValueError(
+                    f"{index_dir}: index was created with {cfg}, reopened "
+                    f"with {geometry} — codes are meaningless under a "
+                    "different codebook geometry"
+                )
+        else:
+            tmp = cfg_path + ".tmp"
+            with open(tmp, "w", encoding="ascii") as fh:
+                json.dump(geometry, fh)
+            os.replace(tmp, cfg_path)
+
+    # -- version pointer + manifests ---------------------------------------
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.index_dir, "_LATEST")
+
+    def latest_version(self) -> int | None:
+        try:
+            with open(self._pointer, encoding="ascii") as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.index_dir, f"manifest_v={version}.json")
+
+    def _load_manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version), encoding="ascii") as fh:
+            return json.load(fh)
+
+    def _write_manifest(self, version: int, manifest: dict) -> None:
+        tmp = self._manifest_path(version) + ".tmp"
+        with open(tmp, "w", encoding="ascii") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, self._manifest_path(version))
+
+    def _commit(self, version: int) -> None:
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w", encoding="ascii") as fh:
+            fh.write(str(version))
+        os.replace(tmp, self._pointer)
+
+    def versions(self) -> list[int]:
+        import re
+
+        return sorted(
+            int(m.group(1))
+            for name in os.listdir(self.index_dir)
+            if (m := re.fullmatch(r"manifest_v=(-?\d+)\.json", name))
+        )
+
+    def _resolve_version(self, version: int | None) -> int:
+        latest = self.latest_version()
+        if latest is None:
+            raise ValueError(
+                f"{self.index_dir}: index has no committed version — run "
+                "build() first"
+            )
+        if version is None:
+            return latest
+        if version > latest or not os.path.exists(self._manifest_path(version)):
+            raise ValueError(
+                f"{self.index_dir}: version {version} not available "
+                f"(retained: {self.versions()})"
+            )
+        return version
+
+    # -- artifact paths ----------------------------------------------------
+
+    def _seg_dir(self, seg: int) -> str:
+        return os.path.join(self.index_dir, f"seg={seg}")
+
+    def _codebook_dir(self, version: int) -> str:
+        return os.path.join(self.index_dir, f"codebook_v={version}")
+
+    def _centroids_dir(self, version: int) -> str:
+        return os.path.join(self.index_dir, f"centroids_v={version}")
+
+    def _write_dir(self, df: DataFrame, dst: str, partition_by=None) -> None:
+        """Write to a staging dir, then atomically rename into place (a
+        crashed earlier attempt at the same dst is discarded first — its
+        version was never committed, so it is garbage by definition)."""
+        staging = dst + ".staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(staging)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        os.replace(staging, dst)
+
+    # -- build -------------------------------------------------------------
+
+    def build(
+        self,
+        corpus: DataFrame,
+        codebook_src: DataFrame | None = None,
+        centroids: DataFrame | None = None,
+        cid_col: str = "cid",
+    ) -> int:
+        """Full index build: train/derive the codebook, encode every
+        corpus vector, commit as a fresh version (prior segments are NOT
+        carried forward — a rebuild supersedes them). This is the one
+        pass that touches every embedding; every subsequent search
+        touches only codes. Returns the committed version (-1 for the
+        first build, so streaming ingest batch ids — which start at 0 —
+        stay strictly greater)."""
+        latest = self.latest_version()
+        version = -1 if latest is None else latest + 1
+        if self.mode == "ivfpq":
+            if centroids is None:
+                raise ValueError("ivfpq mode needs centroids= at build")
+            dvec = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+            cents = centroids.select(
+                F.col(cid_col).alias("cid"),
+                dvec(F.col(self.vec_col)).alias("cvec"),
+            )
+            self._write_dir(cents, self._centroids_dir(version))
+            assign = ivf_assign(
+                corpus, centroids, self.id_col, self.vec_col, "cid"
+            )
+            cvecs = centroids.select(
+                F.col(cid_col).alias("cid"), F.col(self.vec_col).alias("__cvec")
+            )
+            resid = (
+                corpus.join(assign, on=self.id_col)
+                .join(F.broadcast(cvecs), on="cid")
+                .select(
+                    self.id_col,
+                    "cid",
+                    F.zip_with(
+                        dvec(F.col(self.vec_col)),
+                        dvec(F.col("__cvec")),
+                        lambda a, b: a - b,
+                    ).alias("__rvec"),
+                )
+            )
+            cb = pq_codebook(
+                codebook_src if codebook_src is not None else resid,
+                self.m, self.k_codes, self.dim, self.id_col,
+                "__rvec" if codebook_src is None else self.vec_col,
+            )
+            self._write_dir(cb, self._codebook_dir(version))
+            cb_stored = self._read_codebook_at(corpus.sparkSession, version)
+            codes = pq_encode(
+                resid, cb_stored, self.m, self.dim, self.id_col, "__rvec"
+            ).join(resid.select(self.id_col, "cid"), on=self.id_col)
+            self._write_dir(codes, self._seg_dir(version), partition_by=["cid"])
+        else:
+            if centroids is not None:
+                raise ValueError("centroids= only apply to ivfpq mode")
+            cb = pq_codebook(
+                codebook_src if codebook_src is not None else corpus,
+                self.m, self.k_codes, self.dim, self.id_col, self.vec_col,
+            )
+            self._write_dir(cb, self._codebook_dir(version))
+            cb_stored = self._read_codebook_at(corpus.sparkSession, version)
+            codes = pq_encode(
+                corpus, cb_stored, self.m, self.dim, self.id_col, self.vec_col
+            )
+            self._write_dir(codes, self._seg_dir(version))
+        manifest = {"segments": [version], "codebook": version}
+        if self.mode == "ivfpq":
+            manifest["centroids"] = version
+        self._write_manifest(version, manifest)
+        self._commit(version)
+        self._prune(version)
+        return version
+
+    # -- streaming ingest --------------------------------------------------
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch sink: encode the micro-batch's NEW vectors with
+        the FROZEN codebook (the production contract — retraining the
+        codebook would invalidate every stored code) and append them as
+        one immutable segment. Replayed batches (crash after segment
+        commit, before checkpoint commit) are detected by ``batch_id <=
+        latest`` and skipped — exactly-once, same guard as the sharded
+        MV."""
+        latest = self.latest_version()
+        if latest is None:
+            raise ValueError(
+                f"{self.index_dir}: ingest before build() — the codebook "
+                "must exist (and stay frozen) before deltas can be encoded"
+            )
+        if batch_id <= latest:
+            return  # replayed micro-batch: segment already committed
+        spark = batch_df.sparkSession
+        manifest = dict(self._load_manifest(latest))
+        cb = self._read_codebook_at(spark, manifest["codebook"])
+        if self.mode == "ivfpq":
+            cents_raw = spark.read.parquet(
+                self._centroids_dir(manifest["centroids"])
+            )
+            cents = cents_raw.select(
+                "cid", F.col("cvec").alias(self.vec_col)
+            )
+            assign = ivf_assign(
+                batch_df, cents, self.id_col, self.vec_col, "cid"
+            )
+            cvecs = cents_raw.select("cid", F.col("cvec").alias("__cvec"))
+            resid = (
+                batch_df.join(assign, on=self.id_col)
+                .join(F.broadcast(cvecs), on="cid")
+                .select(
+                    self.id_col,
+                    "cid",
+                    F.zip_with(
+                        F.transform(
+                            F.col(self.vec_col), lambda x: x.cast("double")
+                        ),
+                        F.col("__cvec"),
+                        lambda a, b: a - b,
+                    ).alias("__rvec"),
+                )
+            )
+            codes = pq_encode(
+                resid, cb, self.m, self.dim, self.id_col, "__rvec"
+            ).join(resid.select(self.id_col, "cid"), on=self.id_col)
+            self._write_dir(
+                codes, self._seg_dir(batch_id), partition_by=["cid"]
+            )
+        else:
+            codes = pq_encode(
+                batch_df, cb, self.m, self.dim, self.id_col, self.vec_col
+            )
+            self._write_dir(codes, self._seg_dir(batch_id))
+        manifest["segments"] = list(manifest["segments"]) + [batch_id]
+        self._write_manifest(batch_id, manifest)
+        self._commit(batch_id)
+        self._prune(batch_id)
+
+    # -- pruning -----------------------------------------------------------
+
+    def _prune(self, committed: int) -> None:
+        """Drop manifests beyond the retained window, then any segment /
+        codebook / centroid dir no retained manifest references."""
+        import re
+
+        manifest_ids = sorted(
+            (
+                int(m.group(1))
+                for name in os.listdir(self.index_dir)
+                if (m := re.fullmatch(r"manifest_v=(-?\d+)\.json", name))
+            ),
+            reverse=True,
+        )
+        retained = [i for i in manifest_ids if i <= committed][
+            : self.keep_versions
+        ]
+        live_segs: set[int] = set()
+        live_cb: set[int] = set()
+        live_cent: set[int] = set()
+        for mid in retained:
+            man = self._load_manifest(mid)
+            live_segs.update(man["segments"])
+            live_cb.add(man["codebook"])
+            if "centroids" in man:
+                live_cent.add(man["centroids"])
+        for mid in manifest_ids:
+            if mid < committed and mid not in retained:
+                try:
+                    os.remove(self._manifest_path(mid))
+                except FileNotFoundError:
+                    pass
+        patterns = {
+            r"seg=(-?\d+)": live_segs,
+            r"codebook_v=(-?\d+)": live_cb,
+            r"centroids_v=(-?\d+)": live_cent,
+        }
+        for name in os.listdir(self.index_dir):
+            for pat, live in patterns.items():
+                m = re.fullmatch(pat, name)
+                if m and int(m.group(1)) < committed and int(m.group(1)) not in live:
+                    shutil.rmtree(
+                        os.path.join(self.index_dir, name), ignore_errors=True
+                    )
+
+    # -- read --------------------------------------------------------------
+
+    def _read_codebook_at(self, spark: SparkSession, version: int) -> DataFrame:
+        return spark.read.parquet(self._codebook_dir(version)).select(
+            "sub_id", "code", "cvec"
+        )
+
+    def read_codebook(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        man = self._load_manifest(self._resolve_version(version))
+        return self._read_codebook_at(spark, man["codebook"])
+
+    def read_codes(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """The codes table as of ``version`` (default latest): the union
+        of that manifest's immutable segments."""
+        man = self._load_manifest(self._resolve_version(version))
+        paths = [self._seg_dir(s) for s in man["segments"]]
+        return spark.read.parquet(*paths)
+
+    # -- search ------------------------------------------------------------
+
+    def search(
+        self,
+        spark: SparkSession,
+        probes: DataFrame,
+        k: int,
+        nprobe: int = 2,
+        version: int | None = None,
+        probe_id_col: str = "probe_id",
+    ) -> DataFrame:
+        """ADC top-k against the PERSISTED codes — the plan contains no
+        encode stage (no corpus scan, no per-vector argmin; pinned by
+        tests/test_ann_index.py): probes build their broadcast lookup
+        tables against the stored codebook and the only large input is
+        the codes scan (m small ints per vector; ivfpq additionally
+        prunes to the probes' nprobe cells). Results are identical to
+        the fused ``pq_adc_topk`` / ``ivfpq_topk`` over the same corpus
+        because both run the same downstream dataflow on the same
+        artifacts."""
+        at = self._resolve_version(version)
+        man = self._load_manifest(at)
+        cb = self._read_codebook_at(spark, man["codebook"])
+        codes = self.read_codes(spark, at)
+        if self.mode == "pq":
+            tables = adc_tables(
+                probes, cb, self.m, self.dim, self.vec_col, probe_id_col
+            )
+            return adc_rank(
+                codes, tables, self.m, k, self.id_col, probe_id_col
+            )
+        cents = spark.read.parquet(
+            self._centroids_dir(man["centroids"])
+        ).select("cid", F.col("cvec").alias(self.vec_col))
+        probe_cells, tables = ivfpq_probe_tables(
+            probes, cents, cb, self.m, self.dim, nprobe,
+            self.vec_col, probe_id_col, "cid",
+        )
+        # candidate fetch: the stored codes carry their cell id, so the
+        # nprobe prune is ONE equi-join on cid against the cid-partitioned
+        # segments — assignment never lives as a separate table
+        cand = probe_cells.join(codes, on="cid")
+        approx = (
+            cand.join(
+                F.broadcast(tables),
+                on=[probe_id_col, "cid", "sub_id", "code"],
+            )
+            .groupBy(probe_id_col, self.id_col)
+            .agg(
+                F.sum(F.col("__d").cast("decimal(28,8)"))
+                .cast("double")
+                .alias("adist"),
+                F.count(F.lit(1)).alias("__m"),
+            )
+            .filter(F.col("__m") == self.m)
+        )
+        from pyspark.sql.window import Window
+
+        wk = Window.partitionBy(probe_id_col).orderBy(
+            F.col("adist").asc(), F.col(self.id_col).asc()
+        )
+        return (
+            approx.withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= k)
+            .select(
+                probe_id_col,
+                self.id_col,
+                F.round("adist", 6).alias("adist"),
+                "rank",
+            )
+        )

@@ -685,8 +685,12 @@ def pq_encode(
     mapped to its nearest subspace centroid (squared L2, rounded to 8
     for the cross-engine determinism contract; ties -> lowest code).
     The codebook joins as a broadcast EQUI-join on sub_id (never a
-    cross product), so the shuffle carries (vec, sub, candidate) rows
-    that a per-(vec, sub) argmin collapses."""
+    cross product); the argmin is a ``min_by`` over the lexicographic
+    (distance, code) struct — a declarative aggregate that PARTIALLY
+    aggregates map-side, so the exchange carries one row per
+    (vec, sub), not the k_codes-scored candidates a ranking window
+    would shuffle (a k_codes-fold cut on the pass that touches the
+    whole corpus — at 100 TB, the index-build cost)."""
     from cses2humio_spark.sources.catalog import fan_out
 
     sub_len = dim // m
@@ -709,13 +713,81 @@ def pq_encode(
         "code",
         F.round(_l2sq(F.col("__svec"), F.col("cvec")), 8).alias("__d"),
     )
-    w = Window.partitionBy(id_col, "sub_id").orderBy(
-        F.col("__d").asc(), F.col("code").asc()
+    # min over the (distance, code) struct == ORDER BY d ASC, code ASC
+    # LIMIT 1 — identical tie-break, but partial-aggregable
+    return (
+        scored.groupBy(id_col, "sub_id")
+        .agg(
+            F.min_by(
+                F.col("code"), F.struct(F.col("__d"), F.col("code"))
+            ).alias("code")
+        )
+        .select(id_col, "sub_id", "code")
+    )
+
+
+def adc_tables(
+    probes: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    dim: int,
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Per-probe ADC lookup tables: (probe_id, sub_id, code, __d) — the
+    probe's squared-L2 to every codebook centroid in every subspace.
+    P * m * k_codes rows, broadcast-sized by construction."""
+    sub_len = dim // m
+    subs = F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("sub_id")
+    p_sliced = probes.select(
+        F.col(probe_id_col), subs, F.col(vec_col)
+    ).select(
+        probe_id_col,
+        "sub_id",
+        F.transform(
+            F.slice(F.col(vec_col), F.col("sub_id") * sub_len + 1, sub_len),
+            lambda x: x.cast("double"),
+        ).alias("__pvec"),
+    )
+    return p_sliced.join(F.broadcast(codebook), on="sub_id").select(
+        probe_id_col,
+        "sub_id",
+        "code",
+        F.round(_l2sq(F.col("__pvec"), F.col("cvec")), 8).alias("__d"),
+    )
+
+
+def adc_rank(
+    codes: DataFrame,
+    tables: DataFrame,
+    m: int,
+    k: int,
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """ADC scoring over pre-encoded codes: broadcast equi-join on
+    (sub_id, code) + per-(probe, vec) exact-DECIMAL partial sum (the
+    cross-subspace addition order must not depend on partitioning),
+    smallest-first top-k. The scan side ships m code rows per vector —
+    never the embedding."""
+    approx = (
+        codes.join(F.broadcast(tables), on=["sub_id", "code"])
+        .groupBy(probe_id_col, id_col)
+        .agg(
+            F.sum(F.col("__d").cast("decimal(28,8)"))
+            .cast("double")
+            .alias("adist"),
+            F.count(F.lit(1)).alias("__m"),
+        )
+        .filter(F.col("__m") == m)  # every subspace contributed
+    )
+    wk = Window.partitionBy(probe_id_col).orderBy(
+        F.col("adist").asc(), F.col(id_col).asc()
     )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "sub_id", "code")
+        approx.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(probe_id_col, id_col, F.round("adist", 6).alias("adist"), "rank")
     )
 
 
@@ -736,54 +808,22 @@ def pq_adc_topk(
     PQ compresses what remains so the scan touches m bytes per vector,
     not the vector). (1) corpus -> m-byte codes (``pq_encode``, one
     pass); (2) each probe precomputes its (sub, code) -> squared-L2
-    table against the codebook; (3) approx distance = the m table
-    lookups, expressed as a broadcast equi-join on (sub_id, code) plus
-    a per-(probe, vec) sum of the m partials (exact DECIMAL — the
-    cross-subspace addition order must not depend on partitioning);
-    (4) top-k smallest. Recall < 1 by design; at 100 TB the candidate
-    scan ships codes, never embeddings."""
+    table against the codebook (``adc_tables``); (3) approx distance =
+    the m table lookups + exact-DECIMAL sum, top-k smallest
+    (``adc_rank``). Recall < 1 by design.
+
+    This FUSED form re-encodes the corpus inside every query — right
+    for oracle-checkability; the production build-once/search-many
+    shape is ``operators.ann_index.PQIndex``, which persists the same
+    codes/codebook and searches them through the SAME ``adc_tables`` +
+    ``adc_rank`` path (results identical by construction)."""
     cb = pq_codebook(
         codebook_src if codebook_src is not None else corpus,
         m, k_codes, dim, id_col, vec_col,
     )
     codes = pq_encode(corpus, cb, m, dim, id_col, vec_col)
-    sub_len = dim // m
-    subs = F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("sub_id")
-    p_sliced = probes.select(
-        F.col(probe_id_col), subs, F.col(vec_col)
-    ).select(
-        probe_id_col,
-        "sub_id",
-        F.transform(
-            F.slice(F.col(vec_col), F.col("sub_id") * sub_len + 1, sub_len),
-            lambda x: x.cast("double"),
-        ).alias("__pvec"),
-    )
-    tables = p_sliced.join(F.broadcast(cb), on="sub_id").select(
-        probe_id_col,
-        "sub_id",
-        "code",
-        F.round(_l2sq(F.col("__pvec"), F.col("cvec")), 8).alias("__d"),
-    )
-    approx = (
-        codes.join(F.broadcast(tables), on=["sub_id", "code"])
-        .groupBy(probe_id_col, id_col)
-        .agg(
-            F.sum(F.col("__d").cast("decimal(28,8)"))
-            .cast("double")
-            .alias("adist"),
-            F.count(F.lit(1)).alias("__m"),
-        )
-        .filter(F.col("__m") == m)  # every subspace contributed
-    )
-    wk = Window.partitionBy(probe_id_col).orderBy(
-        F.col("adist").asc(), F.col(id_col).asc()
-    )
-    return (
-        approx.withColumn("rank", F.row_number().over(wk))
-        .filter(F.col("rank") <= k)
-        .select(probe_id_col, id_col, F.round("adist", 6).alias("adist"), "rank")
-    )
+    tables = adc_tables(probes, cb, m, dim, vec_col, probe_id_col)
+    return adc_rank(codes, tables, m, k, id_col, probe_id_col)
 
 
 def ivfpq_topk(
@@ -828,6 +868,33 @@ def ivfpq_topk(
     cb = pq_codebook(resid, m, k_codes, dim, id_col, "__rvec")
     codes = pq_encode(resid, cb, m, dim, id_col, "__rvec")
 
+    probe_cells, tables = ivfpq_probe_tables(
+        probes, centroids, cb, m, dim, nprobe, vec_col, probe_id_col, cid_col
+    )
+    return ivfpq_adc_rank(
+        assign, codes, probe_cells, tables, m, k, id_col, probe_id_col, cid_col
+    )
+
+
+def ivfpq_probe_tables(
+    probes: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    dim: int,
+    nprobe: int,
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    cid_col: str = "cid",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF-PQ probe-side artifacts: ``(probe_cells, tables)``.
+    ``probe_cells`` is each probe's ``nprobe`` nearest cells (ranked
+    against the broadcast centroids); ``tables`` are the per-(probe,
+    visited-cell) residual ADC tables — the probe's per-cell RESIDUAL
+    slice scored against every codebook centroid.
+    P * nprobe * m * k_codes rows — broadcast-sized."""
+    dvec = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    cvecs = centroids.select(F.col(cid_col), F.col(vec_col).alias("__cvec"))
     p = probes.select(F.col(probe_id_col), F.col(vec_col).alias("__pvec"))
     probe_cent = p.join(F.broadcast(cvecs)).select(
         probe_id_col,
@@ -862,7 +929,7 @@ def ivfpq_topk(
                 F.col("__prvec"), F.col("sub_id") * sub_len + 1, sub_len
             ).alias("__pslice"),
         )
-        .join(F.broadcast(cb), on="sub_id")
+        .join(F.broadcast(codebook), on="sub_id")
         .select(
             probe_id_col,
             cid_col,
@@ -871,7 +938,25 @@ def ivfpq_topk(
             F.round(_l2sq(F.col("__pslice"), F.col("cvec")), 8).alias("__d"),
         )
     )
-    cand = probe_lists.select(probe_id_col, cid_col).join(assign, on=cid_col)
+    return probe_lists.select(probe_id_col, cid_col), tables
+
+
+def ivfpq_adc_rank(
+    assign: DataFrame,
+    codes: DataFrame,
+    probe_cells: DataFrame,
+    tables: DataFrame,
+    m: int,
+    k: int,
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+    cid_col: str = "cid",
+) -> DataFrame:
+    """IVF-PQ candidate scoring over pre-encoded residual codes: the
+    candidate fetch is an equi-join of visited cells against the
+    inverted-list assignment (touching ~nprobe/n_cells of the corpus),
+    then the standard ADC join + exact-DECIMAL sum + top-k."""
+    cand = probe_cells.join(assign, on=cid_col)
     approx = (
         cand.join(codes, on=id_col)
         .join(
