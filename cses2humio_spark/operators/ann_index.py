@@ -197,6 +197,8 @@ class PQIndex:
         codebook_src: DataFrame | None = None,
         centroids: DataFrame | None = None,
         cid_col: str = "cid",
+        codebook: str = "prefix",
+        codebook_iter: int = 4,
     ) -> int:
         """Full index build: train/derive the codebook, encode every
         corpus vector, commit as a fresh version (prior segments are NOT
@@ -204,12 +206,35 @@ class PQIndex:
         pass that touches every embedding; every subsequent search
         touches only codes. Returns the committed version (-1 for the
         first build, so streaming ingest batch ids — which start at 0 —
-        stay strictly greater)."""
+        stay strictly greater).
+
+        Rebuild contract: a rebuild takes the NEXT version after every
+        committed ingest batch, so a restarted stream replaying an old
+        checkpoint can never double-apply over the rebuild; attaching a
+        FRESH checkpoint (batch ids restart at 0) after ingests requires
+        a fresh index dir — same batch-id monotonicity contract as the
+        sharded materialized view.
+
+        ``codebook="kmeans"`` opts into Lloyd-trained codebooks
+        (``similarity.pq_codebook_kmeans``, ``codebook_iter`` rounds) —
+        higher recall on clustered corpora; the default ``"prefix"``
+        stays the deterministic id-slice convention the oracle-paired
+        queries replay."""
+        if codebook not in ("prefix", "kmeans"):
+            raise ValueError(
+                f"codebook must be 'prefix' or 'kmeans', got {codebook!r}"
+            )
         latest = self.latest_version()
         version = -1 if latest is None else latest + 1
         if self.mode == "ivfpq":
             if centroids is None:
                 raise ValueError("ivfpq mode needs centroids= at build")
+            if codebook_src is not None:
+                raise ValueError(
+                    "ivfpq trains its codebook on the corpus RESIDUALS — "
+                    "an external codebook_src would encode a different "
+                    "space; omit it"
+                )
             dvec = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
             cents = centroids.select(
                 F.col(cid_col).alias("cid"),
@@ -235,11 +260,21 @@ class PQIndex:
                     ).alias("__rvec"),
                 )
             )
-            cb = pq_codebook(
-                codebook_src if codebook_src is not None else resid,
-                self.m, self.k_codes, self.dim, self.id_col,
-                "__rvec" if codebook_src is None else self.vec_col,
-            )
+            if codebook == "kmeans":
+                from cses2humio_spark.operators.similarity import (
+                    pq_codebook_kmeans,
+                )
+
+                cb = pq_codebook_kmeans(
+                    resid, self.m, self.k_codes, self.dim,
+                    n_iter=codebook_iter, id_col=self.id_col,
+                    vec_col="__rvec",
+                )
+            else:
+                cb = pq_codebook(
+                    resid, self.m, self.k_codes, self.dim, self.id_col,
+                    "__rvec",
+                )
             self._write_dir(cb, self._codebook_dir(version))
             cb_stored = self._read_codebook_at(corpus.sparkSession, version)
             codes = pq_encode(
@@ -249,10 +284,22 @@ class PQIndex:
         else:
             if centroids is not None:
                 raise ValueError("centroids= only apply to ivfpq mode")
-            cb = pq_codebook(
-                codebook_src if codebook_src is not None else corpus,
-                self.m, self.k_codes, self.dim, self.id_col, self.vec_col,
-            )
+            src = codebook_src if codebook_src is not None else corpus
+            if codebook == "kmeans":
+                from cses2humio_spark.operators.similarity import (
+                    pq_codebook_kmeans,
+                )
+
+                cb = pq_codebook_kmeans(
+                    src, self.m, self.k_codes, self.dim,
+                    n_iter=codebook_iter, id_col=self.id_col,
+                    vec_col=self.vec_col,
+                )
+            else:
+                cb = pq_codebook(
+                    src, self.m, self.k_codes, self.dim, self.id_col,
+                    self.vec_col,
+                )
             self._write_dir(cb, self._codebook_dir(version))
             cb_stored = self._read_codebook_at(corpus.sparkSession, version)
             codes = pq_encode(
@@ -287,6 +334,13 @@ class PQIndex:
             return  # replayed micro-batch: segment already committed
         spark = batch_df.sparkSession
         manifest = dict(self._load_manifest(latest))
+        if batch_df.isEmpty():
+            # empty batch: advance the replay guard without a segment —
+            # no data is read or written
+            self._write_manifest(batch_id, manifest)
+            self._commit(batch_id)
+            self._prune(batch_id)
+            return
         cb = self._read_codebook_at(spark, manifest["codebook"])
         if self.mode == "ivfpq":
             cents_raw = spark.read.parquet(

@@ -673,6 +673,154 @@ def pq_codebook(
     )
 
 
+def pq_codebook_kmeans(
+    src: DataFrame,
+    m: int,
+    k_codes: int,
+    dim: int,
+    n_iter: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-means-TRAINED PQ codebooks (the opt-in recall upgrade over the
+    deterministic id-prefix convention; VERDICT r5 #2): subspace j's
+    k_codes centroids are Lloyd-refined over the corpus's j-th slices.
+
+    All m subspaces train TOGETHER: each iteration is ONE scan of the
+    exploded (sub_id, slice) frame — assignment is a join-free literal
+    CASE over per-subspace centroid arrays (whole-stage codegen, the
+    ``clustering.assign_to_nearest`` contract), and the update shuffle
+    carries m * k_codes * sub_len partial sums, never vectors. Centroid
+    math is exact-DECIMAL means (partitioning-independent), ties break
+    to the lowest code, and an emptied cluster keeps its previous
+    centroid — so training is DETERMINISTIC across engines and runs.
+
+    Init is the id-prefix slices in id order: ``n_iter=0`` reproduces
+    ``pq_codebook`` exactly (pinned by test), so the trained path is a
+    strict refinement that drops into every downstream shape unchanged.
+    """
+    from cses2humio_spark.operators.clustering import assign_to_nearest
+    from cses2humio_spark.sources.catalog import fan_out
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    sub_len = dim // m
+    seeds = (
+        src.filter(F.col(id_col) < k_codes)
+        .select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "__v"
+            ),
+        )
+        .orderBy(id_col)
+        .collect()
+    )
+    if len(seeds) < k_codes:
+        raise ValueError(
+            f"k_codes={k_codes} but only {len(seeds)} seed vectors with "
+            f"{id_col} < k_codes"
+        )
+    # cents[s][c] = subspace s's centroid for code c (k x sub_len doubles
+    # per subspace — bounded driver state, the standard k-means shape)
+    cents: list[list[list[float]]] = [
+        [list(r["__v"][s * sub_len : (s + 1) * sub_len]) for r in seeds]
+        for s in range(m)
+    ]
+    if n_iter > 0:
+        subs = F.explode(F.array(*[F.lit(s) for s in range(m)])).alias(
+            "sub_id"
+        )
+        sliced = (
+            fan_out(src)
+            .select(subs, F.col(vec_col))
+            .select(
+                "sub_id",
+                F.transform(
+                    F.slice(
+                        F.col(vec_col), F.col("sub_id") * sub_len + 1, sub_len
+                    ),
+                    lambda x: x.cast("double"),
+                ).alias("__svec"),
+            )
+        )
+        for _ in range(n_iter):
+            assign = F.when(
+                F.col("sub_id") == 0,
+                assign_to_nearest(F.col("__svec"), cents[0]),
+            )
+            for s in range(1, m):
+                assign = assign.when(
+                    F.col("sub_id") == s,
+                    assign_to_nearest(F.col("__svec"), cents[s]),
+                )
+            comp = (
+                sliced.withColumn("__c", assign)
+                .select(
+                    "sub_id", "__c", F.posexplode("__svec").alias("__p", "__x")
+                )
+                .groupBy("sub_id", "__c", "__p")
+                .agg(
+                    (
+                        F.sum(F.col("__x").cast("decimal(25,10)")).cast(
+                            "double"
+                        )
+                        / F.count(F.lit(1))
+                    ).alias("__comp")
+                )
+                .collect()
+            )
+            got: dict[tuple[int, int], dict[int, float]] = {}
+            for r in comp:
+                got.setdefault((r["sub_id"], r["__c"]), {})[r["__p"]] = r[
+                    "__comp"
+                ]
+            cents = [
+                [
+                    [got[(s, c)][p] for p in range(sub_len)]
+                    if (s, c) in got
+                    else cents[s][c]
+                    for c in range(k_codes)
+                ]
+                for s in range(m)
+            ]
+    spark = src.sparkSession
+    return spark.createDataFrame(
+        [
+            (s, c, cents[s][c])
+            for s in range(m)
+            for c in range(k_codes)
+        ],
+        "sub_id int, code bigint, cvec array<double>",
+    )
+
+
+def ivf_centroids_kmeans(
+    corpus: DataFrame,
+    k: int,
+    n_iter: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+) -> DataFrame:
+    """k-means-trained IVF coarse centroids (opt-in upgrade over the
+    id-prefix convention): Lloyd's over the full vectors via
+    ``clustering.kmeans_fit`` (deterministic — exact-DECIMAL means,
+    id-order seeds), returned in the (cid, vector) shape ``ivf_topk`` /
+    ``ivfpq_topk`` / ``PQIndex.build`` accept. Cells are L2-trained
+    while IVF ranks cells by cosine — the standard mismatch dial; on
+    normalized embeddings the two orders agree."""
+    from cses2humio_spark.operators.clustering import kmeans_fit
+
+    cents = kmeans_fit(corpus, id_col, vec_col, k, n_iter)
+    return corpus.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        f"{cid_col} bigint, {vec_col} array<double>",
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     codebook: DataFrame,

@@ -1675,9 +1675,7 @@ def _l2sq_sql(a: str, b: str) -> str:
     )
 
 
-@query(
-    "pq_adc_topk",
-    oracle=f"""
+_PQ_ADC_ORACLE = f"""
     WITH ev AS (SELECT vec_id, {_DOUBLE_VEC} AS v FROM embeddings),
     subs AS (SELECT UNNEST(generate_series(0, 3)) AS sub_id),
     cb AS (SELECT s.sub_id, e.vec_id AS code,
@@ -1705,8 +1703,10 @@ def _l2sq_sql(a: str, b: str) -> str:
                   ORDER BY dd ASC, vec_id ASC) AS INT) AS rank
       FROM ad) t
     WHERE rank <= 5
-    """,
-)
+    """
+
+
+@query("pq_adc_topk", oracle=_PQ_ADC_ORACLE)
 def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (the memory-bound half of the FAISS
     recipe, complementing the IVF query): corpus vectors compressed to
@@ -1722,6 +1722,49 @@ def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"), "embedding"
     )
     return pq_adc_topk(emb, probes, m=4, k_codes=16, dim=64, k=5)
+
+
+_PQ_INDEX_DIRS: dict[str, str] = {}
+
+
+def _pq_index_for(spark: SparkSession, sf_dir: str):
+    """Build-once per (process, sf_dir): the index is a standing
+    artifact — searches after the first call touch only the persisted
+    codes, which is exactly the production build/search split the fused
+    pq_adc_topk query cannot show."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from cses2humio_spark.operators.ann_index import PQIndex
+
+    if sf_dir not in _PQ_INDEX_DIRS:
+        d = tempfile.mkdtemp(prefix="pq_index_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        idx = PQIndex(d, m=4, k_codes=16, dim=64)
+        idx.build(load_table(spark, sf_dir, "embeddings"))
+        _PQ_INDEX_DIRS[sf_dir] = d
+    from cses2humio_spark.operators.ann_index import PQIndex as _P
+
+    return _P(_PQ_INDEX_DIRS[sf_dir], m=4, k_codes=16, dim=64)
+
+
+@query("pq_index_search", oracle=_PQ_ADC_ORACLE)
+def pq_index_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search against the PERSISTED PQ index (operators/ann_index.py —
+    the build-once/search-many production shape; VERDICT r5 #1): the
+    codes + codebook live as a versioned on-disk table (built once per
+    process, off this query's plan), and the search plan contains NO
+    encode stage — its only large input is the m-small-ints-per-vector
+    codes scan. Oracle-paired with the IDENTICAL SQL as the fused
+    ``pq_adc_topk``: index search must return exactly the fused query's
+    rows, which is the correctness contract of the split."""
+    idx = _pq_index_for(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return idx.search(spark, probes, k=5)
 
 
 _SUB_DIFF = "list_transform(generate_series(1, 64), i -> {a}[i] - {b}[i])"

@@ -160,6 +160,7 @@ def test_no_query_degenerates_to_cartesian(spark):
         "hql_streaming_timechart_demo",  # runs a full streaming query
         "hql_materialized_search_table",  # runs a full streaming query
         "embedding_pca_explained_variance",  # driver-side eigh to build
+        "pq_index_search",  # builds the persisted index (once) to search
     }
     offenders = []
     for name, fn in QUERIES.items():
