@@ -507,7 +507,8 @@ def parse(src: str) -> list:
 _STAGE_FUNCS = {
     "count", "sum", "avg", "min", "max", "groupBy", "timechart", "sort",
     "head", "top", "rare", "transpose", "fieldSummary", "select", "table", "regex", "parseJson", "session",
-    "dedup", "in", "match", "percentile", "watermark", "sample",
+    "dedup", "in", "match", "percentile", "approxPercentile",
+    "approxDistinct", "watermark", "sample",
     "default", "rename", "drop", "replace", "concat", "format",
     "splitString", "split", "stddev", "bucket", "join", "window", "tail",
     "collect", "parseTimestamp", "kvParse", "parseUrl", "parseCsv",
@@ -749,6 +750,23 @@ def _compile_arith(node, df: DataFrame | None = None, now=None) -> Column:
     return {"+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc}[op]
 
 
+def _approx_percentile_p(call: Call) -> float:
+    """Validate approxPercentile's p= (percent units, exclusive 0..100);
+    shared by the batch compiler and the materialized-search maintainer
+    so both paths refuse the same misuse identically."""
+    if "p" not in call.kwargs:
+        raise HqlSyntaxError(
+            "approxPercentile(field, p=...) needs an explicit percentile "
+            "(percent units, e.g. p=95)"
+        )
+    p = float(call.kwargs["p"])
+    if not 0.0 < p < 100.0:
+        raise HqlSyntaxError(
+            f"approxPercentile p must be in (0, 100), got {p}"
+        )
+    return p
+
+
 def _agg_columns(call: Call) -> list[Column]:
     """One aggregate Call → named Columns (deterministic-float policy:
     sum/avg through exact DECIMAL(28,6); percentile exact-interpolated,
@@ -802,6 +820,22 @@ def _agg_columns(call: Call) -> list[Column]:
             F.round(F.expr(f"percentile({field}, {float(p) / 100})"), 4)
             .alias("_p" + format(float(p), "g").replace(".", "_"))
             for p in ps
+        ]
+    if name == "approxPercentile":
+        # mergeable DataSketches KLL estimate (percent units, like the
+        # percentile() sibling) — the same sketch the materialized-search
+        # path maintains across micro-batches, so a batch recompute and a
+        # maintained live table agree exactly while the sketch stays in
+        # exact mode (and within its ~1.65% rank error bound beyond)
+        p = _approx_percentile_p(call)
+        return [
+            F.round(
+                F.kll_sketch_get_quantile_double(
+                    F.kll_sketch_agg_double(F.col(field).cast("double")),
+                    F.lit(p / 100.0),
+                ),
+                4,
+            ).alias(alias or "_ap" + format(p, "g").replace(".", "_"))
         ]
     target = F.col(field)
     if name == "sum":
@@ -926,7 +960,7 @@ def _compile_stage(
     name = node.name
     if name in (
         "count", "sum", "avg", "min", "max", "stddev", "percentile",
-        "collect",
+        "approxPercentile", "approxDistinct", "collect",
     ):
         return df.agg(*_agg_columns(node))
     if name == "in":

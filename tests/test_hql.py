@@ -350,6 +350,35 @@ def test_percentile_fractional_aliases_do_not_collide(spark):
     assert r["_p99"] <= r["_p99_9"]
 
 
+def test_approx_percentile_tracks_exact_and_validates(spark):
+    """approxPercentile (the mergeable KLL spelling the materialized
+    search maintains) must track the exact percentile closely on a
+    real column — KLL's rank error is ~1.65% at the default k, which on
+    orders' price distribution is a small relative value error — and
+    refuse a missing or out-of-range p."""
+    import pytest as _pytest
+
+    from cses2humio_spark.hql import HqlSyntaxError
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    out = hql(
+        orders,
+        "groupBy(o_orderpriority, function=[approxPercentile(o_totalprice,"
+        " p=95, as=ap), percentile(o_totalprice, percentiles=[95])])",
+    )
+    for r in out.collect():
+        assert abs(r["ap"] - r["_p95"]) / r["_p95"] < 0.05, (
+            r["o_orderpriority"], r["ap"], r["_p95"]
+        )
+    assert hql(
+        orders, "approxPercentile(o_totalprice, p=99.9)"
+    ).columns == ["_ap99_9"]
+    with _pytest.raises(HqlSyntaxError, match="explicit percentile"):
+        hql(orders, "approxPercentile(o_totalprice)")
+    with _pytest.raises(HqlSyntaxError, match="in \\(0, 100\\)"):
+        hql(orders, "approxPercentile(o_totalprice, p=0)")
+
+
 # --- parser property tests (hypothesis) -----------------------------------
 
 

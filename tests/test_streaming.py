@@ -1390,6 +1390,93 @@ def test_materialized_search_maintains_avg_and_approx_distinct(spark, tmp_path):
         )
 
 
+def test_materialized_search_maintains_approx_percentile(spark, tmp_path):
+    """approxPercentile (VERDICT r5 #4 — the p95-latency dashboard) is
+    maintained via a mergeable KLL sketch: the maintained table must
+    equal the one-shot batch recompute over the concatenation of all
+    micro-batches EXACTLY while the sketch is in exact mode (n <= 200
+    per group here), because batch hql uses the same DataSketches
+    aggregate; exact percentile/stddev stay refused, pointing at the
+    opt-in spelling."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    from cses2humio_spark.hql import hql
+    from cses2humio_spark.streaming.materialized import MaterializedHqlSearch
+
+    src = tmp_path / "src"
+    src.mkdir()
+    chunks = [
+        [(i, "error" if i % 3 == 0 else "view", float((i * 37) % 101))
+         for i in rng]
+        for rng in (range(0, 40), range(40, 90), range(90, 120))
+    ]
+    for i, rows in enumerate(chunks):
+        d = str(src / f"f{i}")
+        spark.createDataFrame(
+            rows, "event_id long, event_type string, value double"
+        ).coalesce(1).write.parquet(d)
+        for f in glob.glob(os.path.join(d, "*")):
+            os.utime(f, (1_700_000_000 + i * 60,) * 2)
+
+    pipe = (
+        "groupBy(event_type, function=[count(), "
+        "approxPercentile(value, p=95, as=p95), "
+        "approxPercentile(value, p=50)])"
+    )
+    search = MaterializedHqlSearch(str(tmp_path / "tbl"), pipe, n_buckets=4)
+    sch = spark.read.parquet(str(src / "f0")).schema
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(search)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    all_rows = spark.createDataFrame(
+        [r for c in chunks for r in c],
+        "event_id long, event_type string, value double",
+    )
+    want = {
+        r["event_type"]: (r["_count"], r["p95"], r["_ap50"])
+        for r in hql(all_rows, pipe).collect()
+    }
+    got = {
+        r["event_type"]: (r["_count"], r["p95"], r["_ap50"])
+        for r in search.read(spark).collect()
+    }
+    assert got == want and set(got) == {"error", "view"}
+    # the sketch stays hidden; only the quantile is visible
+    assert set(search.read(spark).columns) == {
+        "event_type", "_count", "p95", "_ap50"
+    }
+    # exact percentile still refused, naming the opt-in spelling
+    with _pytest.raises(ValueError, match="approxPercentile"):
+        MaterializedHqlSearch(
+            str(tmp_path / "t2"),
+            "groupBy(event_type, function=[percentile(value)])",
+        )
+    # p is mandatory and bounded in the MAINTAINED spelling too
+    with _pytest.raises(ValueError, match="explicit percentile"):
+        MaterializedHqlSearch(
+            str(tmp_path / "t3"),
+            "groupBy(event_type, function=[approxPercentile(value)])",
+        )
+    with _pytest.raises(ValueError, match="in \\(0, 100\\)"):
+        MaterializedHqlSearch(
+            str(tmp_path / "t4"),
+            "groupBy(event_type, function=[approxPercentile(value, p=100)])",
+        )
+
+
 def test_materialized_view_time_travel(spark, tmp_path):
     """Manifests are immutable and bucket versions survive while any
     retained manifest references them — so read(version=) reproduces the
