@@ -157,8 +157,10 @@ def resize_media(df: DataFrame, factor: int = 4) -> DataFrame:
 # from a closed-form generative formula (byte j of doc d is a linear
 # congruence), which is what makes the decoded statistics independently
 # checkable: the DuckDB oracle recomputes the expected means/RMS from the
-# formula with generate_series, never touching the binary. External-codec
-# formats (JPEG/H.264/...) remain behind the NotImplementedError seam.
+# formula with generate_series, never touching the binary. Baseline
+# grayscale JPEG is now decoded for real (see _make_jpeg_codec below);
+# the remaining NotImplementedError seam is color/progressive JPEG and
+# inter-frame video (H.264/...), which genuinely need external codecs.
 
 PPM_FEATURES_SCHEMA = (
     "doc_id bigint, width bigint, height bigint, "
@@ -1827,5 +1829,403 @@ def decode_qoi(media: DataFrame) -> DataFrame:
         F.round("mean_r", 6).alias("mean_r"),
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
+        "top_row_sum", "byte_checksum",
+    )
+
+
+# -- JPEG (REAL baseline decode: Annex-K Huffman + IDCT) -------------------
+
+JPEG_FEATURES_SCHEMA = (
+    "doc_id bigint, width int, height int, n_blocks int, mean_px double, "
+    "top_row_sum bigint, byte_checksum bigint"
+)
+
+
+def _make_jpeg_codec():
+    """Factory for the baseline-JFIF grayscale encode/decode pair
+    (shipped by value into executor closures; encode lives in the
+    synthesizer and the tests, decode in the operator). Both halves are
+    the REAL algorithms on the fifth compression family (after zlib,
+    LZW, RLE, QOI): canonical Huffman from the spec's Annex-K luminance
+    BITS/HUFFVAL tables, DC difference prediction, run/size AC coding
+    with ZRL/EOB, MSB-first bit packing with 0xFF 0x00 byte stuffing,
+    zigzag coefficient order, and a full 8x8 separable float IDCT.
+
+    ``encode_gray(blocks, w, h)`` takes QUANTIZED coefficient blocks
+    (8x8 int arrays in natural order, T.81 convention: row index =
+    VERTICAL frequency v, column = horizontal u — the orientation the
+    zigzag scan implies; quant table all ones) in raster MCU order and
+    emits a complete JFIF file other baseline decoders can read.
+    ``decode_gray(buf)`` walks the markers
+    (CRC-free format; unsupported SOF types / restart intervals raise
+    loudly), entropy-decodes, dequantizes, inverse-DCTs, level-shifts
+    and clamps — returning (w, h, uint8 pixel array, n_blocks)."""
+    import math as _math
+
+    ZIGZAG = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    # ITU T.81 Annex K: standard luminance Huffman tables
+    DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    DC_VALS = list(range(12))
+    AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+    AC_VALS = [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ]
+
+    def canonical(bits, vals):
+        """(symbol -> (length, code), (length, code) -> symbol) from the
+        BITS/HUFFVAL spec representation (canonical code assignment)."""
+        enc, dec = {}, {}
+        code, k = 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                sym = vals[k]
+                enc[sym] = (length, code)
+                dec[(length, code)] = sym
+                code += 1
+                k += 1
+            code <<= 1
+        return enc, dec
+
+    DC_ENC, DC_DEC = canonical(DC_BITS, DC_VALS)
+    AC_ENC, AC_DEC = canonical(AC_BITS, AC_VALS)
+
+    # IDCT basis: A[u, x] = C(u)/2 * cos((2x+1) u pi / 16); f = A.T F A
+    A = [
+        [
+            ((1.0 / _math.sqrt(2.0)) if u == 0 else 1.0)
+            / 2.0
+            * _math.cos((2 * x + 1) * u * _math.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+
+    def magnitude(v):
+        """(category, offset-bits) for a signed coefficient value."""
+        t, a = 0, abs(v)
+        while a:
+            t += 1
+            a >>= 1
+        return t, (v if v >= 0 else v + (1 << t) - 1)
+
+    def encode_gray(blocks, w, h):
+        import struct as _struct
+
+        out_bits = []  # (nbits, value) pending
+
+        def put(nbits, value):
+            if nbits:
+                out_bits.append((nbits, value))
+
+        pred = 0
+        for blk in blocks:
+            dc = int(blk[0][0])
+            t, extra = magnitude(dc - pred)
+            ln, code = DC_ENC[t]
+            put(ln, code)
+            put(t, extra)
+            pred = dc
+            zz = [int(blk[z // 8][z % 8]) for z in ZIGZAG]
+            run = 0
+            for coef in zz[1:]:
+                if coef == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = AC_ENC[0xF0]  # ZRL: 16 zeros
+                    put(ln, code)
+                    run -= 16
+                t, extra = magnitude(coef)
+                ln, code = AC_ENC[(run << 4) | t]
+                put(ln, code)
+                put(t, extra)
+                run = 0
+            if run:
+                ln, code = AC_ENC[0x00]  # EOB
+                put(ln, code)
+        # MSB-first bit packing, 1-padded final byte, 0xFF stuffing
+        data = bytearray()
+        acc, n = 0, 0
+        for nbits, value in out_bits:
+            acc = (acc << nbits) | (value & ((1 << nbits) - 1))
+            n += nbits
+            while n >= 8:
+                n -= 8
+                byte = (acc >> n) & 0xFF
+                data.append(byte)
+                if byte == 0xFF:
+                    data.append(0x00)
+        if n:
+            byte = ((acc << (8 - n)) | ((1 << (8 - n)) - 1)) & 0xFF
+            data.append(byte)
+            if byte == 0xFF:
+                data.append(0x00)
+
+        def seg(marker, body):
+            return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
+
+        dht = bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+        dht += bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+        return (
+            b"\xff\xd8"  # SOI
+            + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+            + seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # DQT: all ones
+            + seg(0xC0, _struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+            + seg(0xC4, dht)
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            + bytes(data)
+            + b"\xff\xd9"  # EOI
+        )
+
+    def decode_gray(buf):
+        import struct as _struct
+
+        if buf[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG (no SOI)")
+        pos = 2
+        qt = None
+        dc_dec, ac_dec = None, None
+        w = h = None
+        scan_start = None
+        while pos < len(buf):
+            if buf[pos] != 0xFF:
+                raise ValueError(f"marker expected at {pos}")
+            marker = buf[pos + 1]
+            if marker == 0xD9:  # EOI
+                break
+            (ln,) = _struct.unpack_from(">H", buf, pos + 2)
+            body = buf[pos + 4 : pos + 2 + ln]
+            if marker == 0xDB:
+                if body[0] != 0x00:
+                    raise ValueError("only 8-bit quant table 0 supported")
+                qt = list(body[1:65])
+            elif marker == 0xC0:
+                prec, h, w, ncomp = _struct.unpack_from(">BHHB", body, 0)
+                # per-component triple starts at 6: id, HV sampling, Tq
+                if prec != 8 or ncomp != 1 or body[7] != 0x11:
+                    raise ValueError(
+                        "unsupported SOF0 (need 8-bit grayscale, no "
+                        f"subsampling): precision={prec} ncomp={ncomp}"
+                    )
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise ValueError(
+                    f"unsupported SOF marker 0xFF{marker:02X} — baseline "
+                    "sequential (SOF0) only"
+                )
+            elif marker == 0xDD:
+                raise ValueError("restart intervals (DRI) not supported")
+            elif marker == 0xC4:
+                p = 0
+                while p < len(body):
+                    tc_th = body[p]
+                    bits = list(body[p + 1 : p + 17])
+                    nv = sum(bits)
+                    vals = list(body[p + 17 : p + 17 + nv])
+                    _, dec = canonical(bits, vals)
+                    if tc_th == 0x00:
+                        dc_dec = dec
+                    elif tc_th == 0x10:
+                        ac_dec = dec
+                    else:
+                        raise ValueError(f"unexpected DHT class/id {tc_th:#x}")
+                    p += 17 + nv
+            elif marker == 0xDA:
+                scan_start = pos + 2 + ln
+                break
+            pos += 2 + ln
+        if None in (qt, dc_dec, ac_dec, w, h) or scan_start is None:
+            raise ValueError("missing DQT/DHT/SOF0/SOS")
+        if w % 8 or h % 8:
+            raise ValueError("non-multiple-of-8 dims need edge extension")
+
+        # bit reader over the entropy-coded segment with 0xFF00 unstuffing
+        state = {"pos": scan_start, "acc": 0, "n": 0}
+
+        def read_bit():
+            if state["n"] == 0:
+                p = state["pos"]
+                if p >= len(buf):
+                    raise ValueError("truncated scan")
+                byte = buf[p]
+                if byte == 0xFF:
+                    nxt = buf[p + 1]
+                    if nxt == 0x00:
+                        state["pos"] = p + 2
+                    elif nxt == 0xD9:
+                        raise ValueError("scan ran into EOI")
+                    else:
+                        raise ValueError(f"unexpected marker in scan: {nxt:#x}")
+                else:
+                    state["pos"] = p + 1
+                state["acc"] = byte
+                state["n"] = 8
+            state["n"] -= 1
+            return (state["acc"] >> state["n"]) & 1
+
+        def read_bits(t):
+            v = 0
+            for _ in range(t):
+                v = (v << 1) | read_bit()
+            return v
+
+        def huff(dec):
+            length, code = 0, 0
+            while length < 16:
+                code = (code << 1) | read_bit()
+                length += 1
+                if (length, code) in dec:
+                    return dec[(length, code)]
+            raise ValueError("invalid Huffman code in scan")
+
+        def extend(v, t):
+            return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+        bw, bh = w // 8, h // 8
+        pixels = [[0] * w for _ in range(h)]
+        pred = 0
+        for by in range(bh):
+            for bx in range(bw):
+                zz = [0] * 64
+                t = huff(dc_dec)
+                pred += extend(read_bits(t), t)
+                zz[0] = pred * qt[0]
+                k = 1
+                while k < 64:
+                    rs = huff(ac_dec)
+                    r, t = rs >> 4, rs & 0x0F
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    zz[k] = extend(read_bits(t), t) * qt[k]
+                    k += 1
+                # de-zigzag into natural order, then f = A.T F A
+                F2 = [[0.0] * 8 for _ in range(8)]
+                for z in range(64):
+                    F2[ZIGZAG[z] // 8][ZIGZAG[z] % 8] = float(zz[z])
+                # tmp = F A  (sum over v); f = A.T tmp (sum over u)
+                tmp = [
+                    [
+                        sum(F2[u][v] * A[v][x] for v in range(8))
+                        for x in range(8)
+                    ]
+                    for u in range(8)
+                ]
+                for y in range(8):
+                    for x in range(8):
+                        val = sum(A[u][y] * tmp[u][x] for u in range(8))
+                        px = int(round(val)) + 128
+                        pixels[by * 8 + y][bx * 8 + x] = min(255, max(0, px))
+        return w, h, pixels, bw * bh
+
+    return encode_gray, decode_gray
+
+
+def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary): a VALID baseline JFIF grayscale JPEG
+    per document, really entropy-coded with the Annex-K tables. The
+    image is PIECEWISE-CONSTANT per 8x8 block — block (bx, by) has gray
+    value (3*doc_id + 17*bx + 29*by) % 256 — which makes the lossy codec
+    EXACT here: a constant block's DCT is DC-only (DC = 8*(v-128),
+    integral), the all-ones quant table preserves it, and the IDCT
+    returns the constant bit-for-bit after rounding. DC prediction
+    chains across blocks (varying block values exercise it), AC coding
+    contributes EOBs; non-zero AC coefficients are exercised by the
+    coefficient-roundtrip unit tests (their decoded pixels have no
+    closed form the SQL oracle could state).
+    w = 8*(1 + doc_id mod 3), h = 8*(1 + doc_id mod 2)."""
+
+    codec_factory = _make_jpeg_codec
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        encode_gray, _ = codec_factory()
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                bw, bh = 1 + d % 3, 1 + d % 2
+                blocks = []
+                for by in range(bh):
+                    for bx in range(bw):
+                        v = (3 * d + 17 * bx + 29 * by) % 256
+                        blk = [[0] * 8 for _ in range(8)]
+                        blk[0][0] = 8 * (v - 128)
+                        blocks.append(blk)
+                payloads.append(encode_gray(blocks, bw * 8, bh * 8))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(_gen, "doc_id bigint, payload binary")
+
+
+def decode_jpeg(media: DataFrame) -> DataFrame:
+    """REAL baseline JPEG decode via mapInPandas — no imaging library:
+    marker walk, canonical Huffman rebuild from the file's own DHT,
+    MSB-first bit reading with 0xFF00 unstuffing, DC prediction, AC
+    run/size with ZRL/EOB, dequantization, zigzag reorder, full 8x8
+    float IDCT, level shift and clamp. Grayscale baseline only —
+    progressive/arithmetic/subsampled files raise loudly (the honest
+    seam is now color + progressive, not the codec itself). Emits the
+    multimodal family's standard stats (single channel: mean_px)."""
+
+    codec_factory = _make_jpeg_codec
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        _, decode_gray = codec_factory()
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "n_blocks", "mean_px",
+                "top_row_sum", "byte_checksum",
+            )}
+            for d, b in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, pixels, n_blocks = decode_gray(bytes(b))
+                img = _np.array(pixels, dtype=_np.int64)
+                rows["doc_id"].append(int(d))
+                rows["width"].append(int(w))
+                rows["height"].append(int(h))
+                rows["n_blocks"].append(int(n_blocks))
+                rows["mean_px"].append(float(img.mean()))
+                rows["top_row_sum"].append(int(img[0].sum()))
+                rows["byte_checksum"].append(int(img.sum()) % 10**9)
+            yield _pd.DataFrame(rows)
+
+    out = media.mapInPandas(_decode, JPEG_FEATURES_SCHEMA)
+    return out.select(
+        "doc_id", "width", "height", "n_blocks",
+        F.round("mean_px", 6).alias("mean_px"),
         "top_row_sum", "byte_checksum",
     )

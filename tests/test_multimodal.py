@@ -624,3 +624,131 @@ def test_qoi_ops_exercised_and_rejections(spark):
         qoi_decode(b"qoix" + bytes(20))
     with _pytest.raises(ValueError, match="truncated"):
         qoi_decode(buf[: len(buf) // 2])
+
+
+# -- JPEG (baseline Huffman + DCT) -----------------------------------------
+
+
+def _direct_idct(blk):
+    """Independent O(64^2) reference IDCT (T.81 A.3.3 convention:
+    blk[v][u], row = vertical frequency) — deliberately a different
+    algorithm than the decoder's separable matrix form, so agreement
+    validates Huffman/run-length/zigzag/dequant, not shared code."""
+    import math
+
+    def C(u):
+        return 1 / math.sqrt(2) if u == 0 else 1.0
+
+    out = [[0.0] * 8 for _ in range(8)]
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                for u in range(8):
+                    s += (
+                        C(u) * C(v) * blk[v][u]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            out[y][x] = s / 4.0
+    return out
+
+
+def test_jpeg_ac_coefficient_roundtrip_vs_direct_idct():
+    """Random quantized coefficient blocks (DC + scattered ACs — runs,
+    ZRL and EOB all occur) through the full encode -> Huffman-decode ->
+    dequant -> IDCT pipeline must reproduce the independent direct-IDCT
+    pixels EXACTLY, and the 0xFF byte-stuffing path must actually fire
+    across the corpus."""
+    import random
+
+    from cses2humio_spark.operators.multimodal import _make_jpeg_codec
+
+    enc, dec = _make_jpeg_codec()
+    random.seed(42)
+    saw_stuffing = False
+    for _ in range(30):
+        blocks = []
+        for _b in range(2):
+            blk = [[0] * 8 for _ in range(8)]
+            blk[0][0] = random.randint(-400, 400)
+            for _c in range(random.randint(1, 8)):
+                u, v = random.randint(0, 7), random.randint(0, 7)
+                blk[u][v] = random.randint(-60, 60)
+            blocks.append(blk)
+        buf = enc(blocks, 16, 8)
+        scan = buf[buf.find(b"\xff\xda") + 10 :]
+        if b"\xff\x00" in scan:
+            saw_stuffing = True
+        w, h, px, nb = dec(buf)
+        assert (w, h, nb) == (16, 8, 2)
+        for bi, blk in enumerate(blocks):
+            ref = _direct_idct(blk)
+            for y in range(8):
+                for x in range(8):
+                    want = min(255, max(0, int(round(ref[y][x])) + 128))
+                    assert px[y][bi * 8 + x] == want, (bi, y, x)
+    assert saw_stuffing, "no trial exercised 0xFF00 byte stuffing"
+
+
+def test_jpeg_zrl_and_long_runs():
+    """A block whose only AC sits past 16+ zeros forces ZRL emission;
+    one with a trailing coefficient at position 63 ends without EOB."""
+    from cses2humio_spark.operators.multimodal import _make_jpeg_codec
+
+    enc, dec = _make_jpeg_codec()
+    zz_last = [[0] * 8 for _ in range(8)]
+    zz_last[0][0] = 80
+    zz_last[7][7] = 12  # zigzag position 63: encoder must emit ZRLs, no EOB
+    mid = [[0] * 8 for _ in range(8)]
+    mid[0][0] = -80
+    mid[5][0] = -33  # a lone mid-block coefficient after a long run
+    for blk in (zz_last, mid):
+        w, h, px, nb = dec(enc([blk], 8, 8))
+        ref = _direct_idct(blk)
+        for y in range(8):
+            for x in range(8):
+                want = min(255, max(0, int(round(ref[y][x])) + 128))
+                assert px[y][x] == want, (y, x)
+
+
+def test_jpeg_decoder_rejects_unsupported():
+    import pytest as _pytest
+
+    from cses2humio_spark.operators.multimodal import _make_jpeg_codec
+
+    enc, dec = _make_jpeg_codec()
+    blk = [[0] * 8 for _ in range(8)]
+    buf = enc([blk], 8, 8)
+    with _pytest.raises(ValueError, match="no SOI"):
+        dec(b"xx" + buf)
+    # flip SOF0 -> SOF2 (progressive): must refuse loudly, not misdecode
+    i = buf.find(b"\xff\xc0")
+    prog = buf[:i] + b"\xff\xc2" + buf[i + 2 :]
+    with _pytest.raises(ValueError, match="SOF"):
+        dec(prog)
+    with _pytest.raises(ValueError, match="truncated|EOI"):
+        dec(buf[:-4])
+
+
+def test_jpeg_decode_stats_spark_plan_is_arrow_batched(spark):
+    """The Spark-side contract: synthesize -> decode is two mapInPandas
+    stages over hash-spread blobs; n_blocks rides the decoded output."""
+    from cses2humio_spark.operators.multimodal import (
+        decode_jpeg,
+        repartition_for_media,
+        synthesize_jpeg_media,
+    )
+    from cses2humio_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        "doc_id < 40"
+    )
+    out = decode_jpeg(repartition_for_media(synthesize_jpeg_media(docs)))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 2
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 40
+    for d, r in rows.items():
+        assert r["n_blocks"] == (1 + d % 3) * (1 + d % 2)
+        assert r["width"] == 8 * (1 + d % 3)
