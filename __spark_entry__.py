@@ -41,14 +41,14 @@ _PRIORITY = [
     "doc_token_stats",
     "exact_dedup_survivors",
     "jaccard_near_dups",
-    "simhash_near_dups",
+    "pq_index_search",
     "pq_adc_topk",
     "embedding_near_dups",
     "bpe_subword_stats",
     "udaf_weighted_value",
     "kmeans_clusters",
     "sequence_pack_assignments",
-    "ppm_decode_stats",
+    "jpeg_decode_stats",
     "pii_redaction_stats",
     # connector semantics
     "connector_enrich_envelope",
@@ -80,13 +80,28 @@ _PRIORITY = [
     "sql_exists_and_scalar_subquery",
     # round-4 additions: one driver-green representative per
     # still-never-driver-checked round-3 family
-    "beacon_regularity_scores",
-    "markov_sequence_anomaly",
+    "gif_decode_stats",
+    "ivfpq_topk",
     "orders_expectations_report",
-    "benford_first_digit_deviation",
+    "hql_parse_cef",
     "ewma_user_baseline",
-    "equi_depth_price_histogram",
+    "hql_transpose_type_counts",
 ]
+# Round-6 window refresh: six slots whose families are r5-driver-green
+# AND double-covered rotated out for the families the driver has never
+# checked — ppm_decode_stats -> jpeg_decode_stats (the fifth compression
+# family; png stays as the in-window decode sibling),
+# simhash_near_dups -> pq_index_search (the persisted-index search; the
+# near-dup row stays pinned by jaccard + embedding in-window),
+# markov_sequence_anomaly -> gif_decode_stats (LZW),
+# beacon_regularity_scores -> hql_parse_cef (SIEM parser stages),
+# benford_first_digit_deviation -> hql_transpose_type_counts (reshape
+# DSL), equi_depth_price_histogram -> ivfpq_topk (the IVF+residual-PQ
+# composition). All six rotated-out queries were driver-green in
+# CORRECTNESS_r05 and stay judge-verified at the tail. Still
+# never-driver-checked (r7 rotation pool): pcx/tiff/qoi decode,
+# hql_parse_leef, hql_rare/fieldSummary, head(by=), bpe_pack/vocab_oov,
+# span_corruption.
 # Round-5 window refresh: five slots whose families stay covered by an
 # in-window sibling or at the judge-verified tail rotated out for the
 # round-5 families the driver has never checked — kv_parse_extract ->

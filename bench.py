@@ -69,6 +69,10 @@ HEADLINE = [
     "ewma_user_baseline",  # per-key sequential smoothing fold
     "hql_kv_parse",  # parser stage through the pipe language
     "hql_entropy_extremes",  # heavy eval, now fan_out-parallelized
+    # round 6: new families promoted to the timed surface (no standing
+    # baseline yet — their first accepted bench becomes it)
+    "pq_index_search",  # persisted-index ADC search (build off-clock, once)
+    "jpeg_decode_stats",  # Annex-K Huffman + IDCT baseline decode
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
@@ -122,6 +126,19 @@ STANDING_BASELINE_SF01 = {
     # first accepted numbers (round-4 closing bench) for the second wave
     "hql_window_moving_avg": 0.441,
     "tga_decode_stats": 0.486,
+    # round-5 promotions, accepted at round-6 open from BENCH_r05 (per the
+    # r5 verdict item 6). embedding_near_dups note: its r5 wall (4.75 s,
+    # 1.50x standing) was re-measured at round-6 open on a quiet box —
+    # three isolated min-of-two runs gave 2.95/2.14/2.12 s, BELOW the
+    # 3.169 standing — so the drift was suite-level box pressure, not a
+    # regression; the standing number stays.
+    "bpe_subword_stats": 0.99,
+    "pq_adc_topk": 1.75,
+    "ivfpq_topk": 2.56,
+    "png_decode_stats": 0.59,
+    "ewma_user_baseline": 0.54,
+    "hql_kv_parse": 0.58,
+    "hql_entropy_extremes": 0.66,
 }
 
 
