@@ -501,6 +501,88 @@ def tfidf_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(50)
 
 
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@query(
+    "bm25_search_top20",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, UNNEST({_TOKS}) AS tok FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+           WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * ({_BM25_K1} + 1.0))
+               / (tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                                     + {_BM25_B} * dl.dl / avgdl))
+             ) AS s
+      FROM tf JOIN df ON df.tok = tf.tok
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(s, 6) AS bm25 FROM scored
+    ORDER BY s DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_search_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (k1=1.2, b=0.75, the Lucene +1 IDF)
+    for a fixed multi-term query — the classic lexical retriever next to
+    the embedding/ANN family. Scale shape: term frequencies are computed
+    AFTER filtering the exploded tokens to the query terms (the filter
+    rides the explode, so only query-term postings shuffle — at 100 TB
+    the posting lists, never the token stream); document lengths are one
+    groupBy over the token stream; the df table is per-query-term
+    (broadcast); N and avgdl collapse to driver-side literals (two
+    scalar actions at construction, the tfidf_top50 pattern). Per-doc
+    scores sum over at most |Q| terms; global top-20 is TakeOrdered.
+    Summation order over a doc's terms is partitioning-dependent only
+    across ≤3 IEEE additions of same-magnitude positives — rounded to 6
+    after the sum, and the ORDER uses the unrounded score in both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs, avgdl = dl.agg(
+        F.count(F.lit(1)), F.avg("dl")
+    ).collect()[0]
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        + 1.0
+    )
+    tfpart = (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + _BM25_K1
+        * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.lit(float(avgdl)))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), on="tok")
+        .join(dl, on="doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tfpart).alias("s"))
+    )
+    return (
+        scored.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select("doc_id", F.round("s", 6).alias("bm25"))
+    )
+
+
 # ---- multimodal columns -------------------------------------------------
 
 @query(
