@@ -583,6 +583,120 @@ def bm25_search_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rrf_hybrid_top10",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, UNNEST({_TOKS}) AS tok FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+           WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    bm AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * ({_BM25_K1} + 1.0))
+               / (tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                                     + {_BM25_B} * dl.dl / avgdl))
+             ), 6) AS s
+      FROM tf JOIN df ON df.tok = tf.tok
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    lex AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id)
+                     AS r FROM bm QUALIFY r <= 50),
+    pv AS (SELECT {_DOUBLE_VEC} AS v FROM embeddings WHERE vec_id = 0),
+    cs AS (SELECT e.vec_id AS doc_id,
+                  ROUND({_cos_sql(_DOUBLE_VEC, 'pv.v')}, 6) AS c
+           FROM embeddings e CROSS JOIN pv),
+    vec AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY c DESC, doc_id)
+                     AS r FROM cs QUALIFY r <= 50),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+             COALESCE(1.0 / (60 + lex.r), 0.0)
+               + COALESCE(1.0 / (60 + vec.r), 0.0) AS rrf
+      FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+    )
+    SELECT doc_id, ROUND(rrf, 6) AS rrf FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def rrf_hybrid_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal rank fusion (k=60): the BM25
+    lexical top-50 fused with the embedding-cosine top-50 for one probe
+    (vec 0) — the standard two-tower + lexical RAG recipe as one
+    dataflow. Fusion is RANK-based, so the cross-engine contract is
+    integer-exact: each list ranks over its ROUNDED score with doc-id
+    tie-break, and the fused score is the same two-term expression of
+    integer ranks in both engines. Scale shape: each arm keeps its own
+    top-50 (window group limit), the full-outer fusion joins two
+    50-row frames, and the probe vector is a driver-side literal (no
+    broadcast join on the cosine arm — pure projection)."""
+    from cses2humio_spark.functions.vectors import cosine_similarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs, avgdl = dl.agg(F.count(F.lit(1)), F.avg("dl")).collect()[0]
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        + 1.0
+    )
+    tfpart = (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + _BM25_K1
+        * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.lit(float(avgdl)))
+    )
+    bm = (
+        tf.join(F.broadcast(df_), on="tok")
+        .join(dl, on="doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * tfpart), 6).alias("s"))
+    )
+    w_lex = Window.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+    lex = (
+        bm.withColumn("r", F.row_number().over(w_lex))
+        .filter(F.col("r") <= 50)
+        .select("doc_id", "r")
+    )
+    probe = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    pvec = F.array(*[F.lit(float(x)) for x in probe])
+    cs = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine_similarity(F.col("embedding"), pvec), 6).alias("c"),
+    )
+    w_vec = Window.orderBy(F.col("c").desc(), F.col("doc_id").asc())
+    vec = (
+        cs.withColumn("r", F.row_number().over(w_vec))
+        .filter(F.col("r") <= 50)
+        .select("doc_id", "r")
+    )
+    fused = lex.withColumnRenamed("r", "rl").join(
+        vec.withColumnRenamed("r", "rv"), on="doc_id", how="full_outer"
+    )
+    rrf = F.coalesce(1.0 / (60 + F.col("rl")), F.lit(0.0)) + F.coalesce(
+        1.0 / (60 + F.col("rv")), F.lit(0.0)
+    )
+    return (
+        fused.withColumn("__rrf", rrf)
+        .orderBy(F.col("__rrf").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", F.round("__rrf", 6).alias("rrf"))
+    )
+
+
 # ---- multimodal columns -------------------------------------------------
 
 @query(
