@@ -584,6 +584,48 @@ def bm25_search_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "weighted_sample_top100",
+    oracle="""
+    WITH w AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS w
+               FROM documents),
+    k AS (SELECT doc_id, w,
+            ROUND(ln((((doc_id * 2654435761 + 1013904223) % 4294967296)
+                      + 0.5) / 4294967296.0) / w, 9) AS k
+          FROM w)
+    SELECT doc_id, w, k FROM k ORDER BY k DESC, doc_id LIMIT 100
+    """,
+)
+def weighted_sample_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-Res) — the quality-weighted corpus-subset op every training
+    pipeline needs: each document draws key ln(u)/w (the log form of
+    u^(1/w), same ordering) and the sample is the top-k keys, so
+    inclusion probability tracks the weight (here: text length as the
+    quality proxy). The uniform u is a DETERMINISTIC integer LCG of the
+    doc id (pure int64 arithmetic — identical in every engine, no RNG,
+    no md5-hex parsing), keys are ranked rounded with doc-id tie-break,
+    and selection is TakeOrdered — no window, no shuffle beyond the
+    top-k reduction, the right shape for sampling 1M docs from 100 TB.
+    Changing the sampling 'seed' = changing the LCG constants."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        (F.col("doc_id") * F.lit(2654435761) + F.lit(1013904223))
+        % F.lit(4294967296)
+        + 0.5
+    ) / 4294967296.0
+    w = F.length("text").cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            w.alias("w"),
+            F.round(F.log(u) / w, 9).alias("k"),
+        )
+        .orderBy(F.col("k").desc(), F.col("doc_id").asc())
+        .limit(100)
+    )
+
+
+@query(
     "rrf_hybrid_top10",
     oracle=rf"""
     WITH toks AS (SELECT doc_id, UNNEST({_TOKS}) AS tok FROM documents),
@@ -1966,9 +2008,7 @@ def pq_index_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUB_DIFF = "list_transform(generate_series(1, 64), i -> {a}[i] - {b}[i])"
 
 
-@query(
-    "ivfpq_topk",
-    oracle=f"""
+_IVFPQ_ORACLE = f"""
     WITH ev AS (SELECT vec_id, {_DOUBLE_VEC} AS v FROM embeddings),
     cent AS (SELECT vec_id AS cid, v AS cv FROM ev WHERE vec_id < 16),
     probes AS (SELECT vec_id AS probe_id, v AS pv FROM ev WHERE vec_id < 8),
@@ -2028,8 +2068,10 @@ _SUB_DIFF = "list_transform(generate_series(1, 64), i -> {a}[i] - {b}[i])"
                     ORDER BY dd ASC, vec_id ASC) AS INT) AS rank
       FROM ad WHERE nm = 4) t
     WHERE rank <= 5
-    """,
-)
+    """
+
+
+@query("ivfpq_topk", oracle=_IVFPQ_ORACLE)
 def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ — the full FAISS recipe oracle-checked end to end: coarse
     cells prune candidates (nprobe=2 of 16), residual-encoded PQ (m=4,
@@ -2050,6 +2092,42 @@ def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         emb, probes, cent, m=4, k_codes=16, dim=64, k=5, nprobe=2
     )
+
+
+_IVFPQ_INDEX_DIRS: dict[str, str] = {}
+
+
+@query("ivfpq_index_search", oracle=_IVFPQ_ORACLE)
+def ivfpq_index_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search against the PERSISTED IVF-PQ index — the production twin
+    of the fused ``ivfpq_topk`` (same oracle SQL: identical results is
+    the split's correctness contract). The stored codes carry their
+    coarse-cell id and the segments are PARTITIONED by it, so the
+    nprobe prune is one equi-join against cell-pruned files; the search
+    plan has no assignment or encode stage."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from cses2humio_spark.operators.ann_index import PQIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVFPQ_INDEX_DIRS:
+        d = tempfile.mkdtemp(prefix="ivfpq_index_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        cent = emb.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("cid"), "embedding"
+        )
+        idx = PQIndex(d, m=4, k_codes=16, dim=64, mode="ivfpq")
+        idx.build(emb, centroids=cent)
+        _IVFPQ_INDEX_DIRS[sf_dir] = d
+    idx = PQIndex(
+        _IVFPQ_INDEX_DIRS[sf_dir], m=4, k_codes=16, dim=64, mode="ivfpq"
+    )
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return idx.search(spark, probes, k=5, nprobe=2)
 
 
 @query(

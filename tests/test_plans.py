@@ -161,6 +161,7 @@ def test_no_query_degenerates_to_cartesian(spark):
         "hql_materialized_search_table",  # runs a full streaming query
         "embedding_pca_explained_variance",  # driver-side eigh to build
         "pq_index_search",  # builds the persisted index (once) to search
+        "ivfpq_index_search",  # builds the persisted IVF-PQ index once
     }
     offenders = []
     for name, fn in QUERIES.items():
