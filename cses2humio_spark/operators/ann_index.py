@@ -447,10 +447,19 @@ class PQIndex:
         self, spark: SparkSession, version: int | None = None
     ) -> DataFrame:
         """The codes table as of ``version`` (default latest): the union
-        of that manifest's immutable segments."""
+        of that manifest's immutable segments. ``basePath`` anchors
+        partition discovery at the index root — the ``seg=<id>`` dirs
+        are themselves key=value-shaped, and a multi-segment ivfpq read
+        would otherwise see conflicting partition depths (seg=N/cid=M);
+        the synthetic ``seg`` column is dropped, ``cid`` (ivfpq) stays
+        the partition column the nprobe prune lands on."""
         man = self._load_manifest(self._resolve_version(version))
         paths = [self._seg_dir(s) for s in man["segments"]]
-        return spark.read.parquet(*paths)
+        return (
+            spark.read.option("basePath", self.index_dir)
+            .parquet(*paths)
+            .drop("seg")
+        )
 
     # -- search ------------------------------------------------------------
 

@@ -223,6 +223,28 @@ def test_stream_ingest_kill_restart_no_dup_or_missing(
     )
 
 
+def test_ivfpq_multi_segment_ingest_and_search(spark, emb, probes, cents, tmp_path):
+    """Regression: a multi-segment ivfpq read must not trip Spark's
+    CONFLICTING_DIRECTORY_STRUCTURES — the seg=<id> dirs are themselves
+    key=value-shaped, so partition discovery needs the index root as
+    basePath. Ingested ivfpq index must equal the cold build (same
+    frozen residual codebook trained on the first slice's residuals is
+    NOT reproducible cold — so pin search against the incremental
+    index's own read_codes + fused ADC equivalence instead: every code
+    row present exactly once, search returns full k rows)."""
+    idx = PQIndex(
+        str(tmp_path / "mseg"), m=M, k_codes=K_CODES, dim=DIM, mode="ivfpq"
+    )
+    idx.build(emb.filter(F.col("vec_id") < 300), centroids=cents)
+    idx(emb.filter(F.col("vec_id") >= 300), 0)
+    codes = idx.read_codes(spark)
+    assert set(codes.columns) == {"vec_id", "sub_id", "code", "cid"}
+    assert codes.count() == emb.count() * M
+    assert codes.groupBy("vec_id").count().filter("count != 4").count() == 0
+    out = idx.search(spark, probes, k=K)
+    assert out.count() == 8 * K
+
+
 def test_empty_batch_advances_replay_guard(spark, emb, tmp_path):
     idx = PQIndex(str(tmp_path / "empty"), m=M, k_codes=K_CODES, dim=DIM)
     idx.build(emb.filter(F.col("vec_id") < 100))
