@@ -399,3 +399,84 @@ def alert_rules_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+@query(
+    "cdc_upsert_latest_state",
+    oracle="""
+    WITH src AS (SELECT user_id, event_id, event_type,
+                        CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+                        (event_id % 19 = 0) AS del
+                 FROM events WHERE event_id < 3000),
+    latest AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY event_id DESC) AS rn FROM src)
+    SELECT user_id, event_id AS last_seq, event_type AS last_type,
+           cents AS last_cents
+    FROM latest WHERE rn = 1 AND NOT del
+    """,
+)
+def cdc_upsert_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keyed UPSERT table (streaming/materialized.py::
+    KeyedUpsertTable — lakehouse MERGE INTO semantics on the sharded-MV
+    machinery), ORACLE-CHECKED end to end: events stream as a CDC feed
+    in three micro-batches (key = user_id, seq = event_id, tombstone =
+    every 19th event), and the final committed table must equal the
+    one-shot SQL "latest row per key, minus keys whose latest is a
+    delete". The merge is an associative/commutative max over (seq,
+    payload), so the stored state is provably independent of batch
+    boundaries — which is exactly what the oracle comparison
+    demonstrates. Integer cents keep the equality bit-wise."""
+    import shutil
+
+    from cses2humio_spark.streaming.materialized import KeyedUpsertTable
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 3000)
+        .select(
+            "user_id",
+            F.col("event_id").alias("seq"),
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+            (F.col("event_id") % 19 == 0).alias("del"),
+        )
+    )
+    tmpdir = tempfile.mkdtemp(prefix="sgraft_upsert_")
+    try:
+        src = os.path.join(tmpdir, "src")
+        for i in range(3):
+            ev.filter(F.col("seq") % 3 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(src, f"chunk={i}"))
+        table = KeyedUpsertTable(
+            os.path.join(tmpdir, "table"),
+            key_cols="user_id",
+            seq_col="seq",
+            value_cols=["event_type", "cents"],
+            tombstone_col="del",
+        )
+        sch = ev.schema
+        stream = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(src, "chunk=*"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(table)
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError("cdc upsert stream did not finish in 120s")
+        out = table.read(spark).select(
+            "user_id",
+            F.col("seq").alias("last_seq"),
+            F.col("event_type").alias("last_type"),
+            F.col("cents").alias("last_cents"),
+        )
+        final = out.collect()  # materialize before the table dir vanishes
+        return spark.createDataFrame(final, out.schema)
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)

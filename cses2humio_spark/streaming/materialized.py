@@ -575,3 +575,104 @@ class MaterializedHqlSearch(IncrementalRollup):
             else:
                 cols.append(F.col(alias))
         return stored.select(*cols)
+
+
+class KeyedUpsertTable(IncrementalRollup):
+    """Last-write-wins keyed table maintained from a CDC stream — the
+    MERGE INTO shape the rollup's additive merge doesn't cover: each
+    key's stored row is its LATEST version by a sequence column (CDC
+    offset / commit timestamp), and an optional tombstone column turns
+    the latest version into a delete (key hidden at read; a later
+    non-tombstone version resurrects it). Classic lakehouse upsert
+    semantics on the same sharded machinery: per-batch deltas collapse
+    map-side to one row per key (``max_by`` over the payload struct),
+    the merge keeps the lexicographic max of (seq, payload) — an
+    ASSOCIATIVE, COMMUTATIVE function, so the final table is independent
+    of batch boundaries AND batch arrival order — and bucket versioning,
+    atomic commits, replay skipping, retention and time travel are all
+    inherited.
+
+    Determinism contract: ``seq_col`` must be non-null and totally
+    ordered per key (a CDC offset is); if two versions of a key ever
+    share a seq, the tie breaks lexicographically on the remaining
+    payload columns — deterministic, never partitioning-dependent.
+    """
+
+    def __init__(
+        self,
+        table_dir: str,
+        key_cols: list[str] | str,
+        seq_col: str,
+        value_cols: list[str],
+        tombstone_col: str | None = None,
+        keep_versions: int = 2,
+        n_buckets: int = 16,
+    ):
+        if keep_versions < 1:
+            raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
+        self.key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        if not self.key_cols:
+            raise ValueError("KeyedUpsertTable needs at least one key column")
+        self.seq_col = seq_col
+        self.value_cols = list(value_cols)
+        self.tombstone_col = tombstone_col
+        overlap = set(self.key_cols) & set(
+            [seq_col, *value_cols, *( [tombstone_col] if tombstone_col else [] )]
+        )
+        if overlap:
+            raise ValueError(f"columns listed twice: {sorted(overlap)}")
+        self.keep_versions = keep_versions
+        self._init_table(table_dir, n_buckets)
+
+    def _key_cols(self) -> list[str]:
+        return self.key_cols
+
+    def _payload_cols(self) -> list[str]:
+        cols = [self.seq_col, *self.value_cols]
+        if self.tombstone_col:
+            cols.append(self.tombstone_col)
+        return cols
+
+    def _latest(self, df: DataFrame) -> DataFrame:
+        payload = F.max(
+            F.struct(*[F.col(c) for c in self._payload_cols()])
+        ).alias("__p")
+        return df.groupBy(*[F.col(k) for k in self.key_cols]).agg(
+            payload
+        ).select(
+            *self.key_cols,
+            *[F.col(f"__p.{c}").alias(c) for c in self._payload_cols()],
+        )
+
+    def _delta(self, batch_df: DataFrame) -> DataFrame:
+        return self._latest(
+            batch_df.select(*self.key_cols, *self._payload_cols())
+        )
+
+    def _merge(self, current: DataFrame, delta: DataFrame) -> DataFrame:
+        return self._latest(current.unionByName(delta))
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Current table state (or ``version=`` time travel): one row
+        per live key — keys whose latest version is a tombstone are
+        hidden (their history is still merged, so a later resurrect
+        wins correctly)."""
+        at = self._resolve_version(version)
+        if at is None:
+            raise ValueError(
+                f"{self.table_dir}: no committed version yet — the table "
+                "has not processed a batch"
+            )
+        manifest = self._load_manifest(at)
+        if not manifest:
+            raise ValueError(
+                f"{self.table_dir}: committed only empty batches — the "
+                "table holds no rows yet (schema unknowable without data)"
+            )
+        paths = [self._bucket_dir(b, v) for b, v in sorted(manifest.items())]
+        stored = spark.read.parquet(*paths)
+        if self.tombstone_col:
+            stored = stored.filter(
+                ~F.coalesce(F.col(self.tombstone_col), F.lit(False))
+            ).drop(self.tombstone_col)
+        return stored

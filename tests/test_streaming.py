@@ -1477,6 +1477,47 @@ def test_materialized_search_maintains_approx_percentile(spark, tmp_path):
         )
 
 
+def test_keyed_upsert_table_lww_tombstone_resurrect_replay(spark, tmp_path):
+    """KeyedUpsertTable (lakehouse MERGE INTO on the sharded machinery):
+    last-write-wins by seq regardless of ARRIVAL order (the merge is an
+    associative/commutative max over (seq, payload)), tombstones hide a
+    key at read, a later non-tombstone resurrects it, replayed batch ids
+    are no-ops, and column overlap / geometry misuse refuse loudly."""
+    import pytest as _pytest
+
+    from cses2humio_spark.streaming.materialized import KeyedUpsertTable
+
+    t = KeyedUpsertTable(
+        str(tmp_path / "t"), key_cols="k", seq_col="seq",
+        value_cols=["v"], tombstone_col="del", n_buckets=4,
+    )
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "k string, seq bigint, v double, del boolean"
+    )
+    t(mk([("a", 1, 1.0, False), ("b", 1, 2.0, False)]), 0)
+    t(mk([("a", 3, 9.0, False), ("b", 2, 0.0, True)]), 1)  # b deleted
+    # batch 2 carries an OUT-OF-ORDER update for a (seq 2 < stored 3):
+    # it must lose even though it arrives later
+    t(mk([("a", 2, 5.0, False), ("c", 1, 7.0, False)]), 2)
+    got = sorted(map(tuple, t.read(spark).collect()))
+    assert got == [("a", 3, 9.0), ("c", 1, 7.0)], got
+    # resurrect b with a higher seq
+    t(mk([("b", 5, 4.0, False)]), 3)
+    got = sorted(map(tuple, t.read(spark).collect()))
+    assert ("b", 5, 4.0) in got
+    # replayed batch id: no-op even with different content
+    t(mk([("a", 99, 0.0, False)]), 3)
+    assert sorted(map(tuple, t.read(spark).collect())) == got
+    # time travel inside the retained window reproduces the old state
+    prev = sorted(map(tuple, t.read(spark, version=2).collect()))
+    assert prev == [("a", 3, 9.0), ("c", 1, 7.0)]
+    with _pytest.raises(ValueError, match="listed twice"):
+        KeyedUpsertTable(
+            str(tmp_path / "bad"), key_cols="k", seq_col="k",
+            value_cols=["v"],
+        )
+
+
 def test_materialized_view_time_travel(spark, tmp_path):
     """Manifests are immutable and bucket versions survive while any
     retained manifest references them — so read(version=) reproduces the
