@@ -384,6 +384,37 @@ class PQIndex:
         self._commit(batch_id)
         self._prune(batch_id)
 
+    def compact(self, spark: SparkSession) -> int:
+        """Merge all live segments into ONE — the small-files answer for
+        a long-running ingest stream (every micro-batch appends a
+        segment; a thousand batches otherwise mean a thousand file
+        listings per search). Reads the current codes, rewrites them as
+        a single segment under the NEXT version, and commits a manifest
+        referencing only it (codebook/centroids carry forward
+        unchanged); old segments age out with the retention window.
+        Search results are identical before and after by construction —
+        the codes are the same rows. Safe against the replay guard: the
+        compaction takes a version > every committed batch, so a
+        restarted stream cannot double-apply over it (same contract as
+        rebuild)."""
+        latest = self.latest_version()
+        if latest is None:
+            raise ValueError(
+                f"{self.index_dir}: nothing to compact — run build() first"
+            )
+        manifest = dict(self._load_manifest(latest))
+        version = latest + 1
+        codes = self.read_codes(spark, latest)
+        if self.mode == "ivfpq":
+            self._write_dir(codes, self._seg_dir(version), partition_by=["cid"])
+        else:
+            self._write_dir(codes, self._seg_dir(version))
+        manifest["segments"] = [version]
+        self._write_manifest(version, manifest)
+        self._commit(version)
+        self._prune(version)
+        return version
+
     # -- pruning -----------------------------------------------------------
 
     def _prune(self, committed: int) -> None:

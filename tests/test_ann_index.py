@@ -223,6 +223,38 @@ def test_stream_ingest_kill_restart_no_dup_or_missing(
     )
 
 
+def test_compact_collapses_segments_search_unchanged(spark, emb, probes, tmp_path):
+    """compact() merges every live segment into one (the small-files
+    answer for long ingest streams): search results identical, segment
+    count collapses once the retention window slides past, and the
+    version stays monotonic so a replayed stream batch cannot
+    double-apply over the compaction."""
+    idx = PQIndex(str(tmp_path / "c"), m=M, k_codes=K_CODES, dim=DIM)
+    idx.build(emb.filter(F.col("vec_id") < 200))
+    for i, lo in enumerate(range(200, 500, 100)):
+        idx(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 100)),
+            i,
+        )
+    before = _rows(idx.search(spark, probes, k=K))
+    n_codes = idx.read_codes(spark).count()
+    v = idx.compact(spark)
+    assert v == 3  # next version after ingest batches 0..2
+    assert _rows(idx.search(spark, probes, k=K)) == before
+    assert idx.read_codes(spark).count() == n_codes
+    # one more empty commit slides the retention window; only the
+    # compacted segment remains on disk
+    idx(emb.limit(0), 4)
+    live = sorted(
+        p for p in os.listdir(str(tmp_path / "c")) if p.startswith("seg=")
+    )
+    assert live == ["seg=3"], live
+    assert _rows(idx.search(spark, probes, k=K)) == before
+    # a replayed pre-compaction batch id is skipped
+    idx(emb.filter(F.col("vec_id") < 100), 2)
+    assert idx.read_codes(spark).count() == n_codes
+
+
 def test_ivfpq_multi_segment_ingest_and_search(spark, emb, probes, cents, tmp_path):
     """Regression: a multi-segment ivfpq read must not trip Spark's
     CONFLICTING_DIRECTORY_STRUCTURES — the seg=<id> dirs are themselves
