@@ -1842,24 +1842,30 @@ JPEG_FEATURES_SCHEMA = (
 
 
 def _make_jpeg_codec():
-    """Factory for the baseline-JFIF grayscale encode/decode pair
-    (shipped by value into executor closures; encode lives in the
-    synthesizer and the tests, decode in the operator). Both halves are
-    the REAL algorithms on the fifth compression family (after zlib,
-    LZW, RLE, QOI): canonical Huffman from the spec's Annex-K luminance
-    BITS/HUFFVAL tables, DC difference prediction, run/size AC coding
-    with ZRL/EOB, MSB-first bit packing with 0xFF 0x00 byte stuffing,
-    zigzag coefficient order, and a full 8x8 separable float IDCT.
+    """Factory for the baseline-JFIF encode/decode pair (shipped by
+    value into executor closures; encode lives in the synthesizer and
+    the tests, decode in the operator). Both halves are the REAL
+    algorithms on the fifth compression family (after zlib, LZW, RLE,
+    QOI): canonical Huffman from the spec's Annex-K luminance AND
+    chrominance BITS/HUFFVAL tables, per-component DC difference
+    prediction, run/size AC coding with ZRL/EOB, MSB-first bit packing
+    with 0xFF 0x00 byte stuffing, zigzag coefficient order, a full 8x8
+    separable float IDCT, and (color) interleaved 4:4:4 YCbCr MCUs with
+    the spec's YCbCr->RGB conversion.
 
+    Returns ``(encode_gray, encode_color, decode)``.
     ``encode_gray(blocks, w, h)`` takes QUANTIZED coefficient blocks
     (8x8 int arrays in natural order, T.81 convention: row index =
     VERTICAL frequency v, column = horizontal u — the orientation the
-    zigzag scan implies; quant table all ones) in raster MCU order and
-    emits a complete JFIF file other baseline decoders can read.
-    ``decode_gray(buf)`` walks the markers
-    (CRC-free format; unsupported SOF types / restart intervals raise
-    loudly), entropy-decodes, dequantizes, inverse-DCTs, level-shifts
-    and clamps — returning (w, h, uint8 pixel array, n_blocks)."""
+    zigzag scan implies; quant tables all ones) in raster MCU order;
+    ``encode_color(y, cb, cr, w, h)`` takes one such list per component
+    (4:4:4 — one block of each per MCU). Both emit complete JFIF files
+    other baseline decoders can read. ``decode(buf)`` walks the markers
+    (unsupported SOF types / restart intervals / subsampling raise
+    loudly), entropy-decodes every component, dequantizes, inverse-DCTs,
+    level-shifts, converts color, and clamps — returning
+    ``(w, h, pixels, n_mcus)`` where pixels is a 2-D gray array for
+    1-component files and a 2-D array of (r, g, b) for 3-component."""
     import math as _math
 
     ZIGZAG = [
@@ -1868,11 +1874,12 @@ def _make_jpeg_codec():
         35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
         58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
     ]
-    # ITU T.81 Annex K: standard luminance Huffman tables
-    DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    # ITU T.81 Annex K: standard luminance + chrominance Huffman tables
+    DC_L_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    DC_C_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
     DC_VALS = list(range(12))
-    AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
-    AC_VALS = [
+    AC_L_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+    AC_L_VALS = [
         0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
         0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
         0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
@@ -1895,6 +1902,30 @@ def _make_jpeg_codec():
         0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
         0xF9, 0xFA,
     ]
+    AC_C_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+    AC_C_VALS = [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ]
 
     def canonical(bits, vals):
         """(symbol -> (length, code), (length, code) -> symbol) from the
@@ -1911,8 +1942,10 @@ def _make_jpeg_codec():
             code <<= 1
         return enc, dec
 
-    DC_ENC, DC_DEC = canonical(DC_BITS, DC_VALS)
-    AC_ENC, AC_DEC = canonical(AC_BITS, AC_VALS)
+    DC_L_ENC, _ = canonical(DC_L_BITS, DC_VALS)
+    AC_L_ENC, _ = canonical(AC_L_BITS, AC_L_VALS)
+    DC_C_ENC, _ = canonical(DC_C_BITS, DC_VALS)
+    AC_C_ENC, _ = canonical(AC_C_BITS, AC_C_VALS)
 
     # IDCT basis: A[u, x] = C(u)/2 * cos((2x+1) u pi / 16); f = A.T F A
     A = [
@@ -1933,41 +1966,52 @@ def _make_jpeg_codec():
             a >>= 1
         return t, (v if v >= 0 else v + (1 << t) - 1)
 
-    def encode_gray(blocks, w, h):
+    def _encode(components, w, h):
+        """components: 1 (gray) or 3 (YCbCr 4:4:4) lists of quantized
+        8x8 blocks in raster MCU order. Component 0 uses the luminance
+        tables + quant table 0; the rest the chrominance pair."""
         import struct as _struct
 
-        out_bits = []  # (nbits, value) pending
+        ncomp = len(components)
+        n_mcus = (w // 8) * (h // 8)
+        if any(len(c) != n_mcus for c in components):
+            raise ValueError("component block counts must equal MCU count")
+        out_bits = []
 
         def put(nbits, value):
             if nbits:
                 out_bits.append((nbits, value))
 
-        pred = 0
-        for blk in blocks:
-            dc = int(blk[0][0])
-            t, extra = magnitude(dc - pred)
-            ln, code = DC_ENC[t]
-            put(ln, code)
-            put(t, extra)
-            pred = dc
-            zz = [int(blk[z // 8][z % 8]) for z in ZIGZAG]
-            run = 0
-            for coef in zz[1:]:
-                if coef == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    ln, code = AC_ENC[0xF0]  # ZRL: 16 zeros
-                    put(ln, code)
-                    run -= 16
-                t, extra = magnitude(coef)
-                ln, code = AC_ENC[(run << 4) | t]
+        preds = [0] * ncomp
+        for m in range(n_mcus):
+            for ci in range(ncomp):
+                dc_enc = DC_L_ENC if ci == 0 else DC_C_ENC
+                ac_enc = AC_L_ENC if ci == 0 else AC_C_ENC
+                blk = components[ci][m]
+                dc = int(blk[0][0])
+                t, extra = magnitude(dc - preds[ci])
+                ln, code = dc_enc[t]
                 put(ln, code)
                 put(t, extra)
+                preds[ci] = dc
+                zz = [int(blk[z // 8][z % 8]) for z in ZIGZAG]
                 run = 0
-            if run:
-                ln, code = AC_ENC[0x00]  # EOB
-                put(ln, code)
+                for coef in zz[1:]:
+                    if coef == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, code = ac_enc[0xF0]  # ZRL: 16 zeros
+                        put(ln, code)
+                        run -= 16
+                    t, extra = magnitude(coef)
+                    ln, code = ac_enc[(run << 4) | t]
+                    put(ln, code)
+                    put(t, extra)
+                    run = 0
+                if run:
+                    ln, code = ac_enc[0x00]  # EOB
+                    put(ln, code)
         # MSB-first bit packing, 1-padded final byte, 0xFF stuffing
         data = bytearray()
         acc, n = 0, 0
@@ -1989,28 +2033,46 @@ def _make_jpeg_codec():
         def seg(marker, body):
             return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
 
-        dht = bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
-        dht += bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+        dqt = bytes([0x00]) + bytes([1] * 64)
+        dht = bytes([0x00]) + bytes(DC_L_BITS) + bytes(DC_VALS)
+        dht += bytes([0x10]) + bytes(AC_L_BITS) + bytes(AC_L_VALS)
+        if ncomp == 3:
+            dqt += bytes([0x01]) + bytes([1] * 64)
+            dht += bytes([0x01]) + bytes(DC_C_BITS) + bytes(DC_VALS)
+            dht += bytes([0x11]) + bytes(AC_C_BITS) + bytes(AC_C_VALS)
+            sof_comps = bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+            sos_comps = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11])
+        else:
+            sof_comps = bytes([1, 0x11, 0])
+            sos_comps = bytes([1, 1, 0x00])
         return (
             b"\xff\xd8"  # SOI
             + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-            + seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # DQT: all ones
-            + seg(0xC0, _struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+            + seg(0xDB, dqt)
+            + seg(0xC0, _struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
             + seg(0xC4, dht)
-            + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            + seg(0xDA, sos_comps + bytes([0, 63, 0]))
             + bytes(data)
             + b"\xff\xd9"  # EOI
         )
 
-    def decode_gray(buf):
+    def encode_gray(blocks, w, h):
+        return _encode([blocks], w, h)
+
+    def encode_color(y_blocks, cb_blocks, cr_blocks, w, h):
+        return _encode([y_blocks, cb_blocks, cr_blocks], w, h)
+
+    def decode(buf):
         import struct as _struct
 
         if buf[:2] != b"\xff\xd8":
             raise ValueError("not a JPEG (no SOI)")
         pos = 2
-        qt = None
-        dc_dec, ac_dec = None, None
+        qts = {}
+        decs = {}  # (class, id) -> (length, code) -> symbol
         w = h = None
+        comps = []  # (comp_id, tq) in SOF order
+        scan = []  # (comp_index, td, ta) in SOS order
         scan_start = None
         while pos < len(buf):
             if buf[pos] != 0xFF:
@@ -2021,17 +2083,28 @@ def _make_jpeg_codec():
             (ln,) = _struct.unpack_from(">H", buf, pos + 2)
             body = buf[pos + 4 : pos + 2 + ln]
             if marker == 0xDB:
-                if body[0] != 0x00:
-                    raise ValueError("only 8-bit quant table 0 supported")
-                qt = list(body[1:65])
+                p = 0
+                while p < len(body):
+                    pq, tq = body[p] >> 4, body[p] & 0x0F
+                    if pq != 0:
+                        raise ValueError("only 8-bit quant tables supported")
+                    qts[tq] = list(body[p + 1 : p + 65])
+                    p += 65
             elif marker == 0xC0:
                 prec, h, w, ncomp = _struct.unpack_from(">BHHB", body, 0)
-                # per-component triple starts at 6: id, HV sampling, Tq
-                if prec != 8 or ncomp != 1 or body[7] != 0x11:
+                if prec != 8 or ncomp not in (1, 3):
                     raise ValueError(
-                        "unsupported SOF0 (need 8-bit grayscale, no "
-                        f"subsampling): precision={prec} ncomp={ncomp}"
+                        f"unsupported SOF0: precision={prec} ncomp={ncomp}"
                     )
+                # per-component triples start at byte 6: id, HV, Tq
+                for ci in range(ncomp):
+                    cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                    if hv != 0x11:
+                        raise ValueError(
+                            "subsampled components not supported (need "
+                            f"4:4:4): HV={hv:#x}"
+                        )
+                    comps.append((cid, tq))
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise ValueError(
@@ -2043,24 +2116,28 @@ def _make_jpeg_codec():
             elif marker == 0xC4:
                 p = 0
                 while p < len(body):
-                    tc_th = body[p]
+                    tc, th = body[p] >> 4, body[p] & 0x0F
                     bits = list(body[p + 1 : p + 17])
                     nv = sum(bits)
                     vals = list(body[p + 17 : p + 17 + nv])
-                    _, dec = canonical(bits, vals)
-                    if tc_th == 0x00:
-                        dc_dec = dec
-                    elif tc_th == 0x10:
-                        ac_dec = dec
-                    else:
-                        raise ValueError(f"unexpected DHT class/id {tc_th:#x}")
+                    _, dec_map = canonical(bits, vals)
+                    decs[(tc, th)] = dec_map
                     p += 17 + nv
             elif marker == 0xDA:
+                ns = body[0]
+                cid_to_idx = {cid: i for i, (cid, _tq) in enumerate(comps)}
+                for si in range(ns):
+                    cid, tdta = body[1 + 2 * si], body[2 + 2 * si]
+                    if cid not in cid_to_idx:
+                        raise ValueError(f"SOS names unknown component {cid}")
+                    scan.append((cid_to_idx[cid], tdta >> 4, tdta & 0x0F))
                 scan_start = pos + 2 + ln
                 break
             pos += 2 + ln
-        if None in (qt, dc_dec, ac_dec, w, h) or scan_start is None:
+        if not qts or not decs or w is None or scan_start is None or not scan:
             raise ValueError("missing DQT/DHT/SOF0/SOS")
+        if len(scan) != len(comps):
+            raise ValueError("non-interleaved scans not supported")
         if w % 8 or h % 8:
             raise ValueError("non-multiple-of-8 dims need edge extension")
 
@@ -2094,61 +2171,99 @@ def _make_jpeg_codec():
                 v = (v << 1) | read_bit()
             return v
 
-        def huff(dec):
+        def huff(dec_map):
             length, code = 0, 0
             while length < 16:
                 code = (code << 1) | read_bit()
                 length += 1
-                if (length, code) in dec:
-                    return dec[(length, code)]
+                if (length, code) in dec_map:
+                    return dec_map[(length, code)]
             raise ValueError("invalid Huffman code in scan")
 
         def extend(v, t):
             return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
+        def idct_block(zz, qt):
+            F2 = [[0.0] * 8 for _ in range(8)]
+            for z in range(64):
+                F2[ZIGZAG[z] // 8][ZIGZAG[z] % 8] = float(zz[z] * qt[z])
+            tmp = [
+                [
+                    sum(F2[u][v] * A[v][x] for v in range(8))
+                    for x in range(8)
+                ]
+                for u in range(8)
+            ]
+            return [
+                [
+                    sum(A[u][y] * tmp[u][x] for u in range(8))
+                    for x in range(8)
+                ]
+                for y in range(8)
+            ]
+
         bw, bh = w // 8, h // 8
-        pixels = [[0] * w for _ in range(h)]
-        pred = 0
+        ncomp = len(comps)
+        planes = [[[0] * w for _ in range(h)] for _ in range(ncomp)]
+        preds = [0] * ncomp
         for by in range(bh):
             for bx in range(bw):
-                zz = [0] * 64
-                t = huff(dc_dec)
-                pred += extend(read_bits(t), t)
-                zz[0] = pred * qt[0]
-                k = 1
-                while k < 64:
-                    rs = huff(ac_dec)
-                    r, t = rs >> 4, rs & 0x0F
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += r
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    zz[k] = extend(read_bits(t), t) * qt[k]
-                    k += 1
-                # de-zigzag into natural order, then f = A.T F A
-                F2 = [[0.0] * 8 for _ in range(8)]
-                for z in range(64):
-                    F2[ZIGZAG[z] // 8][ZIGZAG[z] % 8] = float(zz[z])
-                # tmp = F A  (sum over v); f = A.T tmp (sum over u)
-                tmp = [
-                    [
-                        sum(F2[u][v] * A[v][x] for v in range(8))
-                        for x in range(8)
-                    ]
-                    for u in range(8)
-                ]
-                for y in range(8):
-                    for x in range(8):
-                        val = sum(A[u][y] * tmp[u][x] for u in range(8))
-                        px = int(round(val)) + 128
-                        pixels[by * 8 + y][bx * 8 + x] = min(255, max(0, px))
+                for ci, td, ta in scan:
+                    dc_dec = decs.get((0, td))
+                    ac_dec = decs.get((1, ta))
+                    qt = qts.get(comps[ci][1])
+                    if dc_dec is None or ac_dec is None or qt is None:
+                        raise ValueError("scan references missing DHT/DQT")
+                    zz = [0] * 64
+                    t = huff(dc_dec)
+                    preds[ci] += extend(read_bits(t), t)
+                    zz[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = huff(ac_dec)
+                        r, t = rs >> 4, rs & 0x0F
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        zz[k] = extend(read_bits(t), t)
+                        k += 1
+                    vals = idct_block(zz, qt)
+                    for y in range(8):
+                        row = planes[ci][by * 8 + y]
+                        for x in range(8):
+                            row[bx * 8 + x] = vals[y][x] + 128.0
+        if ncomp == 1:
+            # half-up rounding (floor(v + 0.5)): spec-faithful and, unlike
+            # Python's banker's round, exactly replicable in SQL oracles
+            pixels = [
+                [min(255, max(0, int(_math.floor(v + 0.5)))) for v in row]
+                for row in planes[0]
+            ]
+        else:
+            # T.871 YCbCr -> RGB, rounded then clamped per channel
+            pixels = []
+            for y in range(h):
+                row = []
+                for x in range(w):
+                    Y = planes[0][y][x]
+                    cb = planes[1][y][x] - 128.0
+                    cr = planes[2][y][x] - 128.0
+                    r = Y + 1.402 * cr
+                    g = Y - 0.344136 * cb - 0.714136 * cr
+                    b = Y + 1.772 * cb
+                    row.append(tuple(
+                        min(255, max(0, int(_math.floor(v + 0.5))))
+                        for v in (r, g, b)
+                    ))
+                pixels.append(row)
         return w, h, pixels, bw * bh
 
-    return encode_gray, decode_gray
+    return encode_gray, encode_color, decode
 
 
 def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
@@ -2170,7 +2285,7 @@ def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
-        encode_gray, _ = codec_factory()
+        encode_gray, _, _ = codec_factory()
         for pdf in batches:
             payloads = []
             for d in pdf["doc_id"]:
@@ -2205,7 +2320,7 @@ def decode_jpeg(media: DataFrame) -> DataFrame:
         import numpy as _np
         import pandas as _pd
 
-        _, decode_gray = codec_factory()
+        _, _, decode_gray = codec_factory()
         for pdf in batches:
             rows = {k: [] for k in (
                 "doc_id", "width", "height", "n_blocks", "mean_px",
@@ -2227,5 +2342,97 @@ def decode_jpeg(media: DataFrame) -> DataFrame:
     return out.select(
         "doc_id", "width", "height", "n_blocks",
         F.round("mean_px", 6).alias("mean_px"),
+        "top_row_sum", "byte_checksum",
+    )
+
+
+JPEG_COLOR_FEATURES_SCHEMA = (
+    "doc_id bigint, width int, height int, n_mcus int, mean_r double, "
+    "mean_g double, mean_b double, top_row_sum bigint, byte_checksum bigint"
+)
+
+
+def synthesize_jpeg_color_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary): a VALID baseline 4:4:4 YCbCr color JFIF
+    per document — three interleaved components per MCU, separate
+    luminance/chrominance quant + Huffman tables (the Annex-K pairs),
+    per-component DC prediction. Y is piecewise-constant per block
+    ((7*doc_id + 13*bx + 19*by) % 256); Cb and Cr are constant per doc
+    ((5*doc_id) % 256 / (11*doc_id) % 256) — every block is DC-only
+    under all-ones quant tables, so the codec is exact and the decoded
+    RGB (including out-of-gamut CLAMPING after the YCbCr->RGB matrix)
+    has a closed form the SQL oracle can state.
+    w = 8*(1 + doc_id mod 2), h = 8*(1 + doc_id mod 3)."""
+
+    codec_factory = _make_jpeg_codec
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        _, encode_color, _ = codec_factory()
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                bw, bh = 1 + d % 2, 1 + d % 3
+                cb_v, cr_v = (5 * d) % 256, (11 * d) % 256
+
+                def dc_block(v):
+                    blk = [[0] * 8 for _ in range(8)]
+                    blk[0][0] = 8 * (v - 128)
+                    return blk
+
+                ys, cbs, crs = [], [], []
+                for by in range(bh):
+                    for bx in range(bw):
+                        ys.append(dc_block((7 * d + 13 * bx + 19 * by) % 256))
+                        cbs.append(dc_block(cb_v))
+                        crs.append(dc_block(cr_v))
+                payloads.append(encode_color(ys, cbs, crs, bw * 8, bh * 8))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(_gen, "doc_id bigint, payload binary")
+
+
+def decode_jpeg_color(media: DataFrame) -> DataFrame:
+    """REAL baseline color JPEG decode via mapInPandas: everything the
+    grayscale path does, plus multi-table DQT/DHT bookkeeping, the
+    interleaved 3-component MCU loop with per-component DC predictors,
+    and the T.871 YCbCr->RGB conversion with half-up rounding and
+    clamping. 4:4:4 only — subsampled/progressive files raise loudly
+    (the honest seam is now chroma subsampling + progressive scans)."""
+
+    codec_factory = _make_jpeg_codec
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        _, _, decode = codec_factory()
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "n_mcus", "mean_r", "mean_g",
+                "mean_b", "top_row_sum", "byte_checksum",
+            )}
+            for d, b in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, pixels, n_mcus = decode(bytes(b))
+                img = _np.array(pixels, dtype=_np.int64)  # (h, w, 3)
+                rows["doc_id"].append(int(d))
+                rows["width"].append(int(w))
+                rows["height"].append(int(h))
+                rows["n_mcus"].append(int(n_mcus))
+                rows["mean_r"].append(float(img[:, :, 0].mean()))
+                rows["mean_g"].append(float(img[:, :, 1].mean()))
+                rows["mean_b"].append(float(img[:, :, 2].mean()))
+                rows["top_row_sum"].append(int(img[0].sum()))
+                rows["byte_checksum"].append(int(img.sum()) % 10**9)
+            yield _pd.DataFrame(rows)
+
+    out = media.mapInPandas(_decode, JPEG_COLOR_FEATURES_SCHEMA)
+    return out.select(
+        "doc_id", "width", "height", "n_mcus",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
         "top_row_sum", "byte_checksum",
     )

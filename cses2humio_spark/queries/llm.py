@@ -2366,3 +2366,60 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return decode_jpeg(repartition_for_media(synthesize_jpeg_media(docs)))
+
+
+@query(
+    "jpeg_color_decode_stats",
+    oracle="""
+    WITH d3 AS (SELECT doc_id, 1 + doc_id % 2 AS bw, 1 + doc_id % 3 AS bh,
+                       CAST((5 * doc_id) % 256 - 128 AS DOUBLE) AS cb,
+                       CAST((11 * doc_id) % 256 - 128 AS DOUBLE) AS cr
+                FROM documents WHERE doc_id < 300),
+    g AS (SELECT t.doc_id, t.cb, t.cr, uy.by,
+                 CAST((7*t.doc_id + 13*ux.bx + 19*uy.by) % 256 AS DOUBLE) AS y
+          FROM d3 t,
+               UNNEST(generate_series(0, t.bw - 1)) AS ux(bx),
+               UNNEST(generate_series(0, t.bh - 1)) AS uy(by)),
+    px AS (SELECT doc_id, by,
+             LEAST(255, GREATEST(0, FLOOR(y + 1.402 * cr + 0.5))) AS r,
+             LEAST(255, GREATEST(0,
+               FLOOR(y - 0.344136 * cb - 0.714136 * cr + 0.5))) AS gg,
+             LEAST(255, GREATEST(0, FLOOR(y + 1.772 * cb + 0.5))) AS b
+           FROM g),
+    m AS (SELECT doc_id,
+            ROUND(AVG(r), 6) AS mean_r,
+            ROUND(AVG(gg), 6) AS mean_g,
+            ROUND(AVG(b), 6) AS mean_b,
+            CAST(8 * SUM(CASE WHEN by = 0 THEN r + gg + b ELSE 0 END)
+                 AS BIGINT) AS top_row_sum,
+            CAST(64 * SUM(r + gg + b) % 1000000000 AS BIGINT)
+              AS byte_checksum
+          FROM px GROUP BY doc_id)
+    SELECT d.doc_id, CAST(d.bw * 8 AS INT) AS width,
+           CAST(d.bh * 8 AS INT) AS height,
+           CAST(d.bw * d.bh AS INT) AS n_mcus,
+           m.mean_r, m.mean_g, m.mean_b, m.top_row_sum, m.byte_checksum
+    FROM d3 d JOIN m ON m.doc_id = d.doc_id
+    """,
+)
+def jpeg_color_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline COLOR JPEG decode, oracle-checked — 4:4:4 YCbCr
+    with interleaved three-component MCUs, separate luminance/
+    chrominance quant + Annex-K Huffman table pairs, per-component DC
+    prediction, and the T.871 YCbCr->RGB conversion with half-up
+    rounding and out-of-gamut clamping (chroma values span the full
+    range, so clamping genuinely fires). DC-only blocks under all-ones
+    tables keep the lossy codec exact, so the oracle states the decoded
+    RGB — including the conversion arithmetic, in the decoder's exact
+    IEEE expression order — in closed form. The remaining honest seam
+    is chroma subsampling (4:2:0) and progressive scans."""
+    from cses2humio_spark.operators.multimodal import (
+        decode_jpeg_color,
+        repartition_for_media,
+        synthesize_jpeg_color_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return decode_jpeg_color(
+        repartition_for_media(synthesize_jpeg_color_media(docs))
+    )

@@ -4,6 +4,8 @@ of the same byte math."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from cses2humio_spark.operators.multimodal import (
@@ -664,7 +666,7 @@ def test_jpeg_ac_coefficient_roundtrip_vs_direct_idct():
 
     from cses2humio_spark.operators.multimodal import _make_jpeg_codec
 
-    enc, dec = _make_jpeg_codec()
+    enc, _encc, dec = _make_jpeg_codec()
     random.seed(42)
     saw_stuffing = False
     for _ in range(30):
@@ -686,7 +688,9 @@ def test_jpeg_ac_coefficient_roundtrip_vs_direct_idct():
             ref = _direct_idct(blk)
             for y in range(8):
                 for x in range(8):
-                    want = min(255, max(0, int(round(ref[y][x])) + 128))
+                    want = min(
+                        255, max(0, int(math.floor(ref[y][x] + 0.5)) + 128)
+                    )
                     assert px[y][bi * 8 + x] == want, (bi, y, x)
     assert saw_stuffing, "no trial exercised 0xFF00 byte stuffing"
 
@@ -696,7 +700,7 @@ def test_jpeg_zrl_and_long_runs():
     one with a trailing coefficient at position 63 ends without EOB."""
     from cses2humio_spark.operators.multimodal import _make_jpeg_codec
 
-    enc, dec = _make_jpeg_codec()
+    enc, _encc, dec = _make_jpeg_codec()
     zz_last = [[0] * 8 for _ in range(8)]
     zz_last[0][0] = 80
     zz_last[7][7] = 12  # zigzag position 63: encoder must emit ZRLs, no EOB
@@ -708,7 +712,9 @@ def test_jpeg_zrl_and_long_runs():
         ref = _direct_idct(blk)
         for y in range(8):
             for x in range(8):
-                want = min(255, max(0, int(round(ref[y][x])) + 128))
+                want = min(
+                    255, max(0, int(math.floor(ref[y][x] + 0.5)) + 128)
+                )
                 assert px[y][x] == want, (y, x)
 
 
@@ -717,7 +723,7 @@ def test_jpeg_decoder_rejects_unsupported():
 
     from cses2humio_spark.operators.multimodal import _make_jpeg_codec
 
-    enc, dec = _make_jpeg_codec()
+    enc, _encc, dec = _make_jpeg_codec()
     blk = [[0] * 8 for _ in range(8)]
     buf = enc([blk], 8, 8)
     with _pytest.raises(ValueError, match="no SOI"):
@@ -752,3 +758,68 @@ def test_jpeg_decode_stats_spark_plan_is_arrow_batched(spark):
     for d, r in rows.items():
         assert r["n_blocks"] == (1 + d % 3) * (1 + d % 2)
         assert r["width"] == 8 * (1 + d % 3)
+
+
+def test_jpeg_color_ac_roundtrip_vs_direct_idct():
+    """Random Y/Cb/Cr coefficient blocks through the interleaved color
+    pipeline must reproduce the reference: three independent direct
+    IDCTs + the T.871 conversion with half-up rounding and clamping.
+    Exercises both Huffman table pairs and per-component DC
+    prediction."""
+    import random
+
+    from cses2humio_spark.operators.multimodal import _make_jpeg_codec
+
+    _enc, encc, dec = _make_jpeg_codec()
+    random.seed(7)
+
+    def rand_blocks(n):
+        out = []
+        for _ in range(n):
+            blk = [[0] * 8 for _ in range(8)]
+            blk[0][0] = random.randint(-300, 300)
+            for _c in range(random.randint(0, 5)):
+                u, v = random.randint(0, 7), random.randint(0, 7)
+                blk[u][v] = random.randint(-40, 40)
+            out.append(blk)
+        return out
+
+    for _ in range(10):
+        ys, cbs, crs = rand_blocks(2), rand_blocks(2), rand_blocks(2)
+        buf = encc(ys, cbs, crs, 16, 8)
+        w, h, px, nm = dec(buf)
+        assert (w, h, nm) == (16, 8, 2)
+        for bi in range(2):
+            ry = _direct_idct(ys[bi])
+            rcb = _direct_idct(cbs[bi])
+            rcr = _direct_idct(crs[bi])
+            for y in range(8):
+                for x in range(8):
+                    Y = ry[y][x] + 128.0
+                    cb = rcb[y][x]
+                    cr = rcr[y][x]
+                    want = tuple(
+                        min(255, max(0, int(math.floor(v + 0.5))))
+                        for v in (
+                            Y + 1.402 * cr,
+                            Y - 0.344136 * cb - 0.714136 * cr,
+                            Y + 1.772 * cb,
+                        )
+                    )
+                    assert tuple(px[y][bi * 8 + x]) == want, (bi, y, x)
+
+
+def test_jpeg_color_rejects_subsampled():
+    import pytest as _pytest
+
+    from cses2humio_spark.operators.multimodal import _make_jpeg_codec
+
+    _enc, encc, dec = _make_jpeg_codec()
+    blk = [[0] * 8 for _ in range(8)]
+    buf = encc([blk], [blk], [blk], 8, 8)
+    i = buf.find(b"\xff\xc0")
+    # component 1's HV byte sits at SOF body offset 7 (frame header +4)
+    sub = bytearray(buf)
+    sub[i + 4 + 7] = 0x22  # pretend 4:2:0 luma sampling
+    with _pytest.raises(ValueError, match="subsampled"):
+        dec(bytes(sub))
