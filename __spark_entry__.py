@@ -69,10 +69,10 @@ _PRIORITY = [
     "global_math_stats",
     "order_timeline_analytics",
     "customer_running_total",
-    "event_type_pagerank",
+    "cdc_upsert_latest_state",
     "top3_orders_per_customer",
     "setop_intersect_all_priorities",
-    "fuzzy_name_match_pairs",
+    "bm25_search_top20",
     # dedup_first_event moved out of the window (exact_dedup_survivors
     # already covers the exact-dedup row; judge verifies the tail) to make
     # room for the second real-decoder family member
@@ -97,11 +97,14 @@ _PRIORITY = [
 # beacon_regularity_scores -> hql_parse_cef (SIEM parser stages),
 # benford_first_digit_deviation -> hql_transpose_type_counts (reshape
 # DSL), equi_depth_price_histogram -> ivfpq_topk (the IVF+residual-PQ
-# composition). All six rotated-out queries were driver-green in
-# CORRECTNESS_r05 and stay judge-verified at the tail. Still
-# never-driver-checked (r7 rotation pool): pcx/tiff/qoi decode,
-# hql_parse_leef, hql_rare/fieldSummary, head(by=), bpe_pack/vocab_oov,
-# span_corruption.
+# composition), event_type_pagerank -> cdc_upsert_latest_state (the
+# round-6 MERGE INTO family), fuzzy_name_match_pairs ->
+# bm25_search_top20 (lexical retrieval). All eight rotated-out queries
+# were driver-green in CORRECTNESS_r05 and stay judge-verified at the
+# tail. Still never-driver-checked (r7 rotation pool): pcx/tiff/qoi
+# decode, jpeg_color, hql_parse_leef, hql_rare/fieldSummary, head(by=),
+# bpe_pack/vocab_oov, span_corruption, rrf_hybrid, weighted_sample,
+# ivfpq_index_search.
 # Round-5 window refresh: five slots whose families stay covered by an
 # in-window sibling or at the judge-verified tail rotated out for the
 # round-5 families the driver has never checked — kv_parse_extract ->
