@@ -2280,12 +2280,15 @@ def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
     closed form the SQL oracle could state).
     w = 8*(1 + doc_id mod 3), h = 8*(1 + doc_id mod 2)."""
 
-    codec_factory = _make_jpeg_codec
+    # bind the factory's RETURNED closure (shipped by value with its
+    # cells) — capturing the module-level factory function itself would
+    # pickle by reference and die with ModuleNotFoundError on workers
+    # whose PYTHONPATH lacks the repo (verify-from-/tmp gotcha)
+    encode_gray, _, _ = _make_jpeg_codec()
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
-        encode_gray, _, _ = codec_factory()
         for pdf in batches:
             payloads = []
             for d in pdf["doc_id"]:
@@ -2314,13 +2317,12 @@ def decode_jpeg(media: DataFrame) -> DataFrame:
     seam is now color + progressive, not the codec itself). Emits the
     multimodal family's standard stats (single channel: mean_px)."""
 
-    codec_factory = _make_jpeg_codec
+    _, _, decode_gray = _make_jpeg_codec()  # closure: ships by value
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as _np
         import pandas as _pd
 
-        _, _, decode_gray = codec_factory()
         for pdf in batches:
             rows = {k: [] for k in (
                 "doc_id", "width", "height", "n_blocks", "mean_px",
@@ -2364,12 +2366,11 @@ def synthesize_jpeg_color_media(docs: DataFrame) -> DataFrame:
     has a closed form the SQL oracle can state.
     w = 8*(1 + doc_id mod 2), h = 8*(1 + doc_id mod 3)."""
 
-    codec_factory = _make_jpeg_codec
+    _, encode_color, _ = _make_jpeg_codec()  # closure: ships by value
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
-        _, encode_color, _ = codec_factory()
         for pdf in batches:
             payloads = []
             for d in pdf["doc_id"]:
@@ -2402,13 +2403,12 @@ def decode_jpeg_color(media: DataFrame) -> DataFrame:
     clamping. 4:4:4 only — subsampled/progressive files raise loudly
     (the honest seam is now chroma subsampling + progressive scans)."""
 
-    codec_factory = _make_jpeg_codec
+    _, _, decode = _make_jpeg_codec()  # closure: ships by value
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as _np
         import pandas as _pd
 
-        _, _, decode = codec_factory()
         for pdf in batches:
             rows = {k: [] for k in (
                 "doc_id", "width", "height", "n_mcus", "mean_r", "mean_g",

@@ -379,6 +379,26 @@ def test_approx_percentile_tracks_exact_and_validates(spark):
         hql(orders, "approxPercentile(o_totalprice, p=0)")
 
 
+def test_approx_percentile_composes_in_timechart_and_groupby(spark):
+    """approxPercentile rides any function= list like its siblings; as a
+    non-additive aggregate, dense-fill leaves empty buckets NULL (never
+    a fabricated 0)."""
+    ev = load_table(spark, SF_SMALL, "events")
+    out = hql(
+        ev,
+        "timechart(span=6h, function=[count(), "
+        "approxPercentile(value, p=90, as=p90)])",
+    )
+    assert {"_count", "p90"} <= set(out.columns)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        if r["_count"] == 0:
+            assert r["p90"] is None
+        else:
+            assert r["p90"] is not None
+
+
 # --- parser property tests (hypothesis) -----------------------------------
 
 

@@ -1518,6 +1518,26 @@ def test_keyed_upsert_table_lww_tombstone_resurrect_replay(spark, tmp_path):
         )
 
 
+def test_keyed_upsert_composite_key_no_tombstone(spark, tmp_path):
+    """Composite keys bucket and merge correctly; without a tombstone
+    column every key's latest version is simply visible."""
+    from cses2humio_spark.streaming.materialized import KeyedUpsertTable
+
+    t = KeyedUpsertTable(
+        str(tmp_path / "ck"), key_cols=["tenant", "k"], seq_col="seq",
+        value_cols=["v"], n_buckets=4,
+    )
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "tenant string, k bigint, seq bigint, v double"
+    )
+    t(mk([("a", 1, 1, 10.0), ("b", 1, 1, 20.0)]), 0)
+    t(mk([("a", 1, 2, 11.0), ("a", 2, 1, 30.0)]), 1)
+    got = sorted(map(tuple, t.read(spark).collect()))
+    assert got == [
+        ("a", 1, 2, 11.0), ("a", 2, 1, 30.0), ("b", 1, 1, 20.0)
+    ], got
+
+
 def test_materialized_view_time_travel(spark, tmp_path):
     """Manifests are immutable and bucket versions survive while any
     retained manifest references them — so read(version=) reproduces the
