@@ -1853,7 +1853,7 @@ def _make_jpeg_codec():
     separable float IDCT, and (color) interleaved 4:4:4 YCbCr MCUs with
     the spec's YCbCr->RGB conversion.
 
-    Returns ``(encode_gray, encode_color, decode)``.
+    Returns ``(encode_gray, encode_color, decode, encode_color_420)``.
     ``encode_gray(blocks, w, h)`` takes QUANTIZED coefficient blocks
     (8x8 int arrays in natural order, T.81 convention: row index =
     VERTICAL frequency v, column = horizontal u — the orientation the
@@ -1966,16 +1966,31 @@ def _make_jpeg_codec():
             a >>= 1
         return t, (v if v >= 0 else v + (1 << t) - 1)
 
-    def _encode(components, w, h):
-        """components: 1 (gray) or 3 (YCbCr 4:4:4) lists of quantized
-        8x8 blocks in raster MCU order. Component 0 uses the luminance
-        tables + quant table 0; the rest the chrominance pair."""
+    def _encode(components, w, h, sampling=None):
+        """components: 1 (gray) or 3 (YCbCr) lists of quantized 8x8
+        blocks, each in ITS PLANE's raster order (the encoder performs
+        the MCU interleave). ``sampling`` gives per-component (h, v)
+        factors — default all (1, 1): grayscale / 4:4:4; [(2,2),(1,1),
+        (1,1)] is 4:2:0. Component 0 uses the luminance tables + quant
+        table 0; the rest the chrominance pair."""
         import struct as _struct
 
         ncomp = len(components)
-        n_mcus = (w // 8) * (h // 8)
-        if any(len(c) != n_mcus for c in components):
-            raise ValueError("component block counts must equal MCU count")
+        sampling = sampling or [(1, 1)] * ncomp
+        hmax = max(hv[0] for hv in sampling)
+        vmax = max(hv[1] for hv in sampling)
+        if w % (8 * hmax) or h % (8 * vmax):
+            raise ValueError(
+                f"dims must be multiples of the {8 * hmax}x{8 * vmax} MCU"
+            )
+        mcw, mch = w // (8 * hmax), h // (8 * vmax)
+        for ci, (hi, vi) in enumerate(sampling):
+            want = mcw * hi * mch * vi
+            if len(components[ci]) != want:
+                raise ValueError(
+                    f"component {ci}: {len(components[ci])} blocks, "
+                    f"expected {want}"
+                )
         out_bits = []
 
         def put(nbits, value):
@@ -1983,11 +1998,17 @@ def _make_jpeg_codec():
                 out_bits.append((nbits, value))
 
         preds = [0] * ncomp
-        for m in range(n_mcus):
+        for my in range(mch):
+          for mx in range(mcw):
             for ci in range(ncomp):
+              hi, vi = sampling[ci]
+              for by in range(vi):
+               for bx in range(hi):
                 dc_enc = DC_L_ENC if ci == 0 else DC_C_ENC
                 ac_enc = AC_L_ENC if ci == 0 else AC_C_ENC
-                blk = components[ci][m]
+                blk = components[ci][
+                    (my * vi + by) * (mcw * hi) + (mx * hi + bx)
+                ]
                 dc = int(blk[0][0])
                 t, extra = magnitude(dc - preds[ci])
                 ln, code = dc_enc[t]
@@ -2036,14 +2057,17 @@ def _make_jpeg_codec():
         dqt = bytes([0x00]) + bytes([1] * 64)
         dht = bytes([0x00]) + bytes(DC_L_BITS) + bytes(DC_VALS)
         dht += bytes([0x10]) + bytes(AC_L_BITS) + bytes(AC_L_VALS)
+        hv_bytes = [(hi << 4) | vi for hi, vi in sampling]
         if ncomp == 3:
             dqt += bytes([0x01]) + bytes([1] * 64)
             dht += bytes([0x01]) + bytes(DC_C_BITS) + bytes(DC_VALS)
             dht += bytes([0x11]) + bytes(AC_C_BITS) + bytes(AC_C_VALS)
-            sof_comps = bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+            sof_comps = bytes([
+                1, hv_bytes[0], 0, 2, hv_bytes[1], 1, 3, hv_bytes[2], 1,
+            ])
             sos_comps = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11])
         else:
-            sof_comps = bytes([1, 0x11, 0])
+            sof_comps = bytes([1, hv_bytes[0], 0])
             sos_comps = bytes([1, 1, 0x00])
         return (
             b"\xff\xd8"  # SOI
@@ -2061,6 +2085,14 @@ def _make_jpeg_codec():
 
     def encode_color(y_blocks, cb_blocks, cr_blocks, w, h):
         return _encode([y_blocks, cb_blocks, cr_blocks], w, h)
+
+    def encode_color_420(y_blocks, cb_blocks, cr_blocks, w, h):
+        """4:2:0: Y at full resolution (4 blocks per 16x16 MCU), Cb/Cr
+        at half resolution in both axes (1 block each per MCU)."""
+        return _encode(
+            [y_blocks, cb_blocks, cr_blocks], w, h,
+            sampling=[(2, 2), (1, 1), (1, 1)],
+        )
 
     def decode(buf):
         import struct as _struct
@@ -2099,12 +2131,13 @@ def _make_jpeg_codec():
                 # per-component triples start at byte 6: id, HV, Tq
                 for ci in range(ncomp):
                     cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                    if hv != 0x11:
+                    hi, vi = hv >> 4, hv & 0x0F
+                    if hi not in (1, 2) or vi not in (1, 2):
                         raise ValueError(
-                            "subsampled components not supported (need "
-                            f"4:4:4): HV={hv:#x}"
+                            "unsupported sampling factors (h and v must "
+                            f"be 1 or 2): HV={hv:#x}"
                         )
-                    comps.append((cid, tq))
+                    comps.append((cid, tq, hi, vi))
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise ValueError(
@@ -2125,7 +2158,7 @@ def _make_jpeg_codec():
                     p += 17 + nv
             elif marker == 0xDA:
                 ns = body[0]
-                cid_to_idx = {cid: i for i, (cid, _tq) in enumerate(comps)}
+                cid_to_idx = {c[0]: i for i, c in enumerate(comps)}
                 for si in range(ns):
                     cid, tdta = body[1 + 2 * si], body[2 + 2 * si]
                     if cid not in cid_to_idx:
@@ -2138,8 +2171,13 @@ def _make_jpeg_codec():
             raise ValueError("missing DQT/DHT/SOF0/SOS")
         if len(scan) != len(comps):
             raise ValueError("non-interleaved scans not supported")
-        if w % 8 or h % 8:
-            raise ValueError("non-multiple-of-8 dims need edge extension")
+        hmax = max(c[2] for c in comps)
+        vmax = max(c[3] for c in comps)
+        if w % (8 * hmax) or h % (8 * vmax):
+            raise ValueError(
+                f"dims must be multiples of the {8 * hmax}x{8 * vmax} MCU "
+                "(edge extension not implemented)"
+            )
 
         # bit reader over the entropy-coded segment with 0xFF00 unstuffing
         state = {"pos": scan_start, "acc": 0, "n": 0}
@@ -2202,41 +2240,64 @@ def _make_jpeg_codec():
                 for y in range(8)
             ]
 
-        bw, bh = w // 8, h // 8
+        mcw, mch = w // (8 * hmax), h // (8 * vmax)
         ncomp = len(comps)
-        planes = [[[0] * w for _ in range(h)] for _ in range(ncomp)]
+        # each component decodes at ITS OWN resolution (w*h_i/hmax x
+        # h*v_i/vmax); subsampled planes are upsampled by replication
+        # after the scan
+        planes = [
+            [
+                [0] * (w * hi // hmax)
+                for _ in range(h * vi // vmax)
+            ]
+            for (_cid, _tq, hi, vi) in comps
+        ]
         preds = [0] * ncomp
-        for by in range(bh):
-            for bx in range(bw):
+        for my in range(mch):
+            for mx in range(mcw):
                 for ci, td, ta in scan:
+                    _cid, tq_i, hi, vi = comps[ci]
                     dc_dec = decs.get((0, td))
                     ac_dec = decs.get((1, ta))
-                    qt = qts.get(comps[ci][1])
+                    qt = qts.get(tq_i)
                     if dc_dec is None or ac_dec is None or qt is None:
                         raise ValueError("scan references missing DHT/DQT")
-                    zz = [0] * 64
-                    t = huff(dc_dec)
-                    preds[ci] += extend(read_bits(t), t)
-                    zz[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        rs = huff(ac_dec)
-                        r, t = rs >> 4, rs & 0x0F
-                        if rs == 0x00:  # EOB
-                            break
-                        if rs == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC run past block end")
-                        zz[k] = extend(read_bits(t), t)
-                        k += 1
-                    vals = idct_block(zz, qt)
-                    for y in range(8):
-                        row = planes[ci][by * 8 + y]
-                        for x in range(8):
-                            row[bx * 8 + x] = vals[y][x] + 128.0
+                    for iby in range(vi):
+                      for ibx in range(hi):
+                        zz = [0] * 64
+                        t = huff(dc_dec)
+                        preds[ci] += extend(read_bits(t), t)
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = huff(ac_dec)
+                            r, t = rs >> 4, rs & 0x0F
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = extend(read_bits(t), t)
+                            k += 1
+                        vals = idct_block(zz, qt)
+                        oy = (my * vi + iby) * 8
+                        ox = (mx * hi + ibx) * 8
+                        for y in range(8):
+                            row = planes[ci][oy + y]
+                            for x in range(8):
+                                row[ox + x] = vals[y][x] + 128.0
+        # nearest-neighbor upsample subsampled planes to full resolution
+        for ci, (_cid, _tq, hi, vi) in enumerate(comps):
+            fx, fy = hmax // hi, vmax // vi
+            if fx == 1 and fy == 1:
+                continue
+            planes[ci] = [
+                [planes[ci][y // fy][x // fx] for x in range(w)]
+                for y in range(h)
+            ]
         if ncomp == 1:
             # half-up rounding (floor(v + 0.5)): spec-faithful and, unlike
             # Python's banker's round, exactly replicable in SQL oracles
@@ -2261,9 +2322,9 @@ def _make_jpeg_codec():
                         for v in (r, g, b)
                     ))
                 pixels.append(row)
-        return w, h, pixels, bw * bh
+        return w, h, pixels, mcw * mch
 
-    return encode_gray, encode_color, decode
+    return encode_gray, encode_color, decode, encode_color_420
 
 
 def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
@@ -2284,7 +2345,7 @@ def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
     # cells) — capturing the module-level factory function itself would
     # pickle by reference and die with ModuleNotFoundError on workers
     # whose PYTHONPATH lacks the repo (verify-from-/tmp gotcha)
-    encode_gray, _, _ = _make_jpeg_codec()
+    encode_gray, _, _, _ = _make_jpeg_codec()
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
@@ -2317,7 +2378,7 @@ def decode_jpeg(media: DataFrame) -> DataFrame:
     seam is now color + progressive, not the codec itself). Emits the
     multimodal family's standard stats (single channel: mean_px)."""
 
-    _, _, decode_gray = _make_jpeg_codec()  # closure: ships by value
+    _, _, decode_gray, _ = _make_jpeg_codec()  # closure: ships by value
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as _np
@@ -2366,7 +2427,7 @@ def synthesize_jpeg_color_media(docs: DataFrame) -> DataFrame:
     has a closed form the SQL oracle can state.
     w = 8*(1 + doc_id mod 2), h = 8*(1 + doc_id mod 3)."""
 
-    _, encode_color, _ = _make_jpeg_codec()  # closure: ships by value
+    _, encode_color, _, _ = _make_jpeg_codec()  # closure: ships by value
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
@@ -2403,7 +2464,7 @@ def decode_jpeg_color(media: DataFrame) -> DataFrame:
     clamping. 4:4:4 only — subsampled/progressive files raise loudly
     (the honest seam is now chroma subsampling + progressive scans)."""
 
-    _, _, decode = _make_jpeg_codec()  # closure: ships by value
+    _, _, decode, _ = _make_jpeg_codec()  # closure: ships by value
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as _np
@@ -2436,3 +2497,42 @@ def decode_jpeg_color(media: DataFrame) -> DataFrame:
         F.round("mean_b", 6).alias("mean_b"),
         "top_row_sum", "byte_checksum",
     )
+
+
+def synthesize_jpeg_420_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary): a VALID baseline 4:2:0 YCbCr JFIF per
+    document — Y at full resolution (four blocks per 16x16 MCU), Cb/Cr
+    at quarter resolution. Y is piecewise-constant per 8x8 block
+    ((11*doc_id + 23*bx + 31*by) % 256); chroma constant per doc, so
+    the upsampling filter choice cannot affect the closed-form oracle.
+    w = 16*(1 + doc_id mod 2), h = 16."""
+
+    _, _, _, encode_color_420 = _make_jpeg_codec()  # ships by value
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def dc_block(v):
+            blk = [[0] * 8 for _ in range(8)]
+            blk[0][0] = 8 * (v - 128)
+            return blk
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 * (1 + d % 2), 16
+                bw_y, bh_y = w // 8, h // 8
+                cb_v, cr_v = (7 * d) % 256, (13 * d) % 256
+                ys = [
+                    dc_block((11 * d + 23 * bx + 31 * by) % 256)
+                    for by in range(bh_y)
+                    for bx in range(bw_y)
+                ]
+                n_mcus = (w // 16) * (h // 16)
+                cbs = [dc_block(cb_v) for _ in range(n_mcus)]
+                crs = [dc_block(cr_v) for _ in range(n_mcus)]
+                payloads.append(encode_color_420(ys, cbs, crs, w, h))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(_gen, "doc_id bigint, payload binary")

@@ -2423,3 +2423,59 @@ def jpeg_color_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg_color(
         repartition_for_media(synthesize_jpeg_color_media(docs))
     )
+
+
+@query(
+    "jpeg_420_decode_stats",
+    oracle="""
+    WITH d3 AS (SELECT doc_id, 16 * (1 + doc_id % 2) AS w,
+                       CAST((7 * doc_id) % 256 - 128 AS DOUBLE) AS cb,
+                       CAST((13 * doc_id) % 256 - 128 AS DOUBLE) AS cr
+                FROM documents WHERE doc_id < 300),
+    g AS (SELECT t.doc_id, t.cb, t.cr, uy.by,
+                 CAST((11*t.doc_id + 23*ux.bx + 31*uy.by) % 256 AS DOUBLE)
+                   AS y
+          FROM d3 t,
+               UNNEST(generate_series(0, t.w // 8 - 1)) AS ux(bx),
+               UNNEST(generate_series(0, 1)) AS uy(by)),
+    px AS (SELECT doc_id, by,
+             LEAST(255, GREATEST(0, FLOOR(y + 1.402 * cr + 0.5))) AS r,
+             LEAST(255, GREATEST(0,
+               FLOOR(y - 0.344136 * cb - 0.714136 * cr + 0.5))) AS gg,
+             LEAST(255, GREATEST(0, FLOOR(y + 1.772 * cb + 0.5))) AS b
+           FROM g),
+    m AS (SELECT doc_id,
+            ROUND(AVG(r), 6) AS mean_r,
+            ROUND(AVG(gg), 6) AS mean_g,
+            ROUND(AVG(b), 6) AS mean_b,
+            CAST(8 * SUM(CASE WHEN by = 0 THEN r + gg + b ELSE 0 END)
+                 AS BIGINT) AS top_row_sum,
+            CAST(64 * SUM(r + gg + b) % 1000000000 AS BIGINT)
+              AS byte_checksum
+          FROM px GROUP BY doc_id)
+    SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(16 AS INT) AS height,
+           CAST(d.w / 16 AS INT) AS n_mcus,
+           m.mean_r, m.mean_g, m.mean_b, m.top_row_sum, m.byte_checksum
+    FROM d3 d JOIN m ON m.doc_id = d.doc_id
+    """,
+)
+def jpeg_420_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 4:2:0 chroma-subsampled JPEG decode, oracle-checked — the
+    multi-block MCU layout (four Y blocks + one Cb + one Cr per 16x16
+    MCU, the layout virtually every camera JPEG uses), quarter-
+    resolution chroma planes, and nearest-neighbor upsampling. Y varies
+    per 8x8 block so the four-blocks-per-MCU interleave order is load-
+    bearing (a decoder that walks Y blocks in the wrong order scrambles
+    top_row_sum); chroma is constant per doc, so the upsampling filter
+    choice cannot leak into the closed-form oracle. The remaining
+    honest JPEG seam is progressive scans."""
+    from cses2humio_spark.operators.multimodal import (
+        decode_jpeg_color,
+        repartition_for_media,
+        synthesize_jpeg_420_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return decode_jpeg_color(
+        repartition_for_media(synthesize_jpeg_420_media(docs))
+    )

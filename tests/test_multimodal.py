@@ -666,7 +666,7 @@ def test_jpeg_ac_coefficient_roundtrip_vs_direct_idct():
 
     from cses2humio_spark.operators.multimodal import _make_jpeg_codec
 
-    enc, _encc, dec = _make_jpeg_codec()
+    enc, _encc, dec, _enc420 = _make_jpeg_codec()
     random.seed(42)
     saw_stuffing = False
     for _ in range(30):
@@ -700,7 +700,7 @@ def test_jpeg_zrl_and_long_runs():
     one with a trailing coefficient at position 63 ends without EOB."""
     from cses2humio_spark.operators.multimodal import _make_jpeg_codec
 
-    enc, _encc, dec = _make_jpeg_codec()
+    enc, _encc, dec, _enc420 = _make_jpeg_codec()
     zz_last = [[0] * 8 for _ in range(8)]
     zz_last[0][0] = 80
     zz_last[7][7] = 12  # zigzag position 63: encoder must emit ZRLs, no EOB
@@ -723,7 +723,7 @@ def test_jpeg_decoder_rejects_unsupported():
 
     from cses2humio_spark.operators.multimodal import _make_jpeg_codec
 
-    enc, _encc, dec = _make_jpeg_codec()
+    enc, _encc, dec, _enc420 = _make_jpeg_codec()
     blk = [[0] * 8 for _ in range(8)]
     buf = enc([blk], 8, 8)
     with _pytest.raises(ValueError, match="no SOI"):
@@ -770,7 +770,7 @@ def test_jpeg_color_ac_roundtrip_vs_direct_idct():
 
     from cses2humio_spark.operators.multimodal import _make_jpeg_codec
 
-    _enc, encc, dec = _make_jpeg_codec()
+    _enc, encc, dec, _enc420 = _make_jpeg_codec()
     random.seed(7)
 
     def rand_blocks(n):
@@ -809,17 +809,52 @@ def test_jpeg_color_ac_roundtrip_vs_direct_idct():
                     assert tuple(px[y][bi * 8 + x]) == want, (bi, y, x)
 
 
-def test_jpeg_color_rejects_subsampled():
+def test_jpeg_420_roundtrip_and_factor_limits():
+    """4:2:0 (Y at 2x2 per MCU, chroma quarter-resolution, nearest-
+    neighbor upsample): a 16x16 one-MCU image with four DISTINCT Y
+    blocks and AC-bearing chroma must reproduce the reference — four
+    direct IDCTs for Y, one per chroma plane replicated 2x2 — and
+    sampling factors above 2 refuse loudly."""
     import pytest as _pytest
 
     from cses2humio_spark.operators.multimodal import _make_jpeg_codec
 
-    _enc, encc, dec = _make_jpeg_codec()
-    blk = [[0] * 8 for _ in range(8)]
-    buf = encc([blk], [blk], [blk], 8, 8)
+    _enc, _encc, dec, enc420 = _make_jpeg_codec()
+
+    def dc_block(dc, extra=()):
+        blk = [[0] * 8 for _ in range(8)]
+        blk[0][0] = dc
+        for u, v, c in extra:
+            blk[u][v] = c
+        return blk
+
+    ys = [dc_block(8 * k, [(1, 2, 17)]) for k in (-40, -10, 25, 60)]
+    cbs = [dc_block(96, [(0, 1, -21)])]
+    crs = [dc_block(-64, [(2, 0, 13)])]
+    buf = enc420(ys, cbs, crs, 16, 16)
+    w, h, px, nm = dec(buf)
+    assert (w, h, nm) == (16, 16, 1)
+    ry = [_direct_idct(b) for b in ys]
+    rcb = _direct_idct(cbs[0])
+    rcr = _direct_idct(crs[0])
+    for y in range(16):
+        for x in range(16):
+            bi = (y // 8) * 2 + (x // 8)
+            Y = ry[bi][y % 8][x % 8] + 128.0
+            cb = rcb[y // 2][x // 2]  # nearest-neighbor upsample
+            cr = rcr[y // 2][x // 2]
+            want = tuple(
+                min(255, max(0, int(math.floor(v + 0.5))))
+                for v in (
+                    Y + 1.402 * cr,
+                    Y - 0.344136 * cb - 0.714136 * cr,
+                    Y + 1.772 * cb,
+                )
+            )
+            assert tuple(px[y][x]) == want, (y, x)
+    # sampling factors above 2 refuse loudly
     i = buf.find(b"\xff\xc0")
-    # component 1's HV byte sits at SOF body offset 7 (frame header +4)
-    sub = bytearray(buf)
-    sub[i + 4 + 7] = 0x22  # pretend 4:2:0 luma sampling
-    with _pytest.raises(ValueError, match="subsampled"):
-        dec(bytes(sub))
+    bad = bytearray(buf)
+    bad[i + 4 + 7] = 0x33
+    with _pytest.raises(ValueError, match="sampling factors"):
+        dec(bytes(bad))
