@@ -121,3 +121,86 @@ def ewma_final(
         F.round(ewma, 6).alias("ewma"),
         F.round(last - ewma, 6).alias("deviation"),
     )
+
+
+def holt_final(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Per-key Holt double-exponential smoothing (level + trend) — the
+    drift family's trend-aware member: EWMA flags 'off own baseline',
+    Holt flags 'off own TREND' (a steadily-climbing series is normal to
+    Holt, anomalous to EWMA).
+
+        l_i = alpha*v_i + (1-alpha)*(l_{i-1} + b_{i-1})
+        b_i = beta*(l_i - l_{i-1}) + (1-beta)*b_{i-1}
+
+    init: l = v_1, b = v_1 - v_0 after the first two points. Emits the
+    final level/trend, the one-step-ahead forecast for the NEXT point
+    (l + b), and the newest point's deviation from the forecast that
+    was made BEFORE it — the alerting signal. Keys need >= 3 points (a
+    trend is meaningless sooner); shorter series are dropped.
+
+    Pure Catalyst like ``ewma_final``: one shuffle on the key, then a
+    left fold over the ordered series with a (level, trend, forecast)
+    STRUCT accumulator — the lambda's expression tree is written
+    IDENTICALLY in the DuckDB oracle, so doubles match bit-for-bit
+    under any partitioning."""
+    from pyspark.sql import functions as F
+
+    a, b = float(alpha), float(beta)
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(*[F.col(c) for c in order_cols], F.col(value_col))
+        )
+    )
+    grouped = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.transform(arr, lambda s: s[value_col]).alias("__vs"),
+    )
+    vs = F.col("__vs")
+
+    def step(acc, v):
+        # init step: acc.b is NULL -> acc.l holds v_0, v is v_1
+        l_new = F.lit(a) * v + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+        return F.when(
+            acc["b"].isNull(),
+            F.struct(
+                v.alias("l"),
+                (v - acc["l"]).alias("b"),
+                F.lit(None).cast("double").alias("f"),
+            ),
+        ).otherwise(
+            F.struct(
+                l_new.alias("l"),
+                (
+                    F.lit(b) * (l_new - acc["l"])
+                    + F.lit(1.0 - b) * acc["b"]
+                ).alias("b"),
+                (acc["l"] + acc["b"]).alias("f"),
+            )
+        )
+
+    init = F.struct(
+        F.element_at(vs, 1).alias("l"),
+        F.lit(None).cast("double").alias("b"),
+        F.lit(None).cast("double").alias("f"),
+    )
+    fin = F.aggregate(F.slice(vs, 2, F.size(vs) - 1), init, step)
+    last = F.element_at(vs, -1)
+    return (
+        grouped.filter(F.col("n_events") >= 3)
+        .select(
+            key_col,
+            "n_events",
+            F.round(last, 6).alias("last_value"),
+            F.round(fin["l"], 6).alias("level"),
+            F.round(fin["b"], 6).alias("trend"),
+            F.round(fin["l"] + fin["b"], 6).alias("forecast_next"),
+            F.round(last - fin["f"], 6).alias("deviation"),
+        )
+    )

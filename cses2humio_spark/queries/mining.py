@@ -831,3 +831,47 @@ def ewma_user_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return ewma_final(ev, "user_id", ["ts", "event_id"], "value", alpha=0.3)
+
+@query(
+    "holt_trend_baseline",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, COUNT(*) AS n,
+             list(value ORDER BY ts, event_id) AS vs
+      FROM events GROUP BY user_id HAVING COUNT(*) >= 3),
+    hw AS (
+      WITH RECURSIVE rec(user_id, i, l, b, f) AS (
+        SELECT user_id, 2, vs[2], vs[2] - vs[1], CAST(NULL AS DOUBLE)
+        FROM s
+        UNION ALL
+        SELECT r.user_id, r.i + 1,
+               0.3*s2.vs[r.i + 1] + 0.7*(r.l + r.b),
+               0.1*((0.3*s2.vs[r.i + 1] + 0.7*(r.l + r.b)) - r.l)
+                 + 0.9*r.b,
+               r.l + r.b
+        FROM rec r JOIN s s2 ON s2.user_id = r.user_id
+        WHERE r.i < s2.n)
+      SELECT * FROM rec)
+    SELECT s.user_id, CAST(s.n AS BIGINT) AS n_events,
+           ROUND(s.vs[s.n], 6) AS last_value,
+           ROUND(h.l, 6) AS level,
+           ROUND(h.b, 6) AS trend,
+           ROUND(h.l + h.b, 6) AS forecast_next,
+           ROUND(s.vs[s.n] - h.f, 6) AS deviation
+    FROM s JOIN hw h ON h.user_id = s.user_id AND h.i = s.n
+    """,
+)
+def holt_trend_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt double-exponential baseline (alpha=0.3, beta=0.1):
+    level + trend smoothing in event order, with the newest point's
+    deviation from the one-step-ahead forecast made BEFORE it — the
+    trend-aware sibling of ewma_user_baseline (a steadily climbing
+    series is normal to Holt, anomalous to EWMA). The struct-accumulator
+    fold runs left-to-right with an IDENTICAL expression tree in both
+    engines, so doubles match bit-for-bit."""
+    from cses2humio_spark.operators.drift import holt_final
+
+    ev = load_table(spark, sf_dir, "events")
+    return holt_final(
+        ev, "user_id", ["ts", "event_id"], "value", alpha=0.3, beta=0.1
+    )
