@@ -2095,6 +2095,11 @@ def _make_jpeg_codec():
         )
 
     def decode(buf):
+        """Baseline-sequential (SOF0) AND progressive (SOF2, spectral
+        selection, Ah=Al=0) decode: scans accumulate into a persistent
+        per-block coefficient store; dequant + IDCT run once after EOI.
+        Successive approximation, restart intervals and sampling
+        factors above 2 refuse loudly."""
         import struct as _struct
 
         if buf[:2] != b"\xff\xd8":
@@ -2103,9 +2108,154 @@ def _make_jpeg_codec():
         qts = {}
         decs = {}  # (class, id) -> (length, code) -> symbol
         w = h = None
-        comps = []  # (comp_id, tq) in SOF order
-        scan = []  # (comp_index, td, ta) in SOS order
-        scan_start = None
+        comps = []  # (cid, tq, hi, vi) in SOF order
+        progressive = False
+        coeffs = None  # [ci][plane block index][64] raw (unquantized) ints
+        preds = None
+        n_blocks = None  # per comp: (bw_i, bh_i)
+        hmax = vmax = mcw = mch = None
+        saw_scan = False
+
+        def alloc():
+            nonlocal coeffs, preds, n_blocks, hmax, vmax, mcw, mch
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            if w % (8 * hmax) or h % (8 * vmax):
+                raise ValueError(
+                    f"dims must be multiples of the {8 * hmax}x{8 * vmax} "
+                    "MCU (edge extension not implemented)"
+                )
+            mcw, mch = w // (8 * hmax), h // (8 * vmax)
+            n_blocks = [
+                (mcw * hi, mch * vi) for (_c, _t, hi, vi) in comps
+            ]
+            coeffs = [
+                [[0] * 64 for _ in range(bw_i * bh_i)]
+                for (bw_i, bh_i) in n_blocks
+            ]
+            preds = [0] * len(comps)
+
+        # -- per-scan entropy decoding ---------------------------------
+        def decode_scan(scan_start, scan, ss, se, ah, al):
+            """Returns the buffer position of the next marker."""
+            if ah or al:
+                raise ValueError(
+                    "successive approximation (Ah/Al != 0) not supported"
+                )
+            state = {"pos": scan_start, "acc": 0, "n": 0}
+
+            def read_bit():
+                if state["n"] == 0:
+                    p = state["pos"]
+                    if p >= len(buf):
+                        raise ValueError("truncated scan")
+                    byte = buf[p]
+                    if byte == 0xFF:
+                        nxt = buf[p + 1]
+                        if nxt == 0x00:
+                            state["pos"] = p + 2
+                        else:
+                            raise ValueError(
+                                "scan ran out of data at marker "
+                                f"{nxt:#x}"
+                            )
+                    else:
+                        state["pos"] = p + 1
+                    state["acc"] = byte
+                    state["n"] = 8
+                state["n"] -= 1
+                return (state["acc"] >> state["n"]) & 1
+
+            def read_bits(t):
+                v = 0
+                for _ in range(t):
+                    v = (v << 1) | read_bit()
+                return v
+
+            def huff(dec_map):
+                length, code = 0, 0
+                while length < 16:
+                    code = (code << 1) | read_bit()
+                    length += 1
+                    if (length, code) in dec_map:
+                        return dec_map[(length, code)]
+                raise ValueError("invalid Huffman code in scan")
+
+            def extend(v, t):
+                return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+            eobrun = 0
+
+            def ac_band(ac_dec, zz, k_start, k_end):
+                """Decode one block's AC band; returns blocks-to-skip
+                (EOBRUN remainder, counts blocks AFTER this one)."""
+                k = k_start
+                while k <= k_end:
+                    rs = huff(ac_dec)
+                    r, t = rs >> 4, rs & 0x0F
+                    if t == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        # EOBn: run of (1<<r)+extra end-of-band blocks,
+                        # INCLUDING this one
+                        return (1 << r) - 1 + read_bits(r)
+                    k += r
+                    if k > k_end:
+                        raise ValueError("AC run past band end")
+                    zz[k] = extend(read_bits(t), t)
+                    k += 1
+                return 0
+
+            if ss == 0:
+                # DC included: interleaved MCU order over the scan comps
+                if progressive and se != 0:
+                    raise ValueError("progressive DC scan must have Se=0")
+                for my in range(mch):
+                  for mx in range(mcw):
+                    for ci, td, ta in scan:
+                        _cid, _tq, hi, vi = comps[ci]
+                        dc_dec = decs.get((0, td))
+                        if dc_dec is None:
+                            raise ValueError("scan references missing DHT")
+                        for iby in range(vi):
+                          for ibx in range(hi):
+                            bw_i = n_blocks[ci][0]
+                            blk = (my * vi + iby) * bw_i + (mx * hi + ibx)
+                            zz = coeffs[ci][blk]
+                            t = huff(dc_dec)
+                            preds[ci] += extend(read_bits(t), t)
+                            zz[0] = preds[ci]
+                            if se > 0:
+                                ac_dec = decs.get((1, ta))
+                                if ac_dec is None:
+                                    raise ValueError(
+                                        "scan references missing DHT"
+                                    )
+                                ac_band(ac_dec, zz, 1, se)
+            else:
+                # AC scan: per spec, non-interleaved single component
+                if len(scan) != 1:
+                    raise ValueError("AC scans must cover one component")
+                ci, _td, ta = scan[0]
+                ac_dec = decs.get((1, ta))
+                if ac_dec is None:
+                    raise ValueError("scan references missing DHT")
+                bw_i, bh_i = n_blocks[ci]
+                for blk in range(bw_i * bh_i):
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    eobrun = ac_band(ac_dec, coeffs[ci][blk], ss, se)
+            # align to the next marker (drop partial-byte padding)
+            p = state["pos"]
+            while p < len(buf) - 1 and not (
+                buf[p] == 0xFF and buf[p + 1] != 0x00
+            ):
+                p += 1
+            return p
+
+        # -- marker walk (multiple SOS for progressive) ----------------
         while pos < len(buf):
             if buf[pos] != 0xFF:
                 raise ValueError(f"marker expected at {pos}")
@@ -2122,12 +2272,15 @@ def _make_jpeg_codec():
                         raise ValueError("only 8-bit quant tables supported")
                     qts[tq] = list(body[p + 1 : p + 65])
                     p += 65
-            elif marker == 0xC0:
+            elif marker in (0xC0, 0xC2):
+                progressive = marker == 0xC2
                 prec, h, w, ncomp = _struct.unpack_from(">BHHB", body, 0)
                 if prec != 8 or ncomp not in (1, 3):
                     raise ValueError(
-                        f"unsupported SOF0: precision={prec} ncomp={ncomp}"
+                        f"unsupported SOF: precision={prec} ncomp={ncomp}"
                     )
+                if len(body) < 6 + 3 * ncomp:
+                    raise ValueError("truncated SOF header")
                 # per-component triples start at byte 6: id, HV, Tq
                 for ci in range(ncomp):
                     cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
@@ -2138,11 +2291,12 @@ def _make_jpeg_codec():
                             f"be 1 or 2): HV={hv:#x}"
                         )
                     comps.append((cid, tq, hi, vi))
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                alloc()
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise ValueError(
                     f"unsupported SOF marker 0xFF{marker:02X} — baseline "
-                    "sequential (SOF0) only"
+                    "sequential (SOF0) or progressive (SOF2) only"
                 )
             elif marker == 0xDD:
                 raise ValueError("restart intervals (DRI) not supported")
@@ -2157,70 +2311,29 @@ def _make_jpeg_codec():
                     decs[(tc, th)] = dec_map
                     p += 17 + nv
             elif marker == 0xDA:
+                if coeffs is None:
+                    raise ValueError("SOS before SOF")
                 ns = body[0]
+                if len(body) < 4 + 2 * ns:
+                    raise ValueError("truncated SOS header")
                 cid_to_idx = {c[0]: i for i, c in enumerate(comps)}
+                scan = []
                 for si in range(ns):
                     cid, tdta = body[1 + 2 * si], body[2 + 2 * si]
                     if cid not in cid_to_idx:
                         raise ValueError(f"SOS names unknown component {cid}")
                     scan.append((cid_to_idx[cid], tdta >> 4, tdta & 0x0F))
-                scan_start = pos + 2 + ln
-                break
+                ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+                saw_scan = True
+                pos = decode_scan(
+                    pos + 2 + ln, scan, ss, se, ahal >> 4, ahal & 0x0F
+                )
+                continue
             pos += 2 + ln
-        if not qts or not decs or w is None or scan_start is None or not scan:
-            raise ValueError("missing DQT/DHT/SOF0/SOS")
-        if len(scan) != len(comps):
-            raise ValueError("non-interleaved scans not supported")
-        hmax = max(c[2] for c in comps)
-        vmax = max(c[3] for c in comps)
-        if w % (8 * hmax) or h % (8 * vmax):
-            raise ValueError(
-                f"dims must be multiples of the {8 * hmax}x{8 * vmax} MCU "
-                "(edge extension not implemented)"
-            )
+        if not qts or coeffs is None or not saw_scan:
+            raise ValueError("missing DQT/SOF/SOS")
 
-        # bit reader over the entropy-coded segment with 0xFF00 unstuffing
-        state = {"pos": scan_start, "acc": 0, "n": 0}
-
-        def read_bit():
-            if state["n"] == 0:
-                p = state["pos"]
-                if p >= len(buf):
-                    raise ValueError("truncated scan")
-                byte = buf[p]
-                if byte == 0xFF:
-                    nxt = buf[p + 1]
-                    if nxt == 0x00:
-                        state["pos"] = p + 2
-                    elif nxt == 0xD9:
-                        raise ValueError("scan ran into EOI")
-                    else:
-                        raise ValueError(f"unexpected marker in scan: {nxt:#x}")
-                else:
-                    state["pos"] = p + 1
-                state["acc"] = byte
-                state["n"] = 8
-            state["n"] -= 1
-            return (state["acc"] >> state["n"]) & 1
-
-        def read_bits(t):
-            v = 0
-            for _ in range(t):
-                v = (v << 1) | read_bit()
-            return v
-
-        def huff(dec_map):
-            length, code = 0, 0
-            while length < 16:
-                code = (code << 1) | read_bit()
-                length += 1
-                if (length, code) in dec_map:
-                    return dec_map[(length, code)]
-            raise ValueError("invalid Huffman code in scan")
-
-        def extend(v, t):
-            return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
-
+        # -- reconstruction: dequant + IDCT + upsample + convert -------
         def idct_block(zz, qt):
             F2 = [[0.0] * 8 for _ in range(8)]
             for z in range(64):
@@ -2240,55 +2353,24 @@ def _make_jpeg_codec():
                 for y in range(8)
             ]
 
-        mcw, mch = w // (8 * hmax), h // (8 * vmax)
         ncomp = len(comps)
-        # each component decodes at ITS OWN resolution (w*h_i/hmax x
-        # h*v_i/vmax); subsampled planes are upsampled by replication
-        # after the scan
-        planes = [
-            [
-                [0] * (w * hi // hmax)
-                for _ in range(h * vi // vmax)
+        planes = []
+        for ci, (_cid, tq_i, hi, vi) in enumerate(comps):
+            qt = qts.get(tq_i)
+            if qt is None:
+                raise ValueError("component references missing DQT")
+            bw_i, bh_i = n_blocks[ci]
+            plane = [
+                [0.0] * (bw_i * 8) for _ in range(bh_i * 8)
             ]
-            for (_cid, _tq, hi, vi) in comps
-        ]
-        preds = [0] * ncomp
-        for my in range(mch):
-            for mx in range(mcw):
-                for ci, td, ta in scan:
-                    _cid, tq_i, hi, vi = comps[ci]
-                    dc_dec = decs.get((0, td))
-                    ac_dec = decs.get((1, ta))
-                    qt = qts.get(tq_i)
-                    if dc_dec is None or ac_dec is None or qt is None:
-                        raise ValueError("scan references missing DHT/DQT")
-                    for iby in range(vi):
-                      for ibx in range(hi):
-                        zz = [0] * 64
-                        t = huff(dc_dec)
-                        preds[ci] += extend(read_bits(t), t)
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = huff(ac_dec)
-                            r, t = rs >> 4, rs & 0x0F
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            zz[k] = extend(read_bits(t), t)
-                            k += 1
-                        vals = idct_block(zz, qt)
-                        oy = (my * vi + iby) * 8
-                        ox = (mx * hi + ibx) * 8
-                        for y in range(8):
-                            row = planes[ci][oy + y]
-                            for x in range(8):
-                                row[ox + x] = vals[y][x] + 128.0
+            for blk, zz in enumerate(coeffs[ci]):
+                vals = idct_block(zz, qt)
+                oy, ox = (blk // bw_i) * 8, (blk % bw_i) * 8
+                for y in range(8):
+                    row = plane[oy + y]
+                    for x in range(8):
+                        row[ox + x] = vals[y][x] + 128.0
+            planes.append(plane)
         # nearest-neighbor upsample subsampled planes to full resolution
         for ci, (_cid, _tq, hi, vi) in enumerate(comps):
             fx, fy = hmax // hi, vmax // vi
@@ -2306,7 +2388,7 @@ def _make_jpeg_codec():
                 for row in planes[0]
             ]
         else:
-            # T.871 YCbCr -> RGB, rounded then clamped per channel
+            # T.871 YCbCr -> RGB, half-up rounded then clamped per channel
             pixels = []
             for y in range(h):
                 row = []
@@ -2324,7 +2406,118 @@ def _make_jpeg_codec():
                 pixels.append(row)
         return w, h, pixels, mcw * mch
 
-    return encode_gray, encode_color, decode, encode_color_420
+    def encode_gray_progressive(blocks, w, h):
+        """Progressive (SOF2, spectral selection, Ah=Al=0) grayscale:
+        scan 1 carries every block's DC (differential, luminance DC
+        table); scan 2 the full 1..63 AC band with REAL EOBn run
+        accumulation across blocks (the progressive-specific coding a
+        sequential decoder cannot read)."""
+        import struct as _struct
+
+        n_mcus = (w // 8) * (h // 8)
+        if len(blocks) != n_mcus:
+            raise ValueError("block count must equal MCU count")
+
+        def pack(bit_list):
+            data = bytearray()
+            acc, n = 0, 0
+            for nbits, value in bit_list:
+                acc = (acc << nbits) | (value & ((1 << nbits) - 1))
+                n += nbits
+                while n >= 8:
+                    n -= 8
+                    byte = (acc >> n) & 0xFF
+                    data.append(byte)
+                    if byte == 0xFF:
+                        data.append(0x00)
+            if n:
+                byte = ((acc << (8 - n)) | ((1 << (8 - n)) - 1)) & 0xFF
+                data.append(byte)
+                if byte == 0xFF:
+                    data.append(0x00)
+            return bytes(data)
+
+        # scan 1: DC only
+        dc_bits = []
+        pred = 0
+        for blk in blocks:
+            dc = int(blk[0][0])
+            t, extra = magnitude(dc - pred)
+            ln, code = DC_L_ENC[t]
+            dc_bits.append((ln, code))
+            if t:
+                dc_bits.append((t, extra))
+            pred = dc
+        # scan 2: AC band 1..63 with EOBn accumulation. The Annex-K
+        # SEQUENTIAL AC table defines no EOBn symbols (only 0x00/0xF0),
+        # so — exactly like real progressive encoders — this scan ships
+        # its own table: a legal flat canonical Huffman covering ALL 256
+        # run/size symbols (128 at 8 bits, 128 at 9; Kraft sum 0.75)
+        prog_bits = [0] * 7 + [128, 128] + [0] * 7
+        prog_vals = list(range(256))
+        prog_enc, _ = canonical(prog_bits, prog_vals)
+        ac_bits = []
+        pending_eob = 0
+
+        def flush_eob():
+            nonlocal pending_eob
+            while pending_eob:
+                v = min(pending_eob, 32767)
+                n = v.bit_length() - 1
+                ln, code = prog_enc[(n << 4) | 0]
+                ac_bits.append((ln, code))
+                if n:
+                    ac_bits.append((n, v - (1 << n)))
+                pending_eob -= v
+
+        for blk in blocks:
+            zz = [int(blk[z // 8][z % 8]) for z in ZIGZAG]
+            band = zz[1:]
+            if not any(band):
+                pending_eob += 1
+                continue
+            flush_eob()
+            run = 0
+            last_nz = max(i for i, c in enumerate(band) if c)
+            for i, coef in enumerate(band[: last_nz + 1]):
+                if coef == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = prog_enc[0xF0]
+                    ac_bits.append((ln, code))
+                    run -= 16
+                t, extra = magnitude(coef)
+                ln, code = prog_enc[(run << 4) | t]
+                ac_bits.append((ln, code))
+                ac_bits.append((t, extra))
+                run = 0
+            if last_nz + 1 < len(band):
+                pending_eob += 1  # trailing zeros: this block EOBs
+        flush_eob()
+
+        def seg(marker, body):
+            return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
+
+        dht = bytes([0x00]) + bytes(DC_L_BITS) + bytes(DC_VALS)
+        dht += bytes([0x11]) + bytes(prog_bits) + bytes(prog_vals)
+        return (
+            b"\xff\xd8"
+            + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+            + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+            + seg(0xC2, _struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+            + seg(0xC4, dht)
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))  # DC scan Ss=Se=0
+            + pack(dc_bits)
+            + seg(0xDA, bytes([1, 1, 0x01, 1, 63, 0]))  # AC scan 1..63, Ta=1
+            + pack(ac_bits)
+            + b"\xff\xd9"
+        )
+
+    return (
+        encode_gray, encode_color, decode, encode_color_420,
+        encode_gray_progressive,
+    )
 
 
 def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
@@ -2345,7 +2538,7 @@ def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
     # cells) — capturing the module-level factory function itself would
     # pickle by reference and die with ModuleNotFoundError on workers
     # whose PYTHONPATH lacks the repo (verify-from-/tmp gotcha)
-    encode_gray, _, _, _ = _make_jpeg_codec()
+    encode_gray, *_rest = _make_jpeg_codec()
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
@@ -2378,7 +2571,7 @@ def decode_jpeg(media: DataFrame) -> DataFrame:
     seam is now color + progressive, not the codec itself). Emits the
     multimodal family's standard stats (single channel: mean_px)."""
 
-    _, _, decode_gray, _ = _make_jpeg_codec()  # closure: ships by value
+    _, _, decode_gray, *_rest = _make_jpeg_codec()  # closure: ships by value
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as _np
@@ -2427,7 +2620,7 @@ def synthesize_jpeg_color_media(docs: DataFrame) -> DataFrame:
     has a closed form the SQL oracle can state.
     w = 8*(1 + doc_id mod 2), h = 8*(1 + doc_id mod 3)."""
 
-    _, encode_color, _, _ = _make_jpeg_codec()  # closure: ships by value
+    _, encode_color, *_rest = _make_jpeg_codec()  # closure: ships by value
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
@@ -2464,7 +2657,7 @@ def decode_jpeg_color(media: DataFrame) -> DataFrame:
     clamping. 4:4:4 only — subsampled/progressive files raise loudly
     (the honest seam is now chroma subsampling + progressive scans)."""
 
-    _, _, decode, _ = _make_jpeg_codec()  # closure: ships by value
+    _, _, decode, *_rest = _make_jpeg_codec()  # closure: ships by value
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as _np
@@ -2507,7 +2700,7 @@ def synthesize_jpeg_420_media(docs: DataFrame) -> DataFrame:
     the upsampling filter choice cannot affect the closed-form oracle.
     w = 16*(1 + doc_id mod 2), h = 16."""
 
-    _, _, _, encode_color_420 = _make_jpeg_codec()  # ships by value
+    _, _, _, encode_color_420, *_rest = _make_jpeg_codec()  # ships by value
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
@@ -2533,6 +2726,38 @@ def synthesize_jpeg_420_media(docs: DataFrame) -> DataFrame:
                 cbs = [dc_block(cb_v) for _ in range(n_mcus)]
                 crs = [dc_block(cr_v) for _ in range(n_mcus)]
                 payloads.append(encode_color_420(ys, cbs, crs, w, h))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(_gen, "doc_id bigint, payload binary")
+
+
+def synthesize_jpeg_progressive_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary): a VALID PROGRESSIVE (SOF2, spectral
+    selection) grayscale JPEG per document — a DC scan for every block
+    followed by a full 1..63 AC band scan with real cross-block EOBn
+    runs (DC-only blocks make the AC scan one long EOB run, the
+    progressive-specific coding). Same image formula and geometry as
+    the sequential synthesizer, so the two containers decode to the
+    same closed-form stats."""
+
+    _eg, _ec, _d, _e420, encode_prog = _make_jpeg_codec()  # by value
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                bw, bh = 1 + d % 3, 1 + d % 2
+                blocks = []
+                for by in range(bh):
+                    for bx in range(bw):
+                        v = (3 * d + 17 * bx + 29 * by) % 256
+                        blk = [[0] * 8 for _ in range(8)]
+                        blk[0][0] = 8 * (v - 128)
+                        blocks.append(blk)
+                payloads.append(encode_prog(blocks, bw * 8, bh * 8))
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(_gen, "doc_id bigint, payload binary")

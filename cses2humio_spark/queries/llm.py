@@ -2322,9 +2322,7 @@ def qoi_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("qoi_ratio")
 
 
-@query(
-    "jpeg_decode_stats",
-    oracle="""
+_JPEG_GRAY_ORACLE = """
     WITH d3 AS (SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh
                 FROM documents WHERE doc_id < 300),
     g AS (SELECT t.doc_id, ux.bx, uy.by,
@@ -2342,8 +2340,10 @@ def qoi_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(d.bw * d.bh AS INT) AS n_blocks,
            m.mean_px, m.top_row_sum, m.byte_checksum
     FROM d3 d JOIN m ON m.doc_id = d.doc_id
-    """,
-)
+    """
+
+
+@query("jpeg_decode_stats", oracle=_JPEG_GRAY_ORACLE)
 def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline JPEG decode, oracle-checked — the FIFTH compression
     family (Annex-K canonical Huffman + run/size AC coding + DCT,
@@ -2366,6 +2366,27 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return decode_jpeg(repartition_for_media(synthesize_jpeg_media(docs)))
+
+
+@query("jpeg_progressive_decode_stats", oracle=_JPEG_GRAY_ORACLE)
+def jpeg_progressive_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG decode (SOF2, spectral selection), oracle-
+    checked with the IDENTICAL SQL as the sequential twin — the
+    containers differ (multi-scan coefficient accumulation, per-scan
+    bit streams, cross-block EOBn runs, a custom flat Huffman table for
+    the AC scan exactly as real progressive encoders ship) but the
+    decoded image must not. Successive approximation (Ah/Al != 0)
+    remains the honest refusal."""
+    from cses2humio_spark.operators.multimodal import (
+        decode_jpeg,
+        repartition_for_media,
+        synthesize_jpeg_progressive_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return decode_jpeg(
+        repartition_for_media(synthesize_jpeg_progressive_media(docs))
+    )
 
 
 @query(

@@ -666,7 +666,7 @@ def test_jpeg_ac_coefficient_roundtrip_vs_direct_idct():
 
     from cses2humio_spark.operators.multimodal import _make_jpeg_codec
 
-    enc, _encc, dec, _enc420 = _make_jpeg_codec()
+    enc, _encc, dec, *_rest = _make_jpeg_codec()
     random.seed(42)
     saw_stuffing = False
     for _ in range(30):
@@ -700,7 +700,7 @@ def test_jpeg_zrl_and_long_runs():
     one with a trailing coefficient at position 63 ends without EOB."""
     from cses2humio_spark.operators.multimodal import _make_jpeg_codec
 
-    enc, _encc, dec, _enc420 = _make_jpeg_codec()
+    enc, _encc, dec, *_rest = _make_jpeg_codec()
     zz_last = [[0] * 8 for _ in range(8)]
     zz_last[0][0] = 80
     zz_last[7][7] = 12  # zigzag position 63: encoder must emit ZRLs, no EOB
@@ -723,17 +723,18 @@ def test_jpeg_decoder_rejects_unsupported():
 
     from cses2humio_spark.operators.multimodal import _make_jpeg_codec
 
-    enc, _encc, dec, _enc420 = _make_jpeg_codec()
+    enc, _encc, dec, *_rest = _make_jpeg_codec()
     blk = [[0] * 8 for _ in range(8)]
     buf = enc([blk], 8, 8)
     with _pytest.raises(ValueError, match="no SOI"):
         dec(b"xx" + buf)
-    # flip SOF0 -> SOF2 (progressive): must refuse loudly, not misdecode
+    # flip SOF0 -> SOF1 (extended sequential): must refuse loudly
+    # (SOF2/progressive is a SUPPORTED path since round 6)
     i = buf.find(b"\xff\xc0")
-    prog = buf[:i] + b"\xff\xc2" + buf[i + 2 :]
+    ext = buf[:i] + b"\xff\xc1" + buf[i + 2 :]
     with _pytest.raises(ValueError, match="SOF"):
-        dec(prog)
-    with _pytest.raises(ValueError, match="truncated|EOI"):
+        dec(ext)
+    with _pytest.raises(ValueError, match="truncated|EOI|marker|ran out"):
         dec(buf[:-4])
 
 
@@ -770,7 +771,7 @@ def test_jpeg_color_ac_roundtrip_vs_direct_idct():
 
     from cses2humio_spark.operators.multimodal import _make_jpeg_codec
 
-    _enc, encc, dec, _enc420 = _make_jpeg_codec()
+    _enc, encc, dec, *_rest = _make_jpeg_codec()
     random.seed(7)
 
     def rand_blocks(n):
@@ -819,7 +820,7 @@ def test_jpeg_420_roundtrip_and_factor_limits():
 
     from cses2humio_spark.operators.multimodal import _make_jpeg_codec
 
-    _enc, _encc, dec, enc420 = _make_jpeg_codec()
+    _enc, _encc, dec, enc420, *_rest = _make_jpeg_codec()
 
     def dc_block(dc, extra=()):
         blk = [[0] * 8 for _ in range(8)]
@@ -857,4 +858,38 @@ def test_jpeg_420_roundtrip_and_factor_limits():
     bad = bytearray(buf)
     bad[i + 4 + 7] = 0x33
     with _pytest.raises(ValueError, match="sampling factors"):
+        dec(bytes(bad))
+
+
+def test_jpeg_progressive_equals_sequential_with_eobrun():
+    """The progressive container (DC scan + AC band scan with
+    cross-block EOBn runs, custom flat AC table) must decode to pixels
+    IDENTICAL to the sequential encoding of the same coefficient blocks
+    — including trials where several consecutive DC-only blocks force
+    EOBRUN > 1 — and successive approximation refuses loudly."""
+    import random
+
+    import pytest as _pytest
+
+    from cses2humio_spark.operators.multimodal import _make_jpeg_codec
+
+    enc, _encc, dec, _enc420, encp = _make_jpeg_codec()
+    random.seed(3)
+    for _ in range(15):
+        blocks = []
+        for i in range(6):
+            b = [[0] * 8 for _ in range(8)]
+            b[0][0] = random.randint(-300, 300)
+            if i in (0, 4):  # blocks 1-3 and 5 stay DC-only -> EOBRUN > 1
+                for _c in range(random.randint(1, 6)):
+                    u, v = random.randint(0, 7), random.randint(0, 7)
+                    b[u][v] = random.randint(-50, 50)
+            blocks.append(b)
+        assert dec(enc(blocks, 48, 8))[2] == dec(encp(blocks, 48, 8))[2]
+    buf = encp(blocks, 48, 8)
+    # flip the AC scan's AhAl byte (last byte of the second SOS header)
+    i = buf.rfind(b"\xff\xda")
+    bad = bytearray(buf)
+    bad[i + 2 + 2 + 6 - 1] = 0x01  # Al = 1
+    with _pytest.raises(ValueError, match="successive approximation"):
         dec(bytes(bad))
