@@ -1962,6 +1962,73 @@ def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, probes, m=4, k_codes=16, dim=64, k=5)
 
 
+@query(
+    "sq8_cosine_topk",
+    oracle=f"""
+    WITH ev AS (SELECT vec_id, {_DOUBLE_VEC} AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+            list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+          FROM ev),
+    q AS (SELECT vec_id,
+            CASE WHEN scale = 0
+                 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+                 ELSE list_transform(v, x ->
+                        CAST(CAST(round(x / scale, 0) AS INT) AS DOUBLE))
+            END AS qv
+          FROM s),
+    p AS (SELECT vec_id AS probe_id, v AS pv FROM ev WHERE vec_id < 8),
+    scored AS (SELECT p.probe_id, q.vec_id,
+                 ROUND({_cos_sql('q.qv', 'p.pv')}, 6) AS cos_sim
+               FROM q CROSS JOIN p)
+    SELECT probe_id, vec_id, cos_sim, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                  ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+      FROM scored) t
+    WHERE rank <= 5
+    """,
+)
+def sq8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) brute-force cosine top-k — the simplest
+    compressed-scan ANN tier below PQ: the corpus rides as int8 codes
+    (4x byte cut vs float32; symmetric per-vector scale), and because
+    cosine is INVARIANT to the symmetric scale, scoring needs no
+    dequantization at all — the fold runs over the integer codes
+    directly against the float probes. Approximation error comes only
+    from code rounding (recall vs exact float cosine pinned in
+    tests/test_approx.py). Oracle replays quantization + fold exactly
+    (SQL ROUND half-away, left-to-right double fold)."""
+    from cses2humio_spark.functions.vectors import (
+        cosine_similarity,
+        quantize_int8,
+    )
+    from cses2humio_spark.sources.catalog import fan_out
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _scale, qv = quantize_int8(F.col("embedding"))
+    qtab = emb.select("vec_id", qv.alias("qv"))
+    p = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "__pvec"
+        ),
+    )
+    scored = fan_out(qtab).join(F.broadcast(p)).select(
+        "probe_id",
+        "vec_id",
+        F.round(
+            cosine_similarity(F.col("qv"), F.col("__pvec")), 6
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("probe_id", "vec_id", "cos_sim", "rank")
+    )
+
+
 _PQ_INDEX_DIRS: dict[str, str] = {}
 
 

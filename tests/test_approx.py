@@ -658,3 +658,27 @@ def test_ivfpq_recall_floor_vs_exact_l2(spark):
     small, big = run(16), run(32)
     assert big > small, (small, big)  # the recall/cost dial works
     assert small >= 0.2, small  # self-retrieval floor
+
+
+def test_sq8_topk_recall_vs_exact_float(spark):
+    """SQ8 cosine top-k must track the exact float ranking closely:
+    int8 rounding perturbs cosines by ~1e-3, so recall@5 over the 8
+    probes stays >= 0.9 on the synthetic corpus (the 4x-smaller scan is
+    the point; this pins that the compression costs almost no recall)."""
+    from cses2humio_spark.queries import QUERIES
+    from tests.conftest import SF_SMALL
+
+    sq8 = QUERIES["sq8_cosine_topk"](spark, SF_SMALL).collect()
+    exact = QUERIES["cosine_topk"](spark, SF_SMALL).collect()
+    got: dict[int, set[int]] = {}
+    want: dict[int, set[int]] = {}
+    for r in sq8:
+        got.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    for r in exact:
+        if r["probe_id"] < 8:  # sq8 query probes ids < 8; exact uses < 10
+            want.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    assert set(got) == set(want)
+    recall = sum(
+        len(got[p] & want[p]) / len(want[p]) for p in want
+    ) / len(want)
+    assert recall >= 0.9, recall

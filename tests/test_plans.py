@@ -133,6 +133,7 @@ def test_no_query_degenerates_to_cartesian(spark):
 
     BNLJ_BY_DESIGN = {
         "cosine_topk",            # tiny probe set broadcast against corpus
+        "sq8_cosine_topk",        # tiny probe set broadcast against int8 codes
         "ivf_topk",               # tiny centroid set broadcast
         "ivfpq_topk",             # tiny centroid set broadcast (IVF-PQ)
         "cross_join_region_priority",  # the cross join op itself
