@@ -1215,3 +1215,46 @@ def weekly_active_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         days.join(wau, "day_d")
         .select(F.col("day_d").alias("day"), "approx_wau")
     )
+
+def _geohash_heatmap_oracle() -> str:
+    from cses2humio_spark.functions.geo import geohash_encode_sql_parts
+
+    lat_idx, lng_idx, comb, chars = geohash_encode_sql_parts(
+        "((user_id * 37) % 18000) / 100.0 - 90.0",
+        "((event_id * 91) % 36000) / 100.0 - 180.0",
+        5,
+    )
+    return f"""
+    WITH qi AS (SELECT {lat_idx} AS __lat, {lng_idx} AS __lng FROM events),
+    gh AS (SELECT ({comb}) AS __gh FROM qi),
+    cells AS (SELECT {chars} AS gh FROM gh)
+    SELECT gh, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM cells GROUP BY gh
+    ORDER BY n_events DESC, gh ASC LIMIT 100
+    """
+
+
+@query("geohash_event_heatmap", oracle=_geohash_heatmap_oracle())
+def geohash_event_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash heat map (the LogScale worldMap dashboard primitive):
+    events get deterministic synthetic coordinates (integer arithmetic
+    over ids — identical in both engines), are geohash-encoded at
+    precision 5 in PURE CODEGEN (quantize lat/lng, interleave the bits
+    with an unrolled shift/mask sum, map 5-bit groups through the base32
+    alphabet — no UDF), and counted per cell; top-100 cells by count.
+    The encoder matches the standard geohash (Wikipedia test vectors
+    pinned in tests/test_text.py) and the oracle replays the identical
+    bit arithmetic from the shared SQL builder."""
+    from cses2humio_spark.functions.geo import geohash_encode
+
+    ev = load_table(spark, sf_dir, "events")
+    lat = ((F.col("user_id") * 37) % 18000).cast("double") / 100.0 - 90.0
+    lng = ((F.col("event_id") * 91) % 36000).cast("double") / 100.0 - 180.0
+    return (
+        ev.select(geohash_encode(lat, lng, 5).alias("gh"))
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.col("n_events").desc(), F.col("gh").asc())
+        .limit(100)
+    )
+

@@ -45,3 +45,37 @@ def test_shannon_entropy_bounds(spark):
         assert -1e-12 <= r.e <= math.log2(r.k) + 1e-9
     by_s = {r.s: r.e for r in out}
     assert by_s["q7f!kz0pW@3m"] > by_s["abcabcabcabc"] > by_s["x" * 40]
+
+
+def test_geohash_matches_standard_test_vectors(spark):
+    """geohash_encode must reproduce the standard geohash (Wikipedia
+    vectors incl. the canonical u4pruydqqvj), handle the inclusive top
+    edge (lat=90/lng=180 -> the last cell, not an overflow), propagate
+    NULL coordinates, and refuse silly precisions."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cses2humio_spark.functions.geo import geohash_encode
+
+    rows = [
+        (57.64911, 10.40744, "u4pru"),  # wikipedia's canonical example
+        (42.605, -5.603, "ezs42"),      # the RFC-discussion example
+        (90.0, 180.0, "zzzzz"),         # inclusive top edge
+        (-90.0, -180.0, "00000"),
+        (0.0, 0.0, "s0000"),
+    ]
+    df = spark.createDataFrame(
+        [(a, b) for a, b, _ in rows], "lat double, lng double"
+    )
+    got5 = [r[0] for r in df.select(geohash_encode(F.col("lat"), F.col("lng"), 5)).collect()]
+    assert got5 == [w for _, _, w in rows]
+    got11 = [r[0] for r in df.select(geohash_encode(F.col("lat"), F.col("lng"), 11)).collect()]
+    assert got11[0] == "u4pruydqqvj"  # full-precision canonical vector
+    # precision prefix property: shorter hashes are prefixes
+    assert all(g11.startswith(g5) for g11, g5 in zip(got11, got5))
+    null_df = spark.createDataFrame([(None, 10.0)], "lat double, lng double")
+    assert null_df.select(
+        geohash_encode(F.col("lat"), F.col("lng"), 5)
+    ).collect()[0][0] is None
+    with pytest.raises(ValueError, match="precision"):
+        geohash_encode(F.col("lat"), F.col("lng"), 0)
