@@ -2094,6 +2094,15 @@ def _make_jpeg_codec():
             sampling=[(2, 2), (1, 1), (1, 1)],
         )
 
+    def encode_color_422(y_blocks, cb_blocks, cr_blocks, w, h):
+        """4:2:2 (the broadcast-video layout): Y at full resolution
+        (two side-by-side blocks per 16x8 MCU), Cb/Cr halved
+        HORIZONTALLY only (1 block each per MCU)."""
+        return _encode(
+            [y_blocks, cb_blocks, cr_blocks], w, h,
+            sampling=[(2, 1), (1, 1), (1, 1)],
+        )
+
     def decode(buf):
         """Baseline-sequential (SOF0) AND progressive (SOF2, spectral
         selection, Ah=Al=0) decode: scans accumulate into a persistent
@@ -2516,7 +2525,7 @@ def _make_jpeg_codec():
 
     return (
         encode_gray, encode_color, decode, encode_color_420,
-        encode_gray_progressive,
+        encode_gray_progressive, encode_color_422,
     )
 
 

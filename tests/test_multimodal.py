@@ -893,3 +893,43 @@ def test_jpeg_progressive_equals_sequential_with_eobrun():
     bad[i + 2 + 2 + 6 - 1] = 0x01  # Al = 1
     with _pytest.raises(ValueError, match="successive approximation"):
         dec(bytes(bad))
+
+
+def test_jpeg_422_roundtrip():
+    """4:2:2 (the broadcast-video layout — chroma halved horizontally
+    only, two Y blocks per 16x8 MCU): the generic sampling machinery
+    must reproduce the reference (two Y IDCTs + horizontally-replicated
+    chroma + conversion) exactly."""
+    import random
+
+    from cses2humio_spark.operators.multimodal import _make_jpeg_codec
+
+    codec = _make_jpeg_codec()
+    dec, enc422 = codec[2], codec[5]
+    random.seed(11)
+
+    def rb():
+        b = [[0] * 8 for _ in range(8)]
+        b[0][0] = random.randint(-200, 200)
+        b[random.randint(0, 7)][random.randint(0, 7)] = random.randint(-30, 30)
+        return b
+
+    ys, cbs, crs = [rb(), rb()], [rb()], [rb()]
+    w, h, px, nm = dec(enc422(ys, cbs, crs, 16, 8))
+    assert (w, h, nm) == (16, 8, 1)
+    ry = [_direct_idct(b) for b in ys]
+    rcb, rcr = _direct_idct(cbs[0]), _direct_idct(crs[0])
+    for y in range(8):
+        for x in range(16):
+            Y = ry[x // 8][y][x % 8] + 128.0
+            cb = rcb[y][x // 2]  # horizontal-only upsample
+            cr = rcr[y][x // 2]
+            want = tuple(
+                min(255, max(0, int(math.floor(v + 0.5))))
+                for v in (
+                    Y + 1.402 * cr,
+                    Y - 0.344136 * cb - 0.714136 * cr,
+                    Y + 1.772 * cb,
+                )
+            )
+            assert tuple(px[y][x]) == want, (y, x)
