@@ -2749,7 +2749,7 @@ def synthesize_jpeg_progressive_media(docs: DataFrame) -> DataFrame:
     the sequential synthesizer, so the two containers decode to the
     same closed-form stats."""
 
-    _eg, _ec, _d, _e420, encode_prog = _make_jpeg_codec()  # by value
+    _eg, _ec, _d, _e420, encode_prog, *_r = _make_jpeg_codec()  # by value
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd

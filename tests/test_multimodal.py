@@ -873,7 +873,7 @@ def test_jpeg_progressive_equals_sequential_with_eobrun():
 
     from cses2humio_spark.operators.multimodal import _make_jpeg_codec
 
-    enc, _encc, dec, _enc420, encp = _make_jpeg_codec()
+    enc, _encc, dec, _enc420, encp, *_rest = _make_jpeg_codec()
     random.seed(3)
     for _ in range(15):
         blocks = []
