@@ -36,6 +36,7 @@ Surface:
   ``watermark`` (streaming pipes), ``case { sel | f := v ; ... }``
   first-match dispatch, assignment ``name := arithmetic`` (with
   ``if()``, ``formatTime()``, ``shannonEntropy()``, ``md5/sha256``,
+  ``geohash(lat, lng)``,
   string/math evals), any filter as a stage, and relative-time
   filters (``ts > -1d`` against the query anchor) — full stage table
   with semantics in docs/HQL.md.
@@ -692,6 +693,11 @@ _EVAL_FUNCS = {
     # IOC hashing (hash a field, match against indicator lists)
     "md5": lambda a: F.md5(a[0].cast("string")),
     "sha256": lambda a: F.sha2(a[0].cast("string"), 256),
+    # worldMap cell key (LogScale geography surface): standard geohash
+    # at precision 8, pure-codegen bit arithmetic (functions/geo.py)
+    "geohash": lambda a: __import__(
+        "cses2humio_spark.functions.geo", fromlist=["geohash_encode"]
+    ).geohash_encode(a[0], a[1], 8),
     # registered for the parser's known-function check; the compiler
     # special-cases them (literal arguments)
     "formatTime": None,

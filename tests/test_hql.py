@@ -1627,3 +1627,14 @@ def test_parseleef_stage_header_and_extension(spark):
     )
     with pytest.raises(HqlSyntaxError):
         hql(df, "parseLeef()")
+
+
+def test_eval_geohash_function(spark):
+    """gh := geohash(lat, lng) — the worldMap cell key as an eval
+    function (precision 8, Wikipedia vector)."""
+    df = spark.createDataFrame(
+        [(57.64911, 10.40744), (None, 1.0)], "lat double, lng double"
+    )
+    out = hql(df, "gh := geohash(lat, lng) | table([gh])").collect()
+    assert out[0]["gh"] == "u4pruydq"
+    assert out[1]["gh"] is None
