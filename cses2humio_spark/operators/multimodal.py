@@ -2147,9 +2147,11 @@ def _make_jpeg_codec():
         # -- per-scan entropy decoding ---------------------------------
         def decode_scan(scan_start, scan, ss, se, ah, al):
             """Returns the buffer position of the next marker."""
-            if ah or al:
+            if ah and ss == 0 and se != 0:
+                raise ValueError("DC refinement scan must have Se=0")
+            if ah and ss > 0 and ah != al + 1:
                 raise ValueError(
-                    "successive approximation (Ah/Al != 0) not supported"
+                    "AC refinement scans must step one bit (Ah == Al+1)"
                 )
             state = {"pos": scan_start, "acc": 0, "n": 0}
 
@@ -2160,6 +2162,8 @@ def _make_jpeg_codec():
                         raise ValueError("truncated scan")
                     byte = buf[p]
                     if byte == 0xFF:
+                        if p + 1 >= len(buf):
+                            raise ValueError("truncated scan")
                         nxt = buf[p + 1]
                         if nxt == 0x00:
                             state["pos"] = p + 2
@@ -2196,7 +2200,8 @@ def _make_jpeg_codec():
             eobrun = 0
 
             def ac_band(ac_dec, zz, k_start, k_end):
-                """Decode one block's AC band; returns blocks-to-skip
+                """Decode one block's AC band (first/spectral scan,
+                coefficients scaled by 2^al); returns blocks-to-skip
                 (EOBRUN remainder, counts blocks AFTER this one)."""
                 k = k_start
                 while k <= k_end:
@@ -2212,8 +2217,59 @@ def _make_jpeg_codec():
                     k += r
                     if k > k_end:
                         raise ValueError("AC run past band end")
-                    zz[k] = extend(read_bits(t), t)
+                    zz[k] = extend(read_bits(t), t) << al
                     k += 1
+                return 0
+
+            def refine_nonzero(zz, k):
+                """One correction bit for an already-significant coef
+                (two's-complement append, libjpeg semantics)."""
+                p1 = 1 << al
+                if read_bit() and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else -p1
+
+            def ac_refine(ac_dec, zz, k_start, k_end, incoming_eobrun):
+                """AC successive-approximation refinement for one block
+                (jdphuff decode_mcu_AC_refine structure). Returns the
+                EOBRUN remainder for blocks AFTER this one."""
+                p1 = 1 << al
+                k = k_start
+                eob = incoming_eobrun
+                if eob == 0:
+                    while k <= k_end:
+                        rs = huff(ac_dec)
+                        r, t = rs >> 4, rs & 0x0F
+                        newval = 0
+                        if t:
+                            if t != 1:
+                                raise ValueError(
+                                    "AC refinement symbol size must be 1"
+                                )
+                            newval = p1 if read_bit() else -p1
+                        elif r != 15:
+                            eob = (1 << r) + (read_bits(r) if r else 0)
+                            break  # tail loop refines the rest
+                        # walk: nonzero-history coefs take correction
+                        # bits and do NOT consume the run
+                        while k <= k_end:
+                            if zz[k] != 0:
+                                refine_nonzero(zz, k)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= k_end:
+                            zz[k] = newval
+                        k += 1
+                # EOBRUN tail: correction bits for remaining nonzero
+                # coefs of the current block, then this block is covered
+                if eob > 0:
+                    while k <= k_end:
+                        if zz[k] != 0:
+                            refine_nonzero(zz, k)
+                        k += 1
+                    return eob - 1
                 return 0
 
             if ss == 0:
@@ -2225,16 +2281,20 @@ def _make_jpeg_codec():
                     for ci, td, ta in scan:
                         _cid, _tq, hi, vi = comps[ci]
                         dc_dec = decs.get((0, td))
-                        if dc_dec is None:
+                        if dc_dec is None and not ah:
                             raise ValueError("scan references missing DHT")
                         for iby in range(vi):
                           for ibx in range(hi):
                             bw_i = n_blocks[ci][0]
                             blk = (my * vi + iby) * bw_i + (mx * hi + ibx)
                             zz = coeffs[ci][blk]
-                            t = huff(dc_dec)
-                            preds[ci] += extend(read_bits(t), t)
-                            zz[0] = preds[ci]
+                            if ah:  # DC refinement: append one bit
+                                if read_bit():
+                                    zz[0] |= 1 << al
+                            else:
+                                t = huff(dc_dec)
+                                preds[ci] += extend(read_bits(t), t)
+                                zz[0] = preds[ci] << al
                             if se > 0:
                                 ac_dec = decs.get((1, ta))
                                 if ac_dec is None:
@@ -2252,6 +2312,11 @@ def _make_jpeg_codec():
                     raise ValueError("scan references missing DHT")
                 bw_i, bh_i = n_blocks[ci]
                 for blk in range(bw_i * bh_i):
+                    if ah:
+                        eobrun = ac_refine(
+                            ac_dec, coeffs[ci][blk], ss, se, eobrun
+                        )
+                        continue
                     if eobrun > 0:
                         eobrun -= 1
                         continue
@@ -2316,6 +2381,8 @@ def _make_jpeg_codec():
                     bits = list(body[p + 1 : p + 17])
                     nv = sum(bits)
                     vals = list(body[p + 17 : p + 17 + nv])
+                    if len(bits) < 16 or len(vals) < nv:
+                        raise ValueError("truncated DHT segment")
                     _, dec_map = canonical(bits, vals)
                     decs[(tc, th)] = dec_map
                     p += 17 + nv
@@ -2523,9 +2590,191 @@ def _make_jpeg_codec():
             + b"\xff\xd9"
         )
 
+    def encode_gray_progressive_sa(blocks, w, h):
+        """Progressive with SUCCESSIVE APPROXIMATION (four scans): DC
+        and the 1..63 AC band each sent at Al=1 first, then refined one
+        bit (Ah=1 -> Al=0) — the jcphuff coding discipline: refinement
+        runs count only zero-HISTORY positions, already-significant
+        coefficients ride as buffered correction bits flushed after the
+        next newly-significant symbol (or with the EOBn), and the
+        refinement EOB is the last NEWLY-significant index."""
+        import struct as _struct
+
+        n_mcus = (w // 8) * (h // 8)
+        if len(blocks) != n_mcus:
+            raise ValueError("block count must equal MCU count")
+        prog_bits = [0] * 7 + [128, 128] + [0] * 7
+        prog_vals = list(range(256))
+        prog_enc, _ = canonical(prog_bits, prog_vals)
+        AL = 1
+
+        def pack(bit_list):
+            data = bytearray()
+            acc, n = 0, 0
+            for nbits, value in bit_list:
+                acc = (acc << nbits) | (value & ((1 << nbits) - 1))
+                n += nbits
+                while n >= 8:
+                    n -= 8
+                    byte = (acc >> n) & 0xFF
+                    data.append(byte)
+                    if byte == 0xFF:
+                        data.append(0x00)
+            if n:
+                byte = ((acc << (8 - n)) | ((1 << (8 - n)) - 1)) & 0xFF
+                data.append(byte)
+                if byte == 0xFF:
+                    data.append(0x00)
+            return bytes(data)
+
+        def zigzag_band(blk):
+            return [int(blk[z // 8][z % 8]) for z in ZIGZAG][1:]
+
+        # scan 1: DC first at Al=1 — diffs of the arithmetic-shifted DC
+        dc1, pred = [], 0
+        for blk in blocks:
+            v = int(blk[0][0]) >> AL
+            t, extra = magnitude(v - pred)
+            ln, code = DC_L_ENC[t]
+            dc1.append((ln, code))
+            if t:
+                dc1.append((t, extra))
+            pred = v
+
+        # scan 2: AC first at Al=1 — spectral coding of sign*(abs>>1)
+        ac1, pending = [], 0
+
+        def flush_eob_1():
+            nonlocal pending
+            while pending:
+                v = min(pending, 32767)
+                n = v.bit_length() - 1
+                ln, code = prog_enc[(n << 4) | 0]
+                ac1.append((ln, code))
+                if n:
+                    ac1.append((n, v - (1 << n)))
+                pending -= v
+
+        for blk in blocks:
+            band = zigzag_band(blk)
+            c1 = [
+                ((abs(c) >> AL) if c >= 0 else -(abs(c) >> AL))
+                for c in band
+            ]
+            if not any(c1):
+                pending += 1
+                continue
+            flush_eob_1()
+            run = 0
+            last_nz = max(i for i, c in enumerate(c1) if c)
+            for c in c1[: last_nz + 1]:
+                if c == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = prog_enc[0xF0]
+                    ac1.append((ln, code))
+                    run -= 16
+                t, extra = magnitude(c)
+                ln, code = prog_enc[(run << 4) | t]
+                ac1.append((ln, code))
+                ac1.append((t, extra))
+                run = 0
+            if last_nz + 1 < len(c1):
+                pending += 1
+        flush_eob_1()
+
+        # scan 3: DC refinement — the Al-1 bit of each block's DC
+        dc2 = [(1, int(blk[0][0]) & 1) for blk in blocks]
+
+        # scan 4: AC refinement (Ah=1, Al=0). TWO correction-bit
+        # buffers, as in jcphuff: ``br`` holds the CURRENT block's bits
+        # (flushed right after each emitted symbol — the decoder
+        # consumes them during the post-symbol walk), while ``be`` holds
+        # bits belonging to EOBRUN-covered blocks (flushed right after
+        # the EOBn — the decoder consumes them in the covered blocks'
+        # refinement tails).
+        ac2, pending2, br, be = [], 0, [], []
+
+        def flush_eob_2():
+            nonlocal pending2
+            if pending2:
+                if pending2 > 32767:
+                    raise ValueError("EOBRUN overflow")
+                v = pending2
+                n = v.bit_length() - 1
+                ln, code = prog_enc[(n << 4) | 0]
+                ac2.append((ln, code))
+                if n:
+                    ac2.append((n, v - (1 << n)))
+                pending2 = 0
+                ac2.extend((1, b) for b in be)
+                be.clear()
+
+        def flush_br():
+            ac2.extend((1, b) for b in br)
+            br.clear()
+
+        for blk in blocks:
+            band = zigzag_band(blk)
+            absv = [abs(c) for c in band]  # this scan's Al is 0
+            eob = -1
+            for i, a in enumerate(absv):
+                if a == 1:
+                    eob = i
+            r = 0
+            for i, a in enumerate(absv):
+                if a == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob:
+                    flush_eob_2()
+                    ln, code = prog_enc[0xF0]
+                    ac2.append((ln, code))
+                    r -= 16
+                    flush_br()
+                if a > 1:  # already significant: correction bit only
+                    br.append(a & 1)
+                    continue
+                # newly significant (a == 1)
+                flush_eob_2()
+                ln, code = prog_enc[(r << 4) | 1]
+                ac2.append((ln, code))
+                ac2.append((1, 1 if band[i] >= 0 else 0))
+                flush_br()
+                r = 0
+            if r > 0 or br:
+                pending2 += 1
+                be.extend(br)
+                br.clear()
+        flush_eob_2()
+
+        def seg(marker, body):
+            return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
+
+        dht = bytes([0x00]) + bytes(DC_L_BITS) + bytes(DC_VALS)
+        dht += bytes([0x11]) + bytes(prog_bits) + bytes(prog_vals)
+        return (
+            b"\xff\xd8"
+            + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+            + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+            + seg(0xC2, _struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+            + seg(0xC4, dht)
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))  # DC first, Al=1
+            + pack(dc1)
+            + seg(0xDA, bytes([1, 1, 0x01, 1, 63, 0x01]))  # AC first, Al=1
+            + pack(ac1)
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))  # DC refine
+            + pack(dc2)
+            + seg(0xDA, bytes([1, 1, 0x01, 1, 63, 0x10]))  # AC refine
+            + pack(ac2)
+            + b"\xff\xd9"
+        )
+
     return (
         encode_gray, encode_color, decode, encode_color_420,
         encode_gray_progressive, encode_color_422,
+        encode_gray_progressive_sa,
     )
 
 
@@ -2767,6 +3016,37 @@ def synthesize_jpeg_progressive_media(docs: DataFrame) -> DataFrame:
                         blk[0][0] = 8 * (v - 128)
                         blocks.append(blk)
                 payloads.append(encode_prog(blocks, bw * 8, bh * 8))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(_gen, "doc_id bigint, payload binary")
+
+
+def synthesize_jpeg_sa_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary): a VALID progressive JPEG with
+    SUCCESSIVE APPROXIMATION per document (four scans: DC and the full
+    AC band at Al=1, then one-bit refinements to Al=0) — same image
+    formula and geometry as the sequential/progressive synthesizers, so
+    all three containers decode to the same closed-form stats."""
+
+    codec = _make_jpeg_codec()
+    encode_sa = codec[6]  # closure: ships by value
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                bw, bh = 1 + d % 3, 1 + d % 2
+                blocks = []
+                for by in range(bh):
+                    for bx in range(bw):
+                        v = (3 * d + 17 * bx + 29 * by) % 256
+                        blk = [[0] * 8 for _ in range(8)]
+                        blk[0][0] = 8 * (v - 128)
+                        blocks.append(blk)
+                payloads.append(encode_sa(blocks, bw * 8, bh * 8))
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(_gen, "doc_id bigint, payload binary")

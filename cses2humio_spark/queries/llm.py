@@ -2435,6 +2435,27 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg(repartition_for_media(synthesize_jpeg_media(docs)))
 
 
+@query("jpeg_sa_decode_stats", oracle=_JPEG_GRAY_ORACLE)
+def jpeg_sa_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUCCESSIVE-APPROXIMATION progressive JPEG decode, oracle-checked
+    with the IDENTICAL SQL as the sequential and spectral-progressive
+    twins: four scans (DC and AC at Al=1, then one-bit refinements)
+    through the jcphuff coding discipline — zero-history runs, buffered
+    correction bits, EOBn-attached corrections. With this the JPEG
+    family covers every coding mode of baseline+progressive Huffman
+    JPEG; the remaining media seam is inter-frame video."""
+    from cses2humio_spark.operators.multimodal import (
+        decode_jpeg,
+        repartition_for_media,
+        synthesize_jpeg_sa_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return decode_jpeg(
+        repartition_for_media(synthesize_jpeg_sa_media(docs))
+    )
+
+
 @query("jpeg_progressive_decode_stats", oracle=_JPEG_GRAY_ORACLE)
 def jpeg_progressive_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PROGRESSIVE JPEG decode (SOF2, spectral selection), oracle-

@@ -887,11 +887,12 @@ def test_jpeg_progressive_equals_sequential_with_eobrun():
             blocks.append(b)
         assert dec(enc(blocks, 48, 8))[2] == dec(encp(blocks, 48, 8))[2]
     buf = encp(blocks, 48, 8)
-    # flip the AC scan's AhAl byte (last byte of the second SOS header)
+    # corrupt the AC scan's AhAl byte to an INCONSISTENT refinement
+    # (Ah=3, Al=1 — refinements must step one bit): loud refusal
     i = buf.rfind(b"\xff\xda")
     bad = bytearray(buf)
-    bad[i + 2 + 2 + 6 - 1] = 0x01  # Al = 1
-    with _pytest.raises(ValueError, match="successive approximation"):
+    bad[i + 2 + 2 + 6 - 1] = 0x31
+    with _pytest.raises(ValueError, match="Ah == Al"):
         dec(bytes(bad))
 
 
@@ -933,3 +934,40 @@ def test_jpeg_422_roundtrip():
                 )
             )
             assert tuple(px[y][x]) == want, (y, x)
+
+
+def test_jpeg_successive_approximation_equals_sequential():
+    """Full progressive successive approximation (DC and AC sent at
+    Al=1, refined to Al=0 in the jcphuff discipline: zero-history runs,
+    buffered correction bits after each symbol, EOBn-attached
+    corrections for covered blocks, refinement EOB = last NEWLY
+    significant index) must reproduce the sequential decode exactly —
+    across random blocks mixing |c|=1 newly-significant-at-refinement
+    coefficients, larger corrected coefficients and EOBRUN paths."""
+    import random
+
+    from cses2humio_spark.operators.multimodal import _make_jpeg_codec
+
+    codec = _make_jpeg_codec()
+    enc, dec, encsa = codec[0], codec[2], codec[6]
+    random.seed(99)
+    for _ in range(25):
+        blocks = []
+        for i in range(6):
+            b = [[0] * 8 for _ in range(8)]
+            b[0][0] = random.randint(-300, 300)
+            if i % 3 != 2:  # every third block DC-only -> EOBRUN paths
+                for _c in range(random.randint(1, 7)):
+                    u, v = random.randint(0, 7), random.randint(0, 7)
+                    b[u][v] = random.randint(-60, 60)
+            if i == 1:
+                b[5][5] = 1  # guaranteed newly-significant at refinement
+                b[6][6] = -1
+            blocks.append(b)
+        assert dec(enc(blocks, 48, 8))[2] == dec(encsa(blocks, 48, 8))[2]
+    # malformed refinement: size > 1 symbols refuse loudly
+    import pytest as _pytest
+
+    buf = encsa(blocks, 48, 8)
+    with _pytest.raises(ValueError):
+        dec(buf[: len(buf) // 2])  # truncated mid-scan
