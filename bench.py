@@ -73,6 +73,12 @@ HEADLINE = [
     # baseline yet — their first accepted bench becomes it)
     "pq_index_search",  # persisted-index ADC search (build off-clock, once)
     "jpeg_decode_stats",  # Annex-K Huffman + IDCT baseline decode
+    # round 6 second wave
+    "bm25_search_top20",  # lexical retrieval: posting-list-only shuffle
+    "rrf_hybrid_top10",  # rank fusion of lexical + vector arms
+    "weighted_sample_top100",  # A-Res weighted sampling, TakeOrdered
+    "holt_trend_baseline",  # level+trend per-key fold
+    "sq8_cosine_topk",  # int8-quantized brute-force scan
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
