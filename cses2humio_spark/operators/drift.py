@@ -204,3 +204,118 @@ def holt_final(
             F.round(last - fin["f"], 6).alias("deviation"),
         )
     )
+
+
+def holt_winters_final(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    period: int,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+) -> DataFrame:
+    """Per-key additive Holt-Winters (level + trend + SEASONALITY) — the
+    smoothing family's final member: EWMA scores against a flat
+    baseline, Holt against a trend, Holt-Winters against a trend AND a
+    repeating profile (period ``period`` observations), the shape of
+    hourly/daily ops series.
+
+        l_i = a*(v_i - s_{i-m}) + (1-a)*(l_{i-1} + b_{i-1})
+        b_i = B*(l_i - l_{i-1}) + (1-B)*b_{i-1}
+        s_i = g*(v_i - l_i) + (1-g)*s_{i-m}
+
+    Classic init from the first two periods: l = mean(period 1),
+    b = (mean(period 2) - mean(period 1)) / m, s_j = v_j - l. Keys need
+    >= 2m + 1 observations; shorter series are dropped. Emits the final
+    level/trend, the next slot's seasonal component, the one-step-ahead
+    forecast (l + b + s[next]), and the newest point's deviation from
+    the forecast made BEFORE it.
+
+    Pure Catalyst like its siblings: one shuffle on the key, then a
+    left fold whose accumulator is a (level, trend, seasonal-array,
+    forecast) struct — the expression trees are written identically in
+    the recursive-CTE oracle, so doubles match bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    a, b_, g = float(alpha), float(beta), float(gamma)
+    m = int(period)
+    if m < 2:
+        raise ValueError(f"period must be >= 2, got {m}")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(*[F.col(c) for c in order_cols], F.col(value_col))
+        )
+    )
+    grouped = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.transform(arr, lambda s: s[value_col].cast("double")).alias("__vs"),
+    )
+    vs = F.col("__vs")
+
+    def fold_mean(start: int) -> "F.Column":
+        return (
+            F.aggregate(
+                F.slice(vs, start, m), F.lit(0.0), lambda acc, x: acc + x
+            )
+            / F.lit(float(m))
+        )
+
+    l0 = fold_mean(1)
+    b0 = (fold_mean(m + 1) - fold_mean(1)) / F.lit(float(m))
+    s0 = F.transform(F.slice(vs, 1, m), lambda x: x - l0)
+
+    def step(acc, xi):
+        v = xi["v"]
+        slot = xi["i"]  # 0-based seasonal slot
+        s_old = F.element_at(acc["s"], slot + 1)
+        l_new = F.lit(a) * (v - s_old) + F.lit(1.0 - a) * (
+            acc["l"] + acc["b"]
+        )
+        return F.struct(
+            l_new.alias("l"),
+            (
+                F.lit(b_) * (l_new - acc["l"]) + F.lit(1.0 - b_) * acc["b"]
+            ).alias("b"),
+            F.transform(
+                acc["s"],
+                lambda sv, j: F.when(
+                    j == slot,
+                    F.lit(g) * (v - l_new) + F.lit(1.0 - g) * sv,
+                ).otherwise(sv),
+            ).alias("s"),
+            (acc["l"] + acc["b"] + s_old).alias("f"),
+        )
+
+    tail = F.transform(
+        F.slice(vs, m + 1, F.size(vs) - m),
+        lambda x, i: F.struct(x.alias("v"), (i % m).alias("i")),
+    )
+    init = F.struct(
+        l0.alias("l"),
+        b0.alias("b"),
+        s0.alias("s"),
+        F.lit(None).cast("double").alias("f"),
+    )
+    fin = F.aggregate(tail, init, step)
+    last = F.element_at(vs, -1)
+    next_slot = (F.col("n_events") % m).cast("int")  # 0-based
+    return (
+        grouped.filter(F.col("n_events") >= 2 * m + 1)
+        .select(
+            key_col,
+            "n_events",
+            F.round(last, 6).alias("last_value"),
+            F.round(fin["l"], 6).alias("level"),
+            F.round(fin["b"], 6).alias("trend"),
+            F.round(
+                F.element_at(fin["s"], next_slot + 1), 6
+            ).alias("season_next"),
+            F.round(
+                fin["l"] + fin["b"] + F.element_at(fin["s"], next_slot + 1),
+                6,
+            ).alias("forecast_next"),
+            F.round(last - fin["f"], 6).alias("deviation"),
+        )
+    )

@@ -875,3 +875,74 @@ def holt_trend_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_final(
         ev, "user_id", ["ts", "event_id"], "value", alpha=0.3, beta=0.1
     )
+
+@query(
+    "holt_winters_hourly_baseline",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS hr,
+             CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2),
+    s AS (SELECT event_type, COUNT(*) AS n, list(v ORDER BY hr) AS vs
+          FROM hourly GROUP BY 1 HAVING COUNT(*) >= 49),
+    init AS (SELECT event_type, n, vs, list_reduce(vs[1:24], (x, y) -> x + y) / 24.0 AS l0,
+                    (list_reduce(vs[25:48], (x, y) -> x + y) / 24.0 - list_reduce(vs[1:24], (x, y) -> x + y) / 24.0) / 24.0 AS b0
+             FROM s),
+    rec AS (
+      WITH RECURSIVE r2(event_type, i, l, b, sarr, f) AS (
+        SELECT event_type, 24, l0, b0,
+               list_transform(vs[1:24], x -> x - l0),
+               CAST(NULL AS DOUBLE)
+        FROM init
+        UNION ALL
+        SELECT r.event_type, r.i + 1,
+          0.3*(s2.vs[r.i + 1] - r.sarr[((r.i) % 24) + 1]) + 0.7*(r.l + r.b),
+          0.1*((0.3*(s2.vs[r.i + 1] - r.sarr[((r.i) % 24) + 1]) + 0.7*(r.l + r.b)) - r.l) + 0.9*r.b,
+          list_transform(generate_series(1, 24), j ->
+            CASE WHEN j = ((r.i) % 24) + 1
+                 THEN 0.2*(s2.vs[r.i + 1] - (0.3*(s2.vs[r.i + 1] - r.sarr[((r.i) % 24) + 1]) + 0.7*(r.l + r.b))) + 0.8*r.sarr[j]
+                 ELSE r.sarr[j] END),
+          r.l + r.b + r.sarr[((r.i) % 24) + 1]
+        FROM r2 r JOIN s s2 ON s2.event_type = r.event_type
+        WHERE r.i < s2.n)
+      SELECT * FROM r2)
+    SELECT s.event_type, CAST(s.n AS BIGINT) AS n_events,
+           ROUND(s.vs[s.n], 6) AS last_value,
+           ROUND(h.l, 6) AS level,
+           ROUND(h.b, 6) AS trend,
+           ROUND(h.sarr[(s.n % 24) + 1], 6) AS season_next,
+           ROUND(h.l + h.b + h.sarr[(s.n % 24) + 1], 6) AS forecast_next,
+           ROUND(s.vs[s.n] - h.f, 6) AS deviation
+    FROM s JOIN rec h ON h.event_type = s.event_type AND h.i = s.n
+    """,
+)
+def holt_winters_hourly_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (alpha=0.3, beta=0.1, gamma=0.2, period 24)
+    over each event type's hourly cents series — the seasonal member
+    completing the smoothing family (EWMA: flat baseline; Holt: trend;
+    Holt-Winters: trend + repeating daily profile, the shape ops series
+    actually have). The series is the ordered sequence of non-empty
+    hourly buckets (integer-exact cents sums); the struct+seasonal-array
+    fold runs left-to-right with expression trees written identically in
+    the recursive-CTE oracle, so doubles match bit-for-bit."""
+    from cses2humio_spark.operators.drift import holt_winters_final
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp(F.col("ts")) / 3600)
+            .cast("bigint")
+            .alias("hr"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    return holt_winters_final(
+        hourly, "event_type", ["hr"], "v", period=24,
+        alpha=0.3, beta=0.1, gamma=0.2,
+    )
+
