@@ -590,3 +590,30 @@ def test_ewma_final_matches_sequential_and_is_partition_independent(spark):
         )
         # single observation: baseline IS the value, deviation 0
         assert out[2]["ewma"] == 100.0 and out[2]["deviation"] == 0.0
+
+
+def test_holt_winters_deterministic_and_drops_short_series(spark):
+    """The seasonal fold must be partitioning-invariant (identical rows
+    under different repartitions) and refuse nothing silently: series
+    shorter than 2*period+1 are DROPPED (a seasonal profile cannot be
+    initialized), longer ones emit all components."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cses2humio_spark.operators.drift import holt_winters_final
+
+    rows = []
+    for k, n in (("a", 60), ("b", 10)):  # b is too short for period 24
+        for i in range(n):
+            rows.append((k, i, float((i * 37) % 101 + (i % 24) * 3)))
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    out1 = sorted(map(tuple, holt_winters_final(
+        df.repartition(3), "k", ["t"], "v", period=24).collect()))
+    out2 = sorted(map(tuple, holt_winters_final(
+        df.repartition(17), "k", ["t"], "v", period=24).collect()))
+    assert out1 == out2
+    assert [r[0] for r in out1] == ["a"]  # b dropped
+    r = out1[0]
+    assert r[1] == 60 and all(x is not None for x in r)
+    with pytest.raises(ValueError, match="period"):
+        holt_winters_final(df, "k", ["t"], "v", period=1)
