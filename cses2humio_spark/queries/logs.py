@@ -770,6 +770,53 @@ def top_users_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "top_users_with_other_two_level",
+    oracle="""
+    WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    r AS (SELECT user_id, n,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rk FROM c)
+    SELECT CASE WHEN rk <= 10 THEN CAST(user_id AS VARCHAR)
+                ELSE 'other' END AS who,
+           SUM(n) AS n_events, COUNT(*) AS n_users
+    FROM r GROUP BY 1
+    """,
+)
+def top_users_with_other_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale twin of ``top_users_with_other`` (VERDICT r6 #7): same
+    answer, same oracle, NO global ranking window at all. The top-10 slice
+    is TakeOrdered over the per-user counts (per-partition top-k + driver
+    merge — two-level top-k, never a single-partition sort of |users|
+    rows), and the 'other' rollup is arithmetic against the one-row corpus
+    totals (total − top-slice), so nothing in the plan depends on user
+    cardinality. Use this form when |users| is extreme; the original keeps
+    the definitional window over the post-agg relation."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("user_id")).limit(10)
+    top_rows = top.select(
+        F.col("user_id").cast("string").alias("who"),
+        F.col("n").alias("n_events"),
+        F.lit(1).cast("bigint").alias("n_users"),
+    )
+    totals = counts.agg(
+        F.sum("n").alias("__all_events"), F.count(F.lit(1)).alias("__all_users")
+    )
+    topsum = top.agg(
+        F.sum("n").alias("__top_events"), F.count(F.lit(1)).alias("__top_users")
+    )
+    other = (
+        totals.crossJoin(F.broadcast(topsum))
+        .select(
+            F.lit("other").alias("who"),
+            (F.col("__all_events") - F.col("__top_events")).alias("n_events"),
+            (F.col("__all_users") - F.col("__top_users")).alias("n_users"),
+        )
+        .filter(F.col("n_users") > 0)
+    )
+    return top_rows.unionByName(other)
+
+
+@query(
     "timechart_value_percentiles",
     oracle="""
     SELECT CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) AS bucket_start,

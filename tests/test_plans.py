@@ -459,6 +459,50 @@ def test_interpolation_windows_partition_by_series(spark):
     assert "Exchange SinglePartition" not in plan
 
 
+#: queries ALLOWED to keep an unpartitioned, unbounded-input window —
+#: each is the documented definitional form (VERDICT r6 "What's wrong" #2)
+#: with a scale twin registered alongside:
+#:  - top_users_with_other: post-aggregation (one row per user); the
+#:    two-level TakeOrdered twin is `top_users_with_other_two_level`.
+#:  - token_budget_selection: window runs over DISTINCT quality values
+#:    only (bounded by value cardinality, not row count).
+#:  - equi_depth_price_histogram: exact equi-depth ntile is definitionally
+#:    a global sort; the mergeable twin is `approx_equi_depth_buckets`.
+_UNPARTITIONED_WINDOW_WHITELIST = {
+    "top_users_with_other",
+    "token_budget_selection",
+    "equi_depth_price_histogram",
+}
+
+
+def test_no_new_unpartitioned_unbounded_windows(spark):
+    """Lint (VERDICT r6 #5): the rrf_hybrid_top10 defect — a ranking
+    window with an EMPTY partition spec over an unbounded relation, which
+    moves ALL data to one task — shipped round 6 with a docstring claiming
+    the opposite, and the coarse shape snapshot could not tell a bounded
+    post-limit window from an unbounded one. This walks the optimized
+    logical plan of EVERY registered query and fails on any Window whose
+    partition spec is empty AND whose input subtree has no Limit,
+    unless the query is whitelisted above as definitional."""
+    from cses2humio_spark.plans.explain import unpartitioned_windows
+
+    import __spark_entry__ as entry
+
+    offenders = {}
+    for name, fn in entry.queries().items():
+        if name in _UNPARTITIONED_WINDOW_WHITELIST:
+            continue
+        df = fn(spark, SF_SMALL)
+        bad = [w["node"][:120] for w in unpartitioned_windows(df) if not w["bounded"]]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "unpartitioned window over an unbounded input — single-task global "
+        "sort at scale. Use TakeOrdered-then-rank (orderBy().limit(k) then "
+        f"the window over the k-row frame) or partition the window: {offenders}"
+    )
+
+
 def test_plan_shapes_match_snapshot(spark):
     """Plan-drift lint (VERDICT r4 #7): the bench gate catches slow; this
     catches ABOUT-to-be-slow-at-scale — a broadcast silently becoming a
