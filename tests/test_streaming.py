@@ -1223,9 +1223,9 @@ def test_materialized_hql_search_refuses_non_mergeable():
     from cses2humio_spark.streaming.materialized import MaterializedHqlSearch
 
     for bad, msg in [
-        # avg became mergeable (hidden sum/count) in round 5; the
-        # genuinely non-mergeable aggregates still refuse loudly
-        ("groupBy(x, function=stddev(v))", "not mergeable"),
+        # avg (r5) and stddev (r7) became mergeable via hidden exact
+        # sufficient statistics; the genuinely non-mergeable aggregates
+        # still refuse loudly
         ("groupBy(x, function=percentile(v))", "not mergeable"),
         ("groupBy(x, function=count(v, distinct=true))", "approxDistinct"),
         ("count()", "must end in groupBy"),
@@ -1475,6 +1475,72 @@ def test_materialized_search_maintains_approx_percentile(spark, tmp_path):
             str(tmp_path / "t4"),
             "groupBy(event_type, function=[approxPercentile(value, p=100)])",
         )
+
+
+def test_materialized_search_maintains_stddev(spark, tmp_path):
+    """stddev (VERDICT r6 #6 — the last commonly-wanted saved-search
+    aggregate) is maintained via the SAME exact-decimal sufficient
+    statistics (count / sum / sum-of-squares over DECIMAL(18,6)) the
+    batch hql stddev computes: decimal partials add exactly across
+    micro-batches, so the maintained table equals the one-shot batch
+    recompute EXACTLY (same formula, same round-4), independent of
+    batch boundaries."""
+    import glob
+    import os
+
+    from cses2humio_spark.hql import hql
+    from cses2humio_spark.streaming.materialized import MaterializedHqlSearch
+
+    src = tmp_path / "src"
+    src.mkdir()
+    chunks = [
+        [(i, "error" if i % 3 == 0 else "view", float(i) * 1.25 + 0.375)
+         for i in rng]
+        for rng in (range(0, 40), range(40, 90), range(90, 120))
+    ]
+    for i, rows in enumerate(chunks):
+        d = str(src / f"f{i}")
+        spark.createDataFrame(
+            rows, "event_id long, event_type string, value double"
+        ).coalesce(1).write.parquet(d)
+        for f in glob.glob(os.path.join(d, "*")):
+            os.utime(f, (1_700_000_000 + i * 60,) * 2)
+
+    pipe = (
+        "groupBy(event_type, function=[count(), stddev(value, as=sd_v)])"
+    )
+    search = MaterializedHqlSearch(str(tmp_path / "tbl"), pipe, n_buckets=4)
+    sch = spark.read.parquet(str(src / "f0")).schema
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(search)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    all_rows = spark.createDataFrame(
+        [r for c in chunks for r in c],
+        "event_id long, event_type string, value double",
+    )
+    want = {
+        r["event_type"]: (r["_count"], r["sd_v"])
+        for r in hql(all_rows, pipe).collect()
+    }
+    got = {
+        r["event_type"]: (r["_count"], r["sd_v"])
+        for r in search.read(spark).collect()
+    }
+    assert set(got) == set(want) == {"error", "view"}
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])  # EXACT equality
+    # sufficient statistics stay hidden
+    assert set(search.read(spark).columns) == {"event_type", "_count", "sd_v"}
 
 
 def test_keyed_upsert_table_lww_tombstone_resurrect_replay(spark, tmp_path):
