@@ -55,9 +55,9 @@ _PRIORITY = [
     "pq_index_refined_search",
     "ivfpq_index_search",
     "sq8_cosine_topk",
-    "jpeg_decode_stats",
     "jpeg_color_decode_stats",
     "qoi_decode_stats",
+    "mjpeg_avi_frame_stats",
     # connector semantics
     "connector_enrich_envelope",
     "connector_malformed_drop_rate",
@@ -105,6 +105,10 @@ _PRIORITY = [
 # qoi_decode_stats — plus the two new round-7 queries
 # pq_index_refined_search (exact re-rank) and
 # top_users_with_other_two_level (TakeOrdered top-N+other twin).
+# Mid-round-7 swap: mjpeg_avi_frame_stats (new this round — RIFF/AVI
+# Motion-JPEG) in; jpeg_decode_stats out (r6-driver-green; its gray
+# decode core is double-covered in-window by jpeg_color_decode_stats
+# and by mjpeg's frame-0 == still-image equality pin).
 # Remaining never-driver-checked decode pool for r8: pcx/tiff,
 # jpeg_420/progressive/SA.
 # Round-5 window refresh: five slots whose families stay covered by an

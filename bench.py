@@ -79,6 +79,9 @@ HEADLINE = [
     "weighted_sample_top100",  # A-Res weighted sampling, TakeOrdered
     "holt_trend_baseline",  # level+trend per-key fold
     "sq8_cosine_topk",  # int8-quantized brute-force scan
+    # round 7: new families promoted to the timed surface (no standing
+    # baseline yet — their first accepted bench becomes it)
+    "mjpeg_avi_frame_stats",  # RIFF/AVI walk + per-frame JPEG decode
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -990,3 +990,81 @@ def test_jpeg_successive_approximation_equals_sequential():
     buf = encsa(blocks, 48, 8)
     with _pytest.raises(ValueError):
         dec(buf[: len(buf) // 2])  # truncated mid-scan
+
+
+def test_mjpeg_avi_frames_equal_still_image_decoder(spark):
+    """The r6 verdict's frame-equality pin: frame 0 of every AVI (the
+    f=0 term drops out of the block formula) must decode to EXACTLY the
+    stats decode_jpeg produces for the standalone still image of the
+    same doc — same encoder, same decoder core, one wrapped in RIFF."""
+    from cses2humio_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+        decode_jpeg,
+        synthesize_avi_mjpeg_media,
+        synthesize_jpeg_media,
+    )
+    from cses2humio_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").filter(F.col("doc_id") < 30)
+    via_avi = {
+        r.doc_id: (r.width, r.height, r.mean_px, r.top_row_sum)
+        for r in decode_avi_mjpeg(synthesize_avi_mjpeg_media(docs), every_k=1)
+        .filter(F.col("frame_idx") == 0).collect()
+    }
+    via_still = {
+        r.doc_id: (r.width, r.height, r.mean_px, r.top_row_sum)
+        for r in decode_jpeg(synthesize_jpeg_media(docs)).collect()
+    }
+    assert via_avi == via_still
+    # and the sampler really walks every frame at every_k=1
+    all_rows = decode_avi_mjpeg(
+        synthesize_avi_mjpeg_media(docs), every_k=1
+    ).collect()
+    per_doc = {}
+    for r in all_rows:
+        per_doc.setdefault(r.doc_id, set()).add(r.frame_idx)
+    for d, frames in per_doc.items():
+        assert frames == set(range(3 + d % 4)), (d, frames)
+
+
+def test_mjpeg_avi_rejects_broken_containers(spark):
+    """The RIFF walker must raise loudly, not skip: bad magic, an idx1
+    that disagrees with the movi chunks, and an avih frame count that
+    disagrees with the chunks actually present."""
+    import struct
+
+    import pytest
+
+    from cses2humio_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+        synthesize_avi_mjpeg_media,
+    )
+
+    base = spark.range(0, 1).withColumnRenamed("id", "doc_id")
+    (payload,) = [
+        bytes(r.payload) for r in synthesize_avi_mjpeg_media(base).collect()
+    ]
+
+    def as_df(buf: bytes):
+        return spark.createDataFrame(
+            [(1, bytearray(buf))], "doc_id bigint, payload binary"
+        )
+
+    with pytest.raises(Exception, match="RIFF/AVI"):
+        decode_avi_mjpeg(as_df(b"JUNK" + payload[4:]), every_k=1).collect()
+
+    # flip one idx1 size field (idx1 is the trailing chunk)
+    at = payload.rindex(b"idx1")
+    broken = bytearray(payload)
+    (old_size,) = struct.unpack_from("<I", broken, at + 8 + 12)
+    struct.pack_into("<I", broken, at + 8 + 12, old_size + 1)
+    with pytest.raises(Exception, match="idx1"):
+        decode_avi_mjpeg(as_df(bytes(broken)), every_k=1).collect()
+
+    # lie about the frame count in avih (dwTotalFrames is field 5)
+    hat = payload.index(b"avih")
+    lied = bytearray(payload)
+    struct.pack_into("<I", lied, hat + 8 + 16, 99)
+    with pytest.raises(Exception, match="frames"):
+        decode_avi_mjpeg(as_df(bytes(lied)), every_k=1).collect()
