@@ -526,6 +526,111 @@ def near_dup_clusters(
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_rep"))
 
 
+def alternating_star_components(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SOCC 2014) — the diameter-robust twin of ``near_dup_clusters``.
+
+    Min-label propagation converges in O(component diameter) rounds,
+    which is right for the dense pair/triple components fuzzy dedup
+    usually produces — but a CHAIN-shaped component (templated web text
+    where A~B~C~... with no shortcut edges) makes diameter = component
+    size, and ``near_dup_clusters`` refuses past its round budget. The
+    star alternation contracts every component to a star in O(log^2 n)
+    rounds REGARDLESS of diameter:
+
+    - large-star(u): over the symmetric neighborhood N(u), connect every
+      strictly-larger neighbor v > u to m = min(N(u) + {u});
+    - small-star(u): over edges directed large->small grouped by the
+      larger endpoint u, connect u and all its smaller neighbors to
+      their minimum.
+
+    Both steps are one groupBy + one self-equi-join on node id — the
+    same shuffle shape each round, no growing state — and each round's
+    edge set is lineage-truncated (localCheckpoint; a cluster deployment
+    would point this at a reliable checkpoint dir), so the plan stays
+    O(1) deep however many rounds run. Convergence is detected by a
+    4-field distributed signature (count + id sums + order-insensitive
+    hash sum), one tiny action per round — never a label collect.
+
+    Returns (id_col, cluster_rep): every id in ``ids``, mapped to its
+    component's minimum id (singletons to themselves) — bit-identical to
+    ``near_dup_clusters`` on any input both accept (pinned in tests)."""
+    n_part = ids.sparkSession.sparkContext.defaultParallelism
+    e = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .repartition(n_part, "u")
+        .localCheckpoint(eager=True)
+    )
+
+    def _signature(df: DataFrame) -> tuple:
+        # decimal sums: an int64 SUM of xxhash64 values overflows (ANSI
+        # sessions raise; non-ANSI would wrap silently)
+        row = df.agg(
+            F.count(F.lit(1)),
+            F.sum(F.col("u").cast("decimal(38,0)")),
+            F.sum(F.col("v").cast("decimal(38,0)")),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+        ).collect()[0]
+        return tuple(row)
+
+    sig = _signature(e)
+    for _ in range(max_rounds):
+        # large-star: v > u re-attached to min(N(u) + {u})
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("mn"), F.col("u"))
+        e = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .distinct()
+        )
+        # small-star: direct large->small, attach u and its smaller
+        # neighbors to their minimum
+        d = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            d.join(mins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select("u", F.col("m").alias("v")))
+            .distinct()
+            .repartition(n_part, "u")
+            .localCheckpoint(eager=True)
+        )
+        new_sig = _signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"alternating_star_components did not converge within "
+            f"max_rounds={max_rounds} — implausible for any graph that "
+            "fits on hardware (rounds grow as log^2 n); raise max_rounds"
+        )
+    # fixpoint edges are (leaf -> component-min) stars; roots have no
+    # outgoing edge and map to themselves
+    reps = e.groupBy("u").agg(F.min("v").alias("cluster_rep"))
+    return (
+        ids.select(F.col(id_col))
+        .join(reps.withColumnRenamed("u", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_rep"), F.col(id_col)).alias("cluster_rep"),
+        )
+    )
+
+
 def minhash_signatures_rowwise(
     df: DataFrame,
     id_col: str,

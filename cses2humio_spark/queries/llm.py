@@ -1094,9 +1094,7 @@ def kmeans_clusters_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_cluster_profile(emb, "vec_id", "embedding", k=8, n_iter=2)
 
 
-@query(
-    "near_dup_cluster_reps",
-    oracle=f"""
+_CLUSTER_REPS_ORACLE = f"""
     WITH RECURSIVE {_CAND_CTE},
     dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY 1),
@@ -1119,8 +1117,10 @@ def kmeans_clusters_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_rep
     FROM reach GROUP BY id
-    """,
-)
+    """
+
+
+@query("near_dup_cluster_reps", oracle=_CLUSTER_REPS_ORACLE)
 def near_dup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup decision pipeline: MinHash candidates -> exact Jaccard
     verify (>= 0.5) -> connected components -> every document mapped to its
@@ -1145,6 +1145,39 @@ def near_dup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")) >= 0.5
     ).select("id_a", "id_b")
     return near_dup_clusters(docs.select("doc_id"), pairs)
+
+
+@query("near_dup_cluster_reps_star", oracle=_CLUSTER_REPS_ORACLE)
+def near_dup_cluster_reps_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diameter-robust twin of ``near_dup_cluster_reps`` — the SAME dedup
+    decision (same oracle SQL, bit-identical output), but the connected-
+    components step is the alternating large-star/small-star contraction
+    (Kiveris et al., SOCC'14; ``operators/dedup.py::
+    alternating_star_components``), which converges in O(log^2 n) rounds
+    regardless of component DIAMETER. Min-label propagation needs
+    O(diameter) rounds and refuses chain-shaped components past its
+    budget — exactly what templated web text produces (A~B~C~... with no
+    shortcut edges); at 100 TB this twin is the safe default when the
+    duplicate-graph shape is unknown. The chain-stress equivalence (a
+    200-node path where the propagation twin's budget is exceeded) is
+    pinned in tests/test_approx.py."""
+    from cses2humio_spark.operators.dedup import (
+        alternating_star_components,
+        jaccard_pairs,
+        minhash_candidate_pairs,
+        shingle_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs, "doc_id", "text", n=3).persist()
+    cands = minhash_candidate_pairs(
+        docs, "doc_id", "text", n=3, bands=4, rows_per_band=2, shingles_df=sh
+    )
+    j = jaccard_pairs(docs, cands, "doc_id", "text", n=3, shingles_df=sh, assume_overlap=True)
+    pairs = j.filter(
+        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")) >= 0.5
+    ).select("id_a", "id_b")
+    return alternating_star_components(docs.select("doc_id"), pairs)
 
 
 @query(

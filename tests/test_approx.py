@@ -682,3 +682,60 @@ def test_sq8_topk_recall_vs_exact_float(spark):
         len(got[p] & want[p]) / len(want[p]) for p in want
     ) / len(want)
     assert recall >= 0.9, recall
+
+
+def test_star_components_equal_propagation_and_survive_long_chains(spark):
+    """alternating_star_components is the diameter-robust CC twin: on a
+    graph min-label propagation handles, the two must agree EXACTLY; on
+    a 200-node chain (diameter 199), the propagation twin's default
+    round budget refuses while the star contraction converges in
+    O(log^2 n) rounds and labels every node with the chain's minimum."""
+    import pytest
+
+    from cses2humio_spark.operators.dedup import (
+        alternating_star_components,
+        near_dup_clusters,
+    )
+
+    # mixed shapes: a triangle {0,1,2}, a pair {10,11}, a 4-star around
+    # 20, singletons 30/31, and ids listed but absent from any pair
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (10, 11), (20, 21), (20, 22), (20, 23)],
+        "id_a long, id_b long",
+    )
+    ids = spark.createDataFrame(
+        [(i,) for i in [0, 1, 2, 10, 11, 20, 21, 22, 23, 30, 31]],
+        "doc_id long",
+    )
+    star = {
+        (r.doc_id, r.cluster_rep)
+        for r in alternating_star_components(ids, pairs).collect()
+    }
+    prop = {
+        (r.doc_id, r.cluster_rep)
+        for r in near_dup_clusters(ids, pairs).collect()
+    }
+    assert star == prop
+    assert star == {
+        (0, 0), (1, 0), (2, 0), (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20), (23, 20), (30, 30), (31, 31),
+    }
+
+    # chain stress: 0-1-2-...-199 (diameter 199 >> any sane propagation
+    # budget; the budget is capped at 6 here so the refusal is cheap —
+    # each refused propagation round persists another lineage layer)
+    n = 200
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    chain_ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_clusters(chain_ids, chain, max_iter=6).collect()
+    labels = alternating_star_components(chain_ids, chain).collect()
+    assert len(labels) == n
+    assert all(r.cluster_rep == 0 for r in labels)
+
+    # empty edge set: everyone is their own representative
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    singletons = alternating_star_components(chain_ids, empty).collect()
+    assert all(r.cluster_rep == r.doc_id for r in singletons)

@@ -155,6 +155,8 @@ def test_no_query_degenerates_to_cartesian(spark):
     SIDE_EFFECTING = {
         "streaming_pipeline_demo",
         "near_dup_cluster_reps",
+        "near_dup_cluster_reps_star",  # iterative star contraction runs
+        # its per-round convergence actions at plan-construction time
         "connector_event_map_pivot",
         "rollup_materialized_counts",  # runs a full streaming query to build
         "alert_rules_demo",  # runs a full streaming query to build
