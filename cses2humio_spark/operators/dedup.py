@@ -631,6 +631,81 @@ def alternating_star_components(
     )
 
 
+def duplicate_span_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 8,
+) -> DataFrame:
+    """Exact duplicated-SPAN coverage per document — the substring-level
+    dedup primitive (the ExactSubstr idea popularized by "Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022):
+    fingerprint EVERY ``width``-token sliding window (stride 1, unlike
+    ``chunking.chunk_documents``' strided windows), find fingerprints
+    that occur in MORE THAN ONE document, and report the exact fraction
+    of each document's token positions covered by the UNION of its
+    cross-document-duplicated windows. A trimming pass drops exactly the
+    covered positions; a filtering pass thresholds on the ratio.
+
+    Scale shape: the window table is a narrow map-side expansion
+    (doc_id, position, 16-byte md5) — token text never leaves the scan
+    stage; the duplicate-detection shuffle carries digests only; the
+    coverage union explodes positions ONLY for windows already known to
+    be duplicated (rare by construction in a healthy corpus), then
+    distinct-counts ints. Nothing is driver-sized.
+
+    Returns (id_col, n_tokens, n_dup_tokens, dup_ratio) for every input
+    document (docs shorter than ``width`` tokens have coverage 0)."""
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("toks"), F.size(toks).alias("n"))
+    win = base.filter(F.col("n") >= width).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - width),
+                lambda i: F.struct(
+                    i.alias("p"),
+                    F.md5(
+                        F.concat_ws(" ", F.slice(F.col("toks"), i + 1, width))
+                    ).alias("fp"),
+                ),
+            )
+        ).alias("w"),
+    ).select(id_col, F.col("w.p").alias("p"), F.col("w.fp").alias("fp"))
+    dup_fps = (
+        win.groupBy("fp")
+        .agg(F.count_distinct(id_col).alias("n_docs_fp"))
+        .filter(F.col("n_docs_fp") > 1)
+        .select("fp")
+    )
+    covered = (
+        win.join(dup_fps, "fp")
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("p"), F.col("p") + width - 1)).alias("cp"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_tokens"))
+    )
+    return (
+        base.join(covered, id_col, "left")
+        .select(
+            id_col,
+            F.col("n").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("bigint")
+            .alias("n_dup_tokens"),
+            F.round(
+                F.coalesce(F.col("n_dup_tokens"), F.lit(0))
+                / F.col("n").cast("double"),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
 def minhash_signatures_rowwise(
     df: DataFrame,
     id_col: str,

@@ -886,3 +886,42 @@ def bpe_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("oov_rate"),
     )
+
+
+@query(
+    "dup_span_coverage_stats",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    w AS (SELECT doc_id, toks, UNNEST(generate_series(0, len(toks) - 8)) AS p
+          FROM t WHERE len(toks) >= 8),
+    fps AS (SELECT doc_id, p,
+                   md5(array_to_string(toks[p + 1 : p + 8], ' ')) AS fp
+            FROM w),
+    dup AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(DISTINCT doc_id) > 1),
+    cov AS (SELECT DISTINCT f.doc_id, u.cp
+            FROM fps f JOIN dup d ON d.fp = f.fp,
+                 UNNEST(generate_series(f.p, f.p + 7)) AS u(cp)),
+    nd AS (SELECT doc_id, COUNT(*) AS n_dup FROM cov GROUP BY doc_id)
+    SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(nd.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+           ROUND(COALESCE(nd.n_dup, 0) / CAST(len(t.toks) AS DOUBLE), 6)
+             AS dup_ratio
+    FROM t LEFT JOIN nd ON nd.doc_id = t.doc_id
+    """,
+)
+def dup_span_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup signal (the ExactSubstr primitive of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): the exact fraction of every document's token positions
+    covered by the UNION of its 8-token sliding windows that also occur
+    in some OTHER document (``operators/dedup.py::
+    duplicate_span_coverage``). Finer than ``chunk_dedup_stats``' strided
+    chunk fingerprints: stride-1 windows catch duplicated spans at ANY
+    alignment, and the per-position union is what a span-trimming pass
+    would actually remove. Token text never rides a shuffle — the window
+    table carries (doc_id, position, md5); positions explode only for
+    windows already known duplicated."""
+    from cses2humio_spark.operators.dedup import duplicate_span_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_span_coverage(docs, "doc_id", "text", width=8)

@@ -296,3 +296,44 @@ def test_hypothesis_chunking_invariants(spark):
         assert {tok for c in chunks for tok in c} == {f"t{i}" for i in range(n)}
 
     run()
+
+
+def test_duplicate_span_coverage_union_and_alignment(spark):
+    """Hand-built corpus pins the span semantics: (1) overlapping dup
+    windows count UNION positions, not sum; (2) a duplicated span is
+    caught at ANY alignment (stride-1), which strided chunk fingerprints
+    would miss; (3) docs shorter than the window and fully-unique docs
+    report zero."""
+    from cses2humio_spark.operators.dedup import duplicate_span_coverage
+
+    shared = "q w e r t y u i"  # 8 tokens -> exactly one shared window
+    docs = spark.createDataFrame(
+        [
+            # doc 0: shared span at offset 2 of 12 tokens
+            (0, "a0 b0 " + shared + " c0 d0"),
+            # doc 1: the SAME span at offset 3 (different alignment)
+            (1, "a1 b1 c1 " + shared + " d1"),
+            # doc 2: shared span twice, overlapping itself via repeat —
+            # 'q w e r t y u i q w e r t y u i' has the 8-gram at
+            # offsets 0 and 8, plus every rotation in between is unique
+            (2, shared + " " + shared),
+            # doc 3: completely unique text
+            (3, "z1 z2 z3 z4 z5 z6 z7 z8 z9"),
+            # doc 4: shorter than the window
+            (4, "t1 t2 t3"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.n_dup_tokens, r.dup_ratio)
+        for r in duplicate_span_coverage(docs, "doc_id", "text", width=8).collect()
+    }
+    assert out[0] == (12, 8, round(8 / 12, 6))
+    assert out[1] == (12, 8, round(8 / 12, 6))
+    # doc 2: windows at offsets 0 and 8 match docs 0/1; the 9th..15th
+    # windows ('w e r t y u i q', ...) exist only inside doc 2 itself —
+    # within-doc repeats are NOT cross-document duplicates, so coverage
+    # is the union of [0,8) and [8,16) = all 16 positions
+    assert out[2] == (16, 16, 1.0)
+    assert out[3] == (9, 0, 0.0)
+    assert out[4] == (3, 0, 0.0)
