@@ -19,8 +19,11 @@ and searches them through the SAME ``adc_tables``/``adc_rank`` (and
 index search results are IDENTICAL to the fused query by construction
 (pinned in tests/test_ann_index.py).
 
-Transaction machinery mirrors ``streaming.materialized`` (the sharded-MV
-pattern): immutable segment dirs, a JSON manifest per committed version
+Transaction machinery is the shared ``VersionedSegmentStore``
+(``operators/index_store.py``, factored out of this module so the
+MinHash text-dedup index runs the same tested implementation; the
+pattern mirrors ``streaming.materialized``'s sharded MV): immutable
+segment dirs, a JSON manifest per committed version
 naming the segment set + codebook version, an atomic ``_LATEST`` pointer
 (``os.replace``), and superseded segments/codebooks pruned once no
 retained manifest references them. The artifact VERSION counter is
@@ -44,13 +47,12 @@ implements the LLM-pipeline surface's production index lifecycle.
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cses2humio_spark.operators.index_store import VersionedSegmentStore
 from cses2humio_spark.operators.similarity import (
     adc_rank,
     adc_tables,
@@ -61,7 +63,7 @@ from cses2humio_spark.operators.similarity import (
 )
 
 
-class PQIndex:
+class PQIndex(VersionedSegmentStore):
     """Versioned on-disk PQ / IVF-PQ index.
 
     ``mode="pq"``: flat product quantization — every search scans all
@@ -91,94 +93,26 @@ class PQIndex:
             raise ValueError(f"mode must be 'pq' or 'ivfpq', got {mode!r}")
         if dim % m != 0:
             raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-        if keep_versions < 1:
-            raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
-        self.index_dir = index_dir
         self.m, self.k_codes, self.dim, self.mode = m, k_codes, dim, mode
         self.id_col, self.vec_col = id_col, vec_col
-        self.keep_versions = keep_versions
-        os.makedirs(index_dir, exist_ok=True)
-        cfg_path = os.path.join(index_dir, "_TABLE.json")
-        geometry = {"m": m, "k_codes": k_codes, "dim": dim, "mode": mode}
-        if os.path.exists(cfg_path):
-            with open(cfg_path, encoding="ascii") as fh:
-                cfg = json.load(fh)
-            if cfg != geometry:
-                raise ValueError(
-                    f"{index_dir}: index was created with {cfg}, reopened "
-                    f"with {geometry} — codes are meaningless under a "
-                    "different codebook geometry"
-                )
-        else:
-            tmp = cfg_path + ".tmp"
-            with open(tmp, "w", encoding="ascii") as fh:
-                json.dump(geometry, fh)
-            os.replace(tmp, cfg_path)
-
-    # -- version pointer + manifests ---------------------------------------
-
-    @property
-    def _pointer(self) -> str:
-        return os.path.join(self.index_dir, "_LATEST")
-
-    def latest_version(self) -> int | None:
-        try:
-            with open(self._pointer, encoding="ascii") as fh:
-                return int(fh.read().strip())
-        except FileNotFoundError:
-            return None
-
-    def _manifest_path(self, version: int) -> str:
-        return os.path.join(self.index_dir, f"manifest_v={version}.json")
-
-    def _load_manifest(self, version: int) -> dict:
-        with open(self._manifest_path(version), encoding="ascii") as fh:
-            return json.load(fh)
-
-    def _write_manifest(self, version: int, manifest: dict) -> None:
-        tmp = self._manifest_path(version) + ".tmp"
-        with open(tmp, "w", encoding="ascii") as fh:
-            json.dump(manifest, fh)
-        os.replace(tmp, self._manifest_path(version))
-
-    def _commit(self, version: int) -> None:
-        tmp = self._pointer + ".tmp"
-        with open(tmp, "w", encoding="ascii") as fh:
-            fh.write(str(version))
-        os.replace(tmp, self._pointer)
-
-    def versions(self) -> list[int]:
-        import re
-
-        return sorted(
-            int(m.group(1))
-            for name in os.listdir(self.index_dir)
-            if (m := re.fullmatch(r"manifest_v=(-?\d+)\.json", name))
+        super().__init__(
+            index_dir,
+            {"m": m, "k_codes": k_codes, "dim": dim, "mode": mode},
+            keep_versions,
         )
 
-    def _resolve_version(self, version: int | None) -> int:
-        latest = self.latest_version()
-        if latest is None:
-            raise ValueError(
-                f"{self.index_dir}: index has no committed version — run "
-                "build() first"
-            )
-        if version is None:
-            return latest
-        if version > latest or not os.path.exists(self._manifest_path(version)):
-            raise ValueError(
-                f"{self.index_dir}: version {version} not available "
-                f"(retained: {self.versions()})"
-            )
-        return version
+    # version pointer / manifests / atomic writes / prune: inherited from
+    # VersionedSegmentStore (operators/index_store.py)
 
-    @staticmethod
-    def _last_batch_id(manifest: dict, version: int) -> int:
-        """The highest stream batch id applied as of ``manifest``.
-        Pre-upgrade manifests (no ``last_batch_id`` field) used the
-        artifact version AS the batch id, so the manifest's own version
-        is the faithful legacy value."""
-        return int(manifest.get("last_batch_id", version))
+    def _live_artifacts(self, manifest: dict) -> dict[str, set[int]]:
+        return {
+            r"seg=(-?\d+)": set(manifest["segments"]),
+            r"codebook_v=(-?\d+)": {manifest["codebook"]},
+            r"centroids_v=(-?\d+)": (
+                {manifest["centroids"]} if "centroids" in manifest else set()
+            ),
+            r"tomb=(-?\d+)": set(manifest.get("tombstones", [])),
+        }
 
     # -- artifact paths ----------------------------------------------------
 
@@ -193,20 +127,6 @@ class PQIndex:
 
     def _centroids_dir(self, version: int) -> str:
         return os.path.join(self.index_dir, f"centroids_v={version}")
-
-    def _write_dir(self, df: DataFrame, dst: str, partition_by=None) -> None:
-        """Write to a staging dir, then atomically rename into place (a
-        crashed earlier attempt at the same dst is discarded first — its
-        version was never committed, so it is garbage by definition)."""
-        staging = dst + ".staging"
-        shutil.rmtree(staging, ignore_errors=True)
-        w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(staging)
-        if os.path.exists(dst):
-            shutil.rmtree(dst)
-        os.replace(staging, dst)
 
     # -- build -------------------------------------------------------------
 
@@ -495,73 +415,6 @@ class PQIndex:
         self._commit(version)
         self._prune(version)
         return version
-
-    # -- pruning -----------------------------------------------------------
-
-    def _prune(self, committed: int) -> None:
-        """Drop manifests beyond the retained window, then any segment /
-        codebook / centroid / tombstone dir no retained manifest
-        references. Artifacts are retained for ONE version beyond the
-        manifest window: reads are lazy (``read_codes``/``search``
-        return un-materialized DataFrames over the segment paths), so a
-        reader that resolved version V must survive a concurrent commit
-        of V+1 evicting V from the manifest window — its files are only
-        physically dropped at the commit AFTER that (the same
-        read-vs-retention grace the sharded MV documents). Readers
-        slower than one full commit interval still race deletion; hold
-        a version= pin and materialize promptly, or raise
-        keep_versions."""
-        import re
-
-        manifest_ids = sorted(
-            (
-                int(m.group(1))
-                for name in os.listdir(self.index_dir)
-                if (m := re.fullmatch(r"manifest_v=(-?\d+)\.json", name))
-            ),
-            reverse=True,
-        )
-        retained = [i for i in manifest_ids if i <= committed][
-            : self.keep_versions
-        ]
-        # grace window: artifacts referenced by one extra (just-evicted)
-        # manifest stay on disk until the NEXT commit's prune
-        grace = [i for i in manifest_ids if i <= committed][
-            : self.keep_versions + 1
-        ]
-        live_segs: set[int] = set()
-        live_cb: set[int] = set()
-        live_cent: set[int] = set()
-        live_tomb: set[int] = set()
-        for mid in grace:
-            try:
-                man = self._load_manifest(mid)
-            except FileNotFoundError:
-                continue  # evicted manifest already removed at a prior prune
-            live_segs.update(man["segments"])
-            live_cb.add(man["codebook"])
-            if "centroids" in man:
-                live_cent.add(man["centroids"])
-            live_tomb.update(man.get("tombstones", []))
-        for mid in manifest_ids:
-            if mid < committed and mid not in retained:
-                try:
-                    os.remove(self._manifest_path(mid))
-                except FileNotFoundError:
-                    pass
-        patterns = {
-            r"seg=(-?\d+)": live_segs,
-            r"codebook_v=(-?\d+)": live_cb,
-            r"centroids_v=(-?\d+)": live_cent,
-            r"tomb=(-?\d+)": live_tomb,
-        }
-        for name in os.listdir(self.index_dir):
-            for pat, live in patterns.items():
-                m = re.fullmatch(pat, name)
-                if m and int(m.group(1)) < committed and int(m.group(1)) not in live:
-                    shutil.rmtree(
-                        os.path.join(self.index_dir, name), ignore_errors=True
-                    )
 
     # -- read --------------------------------------------------------------
 

@@ -165,6 +165,7 @@ def test_no_query_degenerates_to_cartesian(spark):
         "embedding_pca_explained_variance",  # driver-side eigh to build
         "pq_index_search",  # builds the persisted index (once) to search
         "ivfpq_index_search",  # builds the persisted IVF-PQ index once
+        "minhash_index_candidates",  # builds the persisted MinHash index once
         "cdc_upsert_latest_state",  # runs a full streaming query to build
     }
     offenders = []
