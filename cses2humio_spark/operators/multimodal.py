@@ -3286,3 +3286,258 @@ def decode_avi_mjpeg(media: DataFrame, every_k: int = 2) -> DataFrame:
         "doc_id", "frame_idx", "n_frames", "width", "height",
         F.round("mean_px", 6).alias("mean_px"), "top_row_sum",
     )
+
+
+# ---- AVI audio+video: two interleaved streams, real demux -----------------
+
+AVI_AV_SCHEMA = (
+    "doc_id bigint, n_frames int, width int, height int, "
+    "video_mean_px double, n_samples bigint, sample_rate int, "
+    "audio_rms double"
+)
+
+
+def synthesize_avi_av_media(docs: DataFrame, sample_rate: int = 16000) -> DataFrame:
+    """(doc_id, payload binary): a VALID two-stream RIFF/AVI per document
+    — stream 0 'vids'/'MJPG' (real baseline JPEGs, same block formula and
+    geometry as ``synthesize_avi_mjpeg_media``), stream 1 'auds' PCM16
+    mono (same sample formula as ``synthesize_wav_media``: sample j =
+    ((31*doc_id + 17*j) mod 65536) - 32768, with 100 + d mod 50 samples
+    PER FRAME) — with the movi chunks strictly INTERLEAVED
+    ('00dc','01wb' per frame, the layout real muxers emit so players can
+    stream) and an idx1 covering both streams. Exercises the demux a
+    multimodal pipeline actually needs: routing chunk types to their
+    stream decoders from one container walk."""
+
+    encode_gray, *_rest = _make_jpeg_codec()  # closure: ships by value
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def _chunk(fourcc: bytes, body: bytes) -> bytes:
+            pad = b"\x00" if len(body) % 2 else b""
+            return fourcc + _struct.pack("<I", len(body)) + body + pad
+
+        def _lst(kind: bytes, body: bytes) -> bytes:
+            return _chunk(b"LIST", kind + body)
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                bw, bh = 1 + d % 3, 1 + d % 2
+                w, h = bw * 8, bh * 8
+                n_frames = 3 + d % 4
+                n_per = 100 + d % 50
+                frames, audio = [], []
+                for f in range(n_frames):
+                    blocks = []
+                    for by in range(bh):
+                        for bx in range(bw):
+                            v = (3 * d + 17 * bx + 29 * by + 41 * f) % 256
+                            blk = [[0] * 8 for _ in range(8)]
+                            blk[0][0] = 8 * (v - 128)
+                            blocks.append(blk)
+                    frames.append(encode_gray(blocks, w, h))
+                    j = _np.arange(f * n_per, (f + 1) * n_per, dtype=_np.int64)
+                    audio.append(
+                        (((31 * d + 17 * j) % 65536) - 32768)
+                        .astype("<i2").tobytes()
+                    )
+                buf_size = max(
+                    max(len(fr) for fr in frames), max(len(a) for a in audio)
+                )
+
+                avih = _struct.pack(
+                    "<IIIIIIIIII4I",
+                    40000, 0, 0, 0x10,
+                    n_frames, 0, 2, buf_size, w, h, 0, 0, 0, 0,
+                )
+                strh_v = _struct.pack(
+                    "<4s4sIHHIIIIIIII4h",
+                    b"vids", b"MJPG", 0, 0, 0, 0,
+                    1, 25, 0, n_frames, buf_size, 0xFFFFFFFF, 0,
+                    0, 0, w, h,
+                )
+                strf_v = _struct.pack(
+                    "<IiiHH4sIiiII",
+                    40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0,
+                )
+                strh_a = _struct.pack(
+                    "<4s4sIHHIIIIIIII4h",
+                    b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0,
+                    1, sample_rate, 0, n_frames * n_per, buf_size,
+                    0xFFFFFFFF, 2,
+                    0, 0, 0, 0,
+                )
+                strf_a = _struct.pack(
+                    "<HHIIHH",
+                    1, 1, sample_rate, sample_rate * 2, 2, 16,
+                )
+                hdrl = _lst(
+                    b"hdrl",
+                    _chunk(b"avih", avih)
+                    + _lst(b"strl", _chunk(b"strh", strh_v) + _chunk(b"strf", strf_v))
+                    + _lst(b"strl", _chunk(b"strh", strh_a) + _chunk(b"strf", strf_a)),
+                )
+                movi_body = b""
+                idx_entries = []
+                for fr, au in zip(frames, audio):
+                    idx_entries.append((b"00dc", 4 + len(movi_body), len(fr)))
+                    movi_body += _chunk(b"00dc", fr)
+                    idx_entries.append((b"01wb", 4 + len(movi_body), len(au)))
+                    movi_body += _chunk(b"01wb", au)
+                movi = _lst(b"movi", movi_body)
+                idx1 = _chunk(
+                    b"idx1",
+                    b"".join(
+                        ck + _struct.pack("<III", 0x10, off, size)
+                        for ck, off, size in idx_entries
+                    ),
+                )
+                riff_body = b"AVI " + hdrl + movi + idx1
+                payloads.append(
+                    b"RIFF" + _struct.pack("<I", len(riff_body)) + riff_body
+                )
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(_gen, "doc_id bigint, payload binary")
+
+
+def demux_avi_av(media: DataFrame) -> DataFrame:
+    """REAL two-stream AVI demux: one container walk routes '00dc'
+    chunks to the baseline-JPEG decoder and '01wb' chunks to the PCM16
+    parser, validating the full header chain (avih dwStreams=2, vids/MJPG
+    strh+strf, auds strh + PCM16-mono WAVEFORMATEX), STRICT per-frame
+    interleaving (video then audio, the muxer layout), and every idx1
+    entry against the chunks found. Emits one row per document: video
+    stats over ALL frames + audio stats over the concatenated track."""
+
+    _, _, decode_frame, *_rest = _make_jpeg_codec()  # ships by value
+
+    def _demux(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def _walk(buf: bytes, start: int, end: int):
+            pos = start
+            while pos + 8 <= end:
+                fourcc = buf[pos : pos + 4]
+                (size,) = _struct.unpack_from("<I", buf, pos + 4)
+                yield fourcc, pos + 8, size
+                pos += 8 + size + (size % 2)
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "n_frames", "width", "height", "video_mean_px",
+                "n_samples", "sample_rate", "audio_rms",
+            )}
+            for d, b in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(b)
+                if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+                    raise ValueError("not a RIFF/AVI file")
+                total = hdr_w = hdr_h = None
+                n_streams = None
+                rate = None
+                stream_types = []
+                chunks = []  # (fourcc, idx1-style offset, payload)
+                idx1 = []
+                for fourcc, at, size in _walk(buf, 12, len(buf)):
+                    if fourcc == b"LIST" and buf[at : at + 4] == b"hdrl":
+                        for fc2, at2, sz2 in _walk(buf, at + 4, at + size):
+                            if fc2 == b"avih":
+                                vals = _struct.unpack_from("<10I", buf, at2)
+                                total, n_streams = vals[4], vals[6]
+                                hdr_w, hdr_h = vals[8], vals[9]
+                            elif fc2 == b"LIST" and buf[at2 : at2 + 4] == b"strl":
+                                for fc3, at3, _s3 in _walk(buf, at2 + 4, at2 + sz2):
+                                    if fc3 == b"strh":
+                                        stream_types.append(buf[at3 : at3 + 4])
+                                    elif fc3 == b"strf":
+                                        if stream_types[-1] == b"vids":
+                                            bi = _struct.unpack_from(
+                                                "<IiiHH4s", buf, at3
+                                            )
+                                            if bi[5] != b"MJPG":
+                                                raise ValueError(
+                                                    "video strf is not MJPG"
+                                                )
+                                        elif stream_types[-1] == b"auds":
+                                            wf = _struct.unpack_from(
+                                                "<HHIIHH", buf, at3
+                                            )
+                                            if (wf[0], wf[1], wf[5]) != (1, 1, 16):
+                                                raise ValueError(
+                                                    "audio strf is not "
+                                                    "PCM16 mono"
+                                                )
+                                            rate = wf[2]
+                    elif fourcc == b"LIST" and buf[at : at + 4] == b"movi":
+                        movi_at = at
+                        for fc2, at2, sz2 in _walk(buf, at + 4, at + size):
+                            if fc2 in (b"00dc", b"01wb"):
+                                chunks.append(
+                                    (fc2, at2 - 8 - movi_at, buf[at2 : at2 + sz2])
+                                )
+                    elif fourcc == b"idx1":
+                        for i in range(size // 16):
+                            ck, fl, off, sz = _struct.unpack_from(
+                                "<4sIII", buf, at + 16 * i
+                            )
+                            if not fl & 0x10:
+                                raise ValueError("unexpected idx1 flags")
+                            idx1.append((ck, off, sz))
+                if stream_types != [b"vids", b"auds"] or n_streams != 2:
+                    raise ValueError("expected exactly vids+auds streams")
+                if rate is None or total is None:
+                    raise ValueError("missing AVI header chain")
+                if idx1 != [(ck, off, len(body)) for ck, off, body in chunks]:
+                    raise ValueError("idx1 disagrees with movi chunks")
+                vid = [c for c in chunks if c[0] == b"00dc"]
+                aud = [c for c in chunks if c[0] == b"01wb"]
+                if len(vid) != total or len(aud) != total:
+                    raise ValueError(
+                        f"chunk counts {len(vid)}v/{len(aud)}a disagree "
+                        f"with avih total_frames={total}"
+                    )
+                # strict muxer interleaving: 00dc, 01wb, 00dc, 01wb, ...
+                want = [b"00dc", b"01wb"] * total
+                if [c[0] for c in chunks] != want:
+                    raise ValueError("movi chunks are not interleaved")
+                px_sum, px_cnt = 0, 0
+                for _, _, fr in vid:
+                    w, h, pixels, _n = decode_frame(fr)
+                    img = _np.array(pixels, dtype=_np.int64)
+                    if img.ndim != 2:
+                        raise ValueError("MJPEG frame decoded non-grayscale")
+                    if (w, h) != (hdr_w, hdr_h):
+                        raise ValueError("frame dims disagree with avih")
+                    px_sum += int(img.sum())
+                    px_cnt += img.size
+                track = _np.frombuffer(
+                    b"".join(body for _, _, body in aud), dtype="<i2"
+                )
+                rows["doc_id"].append(int(d))
+                rows["n_frames"].append(int(total))
+                rows["width"].append(int(hdr_w))
+                rows["height"].append(int(hdr_h))
+                rows["video_mean_px"].append(px_sum / px_cnt)
+                rows["n_samples"].append(int(track.size))
+                rows["sample_rate"].append(int(rate))
+                rows["audio_rms"].append(
+                    float(_np.sqrt((track.astype(_np.float64) ** 2).mean()))
+                )
+            yield _pd.DataFrame(rows)
+
+    out = media.mapInPandas(_demux, AVI_AV_SCHEMA)
+    return out.select(
+        "doc_id", "n_frames", "width", "height",
+        F.round("video_mean_px", 6).alias("video_mean_px"),
+        "n_samples", "sample_rate",
+        F.round("audio_rms", 6).alias("audio_rms"),
+    )

@@ -1094,7 +1094,7 @@ def kmeans_clusters_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_cluster_profile(emb, "vec_id", "embedding", k=8, n_iter=2)
 
 
-_CLUSTER_REPS_ORACLE = f"""
+_CLUSTER_CTES = f"""
     WITH RECURSIVE {_CAND_CTE},
     dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY 1),
@@ -1114,10 +1114,12 @@ _CLUSTER_REPS_ORACLE = f"""
       SELECT doc_id AS id, doc_id AS label FROM documents
       UNION
       SELECT b.src, r.label FROM reach r JOIN bi b ON b.dst = r.id
-    )
-    SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_rep
-    FROM reach GROUP BY id
+    ),
+    comp AS (SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_rep
+             FROM reach GROUP BY id)
     """
+
+_CLUSTER_REPS_ORACLE = _CLUSTER_CTES + "SELECT doc_id, cluster_rep FROM comp"
 
 
 @query("near_dup_cluster_reps", oracle=_CLUSTER_REPS_ORACLE)
@@ -1178,6 +1180,60 @@ def near_dup_cluster_reps_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")) >= 0.5
     ).select("id_a", "id_b")
     return alternating_star_components(docs.select("doc_id"), pairs)
+
+
+@query(
+    "fuzzy_dedup_survivor_stats",
+    oracle=_CLUSTER_CTES + """
+    SELECT d.lang,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN c.cluster_rep = d.doc_id THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_survivors,
+      CAST(SUM(CASE WHEN c.cluster_rep <> d.doc_id THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_dropped
+    FROM documents d JOIN comp c ON c.doc_id = d.doc_id
+    GROUP BY d.lang
+    """,
+)
+def fuzzy_dedup_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION applied — the end of the crawl→dedup story:
+    near-dup clusters keep only their representative (min doc_id), and
+    the corpus report says per language how many documents survive and
+    how many are dropped as fuzzy duplicates. Composes the full chain
+    (MinHash candidates → exact Jaccard ≥ 0.5 → connected components →
+    survivor filter → per-language agg); the only per-document bytes in
+    the final join are (doc_id, cluster_rep, lang)."""
+    from cses2humio_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_candidate_pairs,
+        near_dup_clusters,
+        shingle_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs, "doc_id", "text", n=3).persist()
+    cands = minhash_candidate_pairs(
+        docs, "doc_id", "text", n=3, bands=4, rows_per_band=2, shingles_df=sh
+    )
+    j = jaccard_pairs(docs, cands, "doc_id", "text", n=3, shingles_df=sh, assume_overlap=True)
+    pairs = j.filter(
+        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")) >= 0.5
+    ).select("id_a", "id_b")
+    reps = near_dup_clusters(docs.select("doc_id"), pairs)
+    return (
+        docs.select("doc_id", "lang")
+        .join(reps, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("cluster_rep") == F.col("doc_id")).cast("int"))
+            .cast("bigint")
+            .alias("n_survivors"),
+            F.sum((F.col("cluster_rep") != F.col("doc_id")).cast("int"))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )
 
 
 @query(
@@ -2807,3 +2863,55 @@ def minhash_index_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     probes = docs.filter(F.col("doc_id") % 5 == 3)
     return idx.query_candidates(probes)
+
+
+@query(
+    "avi_av_demux_stats",
+    oracle="""
+    WITH d3 AS (SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh,
+                       3 + doc_id % 4 AS nf, 100 + doc_id % 50 AS nper
+                FROM documents WHERE doc_id < 150),
+    px AS (SELECT d.doc_id,
+                  (3*d.doc_id + 17*ux.bx + 29*uy.by + 41*uf.f) % 256 AS v
+           FROM d3 d,
+                UNNEST(generate_series(0, d.nf - 1)) AS uf(f),
+                UNNEST(generate_series(0, d.bw - 1)) AS ux(bx),
+                UNNEST(generate_series(0, d.bh - 1)) AS uy(by)),
+    vm AS (SELECT doc_id, ROUND(AVG(v), 6) AS video_mean_px
+           FROM px GROUP BY doc_id),
+    au AS (SELECT d.doc_id,
+                  ((31*d.doc_id + 17*uj.j) % 65536) - 32768 AS s
+           FROM d3 d,
+                UNNEST(generate_series(0, d.nf * d.nper - 1)) AS uj(j)),
+    ar AS (SELECT doc_id,
+                  ROUND(SQRT(AVG(CAST(s AS DOUBLE) * s)), 6) AS audio_rms
+           FROM au GROUP BY doc_id)
+    SELECT d.doc_id, CAST(d.nf AS INT) AS n_frames,
+           CAST(d.bw * 8 AS INT) AS width, CAST(d.bh * 8 AS INT) AS height,
+           vm.video_mean_px,
+           CAST(d.nf * d.nper AS BIGINT) AS n_samples,
+           CAST(16000 AS INT) AS sample_rate, ar.audio_rms
+    FROM d3 d
+    JOIN vm ON vm.doc_id = d.doc_id
+    JOIN ar ON ar.doc_id = d.doc_id
+    """,
+)
+def avi_av_demux_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL two-stream audio+video demux, oracle-checked: a valid AVI
+    with interleaved 'vids'/MJPG and 'auds'/PCM16 streams per document
+    (the layout real muxers emit); ONE container walk validates both
+    header chains, the strict per-frame interleaving and the idx1, then
+    routes video chunks through the baseline-JPEG decoder and audio
+    chunks through the PCM16 parser
+    (``operators/multimodal.py::demux_avi_av``). Both stream formulas
+    are closed-form (piecewise-constant frames -> exact lossy video;
+    the WAV family's sample formula -> exact int64 square sums), so the
+    oracle states every per-document stat without touching bytes."""
+    from cses2humio_spark.operators.multimodal import (
+        demux_avi_av,
+        repartition_for_media,
+        synthesize_avi_av_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return demux_avi_av(repartition_for_media(synthesize_avi_av_media(docs)))

@@ -1068,3 +1068,51 @@ def test_mjpeg_avi_rejects_broken_containers(spark):
     struct.pack_into("<I", lied, hat + 8 + 16, 99)
     with pytest.raises(Exception, match="frames"):
         decode_avi_mjpeg(as_df(bytes(lied)), every_k=1).collect()
+
+
+def test_avi_av_demux_rejects_deinterleaved_and_wrong_audio(spark):
+    """The two-stream walker must enforce the muxer layout: chunks that
+    are not strictly video/audio interleaved raise, and a non-PCM16
+    audio strf raises."""
+    import struct
+
+    import pytest
+
+    from cses2humio_spark.operators.multimodal import (
+        demux_avi_av,
+        synthesize_avi_av_media,
+    )
+
+    base = spark.range(0, 1).withColumnRenamed("id", "doc_id")
+    (payload,) = [
+        bytes(r.payload) for r in synthesize_avi_av_media(base).collect()
+    ]
+
+    def as_df(buf: bytes):
+        return spark.createDataFrame(
+            [(1, bytearray(buf))], "doc_id bigint, payload binary"
+        )
+
+    # sanity: the untouched container demuxes
+    row = demux_avi_av(as_df(payload)).collect()[0]
+    assert row.n_frames == 3 and row.sample_rate == 16000
+
+    # de-interleave: relabel the first audio chunk as video ('00dc') —
+    # same sizes, same idx1 patch, but the stream order breaks
+    broken = bytearray(payload)
+    at = broken.index(b"01wb")
+    broken[at : at + 4] = b"00dc"
+    iat = broken.rindex(b"idx1")
+    # idx1 entry 1 (the first audio chunk) starts 16 bytes into the body
+    broken[iat + 8 + 16 : iat + 8 + 20] = b"00dc"
+    with pytest.raises(Exception, match="interleav|counts"):
+        demux_avi_av(as_df(bytes(broken))).collect()
+
+    # audio strf claiming 8-bit samples must be refused
+    lied = bytearray(payload)
+    # second strf in the header tree is the audio WAVEFORMATEX
+    first_strf = lied.index(b"strf")
+    astrf = lied.index(b"strf", first_strf + 4)
+    struct.pack_into("<H", lied, astrf + 8 + 14, 8)  # wBitsPerSample
+    with pytest.raises(Exception, match="PCM16"):
+        demux_avi_av(as_df(bytes(lied))).collect()

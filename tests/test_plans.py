@@ -123,6 +123,33 @@ def test_collect_aggs_partial_aggregate(spark):
     assert_partial_aggregation(df)
 
 
+#: building these queries runs heavy side effects (a full streaming
+#: query, a driver-side iteration loop, a key-discovery collect, a
+#: persisted-index build) just to produce the DataFrame — fleet-wide
+#: plan-walk lints must skip them (their plans are covered by their own
+#: tests). Running them inside a lint ALSO leaves materialized cache
+#: entries behind (the persisted shingle table), which changes how later
+#: explains print shared subplans — the plan-shape snapshot test clears
+#: the cache for the same reason.
+SIDE_EFFECTING = {
+    "streaming_pipeline_demo",
+    "near_dup_cluster_reps",
+    "near_dup_cluster_reps_star",  # iterative star contraction runs its
+    # per-round convergence actions at plan-construction time
+    "fuzzy_dedup_survivor_stats",  # runs the CC loop at construction
+    "connector_event_map_pivot",
+    "rollup_materialized_counts",  # runs a full streaming query to build
+    "alert_rules_demo",  # runs a full streaming query to build
+    "hql_streaming_timechart_demo",  # runs a full streaming query
+    "hql_materialized_search_table",  # runs a full streaming query
+    "embedding_pca_explained_variance",  # driver-side eigh to build
+    "pq_index_search",  # builds the persisted index (once) to search
+    "ivfpq_index_search",  # builds the persisted IVF-PQ index once
+    "minhash_index_candidates",  # builds the persisted MinHash index once
+    "cdc_upsert_latest_state",  # runs a full streaming query to build
+}
+
+
 def test_no_query_degenerates_to_cartesian(spark):
     """Fleet-wide plan lint: NO registered query may plan a
     CartesianProduct, and BroadcastNestedLoopJoin is allowed only where a
@@ -148,25 +175,8 @@ def test_no_query_degenerates_to_cartesian(spark):
         "functional_dependency_check",  # three single-row counters combined
         "first_seen_user_type_pairs",  # single-row data-horizon scalar broadcast
         "hql_top_with_percent",  # single-row share-of-total scalar broadcast
-    }
-    # building these queries runs heavy side effects (a full streaming
-    # query, a driver-side iteration loop, a key-discovery collect) just to
-    # produce the DataFrame — their plans are covered by their own tests
-    SIDE_EFFECTING = {
-        "streaming_pipeline_demo",
-        "near_dup_cluster_reps",
-        "near_dup_cluster_reps_star",  # iterative star contraction runs
-        # its per-round convergence actions at plan-construction time
-        "connector_event_map_pivot",
-        "rollup_materialized_counts",  # runs a full streaming query to build
-        "alert_rules_demo",  # runs a full streaming query to build
-        "hql_streaming_timechart_demo",  # runs a full streaming query
-        "hql_materialized_search_table",  # runs a full streaming query
-        "embedding_pca_explained_variance",  # driver-side eigh to build
-        "pq_index_search",  # builds the persisted index (once) to search
-        "ivfpq_index_search",  # builds the persisted IVF-PQ index once
-        "minhash_index_candidates",  # builds the persisted MinHash index once
-        "cdc_upsert_latest_state",  # runs a full streaming query to build
+        "top_users_with_other_two_level",  # single-row totals x single-row
+        # top-slice counters combined into the 'other' rollup row
     }
     offenders = []
     for name, fn in QUERIES.items():
@@ -486,14 +496,18 @@ def test_no_new_unpartitioned_unbounded_windows(spark):
     post-limit window from an unbounded one. This walks the optimized
     logical plan of EVERY registered query and fails on any Window whose
     partition spec is empty AND whose input subtree has no Limit,
-    unless the query is whitelisted above as definitional."""
+    unless the query is whitelisted above as definitional.
+    SIDE_EFFECTING queries are skipped: building them runs actions (CC
+    convergence loops, streaming queries, index builds) and leaves
+    materialized cache entries that corrupt later plan prints — their
+    plan hygiene is pinned by their own tests."""
     from cses2humio_spark.plans.explain import unpartitioned_windows
 
     import __spark_entry__ as entry
 
     offenders = {}
     for name, fn in entry.queries().items():
-        if name in _UNPARTITIONED_WINDOW_WHITELIST:
+        if name in _UNPARTITIONED_WINDOW_WHITELIST or name in SIDE_EFFECTING:
             continue
         df = fn(spark, SF_SMALL)
         bad = [w["node"][:120] for w in unpartitioned_windows(df) if not w["bounded"]]
@@ -519,6 +533,10 @@ def test_plan_shapes_match_snapshot(spark):
 
     from cses2humio_spark.plans.explain import plan_shape
 
+    # order-independence: a cache entry MATERIALIZED by an earlier test
+    # (e.g. a lint that built a side-effecting query) makes explains
+    # print the cached child twice and inflates the counted shape
+    spark.catalog.clearCache()
     snap_path = os.path.join(os.path.dirname(__file__), "plan_shapes.json")
     with open(snap_path) as f:
         want = json.load(f)
