@@ -83,10 +83,20 @@ class MinHashIndex(VersionedSegmentStore):
     def _signatures(self, docs: DataFrame) -> DataFrame:
         """Zero-shuffle rowwise banded signatures (the streaming-safe
         projection; identical output to the groupBy formulation — pinned
-        where minhash_signatures_rowwise is)."""
-        return minhash_signatures_rowwise(
+        where minhash_signatures_rowwise is), COMPRESSED for storage: the
+        band signature (rows_per_band concatenated 32-hex md5s) is folded
+        to one xxhash64 bigint. Both build and probe apply the same fold,
+        so the (band, sig) equi-join produces the identical candidate
+        pairs as the raw strings (a 64-bit collision could only ADD a
+        candidate — and candidates are verified downstream by exact
+        Jaccard anyway), while the per-row bytes drop ~8x and the join
+        key becomes a fixed 8-byte integer."""
+        raw = minhash_signatures_rowwise(
             docs, self.id_col, self.text_col,
             n=self.n, bands=self.bands, rows_per_band=self.rows_per_band,
+        )
+        return raw.select(
+            self.id_col, "band", F.xxhash64("sig").alias("sig")
         )
 
     # -- build ---------------------------------------------------------------

@@ -40,13 +40,15 @@ def main() -> None:
     big = spark.read.parquet(f"{big_dir}/documents.parquet").filter(
         F.col("doc_id") < 10 * n - 500
     )
-    corpus_bytes = sum(
-        os.path.getsize(os.path.join(dp, f))
-        for dp, _dn, fns in os.walk(
-            os.path.join("/root/testdata/sf0.1", "documents.parquet")
+    corpus_path = os.path.join("/root/testdata/sf0.1", "documents.parquet")
+    if os.path.isfile(corpus_path):
+        corpus_bytes = os.path.getsize(corpus_path)
+    else:
+        corpus_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _dn, fns in os.walk(corpus_path)
+            for f in fns
         )
-        for f in fns
-    )
     scratch = tempfile.mkdtemp(prefix="dedup_probe_")
     probes = docs.filter(F.col("doc_id") % 97 == 3)
     for tag, corpus in (
