@@ -706,6 +706,76 @@ def duplicate_span_coverage(
     )
 
 
+def trim_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 8,
+) -> DataFrame:
+    """The ACTION behind ``duplicate_span_coverage``: physically remove
+    every token position covered by a cross-document-duplicated
+    ``width``-token window and return the trimmed text — the ExactSubstr
+    trimming pass itself (Lee et al. 2022), not just its ratio report.
+
+    The covered-position set per doc is tiny by definition on a healthy
+    corpus; it is aggregated per document (collect_set of ints) and the
+    trim is a pure-codegen ``filter`` over the token array with the
+    index lambda — no Python, no second text shuffle: the document text
+    rides only its own map-side projection, and the join that brings the
+    covered set back is id-keyed.
+
+    Returns (id_col, n_tokens, kept_tokens, trimmed_text)."""
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("toks"), F.size(toks).alias("n"))
+    win = base.filter(F.col("n") >= width).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - width),
+                lambda i: F.struct(
+                    i.alias("p"),
+                    F.md5(
+                        F.concat_ws(" ", F.slice(F.col("toks"), i + 1, width))
+                    ).alias("fp"),
+                ),
+            )
+        ).alias("w"),
+    ).select(id_col, F.col("w.p").alias("p"), F.col("w.fp").alias("fp"))
+    dup_fps = (
+        win.groupBy("fp")
+        .agg(F.count_distinct(id_col).alias("n_docs_fp"))
+        .filter(F.col("n_docs_fp") > 1)
+        .select("fp")
+    )
+    covered = (
+        win.join(dup_fps, "fp")
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("p"), F.col("p") + width - 1)).alias("cp"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("cp").alias("__covered"))
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: ~F.array_contains(
+            F.coalesce(F.col("__covered"), F.array().cast("array<int>")),
+            i.cast("int"),
+        ),
+    )
+    return (
+        base.join(covered, id_col, "left")
+        .select(
+            id_col,
+            F.col("n").cast("bigint").alias("n_tokens"),
+            F.size(kept).cast("bigint").alias("kept_tokens"),
+            F.array_join(kept, " ").alias("trimmed_text"),
+        )
+    )
+
+
 def minhash_signatures_rowwise(
     df: DataFrame,
     id_col: str,

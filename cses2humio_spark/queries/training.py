@@ -925,3 +925,47 @@ def dup_span_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return duplicate_span_coverage(docs, "doc_id", "text", width=8)
+
+
+@query(
+    "trim_duplicate_spans_stats",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    w AS (SELECT doc_id, toks, UNNEST(generate_series(0, len(toks) - 8)) AS p
+          FROM t WHERE len(toks) >= 8),
+    fps AS (SELECT doc_id, p,
+                   md5(array_to_string(toks[p + 1 : p + 8], ' ')) AS fp
+            FROM w),
+    dup AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(DISTINCT doc_id) > 1),
+    cov AS (SELECT DISTINCT f.doc_id, u.cp
+            FROM fps f JOIN dup d ON d.fp = f.fp,
+                 UNNEST(generate_series(f.p, f.p + 7)) AS u(cp)),
+    tok AS (SELECT t.doc_id, u.p, t.toks[u.p + 1] AS tok
+            FROM t, UNNEST(generate_series(0, len(t.toks) - 1)) AS u(p)),
+    kept AS (SELECT tk.doc_id, tk.p, tk.tok
+             FROM tok tk LEFT JOIN cov c
+               ON c.doc_id = tk.doc_id AND c.cp = tk.p
+             WHERE c.cp IS NULL),
+    agg AS (SELECT doc_id, COUNT(*) AS kept_tokens,
+                   string_agg(tok, ' ' ORDER BY p) AS trimmed_text
+            FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(a.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           COALESCE(a.trimmed_text, '') AS trimmed_text
+    FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id
+    """,
+)
+def trim_duplicate_spans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr TRIMMING pass applied (the action behind
+    ``dup_span_coverage_stats``): every token position covered by a
+    cross-document-duplicated 8-token window is physically removed and
+    the surviving text re-joined (``operators/dedup.py::
+    trim_duplicate_spans``). The trim itself is a pure-codegen indexed
+    ``filter`` over the token array — document text never shuffles; only
+    the (doc_id, covered-position-set) rides the id-keyed join back. The
+    oracle rebuilds the trimmed string position-by-position with an
+    ordered string_agg."""
+    from cses2humio_spark.operators.dedup import trim_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return trim_duplicate_spans(docs, "doc_id", "text", width=8)

@@ -337,3 +337,37 @@ def test_duplicate_span_coverage_union_and_alignment(spark):
     assert out[2] == (16, 16, 1.0)
     assert out[3] == (9, 0, 0.0)
     assert out[4] == (3, 0, 0.0)
+
+
+def test_trim_duplicate_spans_removes_exactly_the_coverage(spark):
+    """The trim must remove EXACTLY the positions duplicate_span_coverage
+    reports: kept_tokens == n_tokens - n_dup_tokens for every doc, the
+    shared span disappears from both carriers, and unique text survives
+    verbatim."""
+    from cses2humio_spark.operators.dedup import (
+        duplicate_span_coverage,
+        trim_duplicate_spans,
+    )
+
+    shared = "q w e r t y u i"
+    docs = spark.createDataFrame(
+        [
+            (0, "a0 b0 " + shared + " c0 d0"),
+            (1, "a1 b1 c1 " + shared + " d1"),
+            (3, "z1 z2 z3 z4 z5 z6 z7 z8 z9"),
+        ],
+        "doc_id long, text string",
+    )
+    cov = {
+        r.doc_id: r.n_dup_tokens
+        for r in duplicate_span_coverage(docs, "doc_id", "text", width=8).collect()
+    }
+    out = {
+        r.doc_id: (r.n_tokens, r.kept_tokens, r.trimmed_text)
+        for r in trim_duplicate_spans(docs, "doc_id", "text", width=8).collect()
+    }
+    for d, (n, kept, _txt) in out.items():
+        assert kept == n - cov[d], (d, n, kept, cov[d])
+    assert out[0][2] == "a0 b0 c0 d0"
+    assert out[1][2] == "a1 b1 c1 d1"
+    assert out[3][2] == "z1 z2 z3 z4 z5 z6 z7 z8 z9"
