@@ -969,3 +969,91 @@ def trim_duplicate_spans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return trim_duplicate_spans(docs, "doc_id", "text", width=8)
+
+
+@query(
+    "bigram_lm_doc_quality",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+           FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS tt FROM bg GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT tok) AS vsz
+          FROM (SELECT UNNEST(toks) AS tok FROM t)),
+    p AS (SELECT c2.w1, c2.w2,
+                 ROUND(ln((c2.n + 1) / CAST(c1.tt + v.vsz AS DOUBLE)), 8) AS lp
+          FROM c2 JOIN c1 ON c1.w1 = c2.w1, v),
+    sc AS (SELECT b.doc_id, COUNT(*) AS nb,
+                  SUM(CAST(p.lp AS DECIMAL(28,8))) AS sl
+           FROM bg b JOIN p ON p.w1 = b.w1 AND p.w2 = b.w2
+           GROUP BY 1)
+    SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+           ROUND(-CAST(sl AS DOUBLE) / nb, 6) AS avg_nll
+    FROM sc
+    """,
+)
+def bigram_lm_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring — the CCNet/Gopher filtering
+    signal, self-trained: an add-one-smoothed bigram LM is fit on the
+    corpus itself (bigram counts / context counts, vocabulary-size
+    smoothing denominator) and every document is scored with its mean
+    negative log-likelihood — boilerplate and fluent text score low,
+    gibberish and shredded text score high. Determinism follows the
+    Markov-anomaly contract (`mining.py::markov_sequence_anomaly`):
+    each bigram's log-prob is rounded to 8 BEFORE an exact-DECIMAL
+    per-doc sum, so scores are bit-identical under any partitioning.
+    Scale: the bigram stream is computed once and persisted (three
+    consumers); the model join is (w1, w2)-keyed — counts shuffle,
+    token text rides only within its own doc's rows; the vocabulary
+    size is a single broadcast scalar."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select("doc_id", toks.alias("__toks"))
+        .filter(F.size("__toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(__toks, 1, size(__toks) - 1)"),
+                    F.expr("slice(__toks, 2, size(__toks) - 1)"),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .persist()
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("tt"))
+    vocab = (
+        docs.select(F.explode(toks).alias("tok"))
+        .agg(F.count_distinct("tok").alias("vsz"))
+    )
+    p = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log((F.col("n") + 1) / (F.col("tt") + F.col("vsz")).cast("double")),
+                8,
+            ).alias("lp"),
+        )
+    )
+    return (
+        bg.join(p, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("lp").cast("decimal(28,8)")).alias("__sl"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(-F.col("__sl").cast("double") / F.col("n_bigrams"), 6)
+            .alias("avg_nll"),
+        )
+    )

@@ -177,6 +177,7 @@ def test_no_query_degenerates_to_cartesian(spark):
         "hql_top_with_percent",  # single-row share-of-total scalar broadcast
         "top_users_with_other_two_level",  # single-row totals x single-row
         # top-slice counters combined into the 'other' rollup row
+        "bigram_lm_doc_quality",  # single-row vocabulary-size scalar broadcast
     }
     offenders = []
     for name, fn in QUERIES.items():

@@ -371,3 +371,34 @@ def test_trim_duplicate_spans_removes_exactly_the_coverage(spark):
     assert out[0][2] == "a0 b0 c0 d0"
     assert out[1][2] == "a1 b1 c1 d1"
     assert out[3][2] == "z1 z2 z3 z4 z5 z6 z7 z8 z9"
+
+
+def test_bigram_lm_scores_gibberish_above_fluent(spark, tmp_path):
+    """The perplexity signal must point the right way: documents made of
+    corpus-typical repeated bigrams score LOW mean NLL; a document of
+    one-off shuffled tokens (every bigram unseen elsewhere, count 1)
+    scores HIGH; and the score is partitioning-invariant (exact-decimal
+    sum of pre-rounded terms)."""
+    import os
+
+    from cses2humio_spark.queries import QUERIES
+
+    fluent = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [(i, fluent) for i in range(8)]
+    rows.append((100, "zq xv jk wp mn bt lc dr fs gh"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {
+        r.doc_id: r.avg_nll
+        for r in QUERIES["bigram_lm_doc_quality"](spark, d).collect()
+    }
+    assert out[100] > out[0] * 1.5, out
+    # partitioning invariance: same answer from a repartitioned source
+    docs.repartition(7).write.mode("overwrite").parquet(f"{d}2/documents.parquet")
+    out2 = {
+        r.doc_id: r.avg_nll
+        for r in QUERIES["bigram_lm_doc_quality"](spark, f"{d}2").collect()
+    }
+    assert out == out2
