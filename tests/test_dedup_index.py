@@ -169,3 +169,73 @@ def test_rebuild_supersedes_and_preserves_replay_guard(spark, docs, tmp_path):
     # a genuine next batch lands
     idx(docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 110)), 6)
     assert idx.read_signatures(spark).count() > before
+
+
+def test_stream_ingest_kill_restart_no_dup_or_missing(
+    spark, docs, probes, tmp_path
+):
+    """The crawl-ingest streaming story end to end: document deltas
+    arrive through a REAL checkpointed foreachBatch stream; the process
+    crashes AFTER the index committed batch 0 but BEFORE the checkpoint
+    did (the at-least-once window), restarts from the checkpoint,
+    replays batch 0 (skipped — exactly-once) and continues. Signatures
+    must equal a cold rebuild over the full corpus: nothing duplicated,
+    nothing missing."""
+    import os
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F811 — local alias
+
+    src = tmp_path / "src"
+    src.mkdir()
+    staging = tmp_path / "staging"
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    for i, rem in enumerate((1, 2)):
+        d = docs.filter(F.col("doc_id") % 3 == rem).select("doc_id", "text")
+        d.coalesce(1).write.mode("overwrite").parquet(str(staging))
+        part = next(
+            p for p in staging.iterdir() if p.name.endswith(".parquet")
+        )
+        dst = src / f"delta_{i}.parquet"
+        shutil.move(str(part), str(dst))
+        # file source orders batches by mtime — pin strictly increasing
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    shutil.rmtree(staging, ignore_errors=True)
+
+    idx = MinHashIndex(str(tmp_path / "sidx"))
+    idx.build(base)
+
+    crash = {"armed": True}
+
+    def sink(batch_df, batch_id):
+        idx(batch_df, batch_id)
+        if crash["armed"]:
+            crash["armed"] = False
+            raise RuntimeError("injected crash after index commit")
+
+    def start():
+        return (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+    q2 = start()  # same checkpoint = process restart; batch 0 replays
+    q2.awaitTermination()
+
+    cold = MinHashIndex(str(tmp_path / "scold"))
+    cold.build(docs)
+    assert _rows(idx.read_signatures(spark)) == _rows(
+        cold.read_signatures(spark)
+    )
+    assert _rows(idx.query_candidates(probes)) == _rows(
+        cold.query_candidates(probes)
+    )
