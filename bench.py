@@ -82,6 +82,13 @@ HEADLINE = [
     # round 7: new families promoted to the timed surface (no standing
     # baseline yet — their first accepted bench becomes it)
     "mjpeg_avi_frame_stats",  # RIFF/AVI walk + per-frame JPEG decode
+    # round 7 second wave
+    "avi_av_demux_stats",  # two-stream AVI demux (JPEG + PCM routing)
+    "dup_span_coverage_stats",  # stride-1 window dup-span coverage
+    "minhash_index_candidates",  # persisted-index probe (build off-clock
+    # after the first pass: cached per corpus fingerprint; min-of-two
+    # reflects the probe-only path)
+    "bigram_lm_doc_quality",  # self-trained bigram LM perplexity filter
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -258,6 +258,7 @@ class MinHashIndex(VersionedSegmentStore):
         probe_docs: DataFrame,
         version: int | None = None,
         exclude_self: bool = True,
+        max_bucket_size: int | None = None,
     ) -> DataFrame:
         """Near-dup CANDIDATES for a batch of incoming documents against
         the standing index: sign the batch rowwise (pure projection — the
@@ -266,7 +267,18 @@ class MinHashIndex(VersionedSegmentStore):
         drops pairs where the probe id equals an indexed id (re-checking
         docs already in the corpus). Downstream exact-Jaccard
         verification joins text back for the candidates only — the same
-        verify-on-candidates shape as ``jaccard_near_dups``."""
+        verify-on-candidates shape as ``jaccard_near_dups``.
+
+        ``max_bucket_size`` is the probe-side mass-duplicate guard (the
+        analog of ``minhash_candidate_pairs``' star cap): a boilerplate
+        page indexed b times puts b rows in one (band, sig) bucket, and
+        every probe hitting it would fan out b candidates PER BAND. With
+        the cap set, each index bucket is truncated to its
+        ``max_bucket_size`` smallest ids (a partitioned rank — parallel
+        per bucket) — each probe still reaches the cluster through the
+        retained members (enough to verify this is a dup and find the
+        cluster representative), while the per-probe fan-out is bounded.
+        Default None = exact (the oracle-paired form)."""
         spark = probe_docs.sparkSession
         probe_sigs = self._signatures(probe_docs).select(
             F.col(self.id_col).alias("probe_id"), "band", "sig"
@@ -274,6 +286,19 @@ class MinHashIndex(VersionedSegmentStore):
         index_sigs = self.read_signatures(spark, version).select(
             F.col(self.id_col).alias("index_id"), "band", "sig"
         )
+        if max_bucket_size is not None:
+            if max_bucket_size < 1:
+                raise ValueError(
+                    f"max_bucket_size must be >= 1, got {max_bucket_size}"
+                )
+            from pyspark.sql.window import Window
+
+            wb = Window.partitionBy("band", "sig").orderBy("index_id")
+            index_sigs = (
+                index_sigs.withColumn("__r", F.row_number().over(wb))
+                .filter(F.col("__r") <= max_bucket_size)
+                .drop("__r")
+            )
         cand = (
             probe_sigs.join(index_sigs, on=["band", "sig"])
             .select("probe_id", "index_id")

@@ -239,3 +239,24 @@ def test_stream_ingest_kill_restart_no_dup_or_missing(
     assert _rows(idx.query_candidates(probes)) == _rows(
         cold.query_candidates(probes)
     )
+
+
+def test_probe_bucket_cap_bounds_mass_dup_fanout(spark, tmp_path):
+    """A boilerplate page indexed 300 times must not fan 300 candidates
+    per probe per band when the cap is set: the capped probe returns at
+    most max_bucket_size index ids per bucket, always including the
+    cluster's minimum id (the representative a dedup decision needs),
+    and the uncapped form stays exact."""
+    n = 300
+    text = "the same boilerplate page body repeated verbatim every time"
+    corpus = spark.createDataFrame(
+        [(i, text) for i in range(n)], "doc_id long, text string"
+    )
+    probe = spark.createDataFrame([(9999, text)], "doc_id long, text string")
+    idx = MinHashIndex(str(tmp_path / "mh"))
+    idx.build(corpus)
+    exact = idx.query_candidates(probe).collect()
+    assert len(exact) == n  # every copy is a genuine candidate
+    capped = idx.query_candidates(probe, max_bucket_size=50).collect()
+    assert len(capped) == 50
+    assert min(r.index_id for r in capped) == 0  # hub retained
