@@ -2915,3 +2915,48 @@ def avi_av_demux_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     return demux_avi_av(repartition_for_media(synthesize_avi_av_media(docs)))
+
+
+@query(
+    "stratified_weighted_sample",
+    oracle="""
+    WITH k AS (SELECT doc_id, lang, CAST(length(text) AS DOUBLE) AS w,
+            ROUND(ln((((doc_id * 2654435761 + 1013904223) % 4294967296)
+                      + 0.5) / 4294967296.0)
+                  / CAST(length(text) AS DOUBLE), 9) AS k
+          FROM documents),
+    r AS (SELECT doc_id, lang, w, k,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY k DESC, doc_id) AS rk
+          FROM k)
+    SELECT doc_id, lang, w, k, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= 20
+    """,
+)
+def stratified_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED weighted sampling without replacement — the balanced
+    variant of ``weighted_sample_top100``: the same deterministic
+    Efraimidis-Spirakis keys (integer-LCG uniform, ln(u)/w), but the
+    top-k runs PER LANGUAGE, so every stratum contributes its own 20
+    best-keyed documents regardless of corpus skew — the op behind
+    "equal per-language budgets" training mixes. One partitioned ranking
+    window (parallel per stratum, Spark's WindowGroupLimit pushes the
+    rank-20 filter below the sort) — no global sort anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        (F.col("doc_id") * F.lit(2654435761) + F.lit(1013904223))
+        % F.lit(4294967296)
+        + 0.5
+    ) / 4294967296.0
+    w = F.length("text").cast("double")
+    from pyspark.sql.window import Window
+
+    keyed = docs.select(
+        "doc_id", "lang", w.alias("w"), F.round(F.log(u) / w, 9).alias("k")
+    )
+    wl = Window.partitionBy("lang").orderBy(F.col("k").desc(), F.col("doc_id"))
+    return (
+        keyed.withColumn("rk", F.row_number().over(wl))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", "lang", "w", "k", F.col("rk").cast("int").alias("rk"))
+    )
