@@ -874,10 +874,8 @@ def udtf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query(
-    "embedding_near_dups",
-    oracle=f"""
-    WITH ev AS (SELECT vec_id, {_DOUBLE_VEC} AS v FROM embeddings),
+_EMB_NEARDUP_CTES = f"""
+    ev AS (SELECT vec_id, {_DOUBLE_VEC} AS v FROM embeddings),
     prm AS (SELECT w, GREATEST(1, 60 // w) AS b FROM (
               SELECT LEAST(GREATEST(4,
                        CAST(CEIL(LOG2(GREATEST(COUNT(*) / 128.0, 2.0))) AS BIGINT)),
@@ -900,6 +898,12 @@ def udtf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            JOIN ev ea ON ea.vec_id = p.id_a
            JOIN ev eb ON eb.vec_id = p.id_b),
     c AS (SELECT id_a, id_b, {_cos_sql('va', 'vb')} AS cos FROM pv)
+    """
+
+
+@query(
+    "embedding_near_dups",
+    oracle="WITH " + _EMB_NEARDUP_CTES + """
     SELECT id_a, id_b, ROUND(cos, 6) AS cos_sim FROM c WHERE cos >= 0.3
     """,
 )
@@ -2960,3 +2964,53 @@ def stratified_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select("doc_id", "lang", "w", "k", F.col("rk").cast("int").alias("rk"))
     )
+
+
+@query(
+    "embedding_dedup_cluster_reps",
+    oracle="WITH RECURSIVE " + _EMB_NEARDUP_CTES + """,
+    dup AS (SELECT id_a, id_b FROM c WHERE cos >= 0.3),
+    bi AS (SELECT id_a AS src, id_b AS dst FROM dup
+           UNION ALL SELECT id_b, id_a FROM dup),
+    reach AS (
+      SELECT vec_id AS id, vec_id AS label FROM embeddings
+      UNION
+      SELECT b.src, r.label FROM reach r JOIN bi b ON b.dst = r.id
+    )
+    SELECT id AS vec_id, CAST(MIN(label) AS BIGINT) AS cluster_rep
+    FROM reach GROUP BY id
+    """,
+)
+def embedding_dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VECTOR-side dedup decision — the embedding twin of
+    ``near_dup_cluster_reps``: adaptive banded hyperplane LSH -> exact
+    cosine >= 0.3 verify -> connected components -> every vector mapped
+    to its cluster representative (min vec_id; singletons to
+    themselves). Semantic dedup keeps one of each PARAPHRASE cluster,
+    where MinHash keeps one of each verbatim cluster.
+
+    Memory shape (found the hard way in a default-1g-driver session):
+    the pair set is localCheckpoint-ed BEFORE the component loop — the
+    LSH stage embeds w*b 64-double hyperplane literal arrays in its
+    codegen, and re-optimizing that subtree inside every iteration's
+    action exhausts small driver heaps — and the components come from
+    ``alternating_star_components`` (per-round lineage truncation,
+    constant plan depth, O(log^2 n) rounds regardless of cluster
+    diameter), with the shuffle-verify strategy so no broadcast vector
+    table is pinned across the loop. The CC iteration shuffles (id,
+    label) pairs only — vectors never ride it."""
+    from cses2humio_spark.operators.dedup import alternating_star_components
+    from cses2humio_spark.operators.similarity import (
+        auto_band_params,
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w, b = auto_band_params(emb.count())
+    pairs = embedding_near_dup_pairs(
+        emb, dim=64, threshold=0.3, n_planes=w, n_bands=b,
+        broadcast_vectors=False,
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    return alternating_star_components(
+        emb.select("vec_id"), pairs, id_col="vec_id"
+    ).select("vec_id", "cluster_rep")

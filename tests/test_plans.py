@@ -137,6 +137,7 @@ SIDE_EFFECTING = {
     "near_dup_cluster_reps_star",  # iterative star contraction runs its
     # per-round convergence actions at plan-construction time
     "fuzzy_dedup_survivor_stats",  # runs the CC loop at construction
+    "embedding_dedup_cluster_reps",  # localCheckpoint + CC loop at construction
     "connector_event_map_pivot",
     "rollup_materialized_counts",  # runs a full streaming query to build
     "alert_rules_demo",  # runs a full streaming query to build
