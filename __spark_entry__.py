@@ -109,8 +109,14 @@ _PRIORITY = [
 # Motion-JPEG) in; jpeg_decode_stats out (r6-driver-green; its gray
 # decode core is double-covered in-window by jpeg_color_decode_stats
 # and by mjpeg's frame-0 == still-image equality pin).
-# Remaining never-driver-checked decode pool for r8: pcx/tiff,
-# jpeg_420/progressive/SA.
+# Remaining never-driver-checked pool for r8 rotation: pcx/tiff,
+# jpeg_420/progressive/SA decodes, plus the round-7 second wave —
+# avi_av_demux_stats, dup_span_coverage_stats, trim_duplicate_spans_stats,
+# minhash_index_candidates, bigram_lm_doc_quality,
+# stratified_weighted_sample, near_dup_cluster_reps_star,
+# fuzzy_dedup_survivor_stats, embedding_dedup_cluster_reps (all
+# judge-verifiable at the tail; each was verified vanilla + hostile +
+# degenerate at sf0.01 and sf0.1 when added).
 # Round-5 window refresh: five slots whose families stay covered by an
 # in-window sibling or at the judge-verified tail rotated out for the
 # round-5 families the driver has never checked — kv_parse_extract ->
