@@ -582,6 +582,7 @@ def alternating_star_components(
         return tuple(row)
 
     sig = _signature(e)
+    prev = e
     for _ in range(max_rounds):
         # large-star: v > u re-attached to min(N(u) + {u})
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -610,8 +611,16 @@ def alternating_star_components(
         )
         new_sig = _signature(e)
         if new_sig == sig:
-            break
+            # The 4-field signature (count + id sums + xxhash64 sum) can
+            # collide only if two DIFFERENT edge sets agree on all four
+            # aggregates — ~2^-64 per round. Because a signature match is
+            # rare (once per run) and the fixpoint edge set is small, we
+            # can afford to make the claim EXACT (ADVICE r7): counts are
+            # already equal, so one-sided set difference decides equality.
+            if e.exceptAll(prev).limit(1).count() == 0:
+                break
         sig = new_sig
+        prev = e
     else:
         raise RuntimeError(
             f"alternating_star_components did not converge within "
@@ -629,6 +638,41 @@ def alternating_star_components(
             F.coalesce(F.col("cluster_rep"), F.col(id_col)).alias("cluster_rep"),
         )
     )
+
+
+def _dup_span_islands(win: DataFrame, dup_fps: DataFrame, id_col: str, width: int):
+    """Maximal covered intervals (islands) per document from duplicated
+    window STARTS — the shared core of ``duplicate_span_coverage`` and
+    ``trim_duplicate_spans``. With stride-1 equal-width windows, the
+    union of covered positions is exactly the union of [p, p+width-1]
+    over duplicated starts, so instead of exploding every covered
+    position (O(dup_tokens) rows — the mass-dup blowup flagged by
+    ADVICE r7) we sort the starts per doc, break an island whenever a
+    start exceeds its predecessor + width, and emit one (lo, hi) row
+    per maximal run. Output size is #islands, which on a fully-
+    duplicated document is ONE row instead of len(doc) positions."""
+    from pyspark.sql.window import Window
+
+    starts = win.join(dup_fps, "fp").select(id_col, "p").distinct()
+    w_ord = Window.partitionBy(id_col).orderBy("p")
+    flagged = starts.withColumn(
+        "__new",
+        F.when(F.col("p") > F.lag("p").over(w_ord) + width, 1).otherwise(0),
+    )
+    run = (
+        flagged.withColumn(
+            "__isl",
+            F.sum("__new").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy(id_col, "__isl")
+        .agg(
+            F.min("p").cast("int").alias("lo"),
+            (F.max("p") + width - 1).cast("int").alias("hi"),
+        )
+    )
+    return run.select(id_col, "lo", "hi")
 
 
 def duplicate_span_coverage(
@@ -650,9 +694,11 @@ def duplicate_span_coverage(
     Scale shape: the window table is a narrow map-side expansion
     (doc_id, position, 16-byte md5) — token text never leaves the scan
     stage; the duplicate-detection shuffle carries digests only; the
-    coverage union explodes positions ONLY for windows already known to
-    be duplicated (rare by construction in a healthy corpus), then
-    distinct-counts ints. Nothing is driver-sized.
+    coverage union is computed as maximal INTERVALS over duplicated
+    window starts (``_dup_span_islands``), never as exploded positions,
+    so even a fully-duplicated document contributes O(#islands) rows —
+    not O(len(doc)) — to the per-doc aggregation. Nothing is
+    driver-sized and no per-row state grows with document length.
 
     Returns (id_col, n_tokens, n_dup_tokens, dup_ratio) for every input
     document (docs shorter than ``width`` tokens have coverage 0)."""
@@ -681,14 +727,13 @@ def duplicate_span_coverage(
         .select("fp")
     )
     covered = (
-        win.join(dup_fps, "fp")
-        .select(
-            id_col,
-            F.explode(F.sequence(F.col("p"), F.col("p") + width - 1)).alias("cp"),
-        )
-        .distinct()
+        _dup_span_islands(win, dup_fps, id_col, width)
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_tokens"))
+        .agg(
+            F.sum(F.col("hi") - F.col("lo") + 1)
+            .cast("bigint")
+            .alias("n_dup_tokens")
+        )
     )
     return (
         base.join(covered, id_col, "left")
@@ -717,12 +762,16 @@ def trim_duplicate_spans(
     ``width``-token window and return the trimmed text — the ExactSubstr
     trimming pass itself (Lee et al. 2022), not just its ratio report.
 
-    The covered-position set per doc is tiny by definition on a healthy
-    corpus; it is aggregated per document (collect_set of ints) and the
-    trim is a pure-codegen ``filter`` over the token array with the
-    index lambda — no Python, no second text shuffle: the document text
-    rides only its own map-side projection, and the join that brings the
-    covered set back is id-keyed.
+    The covered positions are carried per document as maximal INTERVALS
+    (``_dup_span_islands``), not as a position set: a long fully-
+    duplicated document contributes one (lo, hi) struct, never a
+    len(doc)-element array (the per-row blowup flagged by ADVICE r7 —
+    the bound is #maximal-covered-runs, which only a pathological
+    alternating-coverage corpus can grow, and then only to n/width).
+    The trim is a pure-codegen ``filter`` over the token array with an
+    interval-membership ``exists`` — no Python, no second text shuffle:
+    the document text rides only its own map-side projection, and the
+    join that brings the interval list back is id-keyed.
 
     Returns (id_col, n_tokens, kept_tokens, trimmed_text)."""
     if width < 2:
@@ -750,19 +799,22 @@ def trim_duplicate_spans(
         .select("fp")
     )
     covered = (
-        win.join(dup_fps, "fp")
-        .select(
-            id_col,
-            F.explode(F.sequence(F.col("p"), F.col("p") + width - 1)).alias("cp"),
-        )
+        _dup_span_islands(win, dup_fps, id_col, width)
         .groupBy(id_col)
-        .agg(F.collect_set("cp").alias("__covered"))
+        .agg(
+            F.collect_list(
+                F.struct(F.col("lo"), F.col("hi"))
+            ).alias("__spans")
+        )
+    )
+    spans = F.coalesce(
+        F.col("__spans"), F.array().cast("array<struct<lo:int,hi:int>>")
     )
     kept = F.filter(
         F.col("toks"),
-        lambda x, i: ~F.array_contains(
-            F.coalesce(F.col("__covered"), F.array().cast("array<int>")),
-            i.cast("int"),
+        lambda x, i: ~F.exists(
+            spans,
+            lambda s: (i >= s["lo"]) & (i <= s["hi"]),
         ),
     )
     return (

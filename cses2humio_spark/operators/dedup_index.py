@@ -307,3 +307,175 @@ class MinHashIndex(VersionedSegmentStore):
         if exclude_self:
             cand = cand.filter(F.col("probe_id") != F.col("index_id"))
         return cand
+
+    # -- admission (the crawl decision loop) -----------------------------------
+
+    def admit_batch(
+        self,
+        batch_df: DataFrame,
+        corpus_docs: DataFrame,
+        threshold: float = 0.5,
+        version: int | None = None,
+        max_bucket_size: int | None = None,
+    ) -> DataFrame:
+        """The composed crawl-admission DECISION (VERDICT r7 #4): until
+        now users had to hand-wire probe -> verify -> admit/reject ->
+        ingest; this is the one-call decision stage. For every batch
+        document it returns ``(id, reason, partner)``:
+
+        - ``already_indexed``: the id is live in the index (partner =
+          the id itself). Its text is excluded from every verify join so
+          a re-crawl can't pollute a standing document's shingle set.
+        - ``corpus_dup``: a verified near-dup (exact shingle Jaccard >=
+          ``threshold``, computed on candidate texts only) of a live
+          indexed document; partner = the smallest verified index id.
+        - ``batch_dup``: not corpus-duplicated, but a non-representative
+          member of a verified near-dup cluster WITHIN the batch
+          (connected components over verified pairs; representative =
+          min id — ``alternating_star_components``, diameter-robust);
+          partner = the cluster representative.
+        - ``admitted``: none of the above; partner is NULL. First
+          listed reason wins when several apply (deterministic).
+
+        Admission is FIRST-SEEN-WINS across batches: feeding batches in
+        id order reproduces the one-shot min-id-per-cluster decisions
+        whenever verified clusters are transitively closed (every pair
+        within a cluster verifies — true for exact and boilerplate
+        dups). Chain-shaped similarity (A~B~C, A!~C) is decided by
+        arrival, inherent to ANY streaming dedup; the batch==one-shot
+        pin in tests/test_dedup_index.py covers the closed case.
+
+        Scale shape: index signatures and batch signatures meet in ONE
+        (band, sig) equi-join; corpus TEXT is read only for candidate
+        partner ids (semi-join prune) and batch text never shuffles
+        except inside its own candidate verification; the shingle table
+        for verification is computed once, persisted, and evicted when
+        the caller drops the decision frame."""
+        from cses2humio_spark.operators.dedup import (
+            alternating_star_components,
+            jaccard_pairs,
+            minhash_candidate_pairs,
+            shingle_table,
+        )
+        from cses2humio_spark.session import evict_on_gc
+
+        spark = batch_df.sparkSession
+        idc, txt = self.id_col, self.text_col
+        index_ids = (
+            self.read_signatures(spark, version).select(idc).distinct()
+        )
+        batch = batch_df.select(F.col(idc), F.col(txt))
+        fresh = batch.join(index_ids, on=idc, how="left_anti")
+        # cross-corpus: candidates from the standing index, then exact
+        # Jaccard on candidate texts only
+        cand = self.query_candidates(
+            fresh,
+            version=version,
+            exclude_self=True,
+            max_bucket_size=max_bucket_size,
+        )
+        pairs = cand.select(
+            F.col("probe_id").alias("id_a"), F.col("index_id").alias("id_b")
+        )
+        corpus_pruned = corpus_docs.select(F.col(idc), F.col(txt)).join(
+            pairs.select(F.col("id_b").alias(idc)).distinct(),
+            on=idc,
+            how="left_semi",
+        )
+        both = fresh.unionByName(corpus_pruned)
+        sh = shingle_table(both, idc, txt, n=self.n).persist()
+        verified = jaccard_pairs(
+            both, pairs, idc, txt, n=self.n, shingles_df=sh,
+            assume_overlap=True,
+        )
+        unrounded = F.col("n_inter") / (
+            F.col("n_a") + F.col("n_b") - F.col("n_inter")
+        )
+        corpus_rej = (
+            verified.filter(unrounded >= threshold)
+            .groupBy("id_a")
+            .agg(F.min("id_b").alias("__cp"))
+            .select(F.col("id_a").alias(idc), "__cp")
+        )
+        # within-batch: candidates -> verify -> components -> representatives
+        sh_fresh = sh.join(fresh.select(idc), on=idc, how="left_semi")
+        bcand = minhash_candidate_pairs(
+            fresh, idc, txt,
+            n=self.n, bands=self.bands, rows_per_band=self.rows_per_band,
+            shingles_df=sh_fresh,
+        )
+        bver = jaccard_pairs(
+            fresh, bcand, idc, txt, n=self.n, shingles_df=sh_fresh,
+            assume_overlap=True,
+        )
+        bpairs = bver.filter(unrounded >= threshold).select("id_a", "id_b")
+        reps = alternating_star_components(
+            fresh.select(idc), bpairs, id_col=idc
+        ).withColumnRenamed("cluster_rep", "__rep")
+        decisions = (
+            batch.select(idc)
+            .join(index_ids.withColumn("__ai", F.lit(1)), on=idc, how="left")
+            .join(corpus_rej, on=idc, how="left")
+            .join(reps, on=idc, how="left")
+            .select(
+                idc,
+                F.when(F.col("__ai") == 1, F.lit("already_indexed"))
+                .when(F.col("__cp").isNotNull(), F.lit("corpus_dup"))
+                .when(F.col("__rep") != F.col(idc), F.lit("batch_dup"))
+                .otherwise(F.lit("admitted"))
+                .alias("reason"),
+                F.when(F.col("__ai") == 1, F.col(idc))
+                .when(F.col("__cp").isNotNull(), F.col("__cp"))
+                .when(F.col("__rep") != F.col(idc), F.col("__rep"))
+                .otherwise(F.lit(None))
+                .cast("bigint")
+                .alias("partner"),
+            )
+        )
+        return evict_on_gc(decisions, sh)
+
+    def admit_and_ingest(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        corpus_docs: DataFrame,
+        threshold: float = 0.5,
+        max_bucket_size: int | None = None,
+    ) -> DataFrame | None:
+        """The full incremental loop, foreachBatch-shaped: decide
+        (``admit_batch`` against the CURRENT index state), ingest ONLY
+        the admitted documents' signatures as the next segment, return
+        the decision frame. Replayed batch ids return None without
+        recomputing — decisions must not be re-derived against a LATER
+        index state than the one that originally admitted the batch
+        (the same ``last_batch_id`` guard as plain ingest). The
+        decision plan is pinned to the pre-ingest version at
+        construction, so reading the returned frame after the commit
+        still reports the decisions that were acted on."""
+        latest = self.latest_version()
+        if latest is None:
+            raise ValueError(
+                f"{self.index_dir}: admit before build() — the standing "
+                "corpus must be signed first"
+            )
+        if batch_id <= self._last_batch_id(
+            self._load_manifest(latest), latest
+        ):
+            return None  # replayed micro-batch: already decided + ingested
+        decisions = self.admit_batch(
+            batch_df,
+            corpus_docs,
+            threshold=threshold,
+            max_bucket_size=max_bucket_size,
+        ).persist()
+        admitted = batch_df.join(
+            decisions.filter(F.col("reason") == "admitted").select(
+                self.id_col
+            ),
+            on=self.id_col,
+            how="left_semi",
+        )
+        self(admitted, batch_id)
+        from cses2humio_spark.session import evict_on_gc
+
+        return evict_on_gc(decisions, decisions)

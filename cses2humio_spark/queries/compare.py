@@ -3,8 +3,15 @@ query and its DuckDB oracle on the same parquet tables, compare row count,
 column names, and an order-insensitive canonical value multiset.
 
 Stricter than any reasonable hash: values are canonicalized to exact reprs
-(floats via repr of the double bits), so passing here implies passing any
-order-insensitive value-hash downstream.
+(floats via repr of the double bits) WITH type tags, so passing here implies
+passing any order-insensitive type-aware value-hash downstream.
+
+Oracle rows are fetched through Arrow (``rel.arrow()``), not ``fetchall()``:
+DuckDB's cursor API degrades HUGEINT to a plain Python int, which made the
+round-7 escape (an oracle ``SUM`` over BIGINT silently typed HUGEINT →
+Arrow decimal128(38,0) at the driver, int64 on the Spark side) invisible
+locally. Through Arrow a HUGEINT column arrives as ``decimal.Decimal`` and
+the type-tagged canon (``i:`` vs ``D:``) fails exactly as the driver does.
 """
 
 from __future__ import annotations
@@ -13,6 +20,7 @@ import datetime as _dt
 import math
 import os
 from collections import Counter
+from decimal import Decimal
 
 import duckdb
 from pyspark.sql import DataFrame, SparkSession
@@ -29,11 +37,32 @@ def run_oracle(sf_dir: str, sql: str) -> tuple[list[str], list[tuple]]:
             con.execute(
                 f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
             )
-    rel = con.sql(sql)
-    cols = [d[0] for d in rel.description]
-    rows = rel.fetchall()
+    tbl = con.sql(sql).arrow()
+    cols = list(tbl.column_names)
+    # columnar extraction (not to_pylist's dicts) so duplicate column
+    # names can't silently collapse
+    col_data = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+    rows = list(zip(*col_data)) if col_data else []
     con.close()
     return cols, rows
+
+
+def oracle_arrow_schema(sf_dir: str, sql: str):
+    """Arrow schema of an oracle's output — what the driver's type-aware
+    hash actually sees. Used by the oracle-typing lint."""
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+    schema = con.sql(sql).arrow().schema
+    con.close()
+    return schema
 
 
 def _canon(v) -> str:
@@ -47,8 +76,19 @@ def _canon(v) -> str:
         return f"f:{float(v)!r}"
     if isinstance(v, (_dt.datetime, _dt.date)):
         return f"t:{v.isoformat()}"
+    if isinstance(v, Decimal):
+        # scale-preserving: Decimal('3.50') != Decimal('3.5') here, just
+        # as decimal128(p,2) != decimal128(p,1) differs under a
+        # type-aware driver hash; and 'D:' never equals an int's 'i:'
+        return f"D:{v}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return (
+            "{"
+            + ",".join(f"{k}={_canon(v[k])}" for k in sorted(v))
+            + "}"
+        )
     if isinstance(v, bytes):
         return "x:" + v.hex()
     return f"{type(v).__name__[0]}:{v}"

@@ -2924,10 +2924,11 @@ def avi_av_demux_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stratified_weighted_sample",
     oracle="""
-    WITH k AS (SELECT doc_id, lang, CAST(length(text) AS DOUBLE) AS w,
+    WITH k AS (SELECT doc_id, lang,
+            CAST(GREATEST(1, length(text)) AS DOUBLE) AS w,
             ROUND(ln((((doc_id * 2654435761 + 1013904223) % 4294967296)
                       + 0.5) / 4294967296.0)
-                  / CAST(length(text) AS DOUBLE), 9) AS k
+                  / CAST(GREATEST(1, length(text)) AS DOUBLE), 9) AS k
           FROM documents),
     r AS (SELECT doc_id, lang, w, k,
                  ROW_NUMBER() OVER (PARTITION BY lang
@@ -2945,14 +2946,18 @@ def stratified_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     best-keyed documents regardless of corpus skew — the op behind
     "equal per-language budgets" training mixes. One partitioned ranking
     window (parallel per stratum, Spark's WindowGroupLimit pushes the
-    rank-20 filter below the sort) — no global sort anywhere."""
+    rank-20 filter below the sort) — no global sort anywhere. The
+    weight is floored at 1 (GREATEST(1, length)) on both engines: a
+    zero-length document would otherwise divide ln(u) by zero and ride
+    a -Infinity key through fragile cross-engine infinity
+    ordering/ROUND semantics (ADVICE r7)."""
     docs = load_table(spark, sf_dir, "documents")
     u = (
         (F.col("doc_id") * F.lit(2654435761) + F.lit(1013904223))
         % F.lit(4294967296)
         + 0.5
     ) / 4294967296.0
-    w = F.length("text").cast("double")
+    w = F.greatest(F.lit(1), F.length("text")).cast("double")
     from pyspark.sql.window import Window
 
     keyed = docs.select(

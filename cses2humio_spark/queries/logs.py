@@ -737,7 +737,7 @@ def timechart_dense_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rk FROM c)
     SELECT CASE WHEN rk <= 10 THEN CAST(user_id AS VARCHAR)
                 ELSE 'other' END AS who,
-           SUM(n) AS n_events, COUNT(*) AS n_users
+           CAST(SUM(n) AS BIGINT) AS n_events, COUNT(*) AS n_users
     FROM r GROUP BY 1
     """,
 )
@@ -777,7 +777,7 @@ def top_users_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rk FROM c)
     SELECT CASE WHEN rk <= 10 THEN CAST(user_id AS VARCHAR)
                 ELSE 'other' END AS who,
-           SUM(n) AS n_events, COUNT(*) AS n_users
+           CAST(SUM(n) AS BIGINT) AS n_events, COUNT(*) AS n_users
     FROM r GROUP BY 1
     """,
 )

@@ -1003,10 +1003,19 @@ def bigram_lm_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Markov-anomaly contract (`mining.py::markov_sequence_anomaly`):
     each bigram's log-prob is rounded to 8 BEFORE an exact-DECIMAL
     per-doc sum, so scores are bit-identical under any partitioning.
-    Scale: the bigram stream is computed once and persisted (three
-    consumers); the model join is (w1, w2)-keyed — counts shuffle,
-    token text rides only within its own doc's rows; the vocabulary
-    size is a single broadcast scalar."""
+    Scale (restructured per VERDICT r7 #6): the corpus-sized bigram
+    token stream is NEVER cached — only the model-sized bigram-count
+    table ``c2`` persists (bounded by distinct-bigram cardinality, not
+    corpus rows), the context counts derive from it as a second-level
+    aggregate (tt = Σ_w2 n), and the cache is evicted by
+    ``session.evict_on_gc`` once the caller drops the result. The
+    token stream is recomputed for the scoring join (a pure map off
+    the documents scan — cheaper at 100 TB than spilling a
+    one-row-per-token cache); the model join is (w1, w2)-keyed —
+    counts shuffle, token text rides only within its own doc's rows;
+    the vocabulary size is a single broadcast scalar."""
+    from cses2humio_spark.session import evict_on_gc
+
     toks = F.split(F.trim(F.col("text")), r"\s+")
     docs = load_table(spark, sf_dir, "documents")
     bg = (
@@ -1023,10 +1032,9 @@ def bigram_lm_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b"),
         )
         .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-        .persist()
     )
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("tt"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n")).persist()
+    c1 = c2.groupBy("w1").agg(F.sum("n").alias("tt"))
     vocab = (
         docs.select(F.explode(toks).alias("tok"))
         .agg(F.count_distinct("tok").alias("vsz"))
@@ -1043,7 +1051,7 @@ def bigram_lm_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lp"),
         )
     )
-    return (
+    out = (
         bg.join(p, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
@@ -1057,3 +1065,4 @@ def bigram_lm_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_nll"),
         )
     )
+    return evict_on_gc(out, c2)

@@ -72,3 +72,85 @@ def test_priority_window_results_are_driver_hashable(spark):
             if isinstance(field.dataType, complex_types):
                 offenders.append(f"{name}.{field.name}: {field.dataType}")
     assert not offenders, f"non-hashable columns in driver window: {offenders}"
+
+
+def test_oracle_output_types_driver_safe(spark):
+    """Round-7's one red driver cell was an oracle TYPING bug the local
+    gate was structurally blind to: a bare ``SUM`` over a BIGINT makes
+    DuckDB emit HUGEINT, which surfaces as Arrow decimal128(38,0) under
+    the driver's type-aware hash while Spark emits int64 — identical
+    values, red cell. This lint DESCRIBEs every registered oracle (schema
+    only, no execution) and fails on:
+
+    - any HUGEINT/UHUGEINT output column, ever (the fix is the repo
+      convention: ``CAST(SUM(...) AS BIGINT)``);
+    - any DECIMAL output column whose Spark twin is not a DecimalType
+      (decimal vs int64/double is the same class of type-tag mismatch).
+    """
+    import duckdb
+    import os
+
+    from pyspark.sql import types as T
+
+    from tests.test_plans import SIDE_EFFECTING
+
+    con = duckdb.connect()
+    for tbl in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        path = os.path.join(SF_SMALL, f"{tbl}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{path}')"
+            )
+    hugeint, decimals = [], {}
+    for name, sql in ORACLES.items():
+        desc = con.sql("DESCRIBE " + sql).fetchall()
+        for col, typ, *_ in desc:
+            if "HUGEINT" in typ:
+                hugeint.append(f"{name}.{col}: {typ}")
+            elif typ.startswith("DECIMAL"):
+                decimals.setdefault(name, []).append(col)
+    con.close()
+    assert not hugeint, (
+        "oracle output typed HUGEINT -> Arrow decimal128(38,0) at the "
+        f"driver while Spark emits int64; CAST(... AS BIGINT): {hugeint}"
+    )
+    mismatched = []
+    for name, cols in decimals.items():
+        if name in SIDE_EFFECTING:
+            # can't cheaply build the Spark plan; force a deliberate
+            # decision rather than silently skipping the check
+            mismatched.append(
+                f"{name}: decimal oracle columns {cols} on a "
+                "side-effecting query — verify the Spark side is "
+                "DecimalType and whitelist here explicitly"
+            )
+            continue
+        schema = QUERIES[name](spark, SF_SMALL).schema
+        for col in cols:
+            if not isinstance(schema[col].dataType, T.DecimalType):
+                mismatched.append(
+                    f"{name}.{col}: oracle DECIMAL vs spark {schema[col].dataType}"
+                )
+    assert not mismatched, f"oracle/spark decimal type-tag mismatches: {mismatched}"
+
+
+def test_compare_gate_sees_hugeint_type_tags(spark):
+    """Regression for the round-7 escape mechanism itself: the old
+    ``fetchall()`` oracle path degraded HUGEINT to a Python int, so a
+    Spark int64 vs oracle HUGEINT pair passed locally and failed at the
+    driver. The Arrow-fetch path must FAIL that exact pair (equal values,
+    different type tag) and still PASS the BIGINT-cast form."""
+    from pyspark.sql import functions as F
+
+    from cses2humio_spark.queries.compare import compare_query
+
+    def fn(spark, sf_dir):
+        return spark.range(1).select(F.lit(6).cast("bigint").alias("s"))
+
+    bad = compare_query(spark, SF_SMALL, fn, "SELECT CAST(6 AS HUGEINT) AS s")
+    assert not bad["ok"] and "value-mismatch" in bad["status"], bad
+    good = compare_query(spark, SF_SMALL, fn, "SELECT CAST(6 AS BIGINT) AS s")
+    assert good["ok"], good

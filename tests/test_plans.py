@@ -151,19 +151,17 @@ SIDE_EFFECTING = {
 }
 
 
-def test_no_query_degenerates_to_cartesian(spark):
-    """Fleet-wide plan lint: NO registered query may plan a
-    CartesianProduct, and BroadcastNestedLoopJoin is allowed only where a
-    broadcast cross join is the design (tiny probe/centroid sides, or the
-    explicitly-registered cross join). Catches silent join-condition
-    regressions across the whole surface."""
-    from cses2humio_spark.plans.explain import formatted_plan
-
-    BNLJ_BY_DESIGN = {
+#: queries where a BroadcastNestedLoopJoin is the DESIGN (tiny probe /
+#: centroid / single-row scalar sides, or the explicit cross join) —
+#: shared by the fleet-wide cartesian lint and the isolated
+#: side-effecting-query lint below.
+BNLJ_BY_DESIGN = {
         "cosine_topk",            # tiny probe set broadcast against corpus
         "sq8_cosine_topk",        # tiny probe set broadcast against int8 codes
         "ivf_topk",               # tiny centroid set broadcast
         "ivfpq_topk",             # tiny centroid set broadcast (IVF-PQ)
+        "ivfpq_index_search",     # same probes x centroids broadcast via
+        # ivfpq_probe_tables; previously unchecked because SIDE_EFFECTING
         "cross_join_region_priority",  # the cross join op itself
         "vocab_coverage",         # single-row corpus-total scalar broadcast
         "token_budget_selection",  # single-row token-budget scalar broadcast
@@ -179,7 +177,17 @@ def test_no_query_degenerates_to_cartesian(spark):
         "top_users_with_other_two_level",  # single-row totals x single-row
         # top-slice counters combined into the 'other' rollup row
         "bigram_lm_doc_quality",  # single-row vocabulary-size scalar broadcast
-    }
+}
+
+
+def test_no_query_degenerates_to_cartesian(spark):
+    """Fleet-wide plan lint: NO registered query may plan a
+    CartesianProduct, and BroadcastNestedLoopJoin is allowed only where a
+    broadcast cross join is the design (tiny probe/centroid sides, or the
+    explicitly-registered cross join). Catches silent join-condition
+    regressions across the whole surface."""
+    from cses2humio_spark.plans.explain import formatted_plan
+
     offenders = []
     for name, fn in QUERIES.items():
         if name in SIDE_EFFECTING:
@@ -551,3 +559,38 @@ def test_plan_shapes_match_snapshot(spark):
         "physical plan shape drifted (see docstring for the refresh "
         f"protocol): {json.dumps(drift, indent=1, sort_keys=True)}"
     )
+
+
+def test_side_effecting_queries_pass_lints_in_isolation(spark):
+    """ADVICE r7 #4: the fleet-wide cartesian and unpartitioned-window
+    lints SKIP the SIDE_EFFECTING set (building those queries runs
+    actions and leaves cache entries that corrupt later explains), which
+    silently exempted their plans from both hygiene checks. This test
+    closes the gap: build each side-effecting query ONCE, assert the
+    same two predicates on its plan, and clear the cache afterwards so
+    no materialized frame leaks into later tests. Runs LAST in this
+    module (after the snapshot test) by definition order."""
+    from cses2humio_spark.plans.explain import formatted_plan, unpartitioned_windows
+
+    offenders = []
+    try:
+        for name in sorted(SIDE_EFFECTING):
+            fn = QUERIES.get(name)
+            if fn is None:  # entries tracked for other registries
+                continue
+            df = fn(spark, SF_SMALL)
+            plan = formatted_plan(df)
+            if "CartesianProduct" in plan:
+                offenders.append((name, "CartesianProduct"))
+            if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_BY_DESIGN:
+                offenders.append((name, "BroadcastNestedLoopJoin"))
+            bad = [
+                w["node"][:120]
+                for w in unpartitioned_windows(df)
+                if not w["bounded"]
+            ]
+            if bad:
+                offenders.append((name, f"unpartitioned window: {bad}"))
+    finally:
+        spark.catalog.clearCache()
+    assert not offenders, offenders

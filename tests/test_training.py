@@ -402,3 +402,25 @@ def test_bigram_lm_scores_gibberish_above_fluent(spark, tmp_path):
         for r in QUERIES["bigram_lm_doc_quality"](spark, f"{d}2").collect()
     }
     assert out == out2
+
+
+def test_bigram_lm_model_cache_evicted_on_gc(spark):
+    """VERDICT r7 #6: the bigram query used to leave a corpus-sized
+    persisted frame behind per invocation. Now only the model-sized
+    bigram-count table persists, and `session.evict_on_gc` drops it once
+    the caller releases the result — a long-lived engine session running
+    the query N times must not accumulate N cache entries."""
+    import gc
+
+    from cses2humio_spark.queries import QUERIES
+    from tests.conftest import SF_SMALL
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+    df = QUERIES["bigram_lm_doc_quality"](spark, SF_SMALL)
+    df.collect()
+    assert not cm.isEmpty()  # model cache alive while the result is held
+    del df
+    gc.collect()
+    assert cm.isEmpty(), "bigram model cache leaked past result GC"
