@@ -28,36 +28,37 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries follow in module order.
 _PRIORITY = [
     # log/event surface (SURVEY §2.2 Humio-analog rows)
-    "free_text_search",
-    "json_field_stats",
     "hql_error_timechart",
-    "hql_kv_parse",
     "hql_parse_leef",
-    "hql_rare_user_events",
     "hql_field_summary",
     "hql_head_latest_per_user",
     "hql_transpose_type_counts",
     "top_users_with_other_two_level",
     "geohash_event_heatmap",
-    # LLM-pipeline operators
-    "jaccard_near_dups",
-    "embedding_near_dups",
-    "bpe_subword_stats",
+    # LLM-pipeline operators (round-9 window: the full
+    # never-driver-checked pool rotated in — see rotation note below)
+    "crawl_admission_decisions",
+    "minhash_index_candidates",
+    "near_dup_cluster_reps_star",
+    "fuzzy_dedup_survivor_stats",
+    "embedding_dedup_cluster_reps",
+    "dup_span_coverage_stats",
+    "trim_duplicate_spans_stats",
+    "bigram_lm_doc_quality",
+    "stratified_weighted_sample",
     "bpe_pack_assignments",
     "bpe_vocab_oov_rate",
-    "span_corruption_stats",
     "udaf_weighted_value",
     "kmeans_clusters",
-    "pii_redaction_stats",
-    "bm25_search_top20",
     "rrf_hybrid_top10",
-    "weighted_sample_top100",
-    "pq_index_refined_search",
     "ivfpq_index_search",
     "sq8_cosine_topk",
-    "jpeg_color_decode_stats",
-    "qoi_decode_stats",
-    "mjpeg_avi_frame_stats",
+    "jpeg_420_decode_stats",
+    "jpeg_progressive_decode_stats",
+    "jpeg_sa_decode_stats",
+    "pcx_decode_stats",
+    "tiff_decode_stats",
+    "avi_av_demux_stats",
     # connector semantics
     "connector_enrich_envelope",
     "connector_malformed_drop_rate",
@@ -82,6 +83,33 @@ _PRIORITY = [
     "sql_exists_and_scalar_subquery",
     "holt_winters_hourly_baseline",
 ]
+# Round-9 window refresh (r8 verdict item 2 — the rotation was two
+# rounds overdue): fifteen slots whose families are r8-driver-green AND
+# double-covered rotated OUT — free_text_search + json_field_stats
+# (search/JSON-extraction pinned in-window by the hql parsers and
+# connector_enrich_envelope), hql_kv_parse (parser slot keeps the leef
+# sibling), hql_rare_user_events (agg/rank family keeps field_summary +
+# head_latest), jaccard_near_dups (the minhash family now holds FOUR
+# in-window slots: crawl_admission_decisions, minhash_index_candidates,
+# near_dup_cluster_reps_star, fuzzy_dedup_survivor_stats),
+# embedding_near_dups (embedding-LSH slot now embedding_dedup_cluster_
+# reps), bpe_subword_stats + span_corruption_stats (BPE family keeps
+# pack + oov), pii_redaction_stats, bm25_search_top20 (rrf_hybrid_top10
+# stays and fuses a BM25 arm), weighted_sample_top100 (sampling slot now
+# the stratified sibling), pq_index_refined_search (ANN-index slot keeps
+# ivfpq_index_search), jpeg_color_decode_stats + qoi_decode_stats +
+# mjpeg_avi_frame_stats (codec slots now the five never-checked decodes
+# + avi_av_demux_stats, whose MJPEG routing covers the mjpeg core).
+# Rotated IN: the complete never-driver-checked pool named by the r7/r8
+# verdicts — avi_av_demux_stats, dup_span_coverage_stats,
+# trim_duplicate_spans_stats, minhash_index_candidates,
+# bigram_lm_doc_quality, stratified_weighted_sample,
+# near_dup_cluster_reps_star, fuzzy_dedup_survivor_stats,
+# embedding_dedup_cluster_reps, pcx_decode_stats, tiff_decode_stats,
+# jpeg_420/progressive/sa_decode_stats — plus the round-9
+# crawl_admission_decisions (the newly oracle-paired admission loop).
+# top_users_with_other_two_level (r7's red cell, fixed r8) deliberately
+# stays one more round as regression protection.
 # Round-7 window refresh (r6 verdict item 4): seventeen slots whose
 # families are r6-driver-green AND double-covered (in-window sibling or
 # judge-verified tail) rotated out — regex_extract_histogram,

@@ -169,6 +169,22 @@ STANDING_BASELINE_SF01 = {
 }
 
 
+def _cpu_steal_seconds() -> float | None:
+    """Cumulative hypervisor steal CPU-seconds from /proc/stat (field 8
+    of the aggregate 'cpu' line), or None off-Linux. The delta across
+    the marginal-throughput measurement annotates how hot the box was —
+    a high steal share explains a low slope without implying a code
+    regression."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        if parts[0] != "cpu" or len(parts) < 9:
+            return None
+        return int(parts[8]) / os.sysconf("SC_CLK_TCK")
+    except Exception:  # noqa: BLE001 — annotation only
+        return None
+
+
 def bench_connector(spark, sf_dir: str, mult: int = 1) -> tuple[float, int]:
     """Connector-pipeline throughput: the sf events table rendered as
     CrowdStrike-style NDJSON (off the clock), then parse → enrich →
@@ -323,22 +339,31 @@ def main() -> None:
     timings["connector_pipeline"] = round(connector_wall, 3)
     total += connector_wall
 
-    # Marginal throughput (VERDICT r4 #6): the headline events/s bounced
-    # 60-78k across rounds purely on fixed stream-startup/WAL cost while
-    # the isolated marginal profile measured ~423k. Two availableNow runs
-    # at 1x and 10x volume give a slope that cancels the fixed cost:
-    # marginal = d(events)/d(wall); fixed = wall_1x - n_1x/marginal.
-    # min-of-two per volume (the suite's standard) tames WAL jitter; the
-    # 10x spread keeps the marginal leg well above the ~±0.3 s noise.
+    # Marginal throughput — INFORMATIONAL ONLY, never gated and never
+    # comparable across rounds (VERDICT r8 task #5): the slope has swung
+    # 1.1M -> 3.1M -> 1.1M events/s purely on box state (hypervisor
+    # steal), so the GATE is the connector WALL vs its standing number
+    # (connector_pipeline in STANDING_BASELINE_SF01, checked with every
+    # other query below); the slope is reported with a steal-time
+    # annotation so a hot box is visible in the JSON itself.
+    # Method: two availableNow runs at 1x and 10x volume cancel the fixed
+    # stream-startup/WAL cost: marginal = d(events)/d(wall).
     connector_marginal = None
     connector_fixed = None
+    connector_steal = None
     try:
+        steal0 = _cpu_steal_seconds()
+        t_m0 = time.perf_counter()
         wall1b, _ = bench_connector(spark, sf_dir)
         wall1 = min(connector_wall, wall1b)
         wall10, n10 = bench_connector(spark, sf_dir, mult=10)
         wall10b, _ = bench_connector(spark, sf_dir, mult=10)
         wall10 = min(wall10, wall10b)
         d_wall = wall10 - wall1
+        steal1 = _cpu_steal_seconds()
+        if steal0 is not None and steal1 is not None:
+            elapsed = max(time.perf_counter() - t_m0, 1e-9)
+            connector_steal = round((steal1 - steal0) / elapsed, 4)
         if d_wall > 0.1:
             connector_marginal = round((n10 - connector_events) / d_wall)
             connector_fixed = round(
@@ -354,8 +379,12 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "connector_events_per_sec": round(connector_events / connector_wall),
+        # informational only — box-state dependent (see steal share);
+        # NOT comparable across rounds; the gate is connector_pipeline's
+        # wall vs its standing baseline below
         "connector_marginal_events_per_sec": connector_marginal,
         "connector_fixed_overhead_sec": connector_fixed,
+        "connector_marginal_steal_share": connector_steal,
     }
     # ≤2x per-query regression gate vs the standing baseline (sf0.1 only —
     # the baseline was measured there). Informational in the JSON; the

@@ -572,11 +572,14 @@ def alternating_star_components(
 
     def _signature(df: DataFrame) -> tuple:
         # decimal sums: an int64 SUM of xxhash64 values overflows (ANSI
-        # sessions raise; non-ANSI would wrap silently)
+        # sessions raise; non-ANSI would wrap silently). Per-endpoint
+        # sums go through xxhash64 rather than casting the id itself so
+        # non-numeric id columns (string doc ids) work — an ANSI cast of
+        # 'a' to decimal raises mid-round.
         row = df.agg(
             F.count(F.lit(1)),
-            F.sum(F.col("u").cast("decimal(38,0)")),
-            F.sum(F.col("v").cast("decimal(38,0)")),
+            F.sum(F.xxhash64("u").cast("decimal(38,0)")),
+            F.sum(F.xxhash64("v").cast("decimal(38,0)")),
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
         ).collect()[0]
         return tuple(row)

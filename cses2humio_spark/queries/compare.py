@@ -47,24 +47,6 @@ def run_oracle(sf_dir: str, sql: str) -> tuple[list[str], list[tuple]]:
     return cols, rows
 
 
-def oracle_arrow_schema(sf_dir: str, sql: str):
-    """Arrow schema of an oracle's output — what the driver's type-aware
-    hash actually sees. Used by the oracle-typing lint."""
-    con = duckdb.connect()
-    for name in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings".split()
-    ):
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
-            con.execute(
-                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
-            )
-    schema = con.sql(sql).arrow().schema
-    con.close()
-    return schema
-
-
 def _canon(v) -> str:
     if v is None:
         return "<null>"

@@ -2869,6 +2869,126 @@ def minhash_index_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.query_candidates(probes)
 
 
+_MINHASH_ADMIT_DIRS: dict[tuple, str] = {}
+
+
+def _minhash_admission_index_for(spark: SparkSession, sf_dir: str):
+    """Build-once cached MinHash index over the ADMISSION corpus slice
+    (doc_id % 5 != 3) — the standing corpus of
+    ``crawl_admission_decisions``. Same fingerprint-keyed lifecycle as
+    ``_minhash_index_for``."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from cses2humio_spark.operators.dedup_index import MinHashIndex
+
+    key = _corpus_fingerprint(sf_dir, table="documents")
+    if key not in _MINHASH_ADMIT_DIRS:
+        d = tempfile.mkdtemp(prefix="minhash_admit_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        idx = MinHashIndex(d, n=3, bands=4, rows_per_band=2)
+        idx.build(
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % 5 != 3
+            )
+        )
+        _MINHASH_ADMIT_DIRS[key] = d
+    from cses2humio_spark.operators.dedup_index import MinHashIndex as _M
+
+    return _M(_MINHASH_ADMIT_DIRS[key], n=3, bands=4, rows_per_band=2)
+
+
+@query(
+    "crawl_admission_decisions",
+    oracle=f"""
+    WITH RECURSIVE {_SIG_CTE},
+    idx AS (SELECT DISTINCT doc_id FROM sig WHERE doc_id % 5 != 3),
+    batch AS (SELECT doc_id FROM documents
+              WHERE doc_id % 5 = 3 OR doc_id % 10 = 0),
+    fresh AS (SELECT doc_id FROM batch
+              WHERE doc_id NOT IN (SELECT doc_id FROM idx)),
+    psig AS (SELECT s.doc_id, s.band, s.sig
+             FROM sig s JOIN fresh f ON f.doc_id = s.doc_id),
+    isig AS (SELECT s.doc_id, s.band, s.sig
+             FROM sig s JOIN idx i ON i.doc_id = s.doc_id),
+    cpair AS (SELECT DISTINCT p.doc_id AS id_a, i.doc_id AS id_b
+              FROM psig p JOIN isig i ON i.band = p.band AND i.sig = p.sig
+              WHERE p.doc_id != i.doc_id),
+    dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY 1),
+    cinter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+               FROM cpair c
+               JOIN dsh a ON a.doc_id = c.id_a
+               JOIN dsh b ON b.doc_id = c.id_b AND b.sh = a.sh
+               GROUP BY 1, 2),
+    crej AS (SELECT i.id_a AS doc_id, MIN(i.id_b) AS cp
+             FROM cinter i
+             JOIN sizes sa ON sa.doc_id = i.id_a
+             JOIN sizes sb ON sb.doc_id = i.id_b
+             WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
+                   >= 0.5
+             GROUP BY 1),
+    bpair AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM psig a JOIN psig b ON a.band = b.band AND a.sig = b.sig
+                                     AND a.doc_id < b.doc_id),
+    binter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+               FROM bpair c
+               JOIN dsh a ON a.doc_id = c.id_a
+               JOIN dsh b ON b.doc_id = c.id_b AND b.sh = a.sh
+               GROUP BY 1, 2),
+    bjac AS (SELECT i.id_a, i.id_b
+             FROM binter i
+             JOIN sizes sa ON sa.doc_id = i.id_a
+             JOIN sizes sb ON sb.doc_id = i.id_b
+             WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
+                   >= 0.5),
+    bi AS (SELECT id_a AS src, id_b AS dst FROM bjac
+           UNION ALL SELECT id_b, id_a FROM bjac),
+    reach AS (SELECT doc_id AS id, doc_id AS label FROM fresh
+              UNION
+              SELECT b.src, r.label FROM reach r JOIN bi b ON b.dst = r.id),
+    comp AS (SELECT id AS doc_id, MIN(label) AS rep FROM reach GROUP BY id)
+    SELECT b.doc_id,
+           CASE WHEN ix.doc_id IS NOT NULL THEN 'already_indexed'
+                WHEN cr.cp IS NOT NULL THEN 'corpus_dup'
+                WHEN co.rep <> b.doc_id THEN 'batch_dup'
+                ELSE 'admitted' END AS reason,
+           CAST(CASE WHEN ix.doc_id IS NOT NULL THEN b.doc_id
+                     WHEN cr.cp IS NOT NULL THEN cr.cp
+                     WHEN co.rep <> b.doc_id THEN co.rep
+                     ELSE NULL END AS BIGINT) AS partner
+    FROM batch b
+    LEFT JOIN idx ix ON ix.doc_id = b.doc_id
+    LEFT JOIN crej cr ON cr.doc_id = b.doc_id
+    LEFT JOIN comp co ON co.doc_id = b.doc_id
+    """,
+)
+def crawl_admission_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-admission DECISION loop, oracle-checked end to end
+    (VERDICT r8 task #3): an incoming batch (every 5th document plus
+    some re-crawled ids already live in the index) is decided against
+    the PERSISTED MinHash index in one call —
+    ``MinHashIndex.admit_batch`` returns (doc_id, reason, partner) with
+    reasons already_indexed / corpus_dup (exact shingle Jaccard >= 0.5
+    against a live indexed partner, min partner id) / batch_dup
+    (non-representative member of a verified within-batch near-dup
+    cluster; connected components, min-id representative) / admitted.
+    The oracle recomputes the whole decision from scratch in SQL —
+    signatures, candidate equi-joins on both sides, exact Jaccard
+    verification, and the within-batch components via a recursive CTE —
+    the split-correctness convention of ``minhash_index_candidates``.
+    Scale shape: index and batch signatures meet in ONE (band, sig)
+    equi-join; corpus text is read only for candidate partner ids."""
+    idx = _minhash_admission_index_for(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 3)
+    batch = docs.filter(
+        (F.col("doc_id") % 5 == 3) | (F.col("doc_id") % 10 == 0)
+    )
+    return idx.admit_batch(batch, corpus, threshold=0.5)
+
+
 @query(
     "avi_av_demux_stats",
     oracle="""

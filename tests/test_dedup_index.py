@@ -260,3 +260,345 @@ def test_probe_bucket_cap_bounds_mass_dup_fanout(spark, tmp_path):
     capped = idx.query_candidates(probe, max_bucket_size=50).collect()
     assert len(capped) == 50
     assert min(r.index_id for r in capped) == 0  # hub retained
+
+
+# ---- admission loop (round 9: VERDICT r8 tasks #1/#3/#7) -------------------
+
+
+def _cache_manager(spark):
+    return spark._jsparkSession.sharedState().cacheManager()
+
+
+@pytest.fixture()
+def corpus3(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+            (3, "quick brown fox jumps over lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_evict_on_gc_self_reference(spark):
+    """VERDICT r8 #1: ``evict_on_gc(df, df)`` — the admission loop's
+    legitimate shape — used to register a finalize callback that strongly
+    referenced its own referent, so the frame was pinned forever and the
+    eviction NEVER fired. The fix captures only the JVM handle; the
+    self-referencing case must now actually evict on GC."""
+    import gc
+
+    from cses2humio_spark.session import evict_on_gc
+
+    spark.catalog.clearCache()
+    cm = _cache_manager(spark)
+    assert cm.isEmpty()
+    df = spark.range(100).persist()
+    df.count()
+    assert not cm.isEmpty()
+    out = evict_on_gc(df, df)
+    assert out is df
+    del df, out
+    gc.collect()
+    assert cm.isEmpty(), "self-referencing evict_on_gc never fired"
+
+
+def test_admit_batch_decision_reasons(spark, corpus3, tmp_path):
+    """The four decision reasons and their partners, on a batch built to
+    hit each branch exactly once (plus the batch-cluster representative),
+    with deterministic first-listed-reason-wins precedence."""
+    idx = MinHashIndex(str(tmp_path / "mh"))
+    idx.build(corpus3)
+    batch = spark.createDataFrame(
+        [
+            (2, "one two three four five six seven"),  # already indexed
+            (10, "alpha beta gamma delta epsilon zeta"),  # near-dup of 1
+            (11, "new page body with shared tokens here"),  # batch rep
+            (12, "new page body with shared tokens here"),  # dup of 11
+            (13, "totally unique document nothing shared"),  # admitted
+        ],
+        "doc_id long, text string",
+    )
+    dec = {
+        r.doc_id: (r.reason, r.partner)
+        for r in idx.admit_batch(batch, corpus3).collect()
+    }
+    assert dec == {
+        2: ("already_indexed", 2),
+        10: ("corpus_dup", 1),
+        11: ("admitted", None),
+        12: ("batch_dup", 11),
+        13: ("admitted", None),
+    }
+
+
+def test_admit_and_ingest_first_seen_wins_and_replay_guard(
+    spark, corpus3, tmp_path
+):
+    """Across micro-batches the decision is first-seen-wins: a doc
+    admitted in batch 0 becomes the corpus partner rejecting its twin in
+    batch 1; replaying a committed batch id returns None (decisions must
+    not be re-derived against a LATER index state) and leaves the index
+    untouched."""
+    idx = MinHashIndex(str(tmp_path / "mh"))
+    idx.build(corpus3)
+    b0 = spark.createDataFrame(
+        [(20, "fresh crawl page twenty body text")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(21, "fresh crawl page twenty body text")],
+        "doc_id long, text string",
+    )
+    corpus_all = corpus3.unionByName(b0).unionByName(b1)
+    d0 = idx.admit_and_ingest(b0, 0, corpus_all)
+    assert {(r.doc_id, r.reason, r.partner) for r in d0.collect()} == {
+        (20, "admitted", None)
+    }
+    d1 = idx.admit_and_ingest(b1, 1, corpus_all)
+    assert {(r.doc_id, r.reason, r.partner) for r in d1.collect()} == {
+        (21, "corpus_dup", 20)
+    }
+    n_sigs = idx.read_signatures(spark).count()
+    assert idx.admit_and_ingest(b1, 1, corpus_all) is None  # replay
+    assert idx.read_signatures(spark).count() == n_sigs
+    # post-ingest re-probe: the admitted doc is now already_indexed
+    d0_again = idx.admit_and_ingest(b0, 2, corpus_all)
+    assert {(r.doc_id, r.reason, r.partner) for r in d0_again.collect()} == {
+        (20, "already_indexed", 20)
+    }
+
+
+def _cluster_batch(spark, ids_and_cluster):
+    rows = [
+        (i, f"cluster {k} shared body alpha{k} beta{k} gamma{k} delta{k}")
+        for i, k in ids_and_cluster
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_admit_batches_equal_one_shot_on_closed_clusters(spark, tmp_path):
+    """The batch==one-shot pin the r8 docstring cited but never existed
+    (VERDICT r8 #2): on transitively-closed clusters (exact duplicates —
+    every in-cluster pair verifies), feeding id-ordered micro-batches
+    through admit_and_ingest reproduces the one-shot min-id-per-cluster
+    decision exactly — same survivor set, same partner mapping (reasons
+    differ by arrival: corpus_dup vs batch_dup)."""
+    all_docs = [(i, i // 3) for i in range(24)]  # 8 clusters of 3
+    seed = spark.createDataFrame(
+        [(1000, "seed corpus completely unrelated body text")],
+        "doc_id long, text string",
+    )
+    full = _cluster_batch(spark, all_docs)
+    corpus_all = seed.unionByName(full)
+
+    streamed = MinHashIndex(str(tmp_path / "streamed"))
+    streamed.build(seed)
+    decisions = {}
+    for b, lo in enumerate(range(0, 24, 8)):
+        batch = _cluster_batch(
+            spark, [(i, k) for i, k in all_docs if lo <= i < lo + 8]
+        )
+        for r in streamed.admit_and_ingest(batch, b, corpus_all).collect():
+            decisions[r.doc_id] = r.partner if r.partner is not None else r.doc_id
+
+    oneshot_idx = MinHashIndex(str(tmp_path / "oneshot"))
+    oneshot_idx.build(seed)
+    oneshot = {
+        r.doc_id: (r.partner if r.partner is not None else r.doc_id)
+        for r in oneshot_idx.admit_batch(full, corpus_all).collect()
+    }
+    assert decisions == oneshot
+    assert sorted(i for i, p in decisions.items() if p == i) == [
+        3 * k for k in range(8)
+    ]
+    # the streamed index ingested exactly the survivors
+    survivors = {
+        r.doc_id
+        for r in streamed.read_signatures(spark).select("doc_id").distinct().collect()
+    }
+    assert survivors == {1000} | {3 * k for k in range(8)}
+
+
+def test_admit_batch_uncovered_partner_raises(spark, corpus3, tmp_path):
+    """ADVICE r8 #2 (no-silent-failure): a candidate's index partner
+    whose text is missing from corpus_docs cannot be Jaccard-verified;
+    the decision row must raise at materialization instead of silently
+    admitting a true near-dup."""
+    idx = MinHashIndex(str(tmp_path / "mh"))
+    idx.build(corpus3)
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    stale = corpus3.filter(F.col("doc_id") != 1)  # partner 1's text gone
+    with pytest.raises(Exception, match="corpus_docs lacks text"):
+        idx.admit_batch(batch, stale).collect()
+
+
+def test_admit_batch_string_id_partner_type(spark, tmp_path):
+    """ADVICE r8 #3: partner was hard-cast to bigint, silently nulling
+    every partner under a configurable string id column. It must carry
+    the id column's own type."""
+    corpus = spark.createDataFrame(
+        [("a", "alpha beta gamma delta epsilon zeta")],
+        "doc_id string, text string",
+    )
+    idx = MinHashIndex(str(tmp_path / "mh"))
+    idx.build(corpus)
+    batch = spark.createDataFrame(
+        [
+            ("a", "alpha beta gamma delta epsilon zeta"),
+            ("y", "brand new body with some shared tokens"),
+            ("z", "brand new body with some shared tokens"),
+        ],
+        "doc_id string, text string",
+    )
+    dec_df = idx.admit_batch(batch, corpus)
+    assert dict(dec_df.dtypes)["partner"] == "string"
+    dec = {r.doc_id: (r.reason, r.partner) for r in dec_df.collect()}
+    assert dec == {
+        "a": ("already_indexed", "a"),
+        "y": ("admitted", None),
+        "z": ("batch_dup", "y"),
+    }
+
+
+def test_admit_and_ingest_cache_evicted_on_gc(spark, corpus3, tmp_path):
+    """VERDICT r8 #1 regression pin, mirroring
+    test_bigram_lm_model_cache_evicted_on_gc: the per-micro-batch
+    persisted decision frame AND the shingle table from admit_batch must
+    both be evicted once the caller drops the decision frame — a
+    foreachBatch admission loop must not accumulate one cache entry per
+    micro-batch for the life of the session."""
+    import gc
+
+    spark.catalog.clearCache()
+    cm = _cache_manager(spark)
+    assert cm.isEmpty()
+    idx = MinHashIndex(str(tmp_path / "mh"))
+    idx.build(corpus3)
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    dec = idx.admit_and_ingest(batch, 0, corpus3)
+    dec.collect()
+    assert not cm.isEmpty()  # decision + shingle caches alive while held
+    del dec
+    gc.collect()
+    assert cm.isEmpty(), "admission caches leaked past decision-frame GC"
+
+
+def test_admit_and_ingest_stream_kill_restart(spark, docs, tmp_path):
+    """VERDICT r8 task #7: the admission loop under a REAL checkpointed
+    foreachBatch stream — crash in the at-least-once window (after the
+    index committed batch 0, before the checkpoint did), restart, replay
+    (admit_and_ingest returns None — decisions are never re-derived
+    against a later index state), continue. Final signatures must equal
+    a sequential batch-mode twin's."""
+    import os
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    staging = tmp_path / "staging"
+    seed = docs.filter(F.col("doc_id") % 3 == 0)
+    deltas = []
+    for i, rem in enumerate((1, 2)):
+        d = docs.filter(F.col("doc_id") % 3 == rem).select("doc_id", "text")
+        deltas.append(d)
+        d.coalesce(1).write.mode("overwrite").parquet(str(staging))
+        part = next(
+            p for p in staging.iterdir() if p.name.endswith(".parquet")
+        )
+        dst = src / f"delta_{i}.parquet"
+        shutil.move(str(part), str(dst))
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    shutil.rmtree(staging, ignore_errors=True)
+
+    idx = MinHashIndex(str(tmp_path / "sidx"))
+    idx.build(seed)
+    crash = {"armed": True}
+    seen: dict[int, list] = {}
+
+    def sink(batch_df, batch_id):
+        d = idx.admit_and_ingest(batch_df, batch_id, docs)
+        if d is not None:  # replayed batch: decided + ingested already
+            seen[batch_id] = _rows(d)
+        if crash["armed"]:
+            crash["armed"] = False
+            raise RuntimeError("injected crash after admission commit")
+
+    def start():
+        return (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+    q2 = start()
+    q2.awaitTermination()
+    assert sorted(seen) == [0, 1]
+
+    twin = MinHashIndex(str(tmp_path / "twin"))
+    twin.build(seed)
+    for b, d in enumerate(deltas):
+        td = twin.admit_and_ingest(d, b, docs)
+        assert _rows(td) == seen[b]
+    assert _rows(idx.read_signatures(spark)) == _rows(
+        twin.read_signatures(spark)
+    )
+
+
+def test_probe_plan_zero_shuffle_signing_no_corpus_text(
+    spark, docs, probes, tmp_path
+):
+    """VERDICT r8 task #6 (r7 #7): the zero-shuffle probe claim as a
+    plan PIN, not a docstring. (1) The probe-signing subtree
+    (``_signatures``) is a pure projection — no Exchange, no aggregate
+    of any kind (the groupBy signature formulation would plan one);
+    (2) the full ``query_candidates`` plan's only aggregates are the
+    final distinct's partial+final pair — nothing aggregates before the
+    (band, sig) join; (3) the index side scans ONLY the signature
+    artifacts — no scan in the plan touches the corpus text column from
+    the index directory (corpus text is never read on the probe path)."""
+    idx = MinHashIndex(str(tmp_path / "mh"))
+    idx.build(docs)
+
+    sig_plan = (
+        idx._signatures(probes)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in sig_plan, sig_plan[:1500]
+    assert "Aggregate" not in sig_plan, sig_plan[:1500]
+
+    full = (
+        idx.query_candidates(probes)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # only the trailing distinct aggregates (partial + final)
+    n_aggs = (
+        full.count("HashAggregate")
+        + full.count("SortAggregate")
+        + full.count("ObjectHashAggregate")
+    )
+    assert n_aggs == 2, f"unexpected aggregation before the probe join:\n{full[:2000]}"
+    # the index-side scans read signatures only — never a text column
+    index_scan_lines = [
+        ln
+        for ln in full.splitlines()
+        if "FileScan" in ln and str(tmp_path / "mh") in ln
+    ]
+    assert index_scan_lines, "no index-artifact scan found in probe plan"
+    for ln in index_scan_lines:
+        assert "text" not in ln, f"index scan reads corpus text:\n{ln[:500]}"

@@ -147,6 +147,8 @@ SIDE_EFFECTING = {
     "pq_index_search",  # builds the persisted index (once) to search
     "ivfpq_index_search",  # builds the persisted IVF-PQ index once
     "minhash_index_candidates",  # builds the persisted MinHash index once
+    "crawl_admission_decisions",  # builds the persisted admission index
+    # once AND runs the star-contraction CC loop at construction
     "cdc_upsert_latest_state",  # runs a full streaming query to build
 }
 
@@ -578,19 +580,29 @@ def test_side_effecting_queries_pass_lints_in_isolation(spark):
             fn = QUERIES.get(name)
             if fn is None:  # entries tracked for other registries
                 continue
-            df = fn(spark, SF_SMALL)
-            plan = formatted_plan(df)
-            if "CartesianProduct" in plan:
-                offenders.append((name, "CartesianProduct"))
-            if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_BY_DESIGN:
-                offenders.append((name, "BroadcastNestedLoopJoin"))
-            bad = [
-                w["node"][:120]
-                for w in unpartitioned_windows(df)
-                if not w["bounded"]
-            ]
-            if bad:
-                offenders.append((name, f"unpartitioned window: {bad}"))
+            try:
+                df = fn(spark, SF_SMALL)
+                plan = formatted_plan(df)
+                if "CartesianProduct" in plan:
+                    offenders.append((name, "CartesianProduct"))
+                if (
+                    "BroadcastNestedLoopJoin" in plan
+                    and name not in BNLJ_BY_DESIGN
+                ):
+                    offenders.append((name, "BroadcastNestedLoopJoin"))
+                bad = [
+                    w["node"][:120]
+                    for w in unpartitioned_windows(df)
+                    if not w["bounded"]
+                ]
+                if bad:
+                    offenders.append((name, f"unpartitioned window: {bad}"))
+            finally:
+                # per-query (ADVICE r8 #5): a frame cached by an earlier
+                # side-effecting query would print as InMemoryTableScan in
+                # a LATER query's plan and could mask Cartesian/BNLJ nodes
+                # inside the cached subtree — clear between iterations.
+                spark.catalog.clearCache()
     finally:
         spark.catalog.clearCache()
     assert not offenders, offenders
