@@ -89,6 +89,12 @@ HEADLINE = [
     # after the first pass: cached per corpus fingerprint; min-of-two
     # reflects the probe-only path)
     "bigram_lm_doc_quality",  # self-trained bigram LM perplexity filter
+    # round 9: admission loops promoted to the timed surface (no standing
+    # baseline yet — their first accepted bench becomes it). Both build
+    # their persisted index on the first pass (cached per corpus
+    # fingerprint); min-of-two reflects the probe+decide path.
+    "crawl_admission_decisions",  # text admission vs persisted MinHash index
+    "vector_admission_decisions",  # semantic admission vs persisted LSH index
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

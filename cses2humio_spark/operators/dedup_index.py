@@ -527,3 +527,460 @@ class MinHashIndex(VersionedSegmentStore):
         # JVM handle, so the finalizer does not pin its own referent
         # (VERDICT r8 #1; pinned by test_admit_and_ingest_cache_evicted_on_gc).
         return evict_on_gc(decisions, decisions)
+
+
+class EmbeddingLshIndex(VersionedSegmentStore):
+    """Persisted banded hyperplane-LSH signature index over EMBEDDINGS —
+    the vector-space twin of ``MinHashIndex`` (VERDICT r8 task #8:
+    streaming SEMANTIC dedup): the standing corpus's vectors are signed
+    ONCE into a versioned on-disk table of ``(id, lsh_sig)`` — one
+    bigint per vector, ~16 bytes, 100-1000x smaller than the float
+    vectors — and incoming batches are probed by a rowwise signature
+    projection plus ONE (band, band_sig) equi-join. Corpus vectors never
+    ride a shuffle; they are joined back only for candidate partner ids
+    at exact-cosine verification time (the ``corpus_vectors`` argument,
+    the analog of ``MinHashIndex``'s ``corpus_docs``).
+
+    Signatures use the SAME deterministic hyperplanes and the SAME
+    banded layout as the fused ``embedding_near_dup_pairs`` operator
+    (``operators/similarity.py``), so the index path returns exactly the
+    fused computation's candidates — the split-correctness contract —
+    and the DuckDB oracle mirror (``_EMB_NEARDUP_CTES``) applies
+    unchanged. Geometry (dim, n_planes, n_bands) is pinned in
+    ``_TABLE.json``; n_planes * n_bands <= 62 (bigint signature).
+
+    Transaction machinery is the shared ``VersionedSegmentStore``:
+    immutable segments, atomic ``_LATEST``, the dedicated
+    ``last_batch_id`` replay guard, tombstones, compaction.
+    """
+
+    def __init__(
+        self,
+        index_dir: str,
+        dim: int = 64,
+        n_planes: int = 4,
+        n_bands: int = 15,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        keep_versions: int = 2,
+    ):
+        if n_planes < 1 or n_bands < 1:
+            raise ValueError(
+                f"need n_planes, n_bands >= 1; got {n_planes}, {n_bands}"
+            )
+        if n_planes * n_bands > 62:
+            raise ValueError(
+                "n_planes * n_bands must be <= 62 (bigint signature); got "
+                f"{n_planes} * {n_bands}"
+            )
+        self.dim, self.n_planes, self.n_bands = dim, n_planes, n_bands
+        self.id_col, self.vec_col = id_col, vec_col
+        super().__init__(
+            index_dir,
+            {"dim": dim, "n_planes": n_planes, "n_bands": n_bands},
+            keep_versions,
+        )
+
+    def _live_artifacts(self, manifest: dict) -> dict[str, set[int]]:
+        return {
+            r"seg=(-?\d+)": set(manifest["segments"]),
+            r"tomb=(-?\d+)": set(manifest.get("tombstones", [])),
+        }
+
+    def _seg_dir(self, seg: int) -> str:
+        return os.path.join(self.index_dir, f"seg={seg}")
+
+    def _tomb_dir(self, version: int) -> str:
+        return os.path.join(self.index_dir, f"tomb={version}")
+
+    def _signatures(self, vecs: DataFrame) -> DataFrame:
+        """One Arrow-batched rowwise projection per vector — no
+        aggregation, so legal in streaming append mode and on any probe
+        path (the bit-for-bit equality of the Arrow, JVM-fold and DuckDB
+        signature paths is pinned in tests/test_approx.py)."""
+        from cses2humio_spark.operators.similarity import lsh_signatures
+
+        sigs = lsh_signatures(
+            vecs, self.dim, self.n_planes * self.n_bands, self.vec_col
+        )
+        return sigs.select(self.id_col, "lsh_sig")
+
+    def _band_entries(self, sigs: DataFrame, id_alias: str) -> DataFrame:
+        """Explode one bigint signature into (id, lsh_sig, band,
+        band_sig) rows — a narrow projection done at JOIN time, so the
+        stored artifact stays one row per vector."""
+        mask = (1 << self.n_planes) - 1
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("lsh_sig"), b * self.n_planes)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("band_sig"),
+                )
+                for b in range(self.n_bands)
+            ]
+        )
+        return sigs.select(
+            F.col(self.id_col).alias(id_alias),
+            "lsh_sig",
+            F.explode(bands).alias("__b"),
+        ).select(
+            id_alias,
+            "lsh_sig",
+            F.col("__b.band").alias("band"),
+            F.col("__b.band_sig").alias("band_sig"),
+        )
+
+    # -- build / ingest / delete / compact ---------------------------------
+
+    def build(self, vecs: DataFrame) -> int:
+        """Sign the full corpus and commit as a fresh version; the one
+        pass that reads corpus vectors. ``last_batch_id`` carries
+        forward across rebuilds (same contract as MinHashIndex.build)."""
+        latest = self.latest_version()
+        version = -1 if latest is None else latest + 1
+        self._write_dir(self._signatures(vecs), self._seg_dir(version))
+        prior_lb = (
+            self._last_batch_id(self._load_manifest(latest), latest)
+            if latest is not None
+            else -1
+        )
+        self._write_manifest(
+            version,
+            {
+                "segments": [version],
+                "last_batch_id": prior_lb,
+                "tombstones": [],
+            },
+        )
+        self._commit(version)
+        self._prune(version)
+        return version
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch sink: append the micro-batch's signatures as one
+        immutable segment — O(|delta|) write amplification; replayed
+        batch ids are skipped via the dedicated manifest guard."""
+        latest = self.latest_version()
+        if latest is None:
+            raise ValueError(
+                f"{self.index_dir}: ingest before build() — the geometry "
+                "must be committed before deltas can be signed"
+            )
+        manifest = dict(self._load_manifest(latest))
+        if batch_id <= self._last_batch_id(manifest, latest):
+            return
+        version = latest + 1
+        manifest["last_batch_id"] = batch_id
+        if batch_df.isEmpty():
+            self._write_manifest(version, manifest)
+            self._commit(version)
+            self._prune(version)
+            return
+        self._write_dir(self._signatures(batch_df), self._seg_dir(version))
+        manifest["segments"] = list(manifest["segments"]) + [version]
+        self._write_manifest(version, manifest)
+        self._commit(version)
+        self._prune(version)
+
+    def delete(self, ids: DataFrame) -> int:
+        latest = self.latest_version()
+        if latest is None:
+            raise ValueError(
+                f"{self.index_dir}: delete before build() — nothing to "
+                "tombstone"
+            )
+        manifest = dict(self._load_manifest(latest))
+        manifest["last_batch_id"] = self._last_batch_id(manifest, latest)
+        version = latest + 1
+        self._write_dir(
+            ids.select(F.col(self.id_col)).distinct(), self._tomb_dir(version)
+        )
+        manifest["tombstones"] = list(manifest.get("tombstones", [])) + [
+            version
+        ]
+        self._write_manifest(version, manifest)
+        self._commit(version)
+        self._prune(version)
+        return version
+
+    def compact(self, spark: SparkSession) -> int:
+        latest = self.latest_version()
+        if latest is None:
+            raise ValueError(
+                f"{self.index_dir}: nothing to compact — run build() first"
+            )
+        manifest = dict(self._load_manifest(latest))
+        manifest["last_batch_id"] = self._last_batch_id(manifest, latest)
+        version = latest + 1
+        self._write_dir(
+            self.read_signatures(spark, latest), self._seg_dir(version)
+        )
+        manifest["segments"] = [version]
+        manifest["tombstones"] = []
+        self._write_manifest(version, manifest)
+        self._commit(version)
+        self._prune(version)
+        return version
+
+    # -- read / probe -------------------------------------------------------
+
+    def read_tombstones(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame | None:
+        man = self._load_manifest(self._resolve_version(version))
+        tombs = man.get("tombstones", [])
+        if not tombs:
+            return None
+        return (
+            spark.read.option("basePath", self.index_dir)
+            .parquet(*[self._tomb_dir(t) for t in tombs])
+            .select(self.id_col)
+            .distinct()
+        )
+
+    def read_signatures(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        at = self._resolve_version(version)
+        man = self._load_manifest(at)
+        sigs = (
+            spark.read.option("basePath", self.index_dir)
+            .parquet(*[self._seg_dir(s) for s in man["segments"]])
+            .drop("seg")
+        )
+        tombs = self.read_tombstones(spark, at)
+        if tombs is not None:
+            sigs = sigs.join(
+                F.broadcast(tombs), on=self.id_col, how="left_anti"
+            )
+        return sigs
+
+    def query_candidates(
+        self,
+        probe_vecs: DataFrame,
+        version: int | None = None,
+        exclude_self: bool = True,
+        max_bucket_size: int | None = None,
+    ) -> DataFrame:
+        """Near-dup CANDIDATES for a batch of incoming vectors against
+        the standing index: sign the batch rowwise, explode both sides
+        into band entries at join time, equi-join on (band, band_sig).
+        A pair sharing several bands is emitted ONCE — from its lowest
+        matching band (``first_matching_band``'s SWAR zero-field trick,
+        pure int64 codegen) — so no DISTINCT shuffle is needed.
+        ``max_bucket_size`` is the mass-duplicate guard on index-side
+        bucket fan-out, same semantics as MinHashIndex's."""
+        from cses2humio_spark.operators.similarity import first_matching_band
+
+        spark = probe_vecs.sparkSession
+        probe_entries = self._band_entries(
+            self._signatures(probe_vecs), "probe_id"
+        ).withColumnRenamed("lsh_sig", "__psig")
+        index_entries = self._band_entries(
+            self.read_signatures(spark, version), "index_id"
+        ).withColumnRenamed("lsh_sig", "__isig")
+        if max_bucket_size is not None:
+            if max_bucket_size < 1:
+                raise ValueError(
+                    f"max_bucket_size must be >= 1, got {max_bucket_size}"
+                )
+            from pyspark.sql.window import Window
+
+            wb = Window.partitionBy("band", "band_sig").orderBy("index_id")
+            index_entries = (
+                index_entries.withColumn("__r", F.row_number().over(wb))
+                .filter(F.col("__r") <= max_bucket_size)
+                .drop("__r")
+            )
+        cand = (
+            probe_entries.join(index_entries, on=["band", "band_sig"])
+            .filter(
+                first_matching_band(
+                    F.col("__psig"),
+                    F.col("__isig"),
+                    self.n_planes,
+                    self.n_bands,
+                )
+                == F.col("band")
+            )
+            .select("probe_id", "index_id")
+        )
+        if exclude_self:
+            cand = cand.filter(F.col("probe_id") != F.col("index_id"))
+        # the first-matching-band filter already emits each pair once per
+        # matching geometry; distinct() would only re-shuffle. With a
+        # bucket cap the truncation can break the lowest-band guarantee
+        # for dropped rows, so dedup explicitly in that mode only.
+        if max_bucket_size is not None:
+            cand = cand.distinct()
+        return cand
+
+    # -- admission (semantic crawl decision) --------------------------------
+
+    def admit_batch(
+        self,
+        batch_df: DataFrame,
+        corpus_vectors: DataFrame,
+        threshold: float = 0.3,
+        version: int | None = None,
+        max_bucket_size: int | None = None,
+    ) -> DataFrame:
+        """Semantic admission decision for a batch of embeddings — the
+        vector twin of ``MinHashIndex.admit_batch``, same contract:
+        ``(id, reason, partner)`` with reasons already_indexed /
+        corpus_dup (exact cosine >= ``threshold`` against a live indexed
+        partner's vector, min partner id) / batch_dup
+        (non-representative member of a verified within-batch cluster;
+        alternating-star components, min-id representative) / admitted.
+        First listed reason wins; first-seen-wins across batches.
+
+        ``corpus_vectors`` MUST cover every live indexed id named as a
+        candidate partner — an uncovered partner cannot be
+        cosine-verified, so its probe's decision row raises at
+        materialization (no-silent-failure; same guard as the text
+        twin). Scale shape: index and batch signatures meet in ONE
+        (band, band_sig) equi-join; corpus vectors are joined back for
+        candidate partner ids only."""
+        from cses2humio_spark.operators.dedup import (
+            alternating_star_components,
+        )
+        from cses2humio_spark.operators.similarity import (
+            cosine_pairs,
+            embedding_near_dup_pairs,
+        )
+
+        spark = batch_df.sparkSession
+        idc, vc = self.id_col, self.vec_col
+        index_ids = (
+            self.read_signatures(spark, version).select(idc).distinct()
+        )
+        batch = batch_df.select(F.col(idc), F.col(vc))
+        fresh = batch.join(index_ids, on=idc, how="left_anti")
+        cand = self.query_candidates(
+            fresh,
+            version=version,
+            exclude_self=True,
+            max_bucket_size=max_bucket_size,
+        )
+        # coverage guard: candidate partners must have vectors in
+        # corpus_vectors, else the pair cannot be verified
+        corpus_ids = corpus_vectors.select(F.col(idc)).distinct()
+        uncovered = (
+            cand.join(
+                corpus_ids.withColumnRenamed(idc, "index_id"),
+                on="index_id",
+                how="left_anti",
+            )
+            .select(F.col("probe_id").alias(idc))
+            .distinct()
+            .withColumn("__uncov", F.lit(1))
+        )
+        pv = fresh.select(F.col(idc).alias("probe_id"), F.col(vc).alias("__va"))
+        iv = corpus_vectors.select(
+            F.col(idc).alias("index_id"), F.col(vc).alias("__vb")
+        )
+        cos = cosine_pairs(F.col("__va"), F.col("__vb"))
+        corpus_rej = (
+            cand.join(pv, on="probe_id")
+            .join(iv, on="index_id")
+            .filter(cos >= threshold)
+            .groupBy("probe_id")
+            .agg(F.min("index_id").alias("__cp"))
+            .select(F.col("probe_id").alias(idc), "__cp")
+        )
+        bpairs = embedding_near_dup_pairs(
+            fresh,
+            dim=self.dim,
+            threshold=threshold,
+            n_planes=self.n_planes,
+            n_bands=self.n_bands,
+            id_col=idc,
+            vec_col=vc,
+        ).select("id_a", "id_b")
+        reps = alternating_star_components(
+            fresh.select(idc), bpairs, id_col=idc
+        ).withColumnRenamed("cluster_rep", "__rep")
+        id_type = batch_df.schema[self.id_col].dataType
+        return (
+            batch.select(idc)
+            .join(index_ids.withColumn("__ai", F.lit(1)), on=idc, how="left")
+            .join(corpus_rej, on=idc, how="left")
+            .join(reps, on=idc, how="left")
+            .join(uncovered, on=idc, how="left")
+            .select(
+                idc,
+                F.when(
+                    F.col("__uncov") == 1,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "admit_batch: corpus_vectors lacks the "
+                                "vector for a live indexed candidate "
+                                f"partner of batch {idc}="
+                            ),
+                            F.col(idc).cast("string"),
+                            F.lit(
+                                " — stale/partial corpus snapshot; the "
+                                "pair cannot be cosine-verified"
+                            ),
+                        )
+                    ),
+                )
+                .when(F.col("__ai") == 1, F.lit("already_indexed"))
+                .when(F.col("__cp").isNotNull(), F.lit("corpus_dup"))
+                .when(F.col("__rep") != F.col(idc), F.lit("batch_dup"))
+                .otherwise(F.lit("admitted"))
+                .alias("reason"),
+                F.when(F.col("__ai") == 1, F.col(idc))
+                .when(F.col("__cp").isNotNull(), F.col("__cp"))
+                .when(F.col("__rep") != F.col(idc), F.col("__rep"))
+                .otherwise(F.lit(None))
+                .cast(id_type)
+                .alias("partner"),
+            )
+        )
+
+    def admit_and_ingest(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        corpus_vectors: DataFrame,
+        threshold: float = 0.3,
+        max_bucket_size: int | None = None,
+    ) -> DataFrame | None:
+        """The full incremental semantic-dedup loop, foreachBatch-shaped
+        (same contract as ``MinHashIndex.admit_and_ingest``): decide
+        against the CURRENT index state, ingest only the admitted
+        vectors' signatures, return the decision frame; replayed batch
+        ids return None. The persisted decision frame's cache is tied to
+        the returned frame's lifetime (evict_on_gc holds only the JVM
+        handle — the r8 self-reference trap does not apply)."""
+        latest = self.latest_version()
+        if latest is None:
+            raise ValueError(
+                f"{self.index_dir}: admit before build() — the standing "
+                "corpus must be signed first"
+            )
+        if batch_id <= self._last_batch_id(
+            self._load_manifest(latest), latest
+        ):
+            return None
+        decisions = self.admit_batch(
+            batch_df,
+            corpus_vectors,
+            threshold=threshold,
+            max_bucket_size=max_bucket_size,
+        ).persist()
+        admitted = batch_df.join(
+            decisions.filter(F.col("reason") == "admitted").select(
+                self.id_col
+            ),
+            on=self.id_col,
+            how="left_semi",
+        )
+        self(admitted, batch_id)
+        from cses2humio_spark.session import evict_on_gc
+
+        return evict_on_gc(decisions, decisions)

@@ -2989,6 +2989,129 @@ def crawl_admission_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.admit_batch(batch, corpus, threshold=0.5)
 
 
+_EMB_LSH_INDEX_DIRS: dict[tuple, tuple] = {}
+
+
+def _embedding_admission_index_for(spark: SparkSession, sf_dir: str):
+    """Build-once cached EmbeddingLshIndex over the ADMISSION corpus
+    slice (vec_id % 5 != 3), geometry from ``auto_band_params`` of the
+    corpus size — the vector twin of ``_minhash_admission_index_for``."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from cses2humio_spark.operators.dedup_index import EmbeddingLshIndex
+    from cses2humio_spark.operators.similarity import auto_band_params
+
+    key = _corpus_fingerprint(sf_dir, table="embeddings")
+    if key not in _EMB_LSH_INDEX_DIRS:
+        d = tempfile.mkdtemp(prefix="emb_lsh_index_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        corpus = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % 5 != 3
+        )
+        w, b = auto_band_params(corpus.count())
+        idx = EmbeddingLshIndex(d, dim=64, n_planes=w, n_bands=b)
+        idx.build(corpus)
+        _EMB_LSH_INDEX_DIRS[key] = (d, w, b)
+    from cses2humio_spark.operators.dedup_index import EmbeddingLshIndex as _E
+
+    d, w, b = _EMB_LSH_INDEX_DIRS[key]
+    return _E(d, dim=64, n_planes=w, n_bands=b)
+
+
+@query(
+    "vector_admission_decisions",
+    oracle=f"""
+    WITH RECURSIVE
+    ev AS (SELECT vec_id, {_DOUBLE_VEC} AS v FROM embeddings),
+    prm AS (SELECT w, GREATEST(1, 60 // w) AS b FROM (
+              SELECT LEAST(GREATEST(4,
+                       CAST(CEIL(LOG2(GREATEST(COUNT(*) / 128.0, 2.0))) AS BIGINT)),
+                     60) AS w
+              FROM embeddings WHERE vec_id % 5 != 3) t),
+    bplanes AS (SELECT pid, pv FROM (VALUES {_planes_values_sql(64, 60)}) AS t(pid, pv)),
+    idx AS (SELECT vec_id FROM embeddings WHERE vec_id % 5 != 3),
+    batch AS (SELECT vec_id FROM embeddings
+              WHERE vec_id % 5 = 3 OR vec_id % 10 = 0),
+    fresh AS (SELECT vec_id FROM batch
+              WHERE vec_id NOT IN (SELECT vec_id FROM idx)),
+    bsigs AS (SELECT e.vec_id, pid // prm.w AS band,
+                     CAST(SUM(CASE WHEN {_dot_sql('e.v', 'pv')} > 0
+                                   THEN (CAST(1 AS BIGINT) << (pid % prm.w))
+                                   ELSE 0 END) AS BIGINT) AS band_sig
+              FROM ev e CROSS JOIN bplanes CROSS JOIN prm
+              WHERE pid < prm.w * prm.b
+              GROUP BY e.vec_id, pid // prm.w),
+    psig AS (SELECT s.vec_id, s.band, s.band_sig
+             FROM bsigs s JOIN fresh f ON f.vec_id = s.vec_id),
+    isig AS (SELECT s.vec_id, s.band, s.band_sig
+             FROM bsigs s JOIN idx i ON i.vec_id = s.vec_id),
+    cpair AS (SELECT DISTINCT p.vec_id AS id_a, i.vec_id AS id_b
+              FROM psig p JOIN isig i
+                ON i.band = p.band AND i.band_sig = p.band_sig
+              WHERE p.vec_id != i.vec_id),
+    cver AS (SELECT c.id_a AS vec_id, MIN(c.id_b) AS cp
+             FROM cpair c
+             JOIN ev a ON a.vec_id = c.id_a
+             JOIN ev b2 ON b2.vec_id = c.id_b
+             WHERE {_cos_sql('a.v', 'b2.v')} >= 0.3
+             GROUP BY 1),
+    bpair AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM psig a JOIN psig b
+                ON a.band = b.band AND a.band_sig = b.band_sig
+                   AND a.vec_id < b.vec_id),
+    bver AS (SELECT p.id_a, p.id_b
+             FROM bpair p
+             JOIN ev a ON a.vec_id = p.id_a
+             JOIN ev b2 ON b2.vec_id = p.id_b
+             WHERE {_cos_sql('a.v', 'b2.v')} >= 0.3),
+    bi AS (SELECT id_a AS src, id_b AS dst FROM bver
+           UNION ALL SELECT id_b, id_a FROM bver),
+    reach AS (SELECT vec_id AS id, vec_id AS label FROM fresh
+              UNION
+              SELECT e2.src, r.label FROM reach r JOIN bi e2 ON e2.dst = r.id),
+    comp AS (SELECT id AS vec_id, MIN(label) AS rep FROM reach GROUP BY id)
+    SELECT b.vec_id,
+           CASE WHEN ix.vec_id IS NOT NULL THEN 'already_indexed'
+                WHEN cr.cp IS NOT NULL THEN 'corpus_dup'
+                WHEN co.rep <> b.vec_id THEN 'batch_dup'
+                ELSE 'admitted' END AS reason,
+           CAST(CASE WHEN ix.vec_id IS NOT NULL THEN b.vec_id
+                     WHEN cr.cp IS NOT NULL THEN cr.cp
+                     WHEN co.rep <> b.vec_id THEN co.rep
+                     ELSE NULL END AS BIGINT) AS partner
+    FROM batch b
+    LEFT JOIN idx ix ON ix.vec_id = b.vec_id
+    LEFT JOIN cver cr ON cr.vec_id = b.vec_id
+    LEFT JOIN comp co ON co.vec_id = b.vec_id
+    """,
+)
+def vector_admission_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SEMANTIC DEDUP's decision stage, oracle-checked end to
+    end (VERDICT r8 task #8): an incoming embedding micro-batch is
+    decided against the PERSISTED hyperplane-LSH signature index
+    (``operators/dedup_index.EmbeddingLshIndex`` — the vector twin of
+    the MinHash admission loop). Reasons already_indexed / corpus_dup
+    (exact cosine >= 0.3 against a live indexed partner's vector, min
+    partner id) / batch_dup (verified within-batch cluster
+    non-representative; alternating-star components) / admitted. The
+    oracle recomputes everything from scratch in SQL — the adaptive band
+    geometry via the ``auto_band_params`` closed form over the CORPUS
+    count, the hyperplane signatures, both candidate equi-joins, exact
+    cosine verification, and the within-batch components via a recursive
+    CTE. Scale shape: index and batch signatures meet in ONE
+    (band, band_sig) equi-join (one bigint stored per corpus vector);
+    corpus vectors are joined back for candidate partner ids only."""
+    idx = _embedding_admission_index_for(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 3)
+    batch = emb.filter(
+        (F.col("vec_id") % 5 == 3) | (F.col("vec_id") % 10 == 0)
+    )
+    return idx.admit_batch(batch, corpus, threshold=0.3)
+
+
 @query(
     "avi_av_demux_stats",
     oracle="""

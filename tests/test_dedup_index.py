@@ -602,3 +602,250 @@ def test_probe_plan_zero_shuffle_signing_no_corpus_text(
     assert index_scan_lines, "no index-artifact scan found in probe plan"
     for ln in index_scan_lines:
         assert "text" not in ln, f"index scan reads corpus text:\n{ln[:500]}"
+
+
+# ---- EmbeddingLshIndex: streaming semantic dedup (round 9, task #8) --------
+
+
+from cses2humio_spark.operators.dedup_index import EmbeddingLshIndex  # noqa: E402
+
+
+def _vec(seed: int, dim: int = 8):
+    """Deterministic unit vector per seed (seeded Gaussian — distinct
+    seeds are effectively independent directions, far below any 0.9
+    cosine threshold; identical seeds are cosine 1.0)."""
+    import math
+    import random
+
+    rng = random.Random(seed)
+    vals = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+    n = math.sqrt(sum(v * v for v in vals))
+    return [v / n for v in vals]
+
+
+@pytest.fixture()
+def vec_corpus(spark):
+    rows = [(i, _vec(i)) for i in range(1, 4)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _vdf(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_index_geometry_pinned(vec_corpus, tmp_path):
+    idx = EmbeddingLshIndex(str(tmp_path / "e"), dim=8, n_planes=4, n_bands=5)
+    idx.build(vec_corpus)
+    with pytest.raises(ValueError, match="geometry"):
+        EmbeddingLshIndex(str(tmp_path / "e"), dim=8, n_planes=4, n_bands=8)
+    with pytest.raises(ValueError, match="62"):
+        EmbeddingLshIndex(str(tmp_path / "e2"), dim=8, n_planes=8, n_bands=8)
+
+
+def test_embedding_index_probe_equals_fused_candidates(spark, tmp_path):
+    """Split correctness: probing the persisted signature table returns
+    exactly the pairs the fused two-sided signature computation
+    produces (same hyperplanes, same banding)."""
+    from cses2humio_spark.operators.similarity import (
+        first_matching_band,
+        lsh_signatures,
+    )
+
+    corpus = _vdf(spark, [(i, _vec(i)) for i in range(40)])
+    probes = _vdf(
+        spark, [(100 + i, _vec(i)) for i in range(0, 40, 5)]
+    )  # re-uses of corpus vectors -> guaranteed band hits
+    w, b = 4, 5
+    idx = EmbeddingLshIndex(str(tmp_path / "e"), dim=8, n_planes=w, n_bands=b)
+    idx.build(corpus)
+
+    def entries(df, alias):
+        sigs = lsh_signatures(df, 8, w * b, "embedding")
+        return idx._band_entries(
+            sigs.select("vec_id", "lsh_sig"), alias
+        ).withColumnRenamed("lsh_sig", f"__{alias}")
+
+    pe, ie = entries(probes, "probe_id"), entries(corpus, "index_id")
+    fused = (
+        pe.join(ie, on=["band", "band_sig"])
+        .select("probe_id", "index_id")
+        .filter(F.col("probe_id") != F.col("index_id"))
+        .distinct()
+    )
+    got = idx.query_candidates(probes)
+    assert _rows(got.distinct()) == _rows(fused)
+    assert got.count() == got.distinct().count(), (
+        "first-matching-band emission must not duplicate pairs"
+    )
+
+
+def test_embedding_admit_batch_decision_reasons(spark, vec_corpus, tmp_path):
+    idx = EmbeddingLshIndex(str(tmp_path / "e"), dim=8, n_planes=4, n_bands=5)
+    idx.build(vec_corpus)
+    batch = _vdf(
+        spark,
+        [
+            (2, _vec(2)),  # already indexed
+            (10, _vec(1)),  # exact vector of corpus id 1 -> corpus_dup
+            (11, _vec(50)),  # batch cluster rep
+            (12, _vec(50)),  # identical -> batch_dup of 11
+            (13, _vec(60)),  # unique -> admitted
+        ],
+    )
+    dec = {
+        r.vec_id: (r.reason, r.partner)
+        for r in idx.admit_batch(batch, vec_corpus, threshold=0.9).collect()
+    }
+    assert dec == {
+        2: ("already_indexed", 2),
+        10: ("corpus_dup", 1),
+        11: ("admitted", None),
+        12: ("batch_dup", 11),
+        13: ("admitted", None),
+    }
+
+
+def test_embedding_admit_uncovered_partner_raises(spark, vec_corpus, tmp_path):
+    idx = EmbeddingLshIndex(str(tmp_path / "e"), dim=8, n_planes=4, n_bands=5)
+    idx.build(vec_corpus)
+    batch = _vdf(spark, [(10, _vec(1))])
+    stale = vec_corpus.filter(F.col("vec_id") != 1)
+    with pytest.raises(Exception, match="corpus_vectors lacks"):
+        idx.admit_batch(batch, stale, threshold=0.9).collect()
+
+
+def test_embedding_admit_and_ingest_first_seen_replay_and_gc(
+    spark, vec_corpus, tmp_path
+):
+    """First-seen-wins across micro-batches, replay guard, and cache
+    eviction on decision-frame GC — the same three contracts as the
+    text twin, on the vector side."""
+    import gc
+
+    spark.catalog.clearCache()
+    cm = _cache_manager(spark)
+    assert cm.isEmpty()
+    idx = EmbeddingLshIndex(str(tmp_path / "e"), dim=8, n_planes=4, n_bands=5)
+    idx.build(vec_corpus)
+    b0 = _vdf(spark, [(20, _vec(70))])
+    b1 = _vdf(spark, [(21, _vec(70))])
+    corpus_all = vec_corpus.unionByName(b0).unionByName(b1)
+    d0 = idx.admit_and_ingest(b0, 0, corpus_all, threshold=0.9)
+    assert {(r.vec_id, r.reason, r.partner) for r in d0.collect()} == {
+        (20, "admitted", None)
+    }
+    d1 = idx.admit_and_ingest(b1, 1, corpus_all, threshold=0.9)
+    assert {(r.vec_id, r.reason, r.partner) for r in d1.collect()} == {
+        (21, "corpus_dup", 20)
+    }
+    n = idx.read_signatures(spark).count()
+    assert idx.admit_and_ingest(b1, 1, corpus_all, threshold=0.9) is None
+    assert idx.read_signatures(spark).count() == n
+    assert not cm.isEmpty()
+    del d0, d1
+    gc.collect()
+    assert cm.isEmpty(), "vector admission caches leaked past result GC"
+
+
+def test_embedding_delete_then_compact_drops_signatures(
+    spark, vec_corpus, tmp_path
+):
+    idx = EmbeddingLshIndex(str(tmp_path / "e"), dim=8, n_planes=4, n_bands=5)
+    idx.build(vec_corpus)
+    idx.delete(vec_corpus.filter(F.col("vec_id") == 2).select("vec_id"))
+    assert (
+        idx.read_signatures(spark).filter(F.col("vec_id") == 2).count() == 0
+    )
+    # a probe equal to the deleted vector no longer reports it
+    probe = _vdf(spark, [(99, _vec(2))])
+    assert (
+        idx.query_candidates(probe).filter(F.col("index_id") == 2).count()
+        == 0
+    )
+    idx.compact(spark)
+    man = idx._load_manifest(idx.latest_version())
+    assert man["tombstones"] == []
+    assert (
+        idx.read_signatures(spark).filter(F.col("vec_id") == 2).count() == 0
+    )
+
+
+def test_embedding_admission_stream_kill_restart(spark, tmp_path):
+    """The semantic-dedup streaming story end to end: embedding deltas
+    arrive through a REAL checkpointed foreachBatch stream feeding
+    admit_and_ingest; crash in the at-least-once window; restart
+    replays batch 0 (None — skipped) and continues. Decisions and final
+    signatures must equal a sequential batch-mode twin."""
+    import os
+    import shutil
+
+    all_rows = [(i, _vec(i % 12)) for i in range(36)]  # 12 clusters of 3
+    corpus_all = _vdf(spark, all_rows)
+    seed = _vdf(spark, [r for r in all_rows if r[0] % 3 == 0])
+    deltas = []
+    src = tmp_path / "src"
+    src.mkdir()
+    staging = tmp_path / "staging"
+    for i, rem in enumerate((1, 2)):
+        d = _vdf(spark, [r for r in all_rows if r[0] % 3 == rem])
+        deltas.append(d)
+        d.coalesce(1).write.mode("overwrite").parquet(str(staging))
+        part = next(
+            p for p in staging.iterdir() if p.name.endswith(".parquet")
+        )
+        dst = src / f"delta_{i}.parquet"
+        shutil.move(str(part), str(dst))
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    shutil.rmtree(staging, ignore_errors=True)
+
+    idx = EmbeddingLshIndex(
+        str(tmp_path / "sidx"), dim=8, n_planes=4, n_bands=5
+    )
+    idx.build(seed)
+    crash = {"armed": True}
+    seen: dict[int, list] = {}
+
+    def sink(batch_df, batch_id):
+        d = idx.admit_and_ingest(batch_df, batch_id, corpus_all, threshold=0.9)
+        if d is not None:
+            seen[batch_id] = _rows(d)
+        if crash["armed"]:
+            crash["armed"] = False
+            raise RuntimeError("injected crash after admission commit")
+
+    def start():
+        return (
+            spark.readStream.schema("vec_id bigint, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+    q2 = start()
+    q2.awaitTermination()
+    assert sorted(seen) == [0, 1]
+
+    twin = EmbeddingLshIndex(
+        str(tmp_path / "twin"), dim=8, n_planes=4, n_bands=5
+    )
+    twin.build(seed)
+    for b, d in enumerate(deltas):
+        assert _rows(twin.admit_and_ingest(d, b, corpus_all, threshold=0.9)) == seen[b]
+    assert _rows(idx.read_signatures(spark)) == _rows(
+        twin.read_signatures(spark)
+    )
+    # clusters are {k, k+12, k+24} (same vector); all three members share
+    # k mod 3, so clusters with k % 3 == 0 are fully seeded and admit
+    # nothing, while each unseeded cluster admits exactly its min id k
+    expected = sorted(
+        set(range(0, 36, 3)) | {k for k in range(12) if k % 3 != 0}
+    )
+    assert sorted(
+        r.vec_id for r in idx.read_signatures(spark).select("vec_id").collect()
+    ) == expected

@@ -149,6 +149,8 @@ SIDE_EFFECTING = {
     "minhash_index_candidates",  # builds the persisted MinHash index once
     "crawl_admission_decisions",  # builds the persisted admission index
     # once AND runs the star-contraction CC loop at construction
+    "vector_admission_decisions",  # builds the persisted embedding-LSH
+    # index once AND runs the star-contraction CC loop at construction
     "cdc_upsert_latest_state",  # runs a full streaming query to build
 }
 
