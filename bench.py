@@ -89,89 +89,87 @@ HEADLINE = [
     # after the first pass: cached per corpus fingerprint; min-of-two
     # reflects the probe-only path)
     "bigram_lm_doc_quality",  # self-trained bigram LM perplexity filter
-    # round 9: admission loops promoted to the timed surface (no standing
-    # baseline yet — their first accepted bench becomes it). Both build
-    # their persisted index on the first pass (cached per corpus
-    # fingerprint); min-of-two reflects the probe+decide path.
+    # round 9: admission loops promoted to the timed surface (standing
+    # numbers accepted same round from the post-optimization quiet-box
+    # runs). Both build their persisted index on the first pass (cached
+    # per corpus fingerprint); min-of-two reflects the probe+decide path.
     "crawl_admission_decisions",  # text admission vs persisted MinHash index
     "vector_admission_decisions",  # semantic admission vs persisted LSH index
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
-# Standing per-query baseline: BENCH_r03.json at sf0.1 on local[32]
-# (min-of-two-passes wall seconds) — re-accepted at round-4 open per the
-# round-3 verdict (item 6: the r3-adopted standings for three promoted
-# queries sat 1.4-1.6x below the same-day closing run, spending noise
-# headroom on day one). The regression rule — stated in BASELINE.md
-# §"Standing per-query baseline" — is ≤2x per query: any headline query
-# slower than 2x its standing number is named in the output's
-# "regressions" key. Update these numbers only when a round's bench is
-# accepted as the new standing baseline.
+# Standing per-query baseline: re-accepted at ROUND 9 from a quiet-box
+# min of four full bench passes (three pre-optimization + one after the
+# r9 fan_out/merged-verify work; the three queries whose plans changed
+# in r9 — minhash_index_candidates, crawl_admission_decisions,
+# vector_admission_decisions — take only post-change measurements).
+# Protocol and history in BASELINE.md §"Standing per-query baseline".
+# The regression rule is ≤2x per query at sf0.1 on local[32],
+# min-of-two-passes: any headline query slower than 2x its standing
+# number is named in the output's "regressions" key. Update these
+# numbers only when a round's bench is accepted as the new standing
+# baseline. ALL 57 timed queries now carry a standing number — the five
+# r7 promotions and the two r9 admission queries included (VERDICT r8
+# task #4 closed).
 STANDING_BASELINE_SF01 = {
-    "pricing_summary": 1.002,
-    "top_shipping_priority": 0.894,
-    "revenue_by_nation": 1.37,
-    "nation_trade_volume": 0.99,
-    "large_order_customers": 1.561,
-    "sole_blame_suppliers": 1.056,
-    "market_share_by_year": 1.296,
-    "brand_revenue_broadcast": 0.869,
-    "asof_latest_order": 1.348,
-    "top3_orders_per_customer": 0.532,
-    "timechart_errors": 0.342,
-    "events_range_self_join": 0.804,
-    "sessionize_users": 0.828,
-    "token_explode_top20": 0.346,
-    "distinct_users_per_type": 0.359,
-    "jaccard_near_dups": 3.833,
-    "cosine_topk": 0.681,
-    "embedding_near_dups": 3.169,
-    "ivf_topk": 1.265,
-    "sequence_pack_assignments": 0.437,
-    "connector_pipeline": 1.51,
-    "sessionize_users_bucketed": 0.889,
-    "hot_user_events_salted": 0.589,
-    "doc_chunk_stats": 0.524,
-    "vocab_apply_oov_rate": 0.785,
-    "funnel_conversion": 1.047,
-    "price_quantity_regression": 1.394,
-    "scd2_user_status_history": 0.868,
-    "heavy_hitter_users": 0.704,
-    "interpolated_hourly_value": 0.869,
-    "hql_error_timechart": 0.331,
-    # first accepted numbers (round-4 bench, sf0.1, local[32]) for the
-    # DSL constructs promoted to the headline set this round
-    "hql_join_subquery_error_purchasers": 0.549,
-    "hql_case_severity_bands": 0.379,
-    "hql_split_tokens_top10": 0.452,
-    # first accepted numbers (round-4 closing bench) for the second wave
-    "hql_window_moving_avg": 0.441,
-    "tga_decode_stats": 0.486,
-    # round-5 promotions, accepted at round-6 open from BENCH_r05 (per the
-    # r5 verdict item 6). embedding_near_dups note: its r5 wall (4.75 s,
-    # 1.50x standing) was re-measured at round-6 open on a quiet box —
-    # three isolated min-of-two runs gave 2.95/2.14/2.12 s, BELOW the
-    # 3.169 standing — so the drift was suite-level box pressure, not a
-    # regression; the standing number stays.
-    "bpe_subword_stats": 0.99,
-    "pq_adc_topk": 1.75,
-    "ivfpq_topk": 2.56,
-    "png_decode_stats": 0.59,
-    "ewma_user_baseline": 0.54,
-    "hql_kv_parse": 0.58,
-    "hql_entropy_extremes": 0.66,
-    # round-6 promotions, accepted at round-7 open from BENCH_r06 (per
-    # the r6 verdict item 4). rrf_hybrid_top10's number predates the
-    # round-7 TakeOrdered rewrite of its ranking arms (same answer,
-    # better plan) — the gate keeps the pre-fix wall as the bar.
-    "pq_index_search": 0.69,
-    "jpeg_decode_stats": 0.56,
-    "bm25_search_top20": 0.83,
-    "rrf_hybrid_top10": 1.06,
-    "weighted_sample_top100": 0.16,
-    "holt_trend_baseline": 0.48,
-    "sq8_cosine_topk": 1.20,
+    "asof_latest_order": 1.124,
+    "avi_av_demux_stats": 0.933,
+    "bigram_lm_doc_quality": 1.498,
+    "bm25_search_top20": 0.914,
+    "bpe_subword_stats": 0.88,
+    "brand_revenue_broadcast": 0.709,
+    "connector_pipeline": 1.483,
+    "cosine_topk": 0.611,
+    "crawl_admission_decisions": 10.783,
+    "distinct_users_per_type": 0.305,
+    "doc_chunk_stats": 0.439,
+    "dup_span_coverage_stats": 3.348,
+    "embedding_near_dups": 2.75,
+    "events_range_self_join": 0.706,
+    "ewma_user_baseline": 0.457,
+    "funnel_conversion": 0.667,
+    "heavy_hitter_users": 0.598,
+    "holt_trend_baseline": 0.563,
+    "hot_user_events_salted": 0.574,
+    "hql_case_severity_bands": 0.27,
+    "hql_entropy_extremes": 0.575,
+    "hql_error_timechart": 0.277,
+    "hql_join_subquery_error_purchasers": 0.407,
+    "hql_kv_parse": 0.546,
+    "hql_split_tokens_top10": 0.367,
+    "hql_window_moving_avg": 0.407,
+    "interpolated_hourly_value": 0.694,
+    "ivf_topk": 0.898,
+    "ivfpq_topk": 1.861,
+    "jaccard_near_dups": 3.009,
+    "jpeg_decode_stats": 0.652,
+    "large_order_customers": 1.278,
+    "market_share_by_year": 1.028,
+    "minhash_index_candidates": 1.342,
+    "mjpeg_avi_frame_stats": 0.84,
+    "nation_trade_volume": 0.889,
+    "png_decode_stats": 0.537,
+    "pq_adc_topk": 1.199,
+    "pq_index_search": 0.716,
+    "price_quantity_regression": 1.26,
+    "pricing_summary": 0.957,
+    "revenue_by_nation": 1.148,
+    "rrf_hybrid_top10": 1.175,
+    "scd2_user_status_history": 0.785,
+    "sequence_pack_assignments": 0.478,
+    "sessionize_users": 0.764,
+    "sessionize_users_bucketed": 0.715,
+    "sole_blame_suppliers": 0.893,
+    "sq8_cosine_topk": 1.18,
+    "tga_decode_stats": 0.469,
+    "timechart_errors": 0.282,
+    "token_explode_top20": 0.266,
+    "top3_orders_per_customer": 0.525,
+    "top_shipping_priority": 0.742,
+    "vector_admission_decisions": 8.759,
+    "vocab_apply_oov_rate": 0.53,
+    "weighted_sample_top100": 0.174,
 }
 
 

@@ -562,6 +562,14 @@ def alternating_star_components(
     component's minimum id (singletons to themselves) — bit-identical to
     ``near_dup_clusters`` on any input both accept (pinned in tests)."""
     n_part = ids.sparkSession.sparkContext.defaultParallelism
+
+    def _parts(n_edges: int) -> int:
+        # checkpoint width adapted to the MEASURED edge count (free — the
+        # convergence signature already collects it): a 30-edge admission
+        # micro-batch graph must not pay 32 task launches per round, and
+        # a billion-edge graph still spreads over the full parallelism
+        return max(1, min(n_part, int(n_edges // 50_000) + 1))
+
     e = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -585,6 +593,14 @@ def alternating_star_components(
         return tuple(row)
 
     sig = _signature(e)
+    if sig[0] == 0:
+        # no edges at all: every id is its own component — skip the
+        # contraction loop (and its per-round checkpoint/action fixed
+        # cost) entirely. This is the COMMON case for streaming
+        # admission micro-batches, most of which contain no duplicates.
+        return ids.select(
+            F.col(id_col), F.col(id_col).alias("cluster_rep")
+        )
     prev = e
     for _ in range(max_rounds):
         # large-star: v > u re-attached to min(N(u) + {u})
@@ -609,7 +625,7 @@ def alternating_star_components(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(mins.select("u", F.col("m").alias("v")))
             .distinct()
-            .repartition(n_part, "u")
+            .repartition(_parts(sig[0]), "u")
             .localCheckpoint(eager=True)
         )
         new_sig = _signature(e)
@@ -853,7 +869,17 @@ def minhash_signatures_rowwise(
     Docs whose shingle set is empty (< n tokens) produce NULL band
     signatures in both formulations' contract: here they are dropped,
     matching the groupBy path (no shingle rows -> no group).
+
+    The projection is CPU-heavy (bands x rows_per_band md5s per shingle
+    per row), so single-split local inputs go through ``fan_out`` first —
+    a round-robin rebalance of the raw input rows, NOT a key shuffle
+    (no-op at scale where scans arrive as thousands of splits; without
+    it the whole signing serialized onto one task and dominated the
+    index-probe wall at sf0.1).
     """
+    from cses2humio_spark.sources.catalog import fan_out
+
+    df = fan_out(df)
     sh = _shingles_expr(F.split(F.trim(F.col(text_col)), r"\s+"), n)
 
     def _hash_fn(prefix: str):

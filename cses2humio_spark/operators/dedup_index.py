@@ -12,9 +12,11 @@ standing corpus WITHOUT touching corpus text again. ``MinHashIndex``
 persists exactly the artifact the fused plan computes inline — the
 banded signature table ``(id, band, sig)``, ~bands rows of a few dozen
 bytes per document, typically 100-1000x smaller than the text — and
-probes it with a zero-shuffle rowwise signature projection on the
-incoming batch followed by ONE (band, sig) equi-join. Corpus text never
-rides any shuffle; at 100 TB of documents the index is tens of GB.
+probes it with a rowwise signature projection on the incoming batch
+(no aggregation, no key shuffle — only ``fan_out``'s round-robin
+rebalance when the local input is single-split, a no-op at scale)
+followed by ONE (band, sig) equi-join. Corpus text never rides a key
+shuffle; at 100 TB of documents the index is tens of GB.
 
 Transaction machinery is the shared ``VersionedSegmentStore``
 (``operators/index_store.py``): immutable signature segments, manifest
@@ -279,8 +281,30 @@ class MinHashIndex(VersionedSegmentStore):
         retained members (enough to verify this is a dup and find the
         cluster representative), while the per-probe fan-out is bounded.
         Default None = exact (the oracle-paired form)."""
+        return self._query_candidates(
+            probe_docs,
+            version=version,
+            exclude_self=exclude_self,
+            max_bucket_size=max_bucket_size,
+        )
+
+    def _query_candidates(
+        self,
+        probe_docs: DataFrame,
+        version: int | None = None,
+        exclude_self: bool = True,
+        max_bucket_size: int | None = None,
+        probe_sigs: DataFrame | None = None,
+    ) -> DataFrame:
+        """``query_candidates`` with an optional pre-signed probe table
+        (``probe_sigs`` = the (id, band, sig) frame ``_signatures``
+        emits) so a caller running several probe-side stages — the
+        admission loop — signs the batch ONCE instead of once per
+        stage."""
         spark = probe_docs.sparkSession
-        probe_sigs = self._signatures(probe_docs).select(
+        if probe_sigs is None:
+            probe_sigs = self._signatures(probe_docs)
+        probe_sigs = probe_sigs.select(
             F.col(self.id_col).alias("probe_id"), "band", "sig"
         )
         index_sigs = self.read_signatures(spark, version).select(
@@ -366,7 +390,6 @@ class MinHashIndex(VersionedSegmentStore):
         from cses2humio_spark.operators.dedup import (
             alternating_star_components,
             jaccard_pairs,
-            minhash_candidate_pairs,
             shingle_table,
         )
         from cses2humio_spark.session import evict_on_gc
@@ -377,14 +400,24 @@ class MinHashIndex(VersionedSegmentStore):
             self.read_signatures(spark, version).select(idc).distinct()
         )
         batch = batch_df.select(F.col(idc), F.col(txt))
-        fresh = batch.join(index_ids, on=idc, how="left_anti")
+        # fresh is consumed by every downstream stage (signing, shingles,
+        # verify bases, components, decision assembly) — persist it so the
+        # scan + anti-join runs once, not once per consumer
+        fresh = batch.join(index_ids, on=idc, how="left_anti").persist()
+        # Sign the batch ONCE (rowwise projection, persisted — a few
+        # dozen bytes per doc): the same folded signature table feeds
+        # BOTH the cross-corpus index probe and the within-batch
+        # candidate self-join below; before r9 each stage re-signed the
+        # batch from text (the single most expensive projection here).
+        psigs = self._signatures(fresh).persist()
         # cross-corpus: candidates from the standing index, then exact
         # Jaccard on candidate texts only
-        cand = self.query_candidates(
+        cand = self._query_candidates(
             fresh,
             version=version,
             exclude_self=True,
             max_bucket_size=max_bucket_size,
+            probe_sigs=psigs,
         )
         pairs = cand.select(
             F.col("probe_id").alias("id_a"), F.col("index_id").alias("id_b")
@@ -410,31 +443,50 @@ class MinHashIndex(VersionedSegmentStore):
             .distinct()
             .withColumn("__uncov", F.lit(1))
         )
+        # within-batch CANDIDATES from a self-join of the SAME persisted
+        # signature table (identical pairs to minhash_candidate_pairs —
+        # both sides carry the same fold; a 64-bit collision could only
+        # ADD a candidate, and every candidate is Jaccard-verified)
+        sa = psigs.select(F.col(idc).alias("id_a"), "band", "sig")
+        sb = psigs.select(F.col(idc).alias("id_b"), "band", "sig")
+        if max_bucket_size is not None:
+            from pyspark.sql.window import Window
+
+            wb = Window.partitionBy("band", "sig").orderBy("id_b")
+            sb = (
+                sb.withColumn("__r", F.row_number().over(wb))
+                .filter(F.col("__r") <= max_bucket_size)
+                .drop("__r")
+            )
+        bcand = (
+            sa.join(sb, on=["band", "sig"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        # ONE verification pass for BOTH pair families (their id_b
+        # domains are disjoint — cross partners live in the index, batch
+        # partners in fresh — so the union splits back cleanly): the
+        # distinct-shingle/sizes/intersection scaffolding is built once
+        # over the shared shingle table instead of once per family.
         verified = jaccard_pairs(
-            both, pairs, idc, txt, n=self.n, shingles_df=sh,
-            assume_overlap=True,
+            both, pairs.unionByName(bcand), idc, txt, n=self.n,
+            shingles_df=sh, assume_overlap=True,
         )
         unrounded = F.col("n_inter") / (
             F.col("n_a") + F.col("n_b") - F.col("n_inter")
         )
+        accepted = verified.filter(unrounded >= threshold)
+        fresh_b = fresh.select(F.col(idc).alias("id_b"))
         corpus_rej = (
-            verified.filter(unrounded >= threshold)
+            accepted.join(fresh_b, on="id_b", how="left_anti")
             .groupBy("id_a")
             .agg(F.min("id_b").alias("__cp"))
             .select(F.col("id_a").alias(idc), "__cp")
         )
-        # within-batch: candidates -> verify -> components -> representatives
-        sh_fresh = sh.join(fresh.select(idc), on=idc, how="left_semi")
-        bcand = minhash_candidate_pairs(
-            fresh, idc, txt,
-            n=self.n, bands=self.bands, rows_per_band=self.rows_per_band,
-            shingles_df=sh_fresh,
+        bpairs = accepted.join(fresh_b, on="id_b", how="left_semi").select(
+            "id_a", "id_b"
         )
-        bver = jaccard_pairs(
-            fresh, bcand, idc, txt, n=self.n, shingles_df=sh_fresh,
-            assume_overlap=True,
-        )
-        bpairs = bver.filter(unrounded >= threshold).select("id_a", "id_b")
         reps = alternating_star_components(
             fresh.select(idc), bpairs, id_col=idc
         ).withColumnRenamed("cluster_rep", "__rep")
@@ -477,7 +529,7 @@ class MinHashIndex(VersionedSegmentStore):
                 .alias("partner"),
             )
         )
-        return evict_on_gc(decisions, sh)
+        return evict_on_gc(decisions, sh, psigs, fresh)
 
     def admit_and_ingest(
         self,
@@ -772,11 +824,31 @@ class EmbeddingLshIndex(VersionedSegmentStore):
         pure int64 codegen) — so no DISTINCT shuffle is needed.
         ``max_bucket_size`` is the mass-duplicate guard on index-side
         bucket fan-out, same semantics as MinHashIndex's."""
+        return self._query_candidates(
+            probe_vecs,
+            version=version,
+            exclude_self=exclude_self,
+            max_bucket_size=max_bucket_size,
+        )
+
+    def _query_candidates(
+        self,
+        probe_vecs: DataFrame,
+        version: int | None = None,
+        exclude_self: bool = True,
+        max_bucket_size: int | None = None,
+        probe_sigs: DataFrame | None = None,
+    ) -> DataFrame:
+        """``query_candidates`` with an optional pre-signed probe table
+        (``probe_sigs`` = (id, lsh_sig)) so the admission loop signs the
+        batch once across its stages."""
         from cses2humio_spark.operators.similarity import first_matching_band
 
         spark = probe_vecs.sparkSession
+        if probe_sigs is None:
+            probe_sigs = self._signatures(probe_vecs)
         probe_entries = self._band_entries(
-            self._signatures(probe_vecs), "probe_id"
+            probe_sigs, "probe_id"
         ).withColumnRenamed("lsh_sig", "__psig")
         index_entries = self._band_entries(
             self.read_signatures(spark, version), "index_id"
@@ -848,8 +920,10 @@ class EmbeddingLshIndex(VersionedSegmentStore):
         )
         from cses2humio_spark.operators.similarity import (
             cosine_pairs,
-            embedding_near_dup_pairs,
+            embedding_candidate_pairs,
+            lsh_signatures,
         )
+        from cses2humio_spark.session import evict_on_gc
 
         spark = batch_df.sparkSession
         idc, vc = self.id_col, self.vec_col
@@ -857,12 +931,21 @@ class EmbeddingLshIndex(VersionedSegmentStore):
             self.read_signatures(spark, version).select(idc).distinct()
         )
         batch = batch_df.select(F.col(idc), F.col(vc))
-        fresh = batch.join(index_ids, on=idc, how="left_anti")
-        cand = self.query_candidates(
+        # fresh feeds every downstream stage — persist so the anti-join
+        # runs once, not once per consumer
+        fresh = batch.join(index_ids, on=idc, how="left_anti").persist()
+        # sign the batch ONCE (Arrow projection, persisted): the same
+        # signature frame feeds the index probe AND the within-batch
+        # candidate stage (before r9 each stage re-signed the batch)
+        full_sigs = lsh_signatures(
+            fresh, self.dim, self.n_planes * self.n_bands, vc
+        ).persist()
+        cand = self._query_candidates(
             fresh,
             version=version,
             exclude_self=True,
             max_bucket_size=max_bucket_size,
+            probe_sigs=full_sigs.select(idc, "lsh_sig"),
         )
         # coverage guard: candidate partners must have vectors in
         # corpus_vectors, else the pair cannot be verified
@@ -877,33 +960,47 @@ class EmbeddingLshIndex(VersionedSegmentStore):
             .distinct()
             .withColumn("__uncov", F.lit(1))
         )
-        pv = fresh.select(F.col(idc).alias("probe_id"), F.col(vc).alias("__va"))
-        iv = corpus_vectors.select(
-            F.col(idc).alias("index_id"), F.col(vc).alias("__vb")
+        # ONE cosine verification pass for BOTH pair families (cross
+        # partners live in the index, batch partners in fresh — disjoint
+        # id_b domains, so the union splits back cleanly); the corpus
+        # vector table is semi-join-pruned to candidate partner ids
+        # before it meets any pair, so corpus vectors never fan out
+        bcand = embedding_candidate_pairs(
+            full_sigs, self.n_planes, self.n_bands, idc
         )
+        pairs_all = cand.select(
+            F.col("probe_id").alias("id_a"), F.col("index_id").alias("id_b")
+        ).unionByName(bcand)
+        corpus_pruned = corpus_vectors.select(F.col(idc), F.col(vc)).join(
+            cand.select(F.col("index_id").alias(idc)).distinct(),
+            on=idc,
+            how="left_semi",
+        )
+        vb_src = fresh.unionByName(corpus_pruned)
+        va = fresh.select(F.col(idc).alias("id_a"), F.col(vc).alias("__va"))
+        vb = vb_src.select(F.col(idc).alias("id_b"), F.col(vc).alias("__vb"))
         cos = cosine_pairs(F.col("__va"), F.col("__vb"))
-        corpus_rej = (
-            cand.join(pv, on="probe_id")
-            .join(iv, on="index_id")
+        accepted = (
+            pairs_all.join(va, on="id_a")
+            .join(vb, on="id_b")
             .filter(cos >= threshold)
-            .groupBy("probe_id")
-            .agg(F.min("index_id").alias("__cp"))
-            .select(F.col("probe_id").alias(idc), "__cp")
+            .select("id_a", "id_b")
         )
-        bpairs = embedding_near_dup_pairs(
-            fresh,
-            dim=self.dim,
-            threshold=threshold,
-            n_planes=self.n_planes,
-            n_bands=self.n_bands,
-            id_col=idc,
-            vec_col=vc,
-        ).select("id_a", "id_b")
+        fresh_b = fresh.select(F.col(idc).alias("id_b"))
+        corpus_rej = (
+            accepted.join(fresh_b, on="id_b", how="left_anti")
+            .groupBy("id_a")
+            .agg(F.min("id_b").alias("__cp"))
+            .select(F.col("id_a").alias(idc), "__cp")
+        )
+        bpairs = accepted.join(fresh_b, on="id_b", how="left_semi").select(
+            "id_a", "id_b"
+        )
         reps = alternating_star_components(
             fresh.select(idc), bpairs, id_col=idc
         ).withColumnRenamed("cluster_rep", "__rep")
         id_type = batch_df.schema[self.id_col].dataType
-        return (
+        return evict_on_gc(
             batch.select(idc)
             .join(index_ids.withColumn("__ai", F.lit(1)), on=idc, how="left")
             .join(corpus_rej, on=idc, how="left")
@@ -939,7 +1036,9 @@ class EmbeddingLshIndex(VersionedSegmentStore):
                 .otherwise(F.lit(None))
                 .cast(id_type)
                 .alias("partner"),
-            )
+            ),
+            full_sigs,
+            fresh,
         )
 
     def admit_and_ingest(

@@ -318,6 +318,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_vectors: bool = False,
+    sigs_df: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup detection (the vector-space member of the
     dedup family, alongside MinHash/SimHash/Jaccard in operators/dedup.py).
@@ -346,11 +347,20 @@ def embedding_near_dup_pairs(
     unknown at planning time; AQE only demotes, it can't pre-broadcast a
     side whose size estimate is missing). Leave False when the vector
     table itself is beyond broadcast size — the verify then runs as
-    ordinary shuffled equi-joins on id."""
+    ordinary shuffled equi-joins on id.
+
+    ``sigs_df`` (a frame already carrying ``lsh_sig`` over the same
+    total plane count, e.g. a shared persisted signing) skips the
+    in-plan signature computation — callers running several
+    signature-consuming stages (the admission loop) sign once."""
     total_planes = n_planes * n_bands
     if total_planes > 62:
         raise ValueError("n_planes * n_bands must be <= 62 (bigint signature)")
-    sigs = lsh_signatures(df, dim, total_planes, vec_col)
+    sigs = (
+        sigs_df
+        if sigs_df is not None
+        else lsh_signatures(df, dim, total_planes, vec_col)
+    )
     if n_bands == 1:
         a = sigs.select(
             F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "lsh_sig"
@@ -365,6 +375,41 @@ def embedding_near_dup_pairs(
             .filter(cos >= threshold)
             .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
         )
+    cand = embedding_candidate_pairs(sigs, n_planes, n_bands, id_col)
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if broadcast_vectors:
+        va, vb = F.broadcast(va), F.broadcast(vb)
+    cos = cosine_pairs(F.col("__va"), F.col("__vb"))
+    return (
+        cand.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= threshold)
+        .select("id_a", "id_b", F.round(F.col("__cos"), 6).alias("cos_sim"))
+    )
+
+
+def embedding_candidate_pairs(
+    sigs: DataFrame,
+    n_planes: int,
+    n_bands: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) from a banded-LSH signature frame
+    (``lsh_sig`` over ``n_planes * n_bands`` planes), each pair emitted
+    EXACTLY ONCE — the candidate block of ``embedding_near_dup_pairs``,
+    factored so the admission index can reuse it over a shared signing.
+
+    First-match-only emission: a pair sharing several bands would emerge
+    once per shared band; instead of a 10M+-row DISTINCT shuffle, emit it
+    only from the LOWEST matching band. Band b matches iff field b of
+    x = sig_a XOR sig_b is all-zero, so the lowest matching band is the
+    lowest zero field of x — found with pure int64 arithmetic (SWAR
+    zero-field detection), which stays inside whole-stage codegen; the
+    old formulation sliced+zipped per-band arrays per joined pair,
+    allocating interpreted HOFs in the join's hottest loop, and shuffled
+    a 15-element array per entry where one bigint now rides along."""
     mask = (1 << n_planes) - 1
     band_sig = lambda b: (  # noqa: E731
         F.shiftright(F.col("lsh_sig"), b * n_planes).bitwiseAND(F.lit(mask))
@@ -383,16 +428,7 @@ def embedding_near_dup_pairs(
         F.col("__b.band").alias("band"),
         F.col("__b.band_sig").alias("band_sig"),
     )
-    # first-match-only emission: a pair sharing several bands would emerge
-    # once per shared band; instead of a 10M+-row DISTINCT shuffle, emit it
-    # only from the LOWEST matching band. Band b matches iff field b of
-    # x = sig_a XOR sig_b is all-zero, so the lowest matching band is the
-    # lowest zero field of x — found with pure int64 arithmetic (SWAR
-    # zero-field detection), which stays inside whole-stage codegen; the
-    # old formulation sliced+zipped per-band arrays per joined pair,
-    # allocating interpreted HOFs in the join's hottest loop, and shuffled
-    # a 15-element array per entry where one bigint now rides along.
-    cand = (
+    return (
         entries.alias("ea")
         .join(
             entries.alias("eb"),
@@ -407,20 +443,9 @@ def embedding_near_dup_pairs(
             == F.col("ea.band")
         )
         .select(
-            F.col(f"ea.{id_col}").alias("id_a"), F.col(f"eb.{id_col}").alias("id_b")
+            F.col(f"ea.{id_col}").alias("id_a"),
+            F.col(f"eb.{id_col}").alias("id_b"),
         )
-    )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    if broadcast_vectors:
-        va, vb = F.broadcast(va), F.broadcast(vb)
-    cos = cosine_pairs(F.col("__va"), F.col("__vb"))
-    return (
-        cand.join(va, on="id_a")
-        .join(vb, on="id_b")
-        .withColumn("__cos", cos)
-        .filter(F.col("__cos") >= threshold)
-        .select("id_a", "id_b", F.round(F.col("__cos"), 6).alias("cos_sim"))
     )
 
 

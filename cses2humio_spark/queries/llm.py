@@ -2857,7 +2857,8 @@ def minhash_index_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     build-once/probe-many production shape of crawl dedup): the standing
     corpus's banded signatures live as a versioned on-disk table (built
     once per process, off this query's plan); the probe batch is signed
-    by a zero-shuffle rowwise projection and candidates come from ONE
+    by a rowwise projection (no aggregation or key shuffle; fan_out may
+    round-robin a single-split local input) and candidates come from ONE
     (band, sig) equi-join — NEITHER side's text rides a shuffle, and the
     corpus text is not read at all. The oracle recomputes both sides'
     signatures from scratch in SQL, which is the correctness contract of

@@ -541,7 +541,16 @@ def test_plan_shapes_match_snapshot(spark):
     none of which move a sf0.1 wall-clock enough to trip the 2x gate.
     On intended plan changes: rerun `python scripts/dump_plans.py` and
     commit the refreshed tests/plan_shapes.json together with the code,
-    naming the plan change in the commit message."""
+    naming the plan change in the commit message.
+
+    Snapshot rationale log (why the current shapes look like they do):
+    - r8 islands rewrite (`dup_span_coverage_stats`: generate 3 -> 2,
+      window +2): covered positions are carried as maximal (lo, hi)
+      intervals per doc — the two new narrow windows (lag to mark island
+      breaks, running sum to number islands) REPLACE the position
+      explode whose output was O(duplicated tokens); a fully-duplicated
+      document now costs O(#islands) rows. The extra window pair is the
+      cheap side of that trade at every scale."""
     import json
     import os
 
