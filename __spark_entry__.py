@@ -111,10 +111,10 @@ _PRIORITY = [
 # top_users_with_other_two_level (r7's red cell, fixed r8) deliberately
 # stays one more round as regression protection.
 # Remaining never-driver-checked pool for the r10 rotation:
-# vector_admission_decisions (new r9 — judge-verifiable at the tail;
-# verified vanilla + hostile at sf0.001/0.01/0.1 when added) plus
-# whatever r9 adds after this rotation; everything else in the registry
-# has been driver-checked in some round.
+# vector_admission_decisions and eval_contamination_stats (new r9,
+# registered after this rotation — judge-verifiable at the tail; each
+# verified vanilla + hostile at sf0.001/0.01/0.1 when added); everything
+# else in the registry has been driver-checked in some round.
 # Round-7 window refresh (r6 verdict item 4): seventeen slots whose
 # families are r6-driver-green AND double-covered (in-window sibling or
 # judge-verified tail) rotated out — regex_extract_histogram,

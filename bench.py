@@ -95,6 +95,7 @@ HEADLINE = [
     # per corpus fingerprint); min-of-two reflects the probe+decide path.
     "crawl_admission_decisions",  # text admission vs persisted MinHash index
     "vector_admission_decisions",  # semantic admission vs persisted LSH index
+    "eval_contamination_stats",  # train/eval 8-gram decontamination pass
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
@@ -109,9 +110,10 @@ WARMUP_SF_DIR = "/root/testdata/sf0.001"
 # min-of-two-passes: any headline query slower than 2x its standing
 # number is named in the output's "regressions" key. Update these
 # numbers only when a round's bench is accepted as the new standing
-# baseline. ALL 57 timed queries now carry a standing number — the five
-# r7 promotions and the two r9 admission queries included (VERDICT r8
-# task #4 closed).
+# baseline. ALL 58 timed queries now carry a standing number — the five
+# r7 promotions and the three r9 promotions included (VERDICT r8 task #4
+# closed; eval_contamination_stats standing from a same-round isolated
+# min-of-three at 1.56 s).
 STANDING_BASELINE_SF01 = {
     "asof_latest_order": 1.124,
     "avi_av_demux_stats": 0.933,
@@ -126,6 +128,7 @@ STANDING_BASELINE_SF01 = {
     "doc_chunk_stats": 0.439,
     "dup_span_coverage_stats": 3.348,
     "embedding_near_dups": 2.75,
+    "eval_contamination_stats": 1.562,
     "events_range_self_join": 0.706,
     "ewma_user_baseline": 0.457,
     "funnel_conversion": 0.667,

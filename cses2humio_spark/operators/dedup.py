@@ -946,3 +946,63 @@ def streaming_near_dup_candidates(
     return new_sigs.join(corpus, on=["band", "sig"], how="inner").select(
         F.col(id_col), "corpus_id", "band"
     )
+
+
+def eval_contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Train/eval n-gram DECONTAMINATION stats — the overlap pass every
+    serious training pipeline runs before a model ships (GPT-3 appendix
+    C's 13-gram filter; PaLM and Llama run the same shape): for every
+    training document, how many of its DISTINCT word n-grams also occur
+    anywhere in the evaluation set.
+
+    Returns ``(id, n_ngrams, n_matched, contamination)`` per training
+    document: the distinct n-gram count, how many of them hit the eval
+    set, and the matched fraction (0.0 for documents shorter than n
+    tokens — nothing to match; the caller owns any length-based refusal
+    policy). Thresholding/dropping is the caller's decision — the stats
+    are the auditable artifact.
+
+    Scale shape: eval suites are thousands of documents while the corpus
+    is billions, so the EVAL side reduces to distinct md5 fingerprints
+    and BROADCASTS; the train side explodes to (id, fingerprint) rows
+    once (``shingle_table`` — fan_out-parallelized), distincts within
+    document, and aggregates matched/total per document map-side. Train
+    text never rides a shuffle; the only shuffled bytes are (id, 16-byte
+    digest) pairs inside the per-document distinct."""
+    eval_fps = (
+        shingle_table(eval_docs, id_col, text_col, n=n)
+        .select(F.md5("__sh").alias("__fp"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    train_fps = shingle_table(train, id_col, text_col, n=n).select(
+        F.col(id_col), F.md5("__sh").alias("__fp")
+    ).distinct()
+    stats = (
+        train_fps.join(F.broadcast(eval_fps), on="__fp", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_matched"),
+        )
+    )
+    return (
+        train.select(F.col(id_col))
+        .join(stats, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_ngrams", F.lit(0)).cast("bigint").alias("n_ngrams"),
+            F.coalesce("n_matched", F.lit(0)).cast("bigint").alias("n_matched"),
+            F.coalesce(
+                F.round(F.col("n_matched") / F.col("n_ngrams"), 6), F.lit(0.0)
+            ).alias("contamination"),
+        )
+    )

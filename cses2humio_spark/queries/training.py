@@ -1066,3 +1066,53 @@ def bigram_lm_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return evict_on_gc(out, c2)
+
+
+@query(
+    "eval_contamination_stats",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+               FROM documents),
+    g AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS g
+          FROM t, UNNEST(generate_series(1, len(toks) - 7)) AS u(i)
+          WHERE len(toks) >= 8),
+    ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 7 = 0),
+    tr AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 7 != 0),
+    st AS (SELECT tr.doc_id,
+                  COUNT(*) AS n_ngrams,
+                  SUM(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END)
+                    AS n_matched
+           FROM tr LEFT JOIN ev ON ev.g = tr.g
+           GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(st.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+           CAST(COALESCE(st.n_matched, 0) AS BIGINT) AS n_matched,
+           COALESCE(ROUND(st.n_matched / CAST(st.n_ngrams AS DOUBLE), 6),
+                    0.0) AS contamination
+    FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id
+    WHERE d.doc_id % 7 != 0
+    """,
+)
+def eval_contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval DECONTAMINATION (the GPT-3 appendix-C / PaLM / Llama
+    n-gram overlap pass — the check every serious pretraining pipeline
+    runs so benchmark answers don't leak into the training set): every
+    7th document plays the held-out eval suite; for each remaining
+    TRAINING document the query reports how many of its distinct word
+    8-grams occur anywhere in the eval set, and the matched fraction.
+    Thresholding is the caller's policy; the stats are the auditable
+    artifact (``operators/dedup.py::eval_contamination``).
+
+    Scale shape: the eval side reduces to distinct md5 fingerprints and
+    BROADCASTS (eval suites are thousands of docs against a corpus of
+    billions); the train side explodes once to (id, digest) rows and
+    aggregates per document — train text never rides a shuffle. The
+    oracle recomputes the overlap on raw n-gram strings; md5 on the
+    Spark side only narrows the join key, so the decisions agree
+    exactly."""
+    from cses2humio_spark.operators.dedup import eval_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    eval_docs = docs.filter(F.col("doc_id") % 7 == 0)
+    return eval_contamination(train, eval_docs, n=8)

@@ -424,3 +424,52 @@ def test_bigram_lm_model_cache_evicted_on_gc(spark):
     del df
     gc.collect()
     assert cm.isEmpty(), "bigram model cache leaked past result GC"
+
+
+def test_eval_contamination_planted_overlap(spark):
+    """Planted fixture: a train doc embedding a verbatim eval 8-gram is
+    flagged with the exact matched count; a clean doc reports 0; a doc
+    shorter than n reports (0, 0, 0.0) instead of vanishing."""
+    from cses2humio_spark.operators.dedup import eval_contamination
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    # 10 tokens -> 3 distinct 8-grams in the eval doc
+    train = spark.createDataFrame(
+        [
+            # contains eval tokens 1..8 verbatim, plus its own tail:
+            # 11 tokens -> 4 8-grams, exactly 1 matching
+            (1, "the quick brown fox jumps over the lazy extra tail words"),
+            (2, "completely different content with no overlap at all here"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_ngrams, r.n_matched, r.contamination)
+        for r in eval_contamination(train, ev, n=8).collect()
+    }
+    assert got[1] == (4, 1, 0.25)
+    assert got[2] == (2, 0, 0.0)  # 9 tokens -> 2 distinct 8-grams
+    assert got[3] == (0, 0, 0.0)
+
+
+def test_eval_contamination_plan_broadcasts_eval_side(spark):
+    """The scale contract: the eval fingerprint side must BROADCAST (no
+    shuffle of the training explosion against a hash-partitioned eval
+    table), and the training text column must not appear in any
+    exchange."""
+    from cses2humio_spark.operators.dedup import eval_contamination
+    from cses2humio_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    df = eval_contamination(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+        n=8,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:1500]
