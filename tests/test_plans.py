@@ -550,7 +550,16 @@ def test_plan_shapes_match_snapshot(spark):
       breaks, running sum to number islands) REPLACE the position
       explode whose output was O(duplicated tokens); a fully-duplicated
       document now costs O(#islands) rows. The extra window pair is the
-      cheap side of that trade at every scale."""
+      cheap side of that trade at every scale.
+    - r9 admission queries (`crawl_admission_decisions`,
+      `vector_admission_decisions`): the large join/exchange counts are
+      EXPLAIN-PRINT inflation, not execution cost — the decision plan
+      shares three persisted-but-lazy subtrees (fresh, the batch
+      signature table, the shingle table), and an unmaterialized persist
+      prints its full child at every consumer. At run time the first
+      action materializes the caches and every later consumer reads
+      InMemoryTableScan (wall MEASURED down 16.0 -> 10.8 s at sf0.1 when
+      these counts went up)."""
     import json
     import os
 
