@@ -38,8 +38,12 @@ def main() -> None:
         import density_probe as DP
 
         DP.grow(spark, 10, big_dir)
+    # the x10 corpus contains shifted copies of every original id — the
+    # probe batch's ids must be EXCLUDED or every batch doc probes as
+    # already_indexed and the decision short-circuits
     big = spark.read.parquet(f"{big_dir}/documents.parquet").filter(
-        F.col("doc_id") < 10 * n - 500
+        (F.col("doc_id") < 10 * n - 500) & (F.col("doc_id") < n - 500)
+        | ((F.col("doc_id") >= n) & (F.col("doc_id") < 10 * n - 500))
     )
     scratch = tempfile.mkdtemp(prefix="admit_probe_")
     for tag, corpus in (
