@@ -111,7 +111,8 @@ _PRIORITY = [
 # top_users_with_other_two_level (r7's red cell, fixed r8) deliberately
 # stays one more round as regression protection.
 # Remaining never-driver-checked pool for the r10 rotation:
-# vector_admission_decisions and eval_contamination_stats (new r9,
+# vector_admission_decisions, eval_contamination_stats and
+# source_overlap_matrix (new r9,
 # registered after this rotation — judge-verifiable at the tail; each
 # verified vanilla + hostile at sf0.001/0.01/0.1 when added); everything
 # else in the registry has been driver-checked in some round.

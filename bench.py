@@ -96,6 +96,7 @@ HEADLINE = [
     "crawl_admission_decisions",  # text admission vs persisted MinHash index
     "vector_admission_decisions",  # semantic admission vs persisted LSH index
     "eval_contamination_stats",  # train/eval 8-gram decontamination pass
+    "source_overlap_matrix",  # pairwise source n-gram overlap audit
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
@@ -110,10 +111,10 @@ WARMUP_SF_DIR = "/root/testdata/sf0.001"
 # min-of-two-passes: any headline query slower than 2x its standing
 # number is named in the output's "regressions" key. Update these
 # numbers only when a round's bench is accepted as the new standing
-# baseline. ALL 58 timed queries now carry a standing number — the five
+# baseline. ALL 59 timed queries now carry a standing number — the five
 # r7 promotions and the three r9 promotions included (VERDICT r8 task #4
-# closed; eval_contamination_stats standing from a same-round isolated
-# min-of-three at 1.56 s).
+# closed; eval_contamination_stats / source_overlap_matrix standings
+# from same-round isolated min-of-three runs).
 STANDING_BASELINE_SF01 = {
     "asof_latest_order": 1.124,
     "avi_av_demux_stats": 0.933,
@@ -164,6 +165,7 @@ STANDING_BASELINE_SF01 = {
     "sessionize_users": 0.764,
     "sessionize_users_bucketed": 0.715,
     "sole_blame_suppliers": 0.893,
+    "source_overlap_matrix": 1.9,
     "sq8_cosine_topk": 1.18,
     "tga_decode_stats": 0.469,
     "timechart_errors": 0.282,

@@ -1006,3 +1006,69 @@ def eval_contamination(
             ).alias("contamination"),
         )
     )
+
+
+def source_ngram_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Pairwise n-gram overlap between corpus SOURCES — the "did these
+    two crawls/dumps duplicate each other" audit run before mixing
+    sources into a training blend (the corpus-level companion of the
+    per-document dedup family). For every source pair with any overlap:
+    ``(src_a, src_b, n_inter, n_a, n_b, jaccard)`` over the sources'
+    DISTINCT word n-gram fingerprint sets (src_a < src_b; pairs with
+    zero shared n-grams are absent — absence IS the zero).
+
+    Scale shape: documents reduce to (source, md5 fingerprint) rows and
+    a within-source DISTINCT — text never rides a shuffle; the pair join
+    is an equi-join on the fingerprint whose fan-out per fingerprint is
+    bounded by the SOURCE count squared (sources are a curated dimension
+    of dozens-to-hundreds, not a data-scale axis), and set sizes
+    broadcast."""
+    fps = (
+        shingle_table(df, group_col, text_col, n=n)
+        .select(F.col(group_col), F.md5("__sh").alias("__fp"))
+        .distinct()
+    )
+    sizes = fps.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    a = fps.select(F.col(group_col).alias("src_a"), "__fp")
+    b = fps.select(F.col(group_col).alias("src_b"), "__fp")
+    inter = (
+        a.join(b, on="__fp")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col(group_col).alias("src_a"), F.col("__n").alias("n_a")
+                )
+            ),
+            on="src_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col(group_col).alias("src_b"), F.col("__n").alias("n_b")
+                )
+            ),
+            on="src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -1116,3 +1116,42 @@ def eval_contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 7 != 0)
     eval_docs = docs.filter(F.col("doc_id") % 7 == 0)
     return eval_contamination(train, eval_docs, n=8)
+
+
+@query(
+    "source_overlap_matrix",
+    oracle=r"""
+    WITH t AS (SELECT source, string_split_regex(trim(text), '\s+') AS toks
+               FROM documents),
+    g AS (SELECT source, array_to_string(toks[i:i+7], ' ') AS g
+          FROM t, UNNEST(generate_series(1, len(toks) - 7)) AS u(i)
+          WHERE len(toks) >= 8),
+    fp AS (SELECT DISTINCT source, g FROM g),
+    sz AS (SELECT source, COUNT(*) AS n FROM fp GROUP BY 1),
+    i AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS ni
+          FROM fp a JOIN fp b ON a.g = b.g AND a.source < b.source
+          GROUP BY 1, 2)
+    SELECT i.src_a, i.src_b,
+           CAST(i.ni AS BIGINT) AS n_inter,
+           CAST(za.n AS BIGINT) AS n_a,
+           CAST(zb.n AS BIGINT) AS n_b,
+           ROUND(i.ni / CAST(za.n + zb.n - i.ni AS DOUBLE), 6) AS jaccard
+    FROM i
+    JOIN sz za ON za.source = i.src_a
+    JOIN sz zb ON zb.source = i.src_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-audit: pairwise 8-gram overlap between SOURCES — run
+    before mixing crawls/dumps into a training blend to catch sources
+    that are near-copies of each other (a Common Crawl dump vs its
+    re-crawl) before per-document dedup pays for them
+    (``operators/dedup.py::source_ngram_overlap``). Documents reduce to
+    (source, md5 fingerprint) pairs; text never rides a shuffle; pairs
+    with zero shared n-grams are absent (absence IS the zero). The
+    oracle recomputes the overlap on raw n-gram strings."""
+    from cses2humio_spark.operators.dedup import source_ngram_overlap
+
+    return source_ngram_overlap(
+        load_table(spark, sf_dir, "documents"), n=8
+    )

@@ -473,3 +473,24 @@ def test_eval_contamination_plan_broadcasts_eval_side(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:1500]
+
+
+def test_source_overlap_identical_sources_jaccard_one(spark):
+    """Two sources holding the same documents must report jaccard 1.0;
+    a disjoint third source pairs with neither (absence IS the zero)."""
+    from cses2humio_spark.operators.dedup import source_ngram_overlap
+
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, "a", body),
+            (2, "b", body),
+            (3, "c", "totally different words one two three four five six"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        (r.src_a, r.src_b): (r.n_inter, r.n_a, r.n_b, r.jaccard)
+        for r in source_ngram_overlap(df, n=8).collect()
+    }
+    assert rows == {("a", "b"): (3, 3, 3, 1.0)}  # 10 tokens -> 3 8-grams
