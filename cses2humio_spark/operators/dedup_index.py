@@ -411,14 +411,16 @@ class MinHashIndex(VersionedSegmentStore):
         # batch from text (the single most expensive projection here).
         psigs = self._signatures(fresh).persist()
         # cross-corpus: candidates from the standing index, then exact
-        # Jaccard on candidate texts only
+        # Jaccard on candidate texts only. The candidate pair table is
+        # consumed by THREE stages (corpus prune, coverage guard, the
+        # merged verify) — persist it so the probe join runs once.
         cand = self._query_candidates(
             fresh,
             version=version,
             exclude_self=True,
             max_bucket_size=max_bucket_size,
             probe_sigs=psigs,
-        )
+        ).persist()
         pairs = cand.select(
             F.col("probe_id").alias("id_a"), F.col("index_id").alias("id_b")
         )
@@ -529,7 +531,7 @@ class MinHashIndex(VersionedSegmentStore):
                 .alias("partner"),
             )
         )
-        return evict_on_gc(decisions, sh, psigs, fresh)
+        return evict_on_gc(decisions, sh, psigs, fresh, cand)
 
     def admit_and_ingest(
         self,
@@ -946,7 +948,7 @@ class EmbeddingLshIndex(VersionedSegmentStore):
             exclude_self=True,
             max_bucket_size=max_bucket_size,
             probe_sigs=full_sigs.select(idc, "lsh_sig"),
-        )
+        ).persist()  # three consumers (guard, prune, verify) — probe once
         # coverage guard: candidate partners must have vectors in
         # corpus_vectors, else the pair cannot be verified
         corpus_ids = corpus_vectors.select(F.col(idc)).distinct()
@@ -1039,6 +1041,7 @@ class EmbeddingLshIndex(VersionedSegmentStore):
             ),
             full_sigs,
             fresh,
+            cand,
         )
 
     def admit_and_ingest(
