@@ -853,3 +853,33 @@ def test_embedding_admission_stream_kill_restart(spark, tmp_path):
     assert sorted(
         r.vec_id for r in idx.read_signatures(spark).select("vec_id").collect()
     ) == expected
+
+
+def test_admit_batch_degenerate_batches(spark, corpus3, tmp_path):
+    """Edge pins: a batch consisting ONLY of already-indexed ids decides
+    without touching the verify machinery's error paths, and an EMPTY
+    batch returns an empty decision frame (both shapes occur routinely
+    in a long-running admission stream)."""
+    idx = MinHashIndex(str(tmp_path / "mh"))
+    idx.build(corpus3)
+    all_indexed = corpus3.select("doc_id", "text")
+    dec = {
+        r.doc_id: (r.reason, r.partner)
+        for r in idx.admit_batch(all_indexed, corpus3).collect()
+    }
+    assert dec == {i: ("already_indexed", i) for i in (1, 2, 3)}
+    empty = corpus3.filter(F.lit(False)).select("doc_id", "text")
+    assert idx.admit_batch(empty, corpus3).collect() == []
+
+
+def test_embedding_admit_batch_degenerate_batches(spark, vec_corpus, tmp_path):
+    """Vector-twin edge pins, same contracts as the text side."""
+    idx = EmbeddingLshIndex(str(tmp_path / "e"), dim=8, n_planes=4, n_bands=5)
+    idx.build(vec_corpus)
+    dec = {
+        r.vec_id: (r.reason, r.partner)
+        for r in idx.admit_batch(vec_corpus, vec_corpus, threshold=0.9).collect()
+    }
+    assert dec == {i: ("already_indexed", i) for i in (1, 2, 3)}
+    empty = vec_corpus.filter(F.lit(False))
+    assert idx.admit_batch(empty, vec_corpus, threshold=0.9).collect() == []
