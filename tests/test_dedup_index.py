@@ -883,3 +883,84 @@ def test_embedding_admit_batch_degenerate_batches(spark, vec_corpus, tmp_path):
     assert dec == {i: ("already_indexed", i) for i in (1, 2, 3)}
     empty = vec_corpus.filter(F.lit(False))
     assert idx.admit_batch(empty, vec_corpus, threshold=0.9).collect() == []
+
+
+def test_admit_batch_capped_mode_within_batch_twins_consistent(
+    spark, corpus3, vec_corpus, tmp_path
+):
+    """Capped-mode within-batch semantics (ADVICE r9 #3): with
+    ``max_bucket_size`` set, BOTH twins truncate the id_b side of the
+    within-batch candidate stage to the cap smallest ids per bucket — a
+    flood of identical documents in one batch is bounded to cap x rows
+    candidates instead of rows^2, at the documented recall cost: with
+    cap=2, the third identical doc loses its candidate pairs entirely
+    and is (wrongly but BOUNDEDLY) admitted. A generous cap must
+    reproduce the uncapped decisions exactly. Pinned on both twins so
+    they cannot diverge again (the r9 divergence: MinHash capped its
+    within-batch stage, the vector twin did not)."""
+    # -- text twin: ids 20/21/22 share one identical text ----------------
+    idx = MinHashIndex(str(tmp_path / "mh"))
+    idx.build(corpus3)
+    flood = spark.createDataFrame(
+        [
+            (20, "copied boilerplate page body text here"),
+            (21, "copied boilerplate page body text here"),
+            (22, "copied boilerplate page body text here"),
+        ],
+        "doc_id long, text string",
+    )
+    uncapped = {
+        r.doc_id: (r.reason, r.partner)
+        for r in idx.admit_batch(flood, corpus3).collect()
+    }
+    assert uncapped == {
+        20: ("admitted", None),
+        21: ("batch_dup", 20),
+        22: ("batch_dup", 20),
+    }
+    generous = {
+        r.doc_id: (r.reason, r.partner)
+        for r in idx.admit_batch(flood, corpus3, max_bucket_size=100).collect()
+    }
+    assert generous == uncapped
+    capped = {
+        r.doc_id: (r.reason, r.partner)
+        for r in idx.admit_batch(flood, corpus3, max_bucket_size=2).collect()
+    }
+    assert capped == {
+        20: ("admitted", None),
+        21: ("batch_dup", 20),
+        22: ("admitted", None),  # truncated out of every bucket: the trade
+    }
+
+    # -- vector twin: same shape, identical vectors ----------------------
+    vidx = EmbeddingLshIndex(str(tmp_path / "e"), dim=8, n_planes=4, n_bands=5)
+    vidx.build(vec_corpus)
+    vflood = _vdf(spark, [(20, _vec(50)), (21, _vec(50)), (22, _vec(50))])
+    v_uncapped = {
+        r.vec_id: (r.reason, r.partner)
+        for r in vidx.admit_batch(vflood, vec_corpus, threshold=0.9).collect()
+    }
+    assert v_uncapped == {
+        20: ("admitted", None),
+        21: ("batch_dup", 20),
+        22: ("batch_dup", 20),
+    }
+    v_generous = {
+        r.vec_id: (r.reason, r.partner)
+        for r in vidx.admit_batch(
+            vflood, vec_corpus, threshold=0.9, max_bucket_size=100
+        ).collect()
+    }
+    assert v_generous == v_uncapped
+    v_capped = {
+        r.vec_id: (r.reason, r.partner)
+        for r in vidx.admit_batch(
+            vflood, vec_corpus, threshold=0.9, max_bucket_size=2
+        ).collect()
+    }
+    assert v_capped == {
+        20: ("admitted", None),
+        21: ("batch_dup", 20),
+        22: ("admitted", None),
+    }
