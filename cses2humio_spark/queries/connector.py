@@ -497,3 +497,93 @@ def cdc_upsert_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(final, out.schema)
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+@query(
+    "falcon_feed_http_demo",
+    oracle="""
+    SELECT CAST(event_id % 2 AS INT) AS partition,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(event_id) AS BIGINT) AS min_offset,
+           CAST(MAX(event_id) AS BIGINT) AS max_offset,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user_id
+    FROM events WHERE event_id < 300 GROUP BY 1
+    """,
+)
+def falcon_feed_http_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 end to end through the NATIVE chunked-HTTP source (r10,
+    VERDICT r9 #3): a two-partition fake feed (sources/fake_feed.py —
+    offset query-param replay, keep-alive blanks, token auth, held-open
+    chunked response; the exact transport of app.py:93-102) serves
+    Falcon-shaped events synthesized from events.parquet, the
+    ``falcon_feed`` Python Data Source (sources/http_feed.py) streams
+    them with per-partition offsets, and the result is aggregated per
+    partition — counts, offset range, and a payload-integrity sum the
+    oracle recomputes from the base columns. Proves the full path:
+    partition-from-URL, authoritative metadata.offset positions,
+    auth header, keep-alive skip, availableNow drain."""
+    import shutil
+
+    from cses2humio_spark.sources import http_feed
+    from cses2humio_spark.sources.fake_feed import FakeFeedServer
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    line = F.to_json(
+        F.struct(
+            F.struct(
+                F.col("event_id").alias("offset"),
+                F.unix_millis(F.col("ts")).alias("eventCreationTime"),
+                F.col("event_type").alias("eventType"),
+            ).alias("metadata"),
+            F.struct(F.col("user_id")).alias("event"),
+        )
+    )
+    # bounded collect: event_id < 300 caps this at 300 rows at EVERY
+    # scale factor — fixture synthesis for the in-memory fake feed, not
+    # a data path (the streamed rows never route through this list)
+    rows = (
+        ev.select((F.col("event_id") % 2).cast("int").alias("p"), line.alias("v"))
+        .orderBy("p", "v")
+        .collect()
+    )
+    feed: dict[int, list[str]] = {0: [], 1: []}
+    for r in rows:
+        feed[r.p].append(r.v)
+    srv = FakeFeedServer(feed, token="demo-token").start()
+    tmpdir = tempfile.mkdtemp(prefix="sgraft_feed_demo_")
+    got: list = []
+    try:
+        http_feed.register(spark)
+
+        def sink(batch_df, _bid):
+            got.extend(batch_df.collect())
+
+        q = (
+            spark.readStream.format("falcon_feed")
+            .option("urls", srv.urls)
+            .option("token", "demo-token")
+            .option("quiet_ms", "800")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError("falcon_feed demo stream did not finish in 180s")
+    finally:
+        srv.stop()
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    streamed = spark.createDataFrame(
+        [(r.partition, r.offset, r.value) for r in got],
+        "partition int, offset bigint, value string",
+    )
+    return streamed.groupBy("partition").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("offset").alias("min_offset"),
+        F.max("offset").alias("max_offset"),
+        F.sum(
+            F.get_json_object(F.col("value"), "$.event.user_id").cast("bigint")
+        ).alias("sum_user_id"),
+    )

@@ -152,6 +152,7 @@ SIDE_EFFECTING = {
     "vector_admission_decisions",  # builds the persisted embedding-LSH
     # index once AND runs the star-contraction CC loop at construction
     "cdc_upsert_latest_state",  # runs a full streaming query to build
+    "falcon_feed_http_demo",  # spins a fake HTTP feed + streaming query
 }
 
 
