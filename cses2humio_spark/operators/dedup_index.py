@@ -341,6 +341,9 @@ class MinHashIndex(VersionedSegmentStore):
         threshold: float = 0.5,
         version: int | None = None,
         max_bucket_size: int | None = None,
+        eval_docs: DataFrame | None = None,
+        contamination_threshold: float = 0.1,
+        eval_n: int = 8,
     ) -> DataFrame:
         """The composed crawl-admission DECISION (VERDICT r7 #4): until
         now users had to hand-wire probe -> verify -> admit/reject ->
@@ -350,6 +353,17 @@ class MinHashIndex(VersionedSegmentStore):
         - ``already_indexed``: the id is live in the index (partner =
           the id itself). Its text is excluded from every verify join so
           a re-crawl can't pollute a standing document's shingle set.
+        - ``contaminated`` (only when ``eval_docs`` is given — VERDICT
+          r9 #6, the one-pass dedup + decontamination production
+          crawls run): the document's distinct word ``eval_n``-gram
+          overlap with the eval suite (``eval_contamination``; eval
+          side reduced to broadcast fingerprints) is at or above
+          ``contamination_threshold``; partner is NULL. Contaminated
+          documents are excluded from the dedup stages entirely — they
+          are never signed, never verified, and never eligible as a
+          within-batch cluster representative (decontamination runs
+          FIRST, dedup on the survivors, exactly as a production
+          pipeline orders the two filters).
         - ``corpus_dup``: a verified near-dup (exact shingle Jaccard >=
           ``threshold``, computed on candidate texts only) of a live
           indexed document; partner = the smallest verified index id.
@@ -428,18 +442,40 @@ class MinHashIndex(VersionedSegmentStore):
             .repartition(n_cpu)
             .persist()
         )
+        # Decontamination gate FIRST (cheap: one broadcast-fingerprint
+        # join over fresh), dedup on the survivors — contaminated docs
+        # never reach the signing/verify machinery below.
+        cont = None
+        clean = fresh
+        if eval_docs is not None:
+            from cses2humio_spark.operators.dedup import eval_contamination
+
+            cont = (
+                eval_contamination(
+                    fresh,
+                    eval_docs.select(F.col(idc), F.col(txt)),
+                    idc,
+                    txt,
+                    n=eval_n,
+                )
+                .filter(F.col("contamination") >= contamination_threshold)
+                .select(idc)
+                .withColumn("__cont", F.lit(1))
+                .persist()
+            )
+            clean = fresh.join(cont, on=idc, how="left_anti").persist()
         # Sign the batch ONCE (rowwise projection, persisted — a few
         # dozen bytes per doc): the same folded signature table feeds
         # BOTH the cross-corpus index probe and the within-batch
         # candidate self-join below; before r9 each stage re-signed the
         # batch from text (the single most expensive projection here).
-        psigs = self._signatures(fresh).persist()
+        psigs = self._signatures(clean).persist()
         # cross-corpus: candidates from the standing index, then exact
         # Jaccard on candidate texts only. The candidate pair table is
         # consumed by THREE stages (corpus prune, coverage guard, the
         # merged verify) — persist it so the probe join runs once.
         cand = self._query_candidates(
-            fresh,
+            clean,
             version=version,
             exclude_self=True,
             max_bucket_size=max_bucket_size,
@@ -453,7 +489,7 @@ class MinHashIndex(VersionedSegmentStore):
             on=idc,
             how="left_semi",
         )
-        both = fresh.unionByName(corpus_pruned)
+        both = clean.unionByName(corpus_pruned)
         sh = shingle_table(both, idc, txt, n=self.n).persist()
         # Coverage guard: a candidate's index partner must have text in
         # corpus_docs (and hence rows in sh — it had shingles when its
@@ -503,7 +539,7 @@ class MinHashIndex(VersionedSegmentStore):
             F.col("n_a") + F.col("n_b") - F.col("n_inter")
         )
         accepted = verified.filter(unrounded >= threshold)
-        fresh_b = fresh.select(F.col(idc).alias("id_b"))
+        fresh_b = clean.select(F.col(idc).alias("id_b"))
         corpus_rej = (
             accepted.join(fresh_b, on="id_b", how="left_anti")
             .groupBy("id_a")
@@ -514,15 +550,24 @@ class MinHashIndex(VersionedSegmentStore):
             "id_a", "id_b"
         )
         reps = alternating_star_components(
-            fresh.select(idc), bpairs, id_col=idc
+            clean.select(idc), bpairs, id_col=idc
         ).withColumnRenamed("cluster_rep", "__rep")
         id_type = batch_df.schema[self.id_col].dataType
-        decisions = (
+        assembled = (
             batch.select(idc)
             .join(index_ids.withColumn("__ai", F.lit(1)), on=idc, how="left")
             .join(corpus_rej, on=idc, how="left")
             .join(reps, on=idc, how="left")
             .join(uncovered, on=idc, how="left")
+        )
+        if cont is not None:
+            assembled = assembled.join(cont, on=idc, how="left")
+        else:
+            assembled = assembled.withColumn(
+                "__cont", F.lit(None).cast("int")
+            )
+        decisions = (
+            assembled
             .select(
                 idc,
                 F.when(
@@ -543,11 +588,13 @@ class MinHashIndex(VersionedSegmentStore):
                     ),
                 )
                 .when(F.col("__ai") == 1, F.lit("already_indexed"))
+                .when(F.col("__cont") == 1, F.lit("contaminated"))
                 .when(F.col("__cp").isNotNull(), F.lit("corpus_dup"))
                 .when(F.col("__rep") != F.col(idc), F.lit("batch_dup"))
                 .otherwise(F.lit("admitted"))
                 .alias("reason"),
                 F.when(F.col("__ai") == 1, F.col(idc))
+                .when(F.col("__cont") == 1, F.lit(None))
                 .when(F.col("__cp").isNotNull(), F.col("__cp"))
                 .when(F.col("__rep") != F.col(idc), F.col("__rep"))
                 .otherwise(F.lit(None))
@@ -555,7 +602,10 @@ class MinHashIndex(VersionedSegmentStore):
                 .alias("partner"),
             )
         )
-        return evict_on_gc(decisions, sh, psigs, fresh, cand)
+        cached = [sh, psigs, fresh, cand]
+        if cont is not None:
+            cached += [cont, clean]
+        return evict_on_gc(decisions, *cached)
 
     def admit_and_ingest(
         self,
@@ -564,6 +614,9 @@ class MinHashIndex(VersionedSegmentStore):
         corpus_docs: DataFrame,
         threshold: float = 0.5,
         max_bucket_size: int | None = None,
+        eval_docs: DataFrame | None = None,
+        contamination_threshold: float = 0.1,
+        eval_n: int = 8,
     ) -> DataFrame | None:
         """The full incremental loop, foreachBatch-shaped: decide
         (``admit_batch`` against the CURRENT index state), ingest ONLY
@@ -574,7 +627,13 @@ class MinHashIndex(VersionedSegmentStore):
         (the same ``last_batch_id`` guard as plain ingest). The
         decision plan is pinned to the pre-ingest version at
         construction, so reading the returned frame after the commit
-        still reports the decisions that were acted on."""
+        still reports the decisions that were acted on.
+
+        With ``eval_docs`` the decision ALSO gates on eval-suite n-gram
+        contamination (VERDICT r9 #6 — dedup + decontamination in one
+        pass, the production crawl shape): contaminated documents take
+        reason ``contaminated`` and are never ingested, so benchmark
+        text cannot enter the standing corpus through this loop."""
         latest = self.latest_version()
         if latest is None:
             raise ValueError(
@@ -590,6 +649,9 @@ class MinHashIndex(VersionedSegmentStore):
             corpus_docs,
             threshold=threshold,
             max_bucket_size=max_bucket_size,
+            eval_docs=eval_docs,
+            contamination_threshold=contamination_threshold,
+            eval_n=eval_n,
         ).persist()
         admitted = batch_df.join(
             decisions.filter(F.col("reason") == "admitted").select(

@@ -2990,6 +2990,125 @@ def crawl_admission_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.admit_batch(batch, corpus, threshold=0.5)
 
 
+@query(
+    "decontaminating_admission_decisions",
+    oracle=f"""
+    WITH RECURSIVE {_SIG_CTE},
+    t8 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g8 AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS g
+           FROM t8, UNNEST(generate_series(1, len(toks) - 7)) AS u(i)
+           WHERE len(toks) >= 8),
+    ev8 AS (SELECT DISTINCT g FROM g8 WHERE doc_id % 7 = 0),
+    idx AS (SELECT DISTINCT doc_id FROM sig WHERE doc_id % 5 != 3),
+    batch AS (SELECT doc_id FROM documents
+              WHERE doc_id % 5 = 3 OR doc_id % 10 = 0),
+    fresh AS (SELECT doc_id FROM batch
+              WHERE doc_id NOT IN (SELECT doc_id FROM idx)),
+    cst AS (SELECT tr.doc_id, COUNT(*) AS n_ngrams,
+                   SUM(CASE WHEN ev8.g IS NOT NULL THEN 1 ELSE 0 END)
+                     AS n_matched
+            FROM (SELECT DISTINCT g8.doc_id, g8.g
+                  FROM g8 JOIN fresh f ON f.doc_id = g8.doc_id) tr
+            LEFT JOIN ev8 ON ev8.g = tr.g
+            GROUP BY 1),
+    cont AS (SELECT doc_id FROM cst
+             WHERE n_matched / CAST(n_ngrams AS DOUBLE) >= 0.5),
+    clean AS (SELECT doc_id FROM fresh
+              WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+    psig AS (SELECT s.doc_id, s.band, s.sig
+             FROM sig s JOIN clean f ON f.doc_id = s.doc_id),
+    isig AS (SELECT s.doc_id, s.band, s.sig
+             FROM sig s JOIN idx i ON i.doc_id = s.doc_id),
+    cpair AS (SELECT DISTINCT p.doc_id AS id_a, i.doc_id AS id_b
+              FROM psig p JOIN isig i ON i.band = p.band AND i.sig = p.sig
+              WHERE p.doc_id != i.doc_id),
+    dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY 1),
+    cinter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+               FROM cpair c
+               JOIN dsh a ON a.doc_id = c.id_a
+               JOIN dsh b ON b.doc_id = c.id_b AND b.sh = a.sh
+               GROUP BY 1, 2),
+    crej AS (SELECT i.id_a AS doc_id, MIN(i.id_b) AS cp
+             FROM cinter i
+             JOIN sizes sa ON sa.doc_id = i.id_a
+             JOIN sizes sb ON sb.doc_id = i.id_b
+             WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
+                   >= 0.5
+             GROUP BY 1),
+    bpair AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM psig a JOIN psig b ON a.band = b.band AND a.sig = b.sig
+                                     AND a.doc_id < b.doc_id),
+    binter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+               FROM bpair c
+               JOIN dsh a ON a.doc_id = c.id_a
+               JOIN dsh b ON b.doc_id = c.id_b AND b.sh = a.sh
+               GROUP BY 1, 2),
+    bjac AS (SELECT i.id_a, i.id_b
+             FROM binter i
+             JOIN sizes sa ON sa.doc_id = i.id_a
+             JOIN sizes sb ON sb.doc_id = i.id_b
+             WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
+                   >= 0.5),
+    bi AS (SELECT id_a AS src, id_b AS dst FROM bjac
+           UNION ALL SELECT id_b, id_a FROM bjac),
+    reach AS (SELECT doc_id AS id, doc_id AS label FROM clean
+              UNION
+              SELECT b.src, r.label FROM reach r JOIN bi b ON b.dst = r.id),
+    comp AS (SELECT id AS doc_id, MIN(label) AS rep FROM reach GROUP BY id)
+    SELECT b.doc_id,
+           CASE WHEN ix.doc_id IS NOT NULL THEN 'already_indexed'
+                WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+                WHEN cr.cp IS NOT NULL THEN 'corpus_dup'
+                WHEN co.rep <> b.doc_id THEN 'batch_dup'
+                ELSE 'admitted' END AS reason,
+           CAST(CASE WHEN ix.doc_id IS NOT NULL THEN b.doc_id
+                     WHEN ct.doc_id IS NOT NULL THEN NULL
+                     WHEN cr.cp IS NOT NULL THEN cr.cp
+                     WHEN co.rep <> b.doc_id THEN co.rep
+                     ELSE NULL END AS BIGINT) AS partner
+    FROM batch b
+    LEFT JOIN idx ix ON ix.doc_id = b.doc_id
+    LEFT JOIN cont ct ON ct.doc_id = b.doc_id
+    LEFT JOIN crej cr ON cr.doc_id = b.doc_id
+    LEFT JOIN comp co ON co.doc_id = b.doc_id
+    """,
+)
+def decontaminating_admission_decisions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Admission + DECONTAMINATION in one decision pass (VERDICT r9 #6
+    — the production crawl shape: the eval-suite leak filter and the
+    dedup filter run inside the same batch decision). Same index,
+    corpus slice and batch as ``crawl_admission_decisions``, plus every
+    7th document playing the held-out eval suite: a fresh batch doc
+    whose distinct 8-gram overlap with the eval set is >= 0.5 takes
+    reason ``contaminated`` (partner NULL), is never signed, never
+    verified, and never eligible as a within-batch cluster
+    representative — decontamination FIRST, dedup on the survivors.
+    The oracle recomputes the whole composed decision from scratch:
+    signatures, the broadcast-fingerprint contamination stats, both
+    candidate joins, exact Jaccard, and the within-batch components
+    seeded from the DECONTAMINATED set only. Scale shape unchanged
+    from admit_batch plus ONE broadcast join of eval fingerprints
+    (eval suites are thousands of docs against a corpus of billions)."""
+    idx = _minhash_admission_index_for(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 3)
+    batch = docs.filter(
+        (F.col("doc_id") % 5 == 3) | (F.col("doc_id") % 10 == 0)
+    )
+    eval_docs = docs.filter(F.col("doc_id") % 7 == 0)
+    return idx.admit_batch(
+        batch,
+        corpus,
+        threshold=0.5,
+        eval_docs=eval_docs,
+        contamination_threshold=0.5,
+        eval_n=8,
+    )
+
+
 _EMB_LSH_INDEX_DIRS: dict[tuple, tuple] = {}
 
 

@@ -964,3 +964,212 @@ def test_admit_batch_capped_mode_within_batch_twins_consistent(
         21: ("batch_dup", 20),
         22: ("admitted", None),
     }
+
+
+@pytest.fixture()
+def eval_suite(spark):
+    """Eval docs sharing long spans with specific batch texts (8+ token
+    texts so the default-shaped 3-gram gate in the tests below has
+    matter to match)."""
+    return spark.createDataFrame(
+        [(900, "leaked benchmark answer text exactly here for sure")],
+        "doc_id long, text string",
+    )
+
+
+def test_admit_batch_contaminated_reason_and_precedence(
+    spark, corpus3, eval_suite, tmp_path
+):
+    """VERDICT r9 #6: with eval_docs, an eval-overlapping fresh doc takes
+    reason 'contaminated' (partner NULL), decontamination runs BEFORE
+    dedup (a contaminated doc is never a within-batch cluster
+    representative — its twin is decided against the remaining clean
+    set), and already_indexed still wins over contaminated (index
+    membership is identity-level)."""
+    idx = MinHashIndex(str(tmp_path / "mh"))
+    # corpus includes a doc whose text leaks the eval suite — its id is
+    # LIVE in the index, so a re-crawl of it must stay already_indexed
+    corpus = corpus3.unionByName(
+        spark.createDataFrame(
+            [(4, "leaked benchmark answer text exactly here for sure")],
+            "doc_id long, text string",
+        )
+    )
+    idx.build(corpus)
+    batch = spark.createDataFrame(
+        [
+            (4, "leaked benchmark answer text exactly here for sure"),
+            # contaminated AND the min id of a would-be batch cluster:
+            (10, "leaked benchmark answer text exactly here for sure"),
+            (11, "brand new clean page body words here"),
+            (12, "brand new clean page body words here"),
+            (13, "totally unique document nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    dec = {
+        r.doc_id: (r.reason, r.partner)
+        for r in idx.admit_batch(
+            batch,
+            corpus,
+            eval_docs=eval_suite,
+            contamination_threshold=0.5,
+            eval_n=3,
+        ).collect()
+    }
+    # 10 would be corpus_dup of 4 (identical text) and the min id of its
+    # cluster — but contamination is decided FIRST and excludes it from
+    # every dedup stage; 11 stays the representative of {11, 12}
+    assert dec == {
+        4: ("already_indexed", 4),
+        10: ("contaminated", None),
+        11: ("admitted", None),
+        12: ("batch_dup", 11),
+        13: ("admitted", None),
+    }
+    # without eval_docs the same batch decides on dedup alone — the
+    # composed gate changes nothing it shouldn't
+    dec_plain = {
+        r.doc_id: (r.reason, r.partner)
+        for r in idx.admit_batch(batch, corpus).collect()
+    }
+    assert dec_plain[10] == ("corpus_dup", 4)
+    assert dec_plain[12] == ("batch_dup", 11)
+
+
+def test_admit_and_ingest_contaminated_never_ingested_first_seen_kept(
+    spark, corpus3, eval_suite, tmp_path
+):
+    """The composed streaming loop: contaminated docs are never ingested
+    (benchmark text cannot enter the corpus through admission), the
+    replay guard still returns None, and first-seen-wins across batches
+    is unchanged for clean docs."""
+    idx = MinHashIndex(str(tmp_path / "mh"))
+    idx.build(corpus3)
+    b0 = spark.createDataFrame(
+        [
+            (20, "fresh crawl page twenty body text"),
+            (21, "leaked benchmark answer text exactly here for sure"),
+        ],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [
+            (22, "fresh crawl page twenty body text"),  # twin of 20
+            # identical to the CONTAMINATED 21 — 21 was never ingested,
+            # so 23 must be decided on its own merits (contaminated too)
+            (23, "leaked benchmark answer text exactly here for sure"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus_all = corpus3.unionByName(b0).unionByName(b1)
+    kw = dict(eval_docs=eval_suite, contamination_threshold=0.5, eval_n=3)
+    d0 = idx.admit_and_ingest(b0, 0, corpus_all, **kw)
+    assert {(r.doc_id, r.reason, r.partner) for r in d0.collect()} == {
+        (20, "admitted", None),
+        (21, "contaminated", None),
+    }
+    ingested = {
+        r.doc_id
+        for r in idx.read_signatures(spark).select("doc_id").distinct().collect()
+    }
+    assert 21 not in ingested and 20 in ingested
+    d1 = idx.admit_and_ingest(b1, 1, corpus_all, **kw)
+    assert {(r.doc_id, r.reason, r.partner) for r in d1.collect()} == {
+        (22, "corpus_dup", 20),  # first-seen-wins: 20 rejects its twin
+        (23, "contaminated", None),
+    }
+    assert idx.admit_and_ingest(b1, 1, corpus_all, **kw) is None  # replay
+
+
+def test_decontaminating_admission_stream_kill_restart(spark, tmp_path):
+    """VERDICT r9 #6 acceptance: the COMPOSED loop under a checkpointed
+    foreachBatch stream with an injected crash in the at-least-once
+    window — replay returns None, the restarted stream continues, and
+    final signatures equal a sequential twin's; contaminated ids are in
+    no segment of either."""
+    import os
+    import shutil
+
+    def batchdf(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    seed = batchdf([(0, "seed corpus completely unrelated body text")])
+    eval_suite = batchdf(
+        [(900, "leaked benchmark answer text exactly here for sure")]
+    )
+    deltas = [
+        batchdf(
+            [
+                (10, "first crawl wave page body words"),
+                (11, "leaked benchmark answer text exactly here for sure"),
+            ]
+        ),
+        batchdf(
+            [
+                (20, "first crawl wave page body words"),  # dup of 10
+                (21, "second wave genuinely new content words"),
+            ]
+        ),
+    ]
+    corpus_all = seed.unionByName(deltas[0]).unionByName(deltas[1])
+
+    src = tmp_path / "src"
+    src.mkdir()
+    staging = tmp_path / "staging"
+    for i, d in enumerate(deltas):
+        d.coalesce(1).write.mode("overwrite").parquet(str(staging))
+        part = next(
+            p for p in staging.iterdir() if p.name.endswith(".parquet")
+        )
+        dst = src / f"delta_{i}.parquet"
+        shutil.move(str(part), str(dst))
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    shutil.rmtree(staging, ignore_errors=True)
+
+    idx = MinHashIndex(str(tmp_path / "sidx"))
+    idx.build(seed)
+    kw = dict(eval_docs=eval_suite, contamination_threshold=0.5, eval_n=3)
+    crash = {"armed": True}
+    seen: dict[int, list] = {}
+
+    def sink(batch_df, batch_id):
+        d = idx.admit_and_ingest(batch_df, batch_id, corpus_all, **kw)
+        if d is not None:
+            seen[batch_id] = _rows(d)
+        if crash["armed"]:
+            crash["armed"] = False
+            raise RuntimeError("injected crash after admission commit")
+
+    def start():
+        return (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+    q2 = start()
+    q2.awaitTermination()
+    assert sorted(seen) == [0, 1]
+    assert [r[1] for r in seen[0]] == ["admitted", "contaminated"]
+    assert [r[1] for r in seen[1]] == ["corpus_dup", "admitted"]
+
+    twin = MinHashIndex(str(tmp_path / "twin"))
+    twin.build(seed)
+    for b, d in enumerate(deltas):
+        assert _rows(twin.admit_and_ingest(d, b, corpus_all, **kw)) == seen[b]
+    assert _rows(idx.read_signatures(spark)) == _rows(
+        twin.read_signatures(spark)
+    )
+    live = {
+        r.doc_id
+        for r in idx.read_signatures(spark).select("doc_id").distinct().collect()
+    }
+    assert live == {0, 10, 21}  # 11 contaminated, 20 corpus_dup: excluded

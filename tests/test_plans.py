@@ -151,6 +151,8 @@ SIDE_EFFECTING = {
     # once AND runs the star-contraction CC loop at construction
     "vector_admission_decisions",  # builds the persisted embedding-LSH
     # index once AND runs the star-contraction CC loop at construction
+    "decontaminating_admission_decisions",  # shares the admission index
+    # build and runs the CC resolution at construction
     "cdc_upsert_latest_state",  # runs a full streaming query to build
     "falcon_feed_http_demo",  # spins a fake HTTP feed + streaming query
 }
