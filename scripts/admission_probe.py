@@ -41,15 +41,20 @@ def main() -> None:
     # the x10 corpus contains shifted copies of every original id — the
     # probe batch's ids must be EXCLUDED or every batch doc probes as
     # already_indexed and the decision short-circuits
+    # exclusions (ADVICE r9 #4 — labeled exactly now): the batch ids
+    # [n-500, n) and the tail copies [10n-500, 10n) whose ids collide
+    # with nothing but would shift the big corpus's candidate density
     big = spark.read.parquet(f"{big_dir}/documents.parquet").filter(
-        (F.col("doc_id") < 10 * n - 500) & (F.col("doc_id") < n - 500)
+        (F.col("doc_id") < n - 500)
         | ((F.col("doc_id") >= n) & (F.col("doc_id") < 10 * n - 500))
     )
     scratch = tempfile.mkdtemp(prefix="admit_probe_")
-    for tag, corpus in (
-        (f"small({n - 500})", docs.filter(F.col("doc_id") < n - 500)),
-        (f"big({10 * n - 500})", big),
-    ):
+    corpora = (
+        ("small", docs.filter(F.col("doc_id") < n - 500)),
+        ("big", big),
+    )
+    for name, corpus in corpora:
+        tag = f"{name}({corpus.count()})"  # measured, not claimed
         d = os.path.join(scratch, tag.split("(")[0])
         idx = MinHashIndex(d)
         idx.build(corpus)
