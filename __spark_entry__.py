@@ -27,41 +27,42 @@ def entry(spark: SparkSession) -> DataFrame:
 # the window are covered at the judge-verified tail; the remaining
 # entries follow in module order.
 _PRIORITY = [
-    # log/event surface (SURVEY §2.2 Humio-analog rows)
+    # log/event surface (SURVEY §2.2 Humio-analog rows) — r10: the
+    # never-driver-checked hql_* families rotate in
     "hql_error_timechart",
-    "hql_parse_leef",
-    "hql_field_summary",
-    "hql_head_latest_per_user",
-    "hql_transpose_type_counts",
-    "top_users_with_other_two_level",
-    "geohash_event_heatmap",
-    # LLM-pipeline operators (round-9 window: the full
-    # never-driver-checked pool rotated in — see rotation note below)
+    "hql_top_purchasers",
+    "hql_session_stats",
+    "hql_match_lookup_revenue",
+    "hql_tail_latest_events",
+    "hql_parse_url",
+    "hql_parse_xml",
+    "hql_percentiles_by_priority",
+    "hql_dense_timechart_errors",
+    "hql_dedup_latest_event",
+    # LLM-pipeline operators
     "crawl_admission_decisions",
+    "decontaminating_admission_decisions",
+    "vector_admission_decisions",
     "minhash_index_candidates",
-    "near_dup_cluster_reps_star",
-    "fuzzy_dedup_survivor_stats",
-    "embedding_dedup_cluster_reps",
-    "dup_span_coverage_stats",
-    "trim_duplicate_spans_stats",
-    "bigram_lm_doc_quality",
-    "stratified_weighted_sample",
+    "eval_contamination_stats",
+    "source_overlap_matrix",
+    "udtf_token_stats",
+    "user_gap_stats_grouped_map",
+    "token_budget_selection",
     "bpe_pack_assignments",
-    "bpe_vocab_oov_rate",
-    "udaf_weighted_value",
-    "kmeans_clusters",
+    "kmeans_clusters_arrays",
+    "weighted_sample_per_source",
     "rrf_hybrid_top10",
     "ivfpq_index_search",
     "sq8_cosine_topk",
-    "jpeg_420_decode_stats",
-    "jpeg_progressive_decode_stats",
-    "jpeg_sa_decode_stats",
-    "pcx_decode_stats",
-    "tiff_decode_stats",
-    "avi_av_demux_stats",
+    # multimodal decoders (never-checked codec slots)
+    "wav_decode_stats",
+    "tga_decode_stats",
+    "bmp_decode_stats",
     # connector semantics
-    "connector_enrich_envelope",
-    "connector_malformed_drop_rate",
+    "connector_enrich_envelope_variant",
+    "connector_static_metadata",
+    "falcon_feed_http_demo",
     # relational core — one per operator family
     "pricing_summary",
     "revenue_by_nation",
@@ -71,7 +72,7 @@ _PRIORITY = [
     "events_range_self_join",
     "asof_order_with_staleness_bound",
     "distinct_users_per_type",
-    "price_quantity_regression",
+    "lateral_top_orders_per_segment",
     "rollup_returns",
     "collect_statuses_per_priority",
     "global_math_stats",
@@ -83,6 +84,41 @@ _PRIORITY = [
     "sql_exists_and_scalar_subquery",
     "holt_winters_hourly_baseline",
 ]
+# Round-10 window refresh (VERDICT r9 #4 — 132 of 268 registered queries
+# had never been driver-checked): TWENTY-FIVE first-time entries rotate
+# in. Out (all r9-driver-green, families kept by an in-window sibling or
+# the judge-verified tail): hql_parse_leef / hql_field_summary /
+# hql_head_latest_per_user / hql_transpose_type_counts /
+# geohash_event_heatmap (their hql families now hold five NEVER-checked
+# siblings instead), top_users_with_other_two_level (its r7 red cell has
+# been green two full rounds), near_dup_cluster_reps_star /
+# fuzzy_dedup_survivor_stats / embedding_dedup_cluster_reps /
+# dup_span_coverage_stats / trim_duplicate_spans_stats /
+# bigram_lm_doc_quality / stratified_weighted_sample / bpe_vocab_oov_rate
+# / udaf_weighted_value / kmeans_clusters (their families now hold the
+# never-checked udtf/grouped-map UDF pair, the arrays k-means twin, the
+# per-source weighted sampler, and the decontamination/overlap audits),
+# jpeg_420/progressive/sa/pcx/tiff decode + avi_av_demux_stats (codec
+# slots now the never-checked wav/tga/bmp decodes),
+# connector_enrich_envelope + connector_malformed_drop_rate (green since
+# r2; the envelope slot now checks the VARIANT parse path against the
+# SAME oracle, plus the never-checked static-metadata R8 query),
+# price_quantity_regression (regression family at the judge tail; the
+# slot carries the never-checked lateral join).
+# In: the r9-verdict-named pool — vector_admission_decisions,
+# eval_contamination_stats, source_overlap_matrix, udtf_token_stats,
+# user_gap_stats_grouped_map, lateral_top_orders_per_segment,
+# token_budget_selection, hql_top_purchasers, hql_session_stats,
+# hql_match_lookup_revenue — plus hql_tail_latest_events, hql_parse_url,
+# hql_parse_xml, hql_percentiles_by_priority, hql_dense_timechart_errors,
+# hql_dedup_latest_event, kmeans_clusters_arrays,
+# weighted_sample_per_source, wav/tga/bmp decodes,
+# connector_enrich_envelope_variant, connector_static_metadata, and the
+# two NEW round-10 queries decontaminating_admission_decisions and
+# falcon_feed_http_demo. Kept for regression protection:
+# crawl_admission_decisions + minhash_index_candidates (their plans
+# changed materially this round — driver union-find CC path, fresh
+# repartition) and sq8_cosine_topk (the r9 bench watch item).
 # Round-9 window refresh (r8 verdict item 2 — the rotation was two
 # rounds overdue): fifteen slots whose families are r8-driver-green AND
 # double-covered rotated OUT — free_text_search + json_field_stats
