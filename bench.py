@@ -97,9 +97,10 @@ HEADLINE = [
     "vector_admission_decisions",  # semantic admission vs persisted LSH index
     "eval_contamination_stats",  # train/eval 8-gram decontamination pass
     "source_overlap_matrix",  # pairwise source n-gram overlap audit
-    # round 10: the composed one-pass dedup + decontamination decision
-    # (no standing baseline yet — its first accepted bench becomes it)
+    # round 10: the composed one-pass dedup + decontamination decisions
+    # (no standing baseline yet — their first accepted bench becomes it)
     "decontaminating_admission_decisions",
+    "decontaminating_vector_admission",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -986,15 +986,25 @@ class EmbeddingLshIndex(VersionedSegmentStore):
         threshold: float = 0.3,
         version: int | None = None,
         max_bucket_size: int | None = None,
+        eval_vectors: DataFrame | None = None,
+        eval_threshold: float = 0.8,
     ) -> DataFrame:
         """Semantic admission decision for a batch of embeddings — the
         vector twin of ``MinHashIndex.admit_batch``, same contract:
         ``(id, reason, partner)`` with reasons already_indexed /
-        corpus_dup (exact cosine >= ``threshold`` against a live indexed
+        contaminated (only with ``eval_vectors`` — exact cosine >=
+        ``eval_threshold`` against ANY eval-suite vector; the semantic
+        twin of the text side's n-gram decontamination gate, decided
+        FIRST so contaminated vectors are never signed, verified, or
+        eligible as cluster representatives; partner NULL) / corpus_dup
+        (exact cosine >= ``threshold`` against a live indexed
         partner's vector, min partner id) / batch_dup
         (non-representative member of a verified within-batch cluster;
         alternating-star components, min-id representative) / admitted.
         First listed reason wins; first-seen-wins across batches.
+        The eval gate is a broadcast of the (small, curated) eval suite
+        against the bounded micro-batch — batch_rows x suite_rows exact
+        cosines, never corpus-touching.
 
         ``corpus_vectors`` MUST cover every live indexed id named as a
         candidate partner — an uncovered partner cannot be
@@ -1033,14 +1043,34 @@ class EmbeddingLshIndex(VersionedSegmentStore):
             .repartition(spark.sparkContext.defaultParallelism)
             .persist()
         )
+        # semantic decontamination FIRST (broadcast eval suite x bounded
+        # micro-batch, exact cosine), dedup on the survivors — mirrors
+        # the text twin's gate ordering
+        cont = None
+        clean = fresh
+        if eval_vectors is not None:
+            ev_b = F.broadcast(
+                eval_vectors.select(F.col(vc).alias("__ev")).distinct()
+            )
+            cont = (
+                fresh.crossJoin(ev_b)
+                .filter(
+                    cosine_pairs(F.col(vc), F.col("__ev")) >= eval_threshold
+                )
+                .select(idc)
+                .distinct()
+                .withColumn("__cont", F.lit(1))
+                .persist()
+            )
+            clean = fresh.join(cont, on=idc, how="left_anti").persist()
         # sign the batch ONCE (Arrow projection, persisted): the same
         # signature frame feeds the index probe AND the within-batch
         # candidate stage (before r9 each stage re-signed the batch)
         full_sigs = lsh_signatures(
-            fresh, self.dim, self.n_planes * self.n_bands, vc
+            clean, self.dim, self.n_planes * self.n_bands, vc
         ).persist()
         cand = self._query_candidates(
-            fresh,
+            clean,
             version=version,
             exclude_self=True,
             max_bucket_size=max_bucket_size,
@@ -1079,8 +1109,8 @@ class EmbeddingLshIndex(VersionedSegmentStore):
             on=idc,
             how="left_semi",
         )
-        vb_src = fresh.unionByName(corpus_pruned)
-        va = fresh.select(F.col(idc).alias("id_a"), F.col(vc).alias("__va"))
+        vb_src = clean.unionByName(corpus_pruned)
+        va = clean.select(F.col(idc).alias("id_a"), F.col(vc).alias("__va"))
         vb = vb_src.select(F.col(idc).alias("id_b"), F.col(vc).alias("__vb"))
         cos = cosine_pairs(F.col("__va"), F.col("__vb"))
         accepted = (
@@ -1089,7 +1119,7 @@ class EmbeddingLshIndex(VersionedSegmentStore):
             .filter(cos >= threshold)
             .select("id_a", "id_b")
         )
-        fresh_b = fresh.select(F.col(idc).alias("id_b"))
+        fresh_b = clean.select(F.col(idc).alias("id_b"))
         corpus_rej = (
             accepted.join(fresh_b, on="id_b", how="left_anti")
             .groupBy("id_a")
@@ -1100,15 +1130,27 @@ class EmbeddingLshIndex(VersionedSegmentStore):
             "id_a", "id_b"
         )
         reps = alternating_star_components(
-            fresh.select(idc), bpairs, id_col=idc
+            clean.select(idc), bpairs, id_col=idc
         ).withColumnRenamed("cluster_rep", "__rep")
         id_type = batch_df.schema[self.id_col].dataType
-        return evict_on_gc(
+        assembled = (
             batch.select(idc)
             .join(index_ids.withColumn("__ai", F.lit(1)), on=idc, how="left")
             .join(corpus_rej, on=idc, how="left")
             .join(reps, on=idc, how="left")
             .join(uncovered, on=idc, how="left")
+        )
+        if cont is not None:
+            assembled = assembled.join(cont, on=idc, how="left")
+        else:
+            assembled = assembled.withColumn(
+                "__cont", F.lit(None).cast("int")
+            )
+        cached = [full_sigs, fresh, cand]
+        if cont is not None:
+            cached += [cont, clean]
+        return evict_on_gc(
+            assembled
             .select(
                 idc,
                 F.when(
@@ -1129,20 +1171,20 @@ class EmbeddingLshIndex(VersionedSegmentStore):
                     ),
                 )
                 .when(F.col("__ai") == 1, F.lit("already_indexed"))
+                .when(F.col("__cont") == 1, F.lit("contaminated"))
                 .when(F.col("__cp").isNotNull(), F.lit("corpus_dup"))
                 .when(F.col("__rep") != F.col(idc), F.lit("batch_dup"))
                 .otherwise(F.lit("admitted"))
                 .alias("reason"),
                 F.when(F.col("__ai") == 1, F.col(idc))
+                .when(F.col("__cont") == 1, F.lit(None))
                 .when(F.col("__cp").isNotNull(), F.col("__cp"))
                 .when(F.col("__rep") != F.col(idc), F.col("__rep"))
                 .otherwise(F.lit(None))
                 .cast(id_type)
                 .alias("partner"),
             ),
-            full_sigs,
-            fresh,
-            cand,
+            *cached,
         )
 
     def admit_and_ingest(
@@ -1152,6 +1194,8 @@ class EmbeddingLshIndex(VersionedSegmentStore):
         corpus_vectors: DataFrame,
         threshold: float = 0.3,
         max_bucket_size: int | None = None,
+        eval_vectors: DataFrame | None = None,
+        eval_threshold: float = 0.8,
     ) -> DataFrame | None:
         """The full incremental semantic-dedup loop, foreachBatch-shaped
         (same contract as ``MinHashIndex.admit_and_ingest``): decide
@@ -1175,6 +1219,8 @@ class EmbeddingLshIndex(VersionedSegmentStore):
             corpus_vectors,
             threshold=threshold,
             max_bucket_size=max_bucket_size,
+            eval_vectors=eval_vectors,
+            eval_threshold=eval_threshold,
         ).persist()
         admitted = batch_df.join(
             decisions.filter(F.col("reason") == "admitted").select(

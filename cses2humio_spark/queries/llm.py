@@ -3233,6 +3233,115 @@ def vector_admission_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontaminating_vector_admission",
+    oracle=f"""
+    WITH RECURSIVE
+    ev AS (SELECT vec_id, {_DOUBLE_VEC} AS v FROM embeddings),
+    prm AS (SELECT w, GREATEST(1, 60 // w) AS b FROM (
+              SELECT LEAST(GREATEST(4,
+                       CAST(CEIL(LOG2(GREATEST(COUNT(*) / 128.0, 2.0))) AS BIGINT)),
+                     60) AS w
+              FROM embeddings WHERE vec_id % 5 != 3) t),
+    bplanes AS (SELECT pid, pv FROM (VALUES {_planes_values_sql(64, 60)}) AS t(pid, pv)),
+    idx AS (SELECT vec_id FROM embeddings WHERE vec_id % 5 != 3),
+    batch AS (SELECT vec_id FROM embeddings
+              WHERE vec_id % 5 = 3 OR vec_id % 10 = 0),
+    fresh AS (SELECT vec_id FROM batch
+              WHERE vec_id NOT IN (SELECT vec_id FROM idx)),
+    evset AS (SELECT v FROM ev WHERE vec_id % 7 = 0),
+    cont AS (SELECT DISTINCT f.vec_id
+             FROM fresh f
+             JOIN ev a ON a.vec_id = f.vec_id
+             JOIN evset e2 ON {_cos_sql('a.v', 'e2.v')} >= 0.8),
+    clean AS (SELECT vec_id FROM fresh
+              WHERE vec_id NOT IN (SELECT vec_id FROM cont)),
+    bsigs AS (SELECT e.vec_id, pid // prm.w AS band,
+                     CAST(SUM(CASE WHEN {_dot_sql('e.v', 'pv')} > 0
+                                   THEN (CAST(1 AS BIGINT) << (pid % prm.w))
+                                   ELSE 0 END) AS BIGINT) AS band_sig
+              FROM ev e CROSS JOIN bplanes CROSS JOIN prm
+              WHERE pid < prm.w * prm.b
+              GROUP BY e.vec_id, pid // prm.w),
+    psig AS (SELECT s.vec_id, s.band, s.band_sig
+             FROM bsigs s JOIN clean f ON f.vec_id = s.vec_id),
+    isig AS (SELECT s.vec_id, s.band, s.band_sig
+             FROM bsigs s JOIN idx i ON i.vec_id = s.vec_id),
+    cpair AS (SELECT DISTINCT p.vec_id AS id_a, i.vec_id AS id_b
+              FROM psig p JOIN isig i
+                ON i.band = p.band AND i.band_sig = p.band_sig
+              WHERE p.vec_id != i.vec_id),
+    cver AS (SELECT c.id_a AS vec_id, MIN(c.id_b) AS cp
+             FROM cpair c
+             JOIN ev a ON a.vec_id = c.id_a
+             JOIN ev b2 ON b2.vec_id = c.id_b
+             WHERE {_cos_sql('a.v', 'b2.v')} >= 0.3
+             GROUP BY 1),
+    bpair AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM psig a JOIN psig b
+                ON a.band = b.band AND a.band_sig = b.band_sig
+                   AND a.vec_id < b.vec_id),
+    bver AS (SELECT p.id_a, p.id_b
+             FROM bpair p
+             JOIN ev a ON a.vec_id = p.id_a
+             JOIN ev b2 ON b2.vec_id = p.id_b
+             WHERE {_cos_sql('a.v', 'b2.v')} >= 0.3),
+    bi AS (SELECT id_a AS src, id_b AS dst FROM bver
+           UNION ALL SELECT id_b, id_a FROM bver),
+    reach AS (SELECT vec_id AS id, vec_id AS label FROM clean
+              UNION
+              SELECT e2.src, r.label FROM reach r JOIN bi e2 ON e2.dst = r.id),
+    comp AS (SELECT id AS vec_id, MIN(label) AS rep FROM reach GROUP BY id)
+    SELECT b.vec_id,
+           CASE WHEN ix.vec_id IS NOT NULL THEN 'already_indexed'
+                WHEN ct.vec_id IS NOT NULL THEN 'contaminated'
+                WHEN cr.cp IS NOT NULL THEN 'corpus_dup'
+                WHEN co.rep <> b.vec_id THEN 'batch_dup'
+                ELSE 'admitted' END AS reason,
+           CAST(CASE WHEN ix.vec_id IS NOT NULL THEN b.vec_id
+                     WHEN ct.vec_id IS NOT NULL THEN NULL
+                     WHEN cr.cp IS NOT NULL THEN cr.cp
+                     WHEN co.rep <> b.vec_id THEN co.rep
+                     ELSE NULL END AS BIGINT) AS partner
+    FROM batch b
+    LEFT JOIN idx ix ON ix.vec_id = b.vec_id
+    LEFT JOIN cont ct ON ct.vec_id = b.vec_id
+    LEFT JOIN cver cr ON cr.vec_id = b.vec_id
+    LEFT JOIN comp co ON co.vec_id = b.vec_id
+    """,
+)
+def decontaminating_vector_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Semantic admission + DECONTAMINATION in one pass — the vector
+    twin of ``decontaminating_admission_decisions`` (both twins carry
+    the same composed contract, r10): same persisted LSH index, corpus
+    slice and batch as ``vector_admission_decisions``, plus every 7th
+    embedding playing the held-out eval suite. A fresh batch vector
+    within exact cosine 0.8 of ANY eval vector (measured bimodal on the
+    synthetic corpus: 14/100 of the sf0.01 fresh set, stable across
+    thresholds 0.6-0.9) takes reason ``contaminated`` (partner NULL),
+    is never signed, and never anchors a within-batch cluster. The eval
+    gate is a broadcast of the eval suite against the bounded
+    micro-batch — batch_rows x suite_rows exact cosines, never
+    corpus-touching; the oracle recomputes the composed decision from
+    scratch including the gate."""
+    idx = _embedding_admission_index_for(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 3)
+    batch = emb.filter(
+        (F.col("vec_id") % 5 == 3) | (F.col("vec_id") % 10 == 0)
+    )
+    eval_vectors = emb.filter(F.col("vec_id") % 7 == 0)
+    return idx.admit_batch(
+        batch,
+        corpus,
+        threshold=0.3,
+        eval_vectors=eval_vectors,
+        eval_threshold=0.8,
+    )
+
+
+@query(
     "avi_av_demux_stats",
     oracle="""
     WITH d3 AS (SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh,

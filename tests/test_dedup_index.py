@@ -1173,3 +1173,49 @@ def test_decontaminating_admission_stream_kill_restart(spark, tmp_path):
         for r in idx.read_signatures(spark).select("doc_id").distinct().collect()
     }
     assert live == {0, 10, 21}  # 11 contaminated, 20 corpus_dup: excluded
+
+
+def test_embedding_admit_batch_contaminated_reason(
+    spark, vec_corpus, tmp_path
+):
+    """Vector twin of the decontamination gate (r10): a fresh batch
+    vector within eval_threshold cosine of ANY eval-suite vector takes
+    reason 'contaminated' (partner NULL), is excluded from the dedup
+    stages (its identical twin in the batch is decided against the
+    remaining clean set), and ingest skips it."""
+    idx = EmbeddingLshIndex(str(tmp_path / "e"), dim=8, n_planes=4, n_bands=5)
+    idx.build(vec_corpus)
+    eval_vectors = _vdf(spark, [(900, _vec(77))])
+    batch = _vdf(
+        spark,
+        [
+            (10, _vec(77)),  # exact eval vector -> contaminated
+            (11, _vec(50)),  # clean cluster rep
+            (12, _vec(50)),  # batch_dup of 11
+            (13, _vec(60)),  # admitted
+        ],
+    )
+    kw = dict(
+        threshold=0.9, eval_vectors=eval_vectors, eval_threshold=0.9
+    )
+    dec = {
+        r.vec_id: (r.reason, r.partner)
+        for r in idx.admit_batch(batch, vec_corpus, **kw).collect()
+    }
+    assert dec == {
+        10: ("contaminated", None),
+        11: ("admitted", None),
+        12: ("batch_dup", 11),
+        13: ("admitted", None),
+    }
+    # the composed loop never ingests the contaminated vector
+    d = idx.admit_and_ingest(batch, 0, vec_corpus, **kw)
+    assert {
+        (r.vec_id, r.reason) for r in d.collect()
+    } == {(10, "contaminated"), (11, "admitted"), (12, "batch_dup"),
+          (13, "admitted")}
+    live = {
+        r.vec_id
+        for r in idx.read_signatures(spark).select("vec_id").distinct().collect()
+    }
+    assert 10 not in live and {11, 13} <= live
