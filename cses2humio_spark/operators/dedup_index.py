@@ -1002,9 +1002,10 @@ class EmbeddingLshIndex(VersionedSegmentStore):
         (non-representative member of a verified within-batch cluster;
         alternating-star components, min-id representative) / admitted.
         First listed reason wins; first-seen-wins across batches.
-        The eval gate is a broadcast of the (small, curated) eval suite
-        against the bounded micro-batch — batch_rows x suite_rows exact
-        cosines, never corpus-touching.
+        The eval gate ships the (small, curated) eval suite as a matrix
+        inside a mapInPandas closure over the bounded micro-batch —
+        batch_rows x suite_rows exact cosines computed blockwise, each
+        side read exactly once, never corpus-touching.
 
         ``corpus_vectors`` MUST cover every live indexed id named as a
         candidate partner — an uncovered partner cannot be
@@ -1043,21 +1044,60 @@ class EmbeddingLshIndex(VersionedSegmentStore):
             .repartition(spark.sparkContext.defaultParallelism)
             .persist()
         )
-        # semantic decontamination FIRST (broadcast eval suite x bounded
+        # semantic decontamination FIRST (eval suite x bounded
         # micro-batch, exact cosine), dedup on the survivors — mirrors
-        # the text twin's gate ordering
+        # the text twin's gate ordering. Shape: the CURATED eval suite is
+        # collected once (bounded by policy — eval suites are thousands
+        # of vectors) and shipped in a mapInPandas closure; each Arrow
+        # batch of fresh vectors computes its full cosine block against
+        # the suite matrix in one pass. A crossJoin formulation would
+        # ship batch_rows x suite_rows PAIRS of full vectors through
+        # Arrow (~100 GB at 10k x 10k); this ships each side exactly
+        # once. Accumulation is dimension-by-dimension in float64 — the
+        # same left-to-right order as cosine_pairs and DuckDB's
+        # list_reduce, so borderline comparisons agree bit-for-bit.
         cont = None
         clean = fresh
         if eval_vectors is not None:
-            ev_b = F.broadcast(
-                eval_vectors.select(F.col(vc).alias("__ev")).distinct()
-            )
+            ev_rows = [
+                r[0]
+                for r in eval_vectors.select(vc).distinct().collect()
+                if r[0] is not None
+            ]
+        if eval_vectors is not None and ev_rows:
+            import numpy as np
+
+            E = np.asarray(ev_rows, dtype=np.float64)  # (suite, dim)
+            thr = float(eval_threshold)
+            id_name, vec_name = idc, vc
+            id_sql_type = batch_df.schema[idc].dataType.simpleString()
+
+            def _eval_gate(batches):
+                import numpy as np  # noqa: PLC0415 — worker-side import
+
+                nb = np.zeros(E.shape[0], dtype=np.float64)
+                for j in range(E.shape[1]):
+                    nb += E[:, j] * E[:, j]
+                for pdf in batches:
+                    mask = pdf[vec_name].notna()
+                    if not mask.any():
+                        continue
+                    sub = pdf.loc[mask]
+                    A = np.asarray(sub[vec_name].tolist(), dtype=np.float64)
+                    d = np.zeros((A.shape[0], E.shape[0]), dtype=np.float64)
+                    na = np.zeros(A.shape[0], dtype=np.float64)
+                    for j in range(A.shape[1]):
+                        d += A[:, j : j + 1] * E[:, j][None, :]
+                        na += A[:, j] * A[:, j]
+                    cos = d / (
+                        np.sqrt(na)[:, None] * np.sqrt(nb)[None, :]
+                    )
+                    hit = (cos >= thr).any(axis=1)
+                    if hit.any():
+                        yield sub.loc[hit, [id_name]]
+
             cont = (
-                fresh.crossJoin(ev_b)
-                .filter(
-                    cosine_pairs(F.col(vc), F.col("__ev")) >= eval_threshold
-                )
-                .select(idc)
+                fresh.mapInPandas(_eval_gate, schema=f"{idc} {id_sql_type}")
                 .distinct()
                 .withColumn("__cont", F.lit(1))
                 .persist()

@@ -237,6 +237,8 @@ def plan_shape(df: DataFrame) -> dict[str, int]:
 CACHE_SENSITIVE_SHAPES = {
     "crawl_admission_decisions",
     "vector_admission_decisions",
+    "decontaminating_admission_decisions",
+    "decontaminating_vector_admission",
 }
 
 #: markers that must NEVER appear, any count of which is a defect — the

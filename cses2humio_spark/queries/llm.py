@@ -3321,10 +3321,12 @@ def decontaminating_vector_admission(
     synthetic corpus: 14/100 of the sf0.01 fresh set, stable across
     thresholds 0.6-0.9) takes reason ``contaminated`` (partner NULL),
     is never signed, and never anchors a within-batch cluster. The eval
-    gate is a broadcast of the eval suite against the bounded
-    micro-batch — batch_rows x suite_rows exact cosines, never
-    corpus-touching; the oracle recomputes the composed decision from
-    scratch including the gate."""
+    gate ships the suite as a matrix in a mapInPandas closure over the
+    bounded micro-batch — batch_rows x suite_rows exact cosines
+    computed blockwise with dimension-ordered float64 accumulation (so
+    borderline comparisons agree with the oracle's fold bit-for-bit),
+    each side read exactly once, never corpus-touching; the oracle
+    recomputes the composed decision from scratch including the gate."""
     idx = _embedding_admission_index_for(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") % 5 != 3)

@@ -154,7 +154,7 @@ SIDE_EFFECTING = {
     "decontaminating_admission_decisions",  # shares the admission index
     # build and runs the CC resolution at construction
     "decontaminating_vector_admission",  # same, vector twin (its eval
-    # gate is a broadcast cross join — BNLJ by design, see below)
+    # gate collects the bounded eval suite into a mapInPandas closure)
     "cdc_upsert_latest_state",  # runs a full streaming query to build
     "falcon_feed_http_demo",  # spins a fake HTTP feed + streaming query
 }
@@ -186,9 +186,6 @@ BNLJ_BY_DESIGN = {
         "top_users_with_other_two_level",  # single-row totals x single-row
         # top-slice counters combined into the 'other' rollup row
         "bigram_lm_doc_quality",  # single-row vocabulary-size scalar broadcast
-        "decontaminating_vector_admission",  # small curated eval suite
-        # broadcast against the bounded micro-batch (the semantic
-        # contamination gate) — bounded by trigger x suite, by design
 }
 
 
