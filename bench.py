@@ -128,7 +128,7 @@ STANDING_BASELINE_SF01 = {
     "brand_revenue_broadcast": 0.709,
     "connector_pipeline": 1.483,
     "cosine_topk": 0.611,
-    "crawl_admission_decisions": 10.783,
+    "crawl_admission_decisions": 7.443,
     "distinct_users_per_type": 0.305,
     "doc_chunk_stats": 0.439,
     "dup_span_coverage_stats": 3.348,
@@ -176,7 +176,9 @@ STANDING_BASELINE_SF01 = {
     "token_explode_top20": 0.266,
     "top3_orders_per_customer": 0.525,
     "top_shipping_priority": 0.742,
-    "vector_admission_decisions": 8.759,
+    "vector_admission_decisions": 5.56,
+    "decontaminating_admission_decisions": 9.556,
+    "decontaminating_vector_admission": 5.812,
     "vocab_apply_oov_rate": 0.53,
     "weighted_sample_top100": 0.174,
 }
