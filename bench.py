@@ -115,10 +115,10 @@ WARMUP_SF_DIR = "/root/testdata/sf0.001"
 # min-of-two-passes: any headline query slower than 2x its standing
 # number is named in the output's "regressions" key. Update these
 # numbers only when a round's bench is accepted as the new standing
-# baseline. ALL 59 timed queries now carry a standing number — the five
-# r7 promotions and the three r9 promotions included (VERDICT r8 task #4
-# closed; eval_contamination_stats / source_overlap_matrix standings
-# from same-round isolated min-of-three runs).
+# baseline. ALL 61 timed queries carry a standing number (the round-10
+# admission-family re-acceptance — four new/updated numbers — is
+# recorded in BASELINE.md §Round-10; everything else stands from the
+# round-9 full re-acceptance).
 STANDING_BASELINE_SF01 = {
     "asof_latest_order": 1.124,
     "avi_av_demux_stats": 0.933,
