@@ -50,7 +50,7 @@ _PRIORITY = [
     "user_gap_stats_grouped_map",
     "token_budget_selection",
     "bpe_pack_assignments",
-    "kmeans_clusters_arrays",
+    "embedding_quantization_error",
     "weighted_sample_per_source",
     "rrf_hybrid_top10",
     "ivfpq_index_search",
@@ -111,7 +111,11 @@ _PRIORITY = [
 # token_budget_selection, hql_top_purchasers, hql_session_stats,
 # hql_match_lookup_revenue — plus hql_tail_latest_events, hql_parse_url,
 # hql_parse_xml, hql_percentiles_by_priority, hql_dense_timechart_errors,
-# hql_dedup_latest_event, kmeans_clusters_arrays,
+# hql_dedup_latest_event, embedding_quantization_error (the arrays
+# k-means twin was the first pick, but its centroid column is
+# array-typed and the driver's pandas hasher cannot sort arrays — the
+# window-hashability lint caught it in the closing battery; the
+# quantization-audit family member is scalar-only and oracle-paired),
 # weighted_sample_per_source, wav/tga/bmp decodes,
 # connector_enrich_envelope_variant, connector_static_metadata, and the
 # two NEW round-10 queries decontaminating_admission_decisions and
