@@ -1029,18 +1029,52 @@ def streaming_near_dup_candidates(
     )
 
 
-def eval_contamination(
-    train: DataFrame,
+def eval_fingerprint_table(
     eval_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
+) -> DataFrame:
+    """The eval suite reduced to its distinct word-``n``-gram md5
+    fingerprints — ONE narrow column, thousands of rows for a curated
+    suite. Compute it once per eval-suite version, persist it, and hand
+    it to :func:`eval_contamination` / ``MinHashIndex.admit_batch`` via
+    their ``eval_fingerprints`` parameter: a streaming admission loop
+    must not re-shingle the static eval suite inside every micro-batch.
+    The gram length rides as column metadata on ``__fp`` so a consumer
+    running a different ``n`` is refused loudly."""
+    return (
+        shingle_table(eval_docs, id_col, text_col, n=n)
+        .select(F.md5("__sh").alias("__fp"))
+        .distinct()
+        .select(F.col("__fp").alias("__fp", metadata={"n": n}))
+    )
+
+
+def eval_contamination(
+    train: DataFrame,
+    eval_docs: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    eval_fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Train/eval n-gram DECONTAMINATION stats — the overlap pass every
     serious training pipeline runs before a model ships (GPT-3 appendix
     C's 13-gram filter; PaLM and Llama run the same shape): for every
     training document, how many of its DISTINCT word n-grams also occur
     anywhere in the evaluation set.
+
+    ``eval_fingerprints`` (r10): the eval side precomputed ONCE with
+    :func:`eval_fingerprint_table` and passed in — the shape a
+    STREAMING caller needs, where the eval suite is static and
+    recomputing its shingle/md5/distinct pass inside every micro-batch
+    is pure waste. Exactly one of ``eval_docs`` / ``eval_fingerprints``
+    must be given; the two paths produce identical decisions (pinned in
+    tests/test_dedup_index.py). The fingerprint table must have been
+    built with the SAME ``n`` — fingerprints of different gram lengths
+    are incomparable, so the table carries its ``n`` in a metadata
+    column and this function refuses a mismatch loudly.
 
     Returns ``(id, n_ngrams, n_matched, contamination)`` per training
     document: the distinct n-gram count, how many of them hit the eval
@@ -1056,12 +1090,36 @@ def eval_contamination(
     document, and aggregates matched/total per document map-side. Train
     text never rides a shuffle; the only shuffled bytes are (id, 16-byte
     digest) pairs inside the per-document distinct."""
-    eval_fps = (
-        shingle_table(eval_docs, id_col, text_col, n=n)
-        .select(F.md5("__sh").alias("__fp"))
-        .distinct()
-        .withColumn("__hit", F.lit(1))
-    )
+    if (eval_docs is None) == (eval_fingerprints is None):
+        raise ValueError(
+            "eval_contamination: pass exactly one of eval_docs / "
+            "eval_fingerprints"
+        )
+    if eval_fingerprints is not None:
+        if "__fp" not in eval_fingerprints.columns:
+            raise ValueError(
+                "eval_fingerprints must come from eval_fingerprint_table "
+                "(no __fp column)"
+            )
+        meta = eval_fingerprints.schema["__fp"].metadata or {}
+        if "n" not in meta:
+            raise ValueError(
+                "eval_fingerprints must come from eval_fingerprint_table "
+                "(missing gram-length metadata on __fp)"
+            )
+        if int(meta["n"]) != n:
+            raise ValueError(
+                f"eval_fingerprints were built with n={meta['n']} but this "
+                f"call uses n={n} — fingerprints of different gram lengths "
+                "are incomparable"
+            )
+        eval_fps = eval_fingerprints.select("__fp").withColumn(
+            "__hit", F.lit(1)
+        )
+    else:
+        eval_fps = eval_fingerprint_table(
+            eval_docs, id_col, text_col, n=n
+        ).withColumn("__hit", F.lit(1))
     train_fps = shingle_table(train, id_col, text_col, n=n).select(
         F.col(id_col), F.md5("__sh").alias("__fp")
     ).distinct()

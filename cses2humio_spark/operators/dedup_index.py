@@ -344,6 +344,7 @@ class MinHashIndex(VersionedSegmentStore):
         eval_docs: DataFrame | None = None,
         contamination_threshold: float = 0.1,
         eval_n: int = 8,
+        eval_fingerprints: DataFrame | None = None,
     ) -> DataFrame:
         """The composed crawl-admission DECISION (VERDICT r7 #4): until
         now users had to hand-wire probe -> verify -> admit/reject ->
@@ -444,19 +445,27 @@ class MinHashIndex(VersionedSegmentStore):
         )
         # Decontamination gate FIRST (cheap: one broadcast-fingerprint
         # join over fresh), dedup on the survivors — contaminated docs
-        # never reach the signing/verify machinery below.
+        # never reach the signing/verify machinery below. A streaming
+        # caller should precompute the static suite's fingerprints once
+        # (``eval_fingerprint_table``) and pass ``eval_fingerprints`` —
+        # re-shingling the eval suite per micro-batch is pure waste.
         cont = None
         clean = fresh
-        if eval_docs is not None:
+        if eval_docs is not None or eval_fingerprints is not None:
             from cses2humio_spark.operators.dedup import eval_contamination
 
             cont = (
                 eval_contamination(
                     fresh,
-                    eval_docs.select(F.col(idc), F.col(txt)),
+                    (
+                        eval_docs.select(F.col(idc), F.col(txt))
+                        if eval_docs is not None
+                        else None
+                    ),
                     idc,
                     txt,
                     n=eval_n,
+                    eval_fingerprints=eval_fingerprints,
                 )
                 .filter(F.col("contamination") >= contamination_threshold)
                 .select(idc)
@@ -617,6 +626,7 @@ class MinHashIndex(VersionedSegmentStore):
         eval_docs: DataFrame | None = None,
         contamination_threshold: float = 0.1,
         eval_n: int = 8,
+        eval_fingerprints: DataFrame | None = None,
     ) -> DataFrame | None:
         """The full incremental loop, foreachBatch-shaped: decide
         (``admit_batch`` against the CURRENT index state), ingest ONLY
@@ -652,6 +662,7 @@ class MinHashIndex(VersionedSegmentStore):
             eval_docs=eval_docs,
             contamination_threshold=contamination_threshold,
             eval_n=eval_n,
+            eval_fingerprints=eval_fingerprints,
         ).persist()
         admitted = batch_df.join(
             decisions.filter(F.col("reason") == "admitted").select(

@@ -587,3 +587,86 @@ def falcon_feed_http_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object(F.col("value"), "$.event.user_id").cast("bigint")
         ).alias("sum_user_id"),
     )
+
+
+@query(
+    "falcon_feed_pipeline_timechart",
+    oracle="""
+    SELECT CAST(FLOOR(epoch_ms(ts) / 3600000) AS BIGINT) AS hour_bucket,
+           event_type AS eventType,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE event_id < 1000 GROUP BY 1, 2
+    """,
+)
+def falcon_feed_pipeline_timechart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE reference pipeline through the native source, in one
+    streaming query (r10 parity artifact): chunked-HTTP feed
+    (``falcon_feed`` over a two-partition fake) -> R3 decode -> R4
+    permissive parse -> R5 envelope (``parse_events``/``enrich_events``,
+    the same stages the production pipeline runs) -> memory sink, then
+    the Humio-analog hourly timechart over the enveloped rows. A user of
+    the reference points it at a feed URL and charts events-per-hour in
+    Humio; this query is that exact path on the engine, oracle-checked
+    against plain SQL over the base columns. Hour buckets are integer
+    epoch-ms arithmetic (floor(ts_ms / 3600000)) so no session timezone
+    can touch the result."""
+    import shutil
+    import uuid
+
+    from cses2humio_spark.sources import http_feed
+    from cses2humio_spark.sources.fake_feed import FakeFeedServer
+
+    # bounded collect: event_id < 1000 caps the fixture at 1000 rows at
+    # every scale factor — feed synthesis, not a data path
+    lines = _synth_lines(spark, sf_dir).collect()
+    feed: dict[int, list[str]] = {0: [], 1: []}
+    for r in lines:
+        off = json.loads(r.value)["metadata"]["offset"]
+        feed[off % 2].append(r.value)
+    for p in feed:
+        feed[p].sort(key=lambda s: json.loads(s)["metadata"]["offset"])
+    srv = FakeFeedServer(feed, token="pipe-token").start()
+    tmpdir = tempfile.mkdtemp(prefix="sgraft_feed_pipe_")
+    name = f"falcon_pipe_sink_{uuid.uuid4().hex[:8]}"
+    try:
+        http_feed.register(spark)
+        stream = (
+            spark.readStream.format("falcon_feed")
+            .option("urls", srv.urls)
+            .option("token", "pipe-token")
+            .option("quiet_ms", "800")
+            .load()
+            .select("value")
+        )
+        enveloped = enrich_events(parse_events(stream))
+        q = (
+            enveloped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError("falcon_feed pipeline did not finish in 180s")
+        env = spark.table(name)
+        out = (
+            env.groupBy(
+                F.floor(F.col("timestamp") / 3600000)
+                .cast("bigint")
+                .alias("hour_bucket"),
+                F.col("attributes.metadata.eventType").alias("eventType"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # materialize before the memory sink table goes away
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        srv.stop()
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:  # noqa: BLE001 — sink table may not exist
+            pass

@@ -1219,3 +1219,64 @@ def test_embedding_admit_batch_contaminated_reason(
         for r in idx.read_signatures(spark).select("vec_id").distinct().collect()
     }
     assert 10 not in live and {11, 13} <= live
+
+
+def test_admit_batch_precomputed_eval_fingerprints(
+    spark, corpus3, eval_suite, tmp_path
+):
+    """r10: a streaming caller precomputes the STATIC eval suite's
+    fingerprint table once (eval_fingerprint_table) instead of
+    re-shingling it inside every micro-batch. The fingerprint path must
+    produce decisions identical to the eval_docs path; a fingerprint
+    table built with a different gram length is refused loudly, as is
+    passing both or neither eval argument when one is expected."""
+    from cses2humio_spark.operators.dedup import (
+        eval_contamination,
+        eval_fingerprint_table,
+    )
+
+    idx = MinHashIndex(str(tmp_path / "mh"))
+    idx.build(corpus3)
+    batch = spark.createDataFrame(
+        [
+            (10, "leaked benchmark answer text exactly here for sure"),
+            (11, "brand new clean page body words here"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = eval_fingerprint_table(eval_suite, n=3).persist()
+    via_docs = {
+        r.doc_id: (r.reason, r.partner)
+        for r in idx.admit_batch(
+            batch, corpus3, eval_docs=eval_suite,
+            contamination_threshold=0.5, eval_n=3,
+        ).collect()
+    }
+    via_fps = {
+        r.doc_id: (r.reason, r.partner)
+        for r in idx.admit_batch(
+            batch, corpus3, eval_fingerprints=fps,
+            contamination_threshold=0.5, eval_n=3,
+        ).collect()
+    }
+    assert via_docs == via_fps
+    assert via_fps[10] == ("contaminated", None)
+
+    # gram-length mismatch is incomparable -> loud refusal
+    with pytest.raises(ValueError, match="incomparable"):
+        idx.admit_batch(
+            batch, corpus3, eval_fingerprints=fps,
+            contamination_threshold=0.5, eval_n=8,
+        )
+    # a frame that did not come from eval_fingerprint_table is refused
+    with pytest.raises(ValueError, match="eval_fingerprint_table"):
+        eval_contamination(
+            batch, None, eval_fingerprints=batch.select(
+                F.col("text").alias("__fp")
+            )
+        )
+    # both-or-neither eval sides are caller bugs
+    with pytest.raises(ValueError, match="exactly one"):
+        eval_contamination(
+            batch, eval_suite, eval_fingerprints=fps, n=3
+        )

@@ -157,6 +157,8 @@ SIDE_EFFECTING = {
     # gate collects the bounded eval suite into a mapInPandas closure)
     "cdc_upsert_latest_state",  # runs a full streaming query to build
     "falcon_feed_http_demo",  # spins a fake HTTP feed + streaming query
+    "falcon_feed_pipeline_timechart",  # fake feed + full streaming
+    # parse/enrich pipeline into a memory sink
 }
 
 
