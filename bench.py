@@ -101,6 +101,11 @@ HEADLINE = [
     # (no standing baseline yet — their first accepted bench becomes it)
     "decontaminating_admission_decisions",
     "decontaminating_vector_admission",
+    # round 10 second wave (no standing baseline yet — first accepted
+    # bench becomes it)
+    "bm25_index_search",  # persisted inverted-index BM25 (build off-clock
+    # after the first pass: cached per corpus fingerprint; min-of-two
+    # reflects the pruned posting-list search path)
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -1,0 +1,410 @@
+"""Persisted inverted text index: the build-once / search-many split for
+LEXICAL retrieval (Okapi BM25) — the posting-list counterpart of
+``operators/ann_index.PQIndex`` (vectors) and
+``operators/dedup_index.MinHashIndex`` (near-dup signatures). With this
+module every retrieval arm of the engine has a standing-index lifecycle:
+ANN searches codes, dedup probes signatures, and BM25 now probes
+postings — none of them re-reads corpus payload at query time.
+
+The fused query operator (``queries/llm.bm25_search_top20``) re-tokenizes
+the whole corpus inside every run — right for oracle-checkability, wrong
+for the production shape of a search service: the corpus is tokenized
+ONCE, queries arrive forever, and each query must touch only the posting
+lists of its own terms. ``InvertedTextIndex`` persists exactly the
+artifact the fused plan computes inline:
+
+- ``seg=<v>``: postings ``(tb, tok, doc_id, tf, dl)`` — one row per
+  distinct (document, token), PARTITIONED BY ``tb`` (a stable
+  ``xxhash64(tok) mod n_buckets`` token bucket) so a query's term filter
+  becomes DIRECTORY pruning at the scan: a 3-term query reads at most 3
+  of ``n_buckets`` partitions no matter how large the corpus. The
+  document length ``dl`` is DENORMALIZED into the posting row (8 bytes)
+  so scoring needs no join against a corpus-sized doc-length table.
+- ``dl=<v>``: doc lengths ``(doc_id, dl)`` — the narrow table the
+  collection statistics (N, avgdl) are computed from at search time.
+  Computing them from this table rather than pinning them in the
+  manifest keeps them exact under tombstoned deletes for free; the scan
+  is two scalar aggregates over a (bigint, bigint) table, embarrassingly
+  parallel and tiny next to the corpus.
+
+At 100 TB of documents the postings are a few TB (they carry token
+hashes' worth of text once, not per query), the doc-length table is
+~16 B/doc, and a search shuffles only |query terms| posting lists.
+
+Transaction machinery is the shared ``VersionedSegmentStore``
+(``operators/index_store.py``): immutable segments, manifest per version,
+atomic ``_LATEST``, the dedicated ``last_batch_id`` replay guard
+(exactly-once under foreachBatch replay), CDC-style tombstone deletes,
+compaction, and grace-window pruning. Geometry (tokenizer id, bucket
+count) is pinned in ``_TABLE.json`` — postings built under a different
+tokenization are incomparable, so reopening with different parameters is
+a loud error.
+
+Reference parity note: the reference connector (app.py) has no retrieval
+surface; this implements the LLM-pipeline / log-search production
+lifecycle for the engine's BM25 operator (SURVEY §2 retrieval family).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cses2humio_spark.operators.index_store import VersionedSegmentStore
+
+#: Tokenizer contract pinned in the geometry: whitespace split of the
+#: trimmed text — EXACTLY the fused bm25/tfidf queries' tokenization, so
+#: the split-vs-fused equality contract holds token-for-token.
+_TOKENIZER_ID = "ws-split-v1"
+
+
+class InvertedTextIndex(VersionedSegmentStore):
+    """Versioned on-disk BM25 posting-list index over documents."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        n_buckets: int = 64,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        keep_versions: int = 2,
+    ):
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        self.n_buckets = n_buckets
+        self.id_col, self.text_col = id_col, text_col
+        super().__init__(
+            index_dir,
+            {"tokenizer": _TOKENIZER_ID, "n_buckets": n_buckets},
+            keep_versions,
+        )
+
+    def _live_artifacts(self, manifest: dict) -> dict[str, set[int]]:
+        return {
+            r"seg=(-?\d+)": set(manifest["segments"]),
+            r"dl=(-?\d+)": set(manifest["segments"]),
+            r"tomb=(-?\d+)": set(manifest.get("tombstones", [])),
+        }
+
+    def _seg_dir(self, seg: int) -> str:
+        return os.path.join(self.index_dir, f"seg={seg}")
+
+    def _dl_dir(self, seg: int) -> str:
+        return os.path.join(self.index_dir, f"dl={seg}")
+
+    def _tomb_dir(self, version: int) -> str:
+        return os.path.join(self.index_dir, f"tomb={version}")
+
+    def _token_bucket(self, tok) -> F.Column:
+        return F.pmod(F.xxhash64(tok), F.lit(self.n_buckets)).cast("int")
+
+    def _postings(self, docs: DataFrame) -> DataFrame:
+        """ONE pass over document text → the posting table.
+
+        Tokenize (the pinned whitespace split), count term frequencies
+        per (doc, token) — one shuffle keyed on the pair — then
+        denormalize the document length onto each posting row with a
+        window over the aggregated postings (``dl = SUM(tf) OVER doc``,
+        exactly the token count). The window costs one further shuffle
+        of the already-compact postings, but keeps the whole build a
+        single lineage: a join against a dl aggregate would re-evaluate
+        the explode subtree once per consumer (the token stream is the
+        expensive thing at 100 TB — it must be materialized exactly
+        once). The separate doc-length artifact is NOT computed here:
+        the writers derive it by reading back the just-written postings
+        parquet (compact, text-free) instead of re-tokenizing."""
+        from pyspark.sql import Window
+
+        toks = docs.select(
+            F.col(self.id_col).alias("doc_id"),
+            F.explode(
+                F.split(F.trim(F.col(self.text_col)), r"\s+")
+            ).alias("tok"),
+        )
+        tf = toks.groupBy("doc_id", "tok").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+        return tf.select(
+            self._token_bucket(F.col("tok")).alias("tb"),
+            "tok",
+            "doc_id",
+            "tf",
+            F.sum("tf").over(Window.partitionBy("doc_id")).alias("dl"),
+        )
+
+    def _write_segment(self, docs: DataFrame, version: int) -> None:
+        """Write the postings for ``docs`` as segment ``version``, then
+        derive its doc-length artifact FROM the written postings (one
+        (doc_id, dl) row per doc via max — dl is constant within a doc)
+        — corpus text is tokenized exactly once per segment."""
+        self._write_dir(
+            self._postings(docs), self._seg_dir(version), partition_by=["tb"]
+        )
+        spark = docs.sparkSession
+        written = spark.read.option("basePath", self.index_dir).parquet(
+            self._seg_dir(version)
+        )
+        dl = written.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+        self._write_dir(dl, self._dl_dir(version))
+
+    # -- build ---------------------------------------------------------------
+
+    def build(self, docs: DataFrame) -> int:
+        """Tokenize the full corpus and commit as a fresh version (prior
+        segments are NOT carried forward — a rebuild supersedes them;
+        tombstones clear, since the handed-in corpus is the new truth).
+        ``last_batch_id`` carries forward so a restarted ingest stream's
+        replay guard survives a rebuild."""
+        latest = self.latest_version()
+        version = -1 if latest is None else latest + 1
+        self._write_segment(docs, version)
+        prior_lb = (
+            self._last_batch_id(self._load_manifest(latest), latest)
+            if latest is not None
+            else -1
+        )
+        self._write_manifest(
+            version,
+            {
+                "segments": [version],
+                "last_batch_id": prior_lb,
+                "tombstones": [],
+            },
+        )
+        self._commit(version)
+        self._prune(version)
+        return version
+
+    # -- streaming ingest ----------------------------------------------------
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch sink: tokenize the micro-batch's documents and
+        append them as one immutable segment pair (postings + doclens);
+        write amplification is O(|delta postings|), independent of index
+        size. Replayed batches are skipped by the dedicated
+        ``last_batch_id`` manifest field — exactly-once, and an
+        interleaved compact()/rebuild/delete() can never shadow a
+        genuine future batch id. Collection statistics need no
+        maintenance: they are computed from the doc-length artifacts at
+        search time, so an appended segment is immediately consistent."""
+        latest = self.latest_version()
+        if latest is None:
+            raise ValueError(
+                f"{self.index_dir}: ingest before build() — the geometry "
+                "must be committed before deltas can be tokenized"
+            )
+        manifest = dict(self._load_manifest(latest))
+        if batch_id <= self._last_batch_id(manifest, latest):
+            return  # replayed micro-batch: segment already committed
+        version = latest + 1
+        manifest["last_batch_id"] = batch_id
+        if batch_df.isEmpty():
+            # empty batch: advance the replay guard without a segment
+            self._write_manifest(version, manifest)
+            self._commit(version)
+            self._prune(version)
+            return
+        self._write_segment(batch_df, version)
+        manifest["segments"] = list(manifest["segments"]) + [version]
+        self._write_manifest(version, manifest)
+        self._commit(version)
+        self._prune(version)
+
+    # -- delete / compact ----------------------------------------------------
+
+    def delete(self, ids: DataFrame) -> int:
+        """Tombstone the given document ids (takedowns, dedup losers):
+        commits an id-list artifact under the next version — O(|deleted|)
+        bytes, no segment touched — and every search anti-joins live
+        tombstones out immediately, INCLUDING from the collection
+        statistics (N and avgdl shrink the moment the tombstone commits,
+        because both are computed from the tombstone-filtered doc-length
+        table). ``compact()`` physically drops the dead postings.
+        Deleting an id not in the index is a no-op; re-ingesting a
+        deleted id resurrects it only after a compact has dropped the
+        tombstone."""
+        latest = self.latest_version()
+        if latest is None:
+            raise ValueError(
+                f"{self.index_dir}: delete before build() — nothing to "
+                "tombstone"
+            )
+        manifest = dict(self._load_manifest(latest))
+        manifest["last_batch_id"] = self._last_batch_id(manifest, latest)
+        version = latest + 1
+        self._write_dir(
+            ids.select(F.col(self.id_col).alias("doc_id")).distinct(),
+            self._tomb_dir(version),
+        )
+        manifest["tombstones"] = list(manifest.get("tombstones", [])) + [
+            version
+        ]
+        self._write_manifest(version, manifest)
+        self._commit(version)
+        self._prune(version)
+        return version
+
+    def compact(self, spark: SparkSession) -> int:
+        """Merge all live segments into ONE and physically drop
+        tombstoned postings — the small-files + deferred-delete answer
+        for a long-running ingest stream. Search results are identical
+        before and after by construction (the surviving rows are the
+        same, and statistics are recomputed from the surviving doc
+        lengths either way); ``last_batch_id`` carries forward
+        untouched."""
+        latest = self.latest_version()
+        if latest is None:
+            raise ValueError(
+                f"{self.index_dir}: nothing to compact — run build() first"
+            )
+        manifest = dict(self._load_manifest(latest))
+        manifest["last_batch_id"] = self._last_batch_id(manifest, latest)
+        version = latest + 1
+        self._write_dir(
+            self.read_postings(spark, latest),
+            self._seg_dir(version),
+            partition_by=["tb"],
+        )
+        self._write_dir(
+            self.read_doclens(spark, latest), self._dl_dir(version)
+        )
+        manifest["segments"] = [version]
+        manifest["tombstones"] = []
+        self._write_manifest(version, manifest)
+        self._commit(version)
+        self._prune(version)
+        return version
+
+    # -- read / search -------------------------------------------------------
+
+    def read_tombstones(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame | None:
+        man = self._load_manifest(self._resolve_version(version))
+        tombs = man.get("tombstones", [])
+        if not tombs:
+            return None
+        return (
+            spark.read.option("basePath", self.index_dir)
+            .parquet(*[self._tomb_dir(t) for t in tombs])
+            .select("doc_id")
+            .distinct()
+        )
+
+    def read_postings(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """The posting table as of ``version`` (default latest): the
+        union of that manifest's immutable segments minus tombstoned ids
+        (broadcast anti-join). ``basePath`` anchors partition discovery
+        at the index root because ``seg=<id>``/``tb=<b>`` dirs are
+        key=value-shaped — the ``tb`` partition column survives into the
+        frame so a term filter prunes directories."""
+        at = self._resolve_version(version)
+        man = self._load_manifest(at)
+        post = (
+            spark.read.option("basePath", self.index_dir)
+            .parquet(*[self._seg_dir(s) for s in man["segments"]])
+            .drop("seg")
+        )
+        tombs = self.read_tombstones(spark, at)
+        if tombs is not None:
+            post = post.join(F.broadcast(tombs), on="doc_id", how="left_anti")
+        return post
+
+    def read_doclens(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        at = self._resolve_version(version)
+        man = self._load_manifest(at)
+        # No basePath here (unlike read_postings): the artifact dirs are
+        # named ``dl=<v>``, and root-anchored partition discovery would
+        # surface a partition column named ``dl`` colliding with the data
+        # column. Passing the leaf dirs directly treats each as its own
+        # root — only the file columns (doc_id, dl) come back.
+        dl = spark.read.parquet(
+            *[self._dl_dir(s) for s in man["segments"]]
+        )
+        tombs = self.read_tombstones(spark, at)
+        if tombs is not None:
+            # tombstones filter HERE, not just in search(): the
+            # collection statistics (N, avgdl) and compact()'s rewritten
+            # doc-length artifact must both exclude deleted docs, or a
+            # compaction would clear the tombstone list while the dead
+            # lengths keep inflating every surviving score
+            dl = dl.join(F.broadcast(tombs), on="doc_id", how="left_anti")
+        return dl
+
+    def search(
+        self,
+        spark: SparkSession,
+        terms: list[str],
+        k: int = 20,
+        k1: float = 1.2,
+        b: float = 0.75,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Okapi BM25 top-k over the standing index (k1/b and the Lucene
+        +1 IDF exactly as the fused ``bm25_search_top20``): filter the
+        postings to the query terms — the ``tb`` equality rides the
+        partition column, so only |terms| of ``n_buckets`` directories
+        are scanned — compute per-term document frequencies from the
+        filtered postings (a |terms|-row broadcast), score with the
+        denormalized ``dl``, sum per document, TakeOrdered k with doc-id
+        tie-break. Collection statistics (N, avgdl) are two scalar
+        aggregates over the tombstone-filtered doc-length table — the
+        only action at construction, and the only part of the plan that
+        touches anything corpus-sized (a narrow 16 B/doc scan)."""
+        if not terms:
+            raise ValueError("search needs at least one term")
+        at = self._resolve_version(version)
+        dl = self.read_doclens(spark, at)  # tombstone-filtered
+        n_docs, total_dl = dl.agg(
+            F.count(F.lit(1)), F.sum("dl")
+        ).collect()[0]
+        if not n_docs:
+            raise ValueError(
+                f"{self.index_dir}: index is empty at version {at}"
+            )
+        avgdl = float(total_dl) / float(n_docs)
+        buckets = self._buckets_of(spark, terms)
+        post = self.read_postings(spark, at).filter(
+            F.col("tb").isin(buckets) & F.col("tok").isin(list(terms))
+        )
+        df_ = post.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        idf = F.log(
+            (F.lit(float(n_docs)) - F.col("df") + 0.5)
+            / (F.col("df") + 0.5)
+            + 1.0
+        )
+        tfpart = (F.col("tf") * (k1 + 1.0)) / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+        )
+        scored = (
+            post.join(F.broadcast(df_), on="tok")
+            .groupBy("doc_id")
+            .agg(F.sum(idf * tfpart).alias("s"))
+        )
+        return (
+            scored.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .select("doc_id", F.round("s", 6).alias("bm25"))
+        )
+
+    def _buckets_of(self, spark: SparkSession, terms: list[str]) -> list[int]:
+        """The token buckets the query terms live in, computed with the
+        SAME JVM xxhash64 the build used (a reimplementation drifting by
+        one bit would silently prune the wrong directories). The collect
+        is bounded by |query terms| — a handful of rows, never
+        corpus-sized."""
+        rows = (
+            spark.createDataFrame(
+                [(t,) for t in terms], schema="tok string"
+            )
+            .select(self._token_bucket(F.col("tok")).alias("tb"))
+            .collect()
+        )
+        return sorted({r["tb"] for r in rows})

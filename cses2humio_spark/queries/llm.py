@@ -507,9 +507,7 @@ _BM25_TERMS = ("spark", "join", "window")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
-@query(
-    "bm25_search_top20",
-    oracle=rf"""
+_BM25_ORACLE = rf"""
     WITH toks AS (SELECT doc_id, UNNEST({_TOKS}) AS tok FROM documents),
     dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
     stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
@@ -531,8 +529,10 @@ _BM25_K1, _BM25_B = 1.2, 0.75
     )
     SELECT doc_id, ROUND(s, 6) AS bm25 FROM scored
     ORDER BY s DESC, doc_id LIMIT 20
-    """,
-)
+    """
+
+
+@query("bm25_search_top20", oracle=_BM25_ORACLE)
 def bm25_search_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 ranked retrieval (k1=1.2, b=0.75, the Lucene +1 IDF)
     for a fixed multi-term query — the classic lexical retriever next to
@@ -3493,3 +3493,50 @@ def embedding_dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return alternating_star_components(
         emb.select("vec_id"), pairs, id_col="vec_id"
     ).select("vec_id", "cluster_rep")
+
+
+_TEXT_INDEX_DIRS: dict[tuple, str] = {}
+
+
+def _text_index_for(spark: SparkSession, sf_dir: str):
+    """Build-once per (process, corpus fingerprint) InvertedTextIndex
+    over the documents table — the lexical sibling of ``_pq_index_for``:
+    the one corpus-text pass happens at first call, every subsequent
+    search touches persisted posting lists only. Keyed on the corpus
+    file's (mtime, size) so an in-process testdata regeneration
+    invalidates the cache instead of serving stale postings."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from cses2humio_spark.operators.text_index import InvertedTextIndex
+
+    key = _corpus_fingerprint(sf_dir, table="documents")
+    if key not in _TEXT_INDEX_DIRS:
+        d = tempfile.mkdtemp(prefix="text_index_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        idx = InvertedTextIndex(d, n_buckets=64)
+        idx.build(load_table(spark, sf_dir, "documents"))
+        _TEXT_INDEX_DIRS[key] = d
+    from cses2humio_spark.operators.text_index import InvertedTextIndex as _I
+
+    return _I(_TEXT_INDEX_DIRS[key], n_buckets=64)
+
+
+@query("bm25_index_search", oracle=_BM25_ORACLE)
+def bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the PERSISTED inverted index
+    (``operators/text_index.InvertedTextIndex``) — the build-once /
+    search-many split of ``bm25_search_top20``, sharing that query's
+    oracle VERBATIM: identical SQL checking a physically different plan
+    is the split-correctness contract (the ``pq_index_search`` pattern).
+    The fused twin re-tokenizes the corpus per run; this one reads
+    posting lists for the three query terms only — the term filter rides
+    the ``tb`` partition column, so the scan touches at most 3 of 64
+    token-bucket directories regardless of corpus size, and the only
+    corpus-sized input is the narrow (doc_id, dl) table the collection
+    statistics come from. At 100 TB this is the difference between a
+    full-corpus tokenize per query and a few pruned posting-list
+    directories."""
+    idx = _text_index_for(spark, sf_dir)
+    return idx.search(spark, list(_BM25_TERMS), k=20, k1=_BM25_K1, b=_BM25_B)

@@ -145,6 +145,8 @@ SIDE_EFFECTING = {
     "hql_materialized_search_table",  # runs a full streaming query
     "embedding_pca_explained_variance",  # driver-side eigh to build
     "pq_index_search",  # builds the persisted index (once) to search
+    "bm25_index_search",  # builds the persisted inverted text index once
+    # (plus a bounded stats/bucket collect) to search
     "ivfpq_index_search",  # builds the persisted IVF-PQ index once
     "minhash_index_candidates",  # builds the persisted MinHash index once
     "crawl_admission_decisions",  # builds the persisted admission index

@@ -1,0 +1,206 @@
+"""Persisted inverted text index (operators/text_index.py): the BM25
+build/search split.
+
+The contract under test: (1) searching the persisted index returns
+IDENTICAL rows to the fused oracle-checked ``bm25_search_top20`` over
+the same corpus; (2) the search plan never touches document text — the
+only corpus-shaped inputs are the pruned posting buckets and the narrow
+doc-length table — and the posting scan prunes on the ``tb`` partition
+column; (3) streaming ingest is exactly-once under micro-batch replay
+and converges to the cold-rebuild state; (4) tombstoned deletes leave
+search results AND collection statistics (N, avgdl) exactly as if the
+docs had never been indexed, and compaction preserves results while
+physically dropping dead postings; (5) geometry is pinned.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cses2humio_spark.operators.text_index import InvertedTextIndex
+from cses2humio_spark.sources.catalog import load_table
+from tests.conftest import SF_SMALL
+
+TERMS = ["spark", "join", "window"]
+K1, B = 1.2, 0.75
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _fused_bm25(docs, terms, k=20, k1=K1, b=B):
+    """The fused formulation (queries/llm.bm25_search_top20 inlined so
+    it can run over an arbitrary document subset, not just a sf dir)."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs, avgdl = dl.agg(F.count(F.lit(1)), F.avg("dl")).collect()[0]
+    tf = (
+        toks.filter(F.col("tok").isin(*terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        + 1.0
+    )
+    tfpart = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), on="tok")
+        .join(dl, on="doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tfpart).alias("s"))
+    )
+    return (
+        scored.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", F.round("s", 6).alias("bm25"))
+    )
+
+
+@pytest.fixture()
+def docs(spark):
+    return load_table(spark, SF_SMALL, "documents")
+
+
+def test_index_search_equals_fused_bm25(spark, docs, tmp_path):
+    idx = InvertedTextIndex(str(tmp_path / "ti"), n_buckets=16)
+    assert idx.build(docs) == -1
+    got = idx.search(spark, TERMS, k=20)
+    want = _fused_bm25(docs, TERMS, k=20)
+    assert _rows(got) == _rows(want)
+    assert len(_rows(got)) == 20
+
+
+def test_search_plan_prunes_buckets_and_never_reads_text(
+    spark, docs, tmp_path
+):
+    """The whole point of the split: a search must not re-tokenize the
+    corpus. No scan in the plan may carry the text column, and the
+    posting scan must prune on the tb partition column."""
+    idx = InvertedTextIndex(str(tmp_path / "tplan"), n_buckets=16)
+    idx.build(docs)
+    plan = (
+        idx.search(spark, TERMS, k=20)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "text" not in plan, plan[:2000]
+    assert "explode" not in plan.lower(), plan[:2000]
+    assert "tb" in plan and "PartitionFilters" in plan, plan[:2000]
+    # the fused twin DOES tokenize — the assertions above discriminate
+    fused_plan = (
+        _fused_bm25(docs, TERMS)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "explode" in fused_plan.lower()
+
+
+def test_segments_partitioned_by_token_bucket(spark, docs, tmp_path):
+    idx = InvertedTextIndex(str(tmp_path / "tpart"), n_buckets=16)
+    v = idx.build(docs)
+    seg = tmp_path / "tpart" / f"seg={v}"
+    assert any(p.name.startswith("tb=") for p in seg.iterdir()), sorted(
+        p.name for p in seg.iterdir()
+    )
+
+
+def test_streaming_ingest_exactly_once_and_converges(spark, docs, tmp_path):
+    """Build on the first 300 docs, ingest the rest in two micro-batches
+    with a REPLAYED batch in between (crash-after-commit window): search
+    must equal a cold build over the full corpus, and the replay must be
+    a no-op."""
+    first = docs.filter(F.col("doc_id") < 300)
+    d1 = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+    d2 = docs.filter(F.col("doc_id") >= 400)
+
+    idx = InvertedTextIndex(str(tmp_path / "ting"), n_buckets=16)
+    idx.build(first)
+    idx(d1, batch_id=0)
+    idx(d1, batch_id=0)  # replayed micro-batch: must be skipped
+    idx(d2, batch_id=1)
+
+    cold = InvertedTextIndex(str(tmp_path / "tcold"), n_buckets=16)
+    cold.build(docs)
+
+    got = idx.search(spark, TERMS, k=20)
+    want = cold.search(spark, TERMS, k=20)
+    assert _rows(got) == _rows(want)
+    # the replayed batch must not have produced a third delta segment
+    import json, os
+
+    man = json.load(
+        open(
+            os.path.join(
+                str(tmp_path / "ting"), f"manifest_v={idx.latest_version()}.json"
+            )
+        )
+    )
+    assert len(man["segments"]) == 3  # build + two real deltas
+
+
+def test_empty_batch_advances_replay_guard(spark, docs, tmp_path):
+    idx = InvertedTextIndex(str(tmp_path / "tempty"), n_buckets=16)
+    idx.build(docs)
+    before = idx.latest_version()
+    idx(docs.filter(F.lit(False)), batch_id=5)
+    assert idx.latest_version() == before + 1
+    idx(docs.filter(F.col("doc_id") < 0), batch_id=5)  # replay: no-op
+    assert idx.latest_version() == before + 1
+
+
+def test_tombstone_delete_matches_never_indexed(spark, docs, tmp_path):
+    """Deleting docs must leave search IDENTICAL to an index that never
+    saw them — including the collection statistics N/avgdl, which shift
+    every surviving score (this is what a manifest-pinned stats design
+    would get wrong)."""
+    top = _fused_bm25(docs, TERMS, k=3).select("doc_id")
+    victims = [r["doc_id"] for r in top.collect()]
+
+    idx = InvertedTextIndex(str(tmp_path / "tdel"), n_buckets=16)
+    idx.build(docs)
+    idx.delete(docs.filter(F.col("doc_id").isin(victims)).select("doc_id"))
+
+    survivors = docs.filter(~F.col("doc_id").isin(victims))
+    want = _fused_bm25(survivors, TERMS, k=20)
+    got = idx.search(spark, TERMS, k=20)
+    assert _rows(got) == _rows(want)
+    assert not {r[0] for r in _rows(got)} & set(victims)
+
+    # compaction physically drops the dead postings; results unchanged
+    v = idx.compact(spark)
+    assert _rows(idx.search(spark, TERMS, k=20)) == _rows(want)
+    post = idx.read_postings(spark, v)
+    assert post.filter(F.col("doc_id").isin(victims)).count() == 0
+
+
+def test_geometry_pinned(tmp_path):
+    InvertedTextIndex(str(tmp_path / "tg"), n_buckets=16)
+    with pytest.raises(ValueError, match="geometry"):
+        InvertedTextIndex(str(tmp_path / "tg"), n_buckets=32)
+
+
+def test_search_before_build_refused(spark, tmp_path):
+    idx = InvertedTextIndex(str(tmp_path / "tnb"), n_buckets=16)
+    with pytest.raises(ValueError, match="build"):
+        idx.search(spark, TERMS)
+
+
+def test_ingest_before_build_refused(spark, docs, tmp_path):
+    idx = InvertedTextIndex(str(tmp_path / "tni"), n_buckets=16)
+    with pytest.raises(ValueError, match="build"):
+        idx(docs, 0)
+
+
+def test_empty_terms_refused(spark, docs, tmp_path):
+    idx = InvertedTextIndex(str(tmp_path / "tterm"), n_buckets=16)
+    idx.build(docs)
+    with pytest.raises(ValueError, match="term"):
+        idx.search(spark, [])
