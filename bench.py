@@ -106,6 +106,7 @@ HEADLINE = [
     "bm25_index_search",  # persisted inverted-index BM25 (build off-clock
     # after the first pass: cached per corpus fingerprint; min-of-two
     # reflects the pruned posting-list search path)
+    "phrase_index_search",  # positional-index exact phrase adjacency
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

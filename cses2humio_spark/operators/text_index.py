@@ -67,6 +67,7 @@ class InvertedTextIndex(VersionedSegmentStore):
         self,
         index_dir: str,
         n_buckets: int = 64,
+        positional: bool = False,
         id_col: str = "doc_id",
         text_col: str = "text",
         keep_versions: int = 2,
@@ -74,10 +75,15 @@ class InvertedTextIndex(VersionedSegmentStore):
         if n_buckets < 1:
             raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
         self.n_buckets = n_buckets
+        self.positional = positional
         self.id_col, self.text_col = id_col, text_col
         super().__init__(
             index_dir,
-            {"tokenizer": _TOKENIZER_ID, "n_buckets": n_buckets},
+            {
+                "tokenizer": _TOKENIZER_ID,
+                "n_buckets": n_buckets,
+                "positional": positional,
+            },
             keep_versions,
         )
 
@@ -119,19 +125,31 @@ class InvertedTextIndex(VersionedSegmentStore):
 
         toks = docs.select(
             F.col(self.id_col).alias("doc_id"),
-            F.explode(
+            F.posexplode(
                 F.split(F.trim(F.col(self.text_col)), r"\s+")
-            ).alias("tok"),
+            ).alias("pos", "tok"),
         )
-        tf = toks.groupBy("doc_id", "tok").agg(
-            F.count(F.lit(1)).alias("tf")
-        )
+        if self.positional:
+            # positional mode: the posting row also carries the sorted
+            # in-document positions (array<int>) — tf is its size, so
+            # phrase adjacency is answerable from postings alone.
+            tf = toks.groupBy("doc_id", "tok").agg(
+                F.count(F.lit(1)).alias("tf"),
+                F.sort_array(F.collect_list("pos")).alias("pos"),
+            )
+            extra = ["pos"]
+        else:
+            tf = toks.groupBy("doc_id", "tok").agg(
+                F.count(F.lit(1)).alias("tf")
+            )
+            extra = []
         return tf.select(
             self._token_bucket(F.col("tok")).alias("tb"),
             "tok",
             "doc_id",
             "tf",
             F.sum("tf").over(Window.partitionBy("doc_id")).alias("dl"),
+            *extra,
         )
 
     def _write_segment(self, docs: DataFrame, version: int) -> None:
@@ -393,6 +411,71 @@ class InvertedTextIndex(VersionedSegmentStore):
             .limit(k)
             .select("doc_id", F.round("s", 6).alias("bm25"))
         )
+
+    def search_phrase(
+        self,
+        spark: SparkSession,
+        terms: list[str],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Exact phrase search over a POSITIONAL index: documents where
+        ``terms`` occur at strictly consecutive token positions, with the
+        occurrence count — ``(doc_id, n_occ)``, matches only.
+
+        Plan shape: one pruned posting-list frame per phrase term
+        (|terms| of ``n_buckets`` directories scanned, document text
+        never read), equi-joined on doc_id — a document survives the
+        join chain only if it contains EVERY term, so the adjacency
+        check runs on the already-small intersection. Adjacency itself
+        is pure-codegen array HOFs on the positional payload: an
+        occurrence is a position p of terms[0] with terms[i] at p+i for
+        every i (``filter`` over the first term's positions probing the
+        others via ``array_contains``). No explode, no per-position
+        shuffle — positions ride inside their posting row end to end."""
+        if len(terms) < 2:
+            raise ValueError(
+                f"phrase search needs >= 2 terms, got {len(terms)}"
+            )
+        if not self.positional:
+            raise ValueError(
+                f"{self.index_dir}: phrase search needs a positional "
+                "index — rebuild with positional=True (geometry is "
+                "pinned; a flat index stores no positions)"
+            )
+        at = self._resolve_version(version)
+        buckets = self._buckets_of(spark, terms)
+        post = self.read_postings(spark, at).filter(
+            F.col("tb").isin(buckets)
+        )
+        joined = None
+        for i, t in enumerate(terms):
+            side = post.filter(F.col("tok") == t).select(
+                "doc_id", F.col("pos").alias(f"pos_{i}")
+            )
+            joined = side if joined is None else joined.join(
+                side, on="doc_id"
+            )
+        return (
+            joined.select(
+                "doc_id",
+                F.size(
+                    F.expr(self._phrase_filter_expr(len(terms)))
+                ).alias("n_occ"),
+            )
+            .filter(F.col("n_occ") > 0)
+        )
+
+    @staticmethod
+    def _phrase_filter_expr(k: int) -> str:
+        """SQL-expression spelling of the adjacency filter (the Column
+        HOF API can't close over the lambda variable inside a prebuilt
+        Column list — the classic lambda-arity trap — so the filter is
+        built as an expression string: positions of term 0 that have
+        term i at offset i for every i in 1..k-1)."""
+        conds = " AND ".join(
+            f"array_contains(pos_{i}, p + {i})" for i in range(1, k)
+        )
+        return f"filter(pos_0, p -> {conds})"
 
     def _buckets_of(self, spark: SparkSession, terms: list[str]) -> list[int]:
         """The token buckets the query terms live in, computed with the

@@ -3515,12 +3515,16 @@ def _text_index_for(spark: SparkSession, sf_dir: str):
     if key not in _TEXT_INDEX_DIRS:
         d = tempfile.mkdtemp(prefix="text_index_")
         atexit.register(shutil.rmtree, d, ignore_errors=True)
-        idx = InvertedTextIndex(d, n_buckets=64)
+        # positional: ONE index serves both the BM25 ranking query and
+        # the phrase query (positions ride inside posting rows; the
+        # ranking path simply never reads the pos column — column
+        # pruning keeps its scan as lean as a flat index's)
+        idx = InvertedTextIndex(d, n_buckets=64, positional=True)
         idx.build(load_table(spark, sf_dir, "documents"))
         _TEXT_INDEX_DIRS[key] = d
     from cses2humio_spark.operators.text_index import InvertedTextIndex as _I
 
-    return _I(_TEXT_INDEX_DIRS[key], n_buckets=64)
+    return _I(_TEXT_INDEX_DIRS[key], n_buckets=64, positional=True)
 
 
 @query("bm25_index_search", oracle=_BM25_ORACLE)
@@ -3540,3 +3544,39 @@ def bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     directories."""
     idx = _text_index_for(spark, sf_dir)
     return idx.search(spark, list(_BM25_TERMS), k=20, k1=_BM25_K1, b=_BM25_B)
+
+
+_PHRASE = ("table", "scan")
+
+
+@query(
+    "phrase_index_search",
+    oracle=rf"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    occ AS (SELECT doc_id,
+              CAST(length(list_filter(
+                     range(1, GREATEST(length(tk) - 1, 0) + 1),
+                     i -> tk[i] = '{_PHRASE[0]}' AND tk[i+1] = '{_PHRASE[1]}'
+                   )) AS INTEGER) AS n_occ
+            FROM tk)
+    SELECT doc_id, n_occ FROM occ WHERE n_occ > 0
+    """,
+)
+def phrase_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE search ("{table scan}" at consecutive token
+    positions) over the persisted POSITIONAL inverted index — the
+    capability a flat BM25 index cannot express, and the reason real
+    search indexes store positions. The oracle restates adjacency from
+    first principles on the raw token arrays (every position i with
+    tk[i]='table' and tk[i+1]='scan'); the engine answers it WITHOUT
+    touching document text: per-term posting lists (pruned to 2 of 64
+    token-bucket directories) equi-join on doc_id — only docs
+    containing BOTH terms survive — then a pure-codegen array HOF
+    counts positions p of the first term with the second at p+1.
+    Positions never explode into rows; they ride inside their posting
+    row end to end, so the shuffle carries one row per (surviving doc,
+    term) regardless of how often the terms repeat. k-term phrases are
+    the same plan with k-1 joins (pinned in tests/test_text_index.py);
+    ranking stays with bm25_index_search on the SAME index artifact."""
+    idx = _text_index_for(spark, sf_dir)
+    return idx.search_phrase(spark, list(_PHRASE))

@@ -204,3 +204,177 @@ def test_empty_terms_refused(spark, docs, tmp_path):
     idx.build(docs)
     with pytest.raises(ValueError, match="term"):
         idx.search(spark, [])
+
+
+# -- positional / phrase search ------------------------------------------
+
+
+def _first_principles_phrase(docs, terms):
+    """Adjacency recomputed directly on the token arrays (no index):
+    count positions i where tokens[i..i+k-1] == terms."""
+    k = len(terms)
+    conds = " AND ".join(
+        f"element_at(tk, i + {j}) = '{t}'" for j, t in enumerate(terms)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.split(F.trim(F.col("text")), r"\s+").alias("tk"),
+        )
+        .select(
+            "doc_id",
+            F.size(
+                F.expr(
+                    f"filter(sequence(1, greatest(size(tk) - {k - 1}, 0)),"
+                    f" i -> {conds})"
+                )
+            ).alias("n_occ"),
+        )
+        .filter(F.col("n_occ") > 0)
+    )
+
+
+def test_phrase_search_matches_first_principles(spark, docs, tmp_path):
+    idx = InvertedTextIndex(
+        str(tmp_path / "tpos"), n_buckets=16, positional=True
+    )
+    idx.build(docs)
+    got = idx.search_phrase(spark, ["table", "scan"])
+    want = _first_principles_phrase(docs, ["table", "scan"])
+    assert _rows(got) == _rows(want)
+    assert len(_rows(got)) > 0  # the fixture phrase must actually occur
+
+
+def test_phrase_three_terms_and_overlapping_counts(spark, tmp_path):
+    """k-term generality + occurrence-count semantics: every START
+    position counts, including overlapping matches and duplicate terms
+    inside the phrase."""
+    rows = [
+        (1, "x a b c y a b c"),  # "a b c" twice
+        (2, "a a a a"),          # "a a" three times (overlapping)
+        (3, "a b x c"),          # broken adjacency: no match
+        (4, "c b a"),            # wrong order: no match
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = InvertedTextIndex(
+        str(tmp_path / "tsyn"), n_buckets=8, positional=True
+    )
+    idx.build(docs)
+    assert _rows(idx.search_phrase(spark, ["a", "b", "c"])) == [(1, 2)]
+    assert _rows(idx.search_phrase(spark, ["a", "a"])) == [(2, 3)]
+
+
+def test_bm25_identical_on_positional_index(spark, docs, tmp_path):
+    """Positions are payload, not semantics: ranking over a positional
+    index must equal ranking over a flat one (and the fused query)."""
+    idx = InvertedTextIndex(
+        str(tmp_path / "tposbm"), n_buckets=16, positional=True
+    )
+    idx.build(docs)
+    got = idx.search(spark, TERMS, k=20)
+    want = _fused_bm25(docs, TERMS, k=20)
+    assert _rows(got) == _rows(want)
+
+
+def test_phrase_plan_never_reads_text(spark, docs, tmp_path):
+    idx = InvertedTextIndex(
+        str(tmp_path / "tposplan"), n_buckets=16, positional=True
+    )
+    idx.build(docs)
+    plan = (
+        idx.search_phrase(spark, ["table", "scan"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "text" not in plan, plan[:2000]
+    assert "PartitionFilters" in plan, plan[:2000]
+
+
+def test_phrase_requires_positional_geometry(spark, docs, tmp_path):
+    flat = InvertedTextIndex(str(tmp_path / "tflat"), n_buckets=16)
+    flat.build(docs)
+    with pytest.raises(ValueError, match="positional"):
+        flat.search_phrase(spark, ["table", "scan"])
+
+
+def test_phrase_requires_two_terms(spark, docs, tmp_path):
+    idx = InvertedTextIndex(
+        str(tmp_path / "tone"), n_buckets=16, positional=True
+    )
+    idx.build(docs)
+    with pytest.raises(ValueError, match=">= 2"):
+        idx.search_phrase(spark, ["table"])
+
+
+def test_positional_geometry_pinned(tmp_path):
+    InvertedTextIndex(str(tmp_path / "tgp"), n_buckets=16, positional=True)
+    with pytest.raises(ValueError, match="geometry"):
+        InvertedTextIndex(str(tmp_path / "tgp"), n_buckets=16)
+
+
+def test_stream_ingest_kill_restart_no_dup_or_missing(spark, docs, tmp_path):
+    """The search-service ingest story end to end: document deltas
+    arrive through a REAL checkpointed foreachBatch stream; the process
+    crashes AFTER the index committed batch 0 but BEFORE the checkpoint
+    did (the at-least-once window), restarts from the checkpoint,
+    replays batch 0 (skipped — exactly-once) and continues. Search must
+    equal a cold rebuild over the full corpus: nothing duplicated
+    (inflated tf/df/N), nothing missing."""
+    import os
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    staging = tmp_path / "staging"
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    for i, rem in enumerate((1, 2)):
+        d = docs.filter(F.col("doc_id") % 3 == rem).select("doc_id", "text")
+        d.coalesce(1).write.mode("overwrite").parquet(str(staging))
+        part = next(
+            p for p in staging.iterdir() if p.name.endswith(".parquet")
+        )
+        dst = src / f"delta_{i}.parquet"
+        shutil.move(str(part), str(dst))
+        # file source orders batches by mtime — pin strictly increasing
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    shutil.rmtree(staging, ignore_errors=True)
+
+    idx = InvertedTextIndex(
+        str(tmp_path / "tsidx"), n_buckets=16, positional=True
+    )
+    idx.build(base)
+
+    crash = {"armed": True}
+
+    def sink(batch_df, batch_id):
+        idx(batch_df, batch_id)
+        if crash["armed"]:
+            crash["armed"] = False
+            raise RuntimeError("injected crash after index commit")
+
+    def start():
+        return (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "tckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+    q2 = start()  # same checkpoint = process restart; batch 0 replays
+    q2.awaitTermination()
+
+    cold = InvertedTextIndex(
+        str(tmp_path / "tscold"), n_buckets=16, positional=True
+    )
+    cold.build(docs)
+    assert _rows(idx.search(spark, TERMS, k=20)) == _rows(
+        cold.search(spark, TERMS, k=20)
+    )
+    assert _rows(idx.search_phrase(spark, ["table", "scan"])) == _rows(
+        cold.search_phrase(spark, ["table", "scan"])
+    )
