@@ -52,9 +52,9 @@ _PRIORITY = [
     "bpe_pack_assignments",
     "embedding_quantization_error",
     "weighted_sample_per_source",
-    "rrf_hybrid_top10",
+    "bm25_index_search",
+    "phrase_index_search",
     "ivfpq_index_search",
-    "sq8_cosine_topk",
     # multimodal decoders (never-checked codec slots)
     "wav_decode_stats",
     "tga_decode_stats",
@@ -84,6 +84,14 @@ _PRIORITY = [
     "sql_exists_and_scalar_subquery",
     "holt_winters_hourly_baseline",
 ]
+# Round-10 second wave: the two NEW text-index queries
+# (bm25_index_search, phrase_index_search — never driver-checked;
+# verified vanilla at sf0.01 AND sf0.1 when added) take the slots of
+# rrf_hybrid_top10 (driver-green r7–r9; its BM25 arm's family now holds
+# both in-window index queries and the fused twin at the judge tail)
+# and sq8_cosine_topk (driver-green r7–r9; its r9 BENCH watch — the one
+# reason it was kept — closed this round: isolated quiet-box re-time
+# 1.03 s vs the 1.18 s standing, the 1.60 s r9 reading was box noise).
 # Round-10 window refresh (VERDICT r9 #4 — 132 of 268 registered queries
 # had never been driver-checked): TWENTY-FIVE first-time entries rotate
 # in. Out (all r9-driver-green, families kept by an in-window sibling or
