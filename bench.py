@@ -107,6 +107,7 @@ HEADLINE = [
     # after the first pass: cached per corpus fingerprint; min-of-two
     # reflects the pruned posting-list search path)
     "phrase_index_search",  # positional-index exact phrase adjacency
+    "prefix_index_search",  # wildcard s* via StartsWith pushdown
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -412,6 +412,45 @@ class InvertedTextIndex(VersionedSegmentStore):
             .select("doc_id", F.round("s", 6).alias("bm25"))
         )
 
+    def search_prefix(
+        self,
+        spark: SparkSession,
+        prefix: str,
+        k: int = 20,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Prefix (wildcard ``prefix*``) term search: top-k documents by
+        total occurrences of tokens starting with ``prefix``, with the
+        matching-term count — ``(doc_id, tf_sum, n_terms)``.
+
+        Scale shape — and an honest trade the exact-term paths don't
+        have: hash token-buckets CANNOT prune a prefix (matching terms
+        scatter across all ``n_buckets`` directories), so this reads
+        every bucket's metadata. What still protects the scan is
+        parquet predicate pushdown: ``startswith(tok, ...)`` reaches the
+        scan as a StartsWith pushed filter (pinned in
+        tests/test_text_index.py), so row groups whose tok min/max
+        range excludes the prefix are skipped on statistics. Document
+        text is never read, and the aggregation sees only surviving
+        posting rows. A deployment that is prefix-heavy should sort
+        postings by ``tok`` within buckets at compact() time to tighten
+        those statistics — the layout knob, not a different algorithm."""
+        if not prefix:
+            raise ValueError("search_prefix needs a non-empty prefix")
+        at = self._resolve_version(version)
+        post = self.read_postings(spark, at).filter(
+            F.col("tok").startswith(prefix)
+        )
+        # within one segment a (doc, tok) pair is one row, and a doc
+        # lives in one segment — COUNT(*) is the distinct-term count
+        per_doc = post.groupBy("doc_id").agg(
+            F.sum("tf").alias("tf_sum"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        return per_doc.orderBy(
+            F.col("tf_sum").desc(), F.col("doc_id").asc()
+        ).limit(k)
+
     def search_phrase(
         self,
         spark: SparkSession,

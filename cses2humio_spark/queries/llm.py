@@ -3580,3 +3580,28 @@ def phrase_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking stays with bm25_index_search on the SAME index artifact."""
     idx = _text_index_for(spark, sf_dir)
     return idx.search_phrase(spark, list(_PHRASE))
+
+
+@query(
+    "prefix_index_search",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, UNNEST({_TOKS}) AS tok FROM documents),
+    m AS (SELECT doc_id, COUNT(*) AS tf_sum,
+                 COUNT(DISTINCT tok) AS n_terms
+          FROM toks WHERE tok LIKE 's%' GROUP BY doc_id)
+    SELECT doc_id, tf_sum, n_terms FROM m
+    ORDER BY tf_sum DESC, doc_id LIMIT 20
+    """,
+)
+def prefix_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard ``s*`` term search over the persisted inverted index —
+    the third retrieval mode on the ONE index artifact (exact-term BM25
+    ranking, consecutive-token phrases, and now prefix matching). The
+    oracle recounts from the raw token stream; the engine touches only
+    posting rows that survive the parquet StartsWith pushed filter —
+    document text is never read, and the trade is documented where it
+    lives (`operators/text_index.search_prefix`): a hash token bucket
+    cannot prune a prefix, so this scan relies on row-group statistics
+    rather than directory pruning."""
+    idx = _text_index_for(spark, sf_dir)
+    return idx.search_prefix(spark, "s", k=20)

@@ -148,6 +148,7 @@ SIDE_EFFECTING = {
     "bm25_index_search",  # builds the persisted inverted text index once
     # (plus a bounded stats/bucket collect) to search
     "phrase_index_search",  # shares the persisted text-index build
+    "prefix_index_search",  # shares the persisted text-index build
     "ivfpq_index_search",  # builds the persisted IVF-PQ index once
     "minhash_index_candidates",  # builds the persisted MinHash index once
     "crawl_admission_decisions",  # builds the persisted admission index

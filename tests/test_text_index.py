@@ -378,3 +378,56 @@ def test_stream_ingest_kill_restart_no_dup_or_missing(spark, docs, tmp_path):
     assert _rows(idx.search_phrase(spark, ["table", "scan"])) == _rows(
         cold.search_phrase(spark, ["table", "scan"])
     )
+
+
+# -- prefix search --------------------------------------------------------
+
+
+def test_prefix_search_matches_first_principles(spark, docs, tmp_path):
+    idx = InvertedTextIndex(str(tmp_path / "tpre"), n_buckets=16)
+    idx.build(docs)
+    got = idx.search_prefix(spark, "s", k=20)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok").startswith("s"))
+    want = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("tf_sum"),
+            F.countDistinct("tok").alias("n_terms"),
+        )
+        .orderBy(F.col("tf_sum").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+    assert _rows(got) == _rows(want)
+    assert len(_rows(got)) == 20
+
+
+def test_prefix_filter_reaches_the_posting_scan(spark, docs, tmp_path):
+    """The prefix predicate must push to the parquet posting scan
+    (StartsWith in PushedFilters) — and text must never be read."""
+    idx = InvertedTextIndex(str(tmp_path / "tprep"), n_buckets=16)
+    idx.build(docs)
+    plan = (
+        idx.search_prefix(spark, "s", k=20)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "StartsWith(tok,s)" in plan.replace(" ", ""), plan[:2000]
+    assert "text" not in plan, plan[:2000]
+
+
+def test_prefix_respects_tombstones(spark, docs, tmp_path):
+    idx = InvertedTextIndex(str(tmp_path / "tpret"), n_buckets=16)
+    idx.build(docs)
+    top = idx.search_prefix(spark, "s", k=1).collect()[0]["doc_id"]
+    idx.delete(docs.filter(F.col("doc_id") == top).select("doc_id"))
+    survivors = [r[0] for r in _rows(idx.search_prefix(spark, "s", k=20))]
+    assert top not in survivors
+
+
+def test_prefix_empty_refused(spark, docs, tmp_path):
+    idx = InvertedTextIndex(str(tmp_path / "tpree"), n_buckets=16)
+    idx.build(docs)
+    with pytest.raises(ValueError, match="non-empty"):
+        idx.search_prefix(spark, "")
