@@ -122,7 +122,7 @@ WARMUP_SF_DIR = "/root/testdata/sf0.001"
 # min-of-two-passes: any headline query slower than 2x its standing
 # number is named in the output's "regressions" key. Update these
 # numbers only when a round's bench is accepted as the new standing
-# baseline. ALL 61 timed queries carry a standing number (the round-10
+# baseline. ALL 64 timed queries carry a standing number (the round-10
 # admission-family re-acceptance — four new/updated numbers — is
 # recorded in BASELINE.md §Round-10; everything else stands from the
 # round-9 full re-acceptance).
@@ -186,6 +186,11 @@ STANDING_BASELINE_SF01 = {
     "vector_admission_decisions": 5.56,
     "decontaminating_admission_decisions": 9.556,
     "decontaminating_vector_admission": 5.812,
+    # round-10 second wave: first accepted bench (closing battery @
+    # ac4ec5f, steal share 0.339 — small queries, noise-tolerant)
+    "bm25_index_search": 0.845,
+    "phrase_index_search": 0.518,
+    "prefix_index_search": 0.287,
     "vocab_apply_oov_rate": 0.53,
     "weighted_sample_top100": 0.174,
 }
