@@ -71,11 +71,13 @@ class InvertedTextIndex(VersionedSegmentStore):
         id_col: str = "doc_id",
         text_col: str = "text",
         keep_versions: int = 2,
+        guard_duplicates: bool = False,
     ):
         if n_buckets < 1:
             raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
         self.n_buckets = n_buckets
         self.positional = positional
+        self.guard_duplicates = guard_duplicates
         self.id_col, self.text_col = id_col, text_col
         super().__init__(
             index_dir,
@@ -174,7 +176,10 @@ class InvertedTextIndex(VersionedSegmentStore):
         segments are NOT carried forward — a rebuild supersedes them;
         tombstones clear, since the handed-in corpus is the new truth).
         ``last_batch_id`` carries forward so a restarted ingest stream's
-        replay guard survives a rebuild."""
+        replay guard survives a rebuild. The unique-doc_id ingest
+        contract (see ``__call__``) applies within ``docs`` too: one row
+        per document id, or the duplicate rows double-count in every
+        collection statistic."""
         latest = self.latest_version()
         version = -1 if latest is None else latest + 1
         self._write_segment(docs, version)
@@ -206,7 +211,24 @@ class InvertedTextIndex(VersionedSegmentStore):
         interleaved compact()/rebuild/delete() can never shadow a
         genuine future batch id. Collection statistics need no
         maintenance: they are computed from the doc-length artifacts at
-        search time, so an appended segment is immediately consistent."""
+        search time, so an appended segment is immediately consistent.
+
+        INGEST CONTRACT — append-only, unique doc ids: a doc_id must be
+        indexed at most once across all live segments (the upstream
+        admission dedup is the natural enforcer). Re-ingesting a live id
+        would double-count it in tf/df/N/avgdl, break search_prefix's
+        COUNT(*)-as-distinct-terms identity and cross-product the
+        per-term doc_id joins in search_phrase — same class of breakage
+        as the documented deleted-then-reingested case (resurrection
+        only lands after a compact has dropped the tombstone).
+        ``guard_duplicates=True`` enforces the contract in-band: the
+        batch is anti-joined against the existing segment doc ids
+        (UNFILTERED by tombstones, so the resurrection rule above is
+        preserved exactly) before tokenization. The guard reads only the
+        narrow (doc_id, dl) artifacts, but at billions of docs that
+        anti-join shuffles a corpus-sized id table per micro-batch —
+        it's off by default because the admission pipeline already
+        guarantees uniqueness for free."""
         latest = self.latest_version()
         if latest is None:
             raise ValueError(
@@ -218,6 +240,16 @@ class InvertedTextIndex(VersionedSegmentStore):
             return  # replayed micro-batch: segment already committed
         version = latest + 1
         manifest["last_batch_id"] = batch_id
+        if self.guard_duplicates and manifest["segments"]:
+            spark = batch_df.sparkSession
+            existing = spark.read.parquet(
+                *[self._dl_dir(s) for s in manifest["segments"]]
+            ).select("doc_id")
+            batch_df = batch_df.join(
+                existing,
+                batch_df[self.id_col] == existing["doc_id"],
+                "left_anti",
+            )
         if batch_df.isEmpty():
             # empty batch: advance the replay guard without a segment
             self._write_manifest(version, manifest)
@@ -280,14 +312,24 @@ class InvertedTextIndex(VersionedSegmentStore):
         manifest = dict(self._load_manifest(latest))
         manifest["last_batch_id"] = self._last_batch_id(manifest, latest)
         version = latest + 1
+        survivors = self.read_doclens(spark, latest)
+        if survivors.isEmpty():
+            # every document is tombstoned: the merged segment would be
+            # an EMPTY parquet dir, and a later read would die with
+            # Spark's "unable to infer schema" instead of search()'s
+            # intended "index is empty" — refuse loudly before touching
+            # the manifest (the pre-compact version stays fully live)
+            raise ValueError(
+                f"{self.index_dir}: index is empty after compaction — "
+                "every document is tombstoned; rebuild() with a fresh "
+                "corpus instead of compacting away the last row"
+            )
         self._write_dir(
             self.read_postings(spark, latest),
             self._seg_dir(version),
             partition_by=["tb"],
         )
-        self._write_dir(
-            self.read_doclens(spark, latest), self._dl_dir(version)
-        )
+        self._write_dir(survivors, self._dl_dir(version))
         manifest["segments"] = [version]
         manifest["tombstones"] = []
         self._write_manifest(version, manifest)

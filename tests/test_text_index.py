@@ -431,3 +431,56 @@ def test_prefix_empty_refused(spark, docs, tmp_path):
     idx.build(docs)
     with pytest.raises(ValueError, match="non-empty"):
         idx.search_prefix(spark, "")
+
+
+def test_duplicate_guard_drops_reingested_live_ids(spark, docs, tmp_path):
+    """ADVICE r10: with guard_duplicates=True, re-ingesting documents
+    whose ids are already live is a no-op — search results and the
+    collection statistics (via scores) stay byte-identical, instead of
+    silently double-counting tf/df/N/avgdl."""
+    idx = InvertedTextIndex(
+        str(tmp_path / "tguard"), n_buckets=16, guard_duplicates=True
+    )
+    idx.build(docs.filter(F.col("doc_id") < 400))
+    before = _rows(idx.search(spark, TERMS, k=20))
+    # batch = 100% duplicates -> guard leaves an empty delta; only the
+    # replay pointer advances, no segment lands
+    v0 = idx.latest_version()
+    idx(docs.filter(F.col("doc_id") < 200), batch_id=1)
+    assert idx.latest_version() == v0 + 1
+    man_segs = idx._load_manifest(idx.latest_version())["segments"]
+    assert man_segs == idx._load_manifest(v0)["segments"]
+    assert _rows(idx.search(spark, TERMS, k=20)) == before
+
+    # mixed batch: only the genuinely-new ids are indexed
+    idx(docs.filter(F.col("doc_id") < 450), batch_id=2)
+    want = _rows(_fused_bm25(docs.filter(F.col("doc_id") < 450), TERMS, 20))
+    assert _rows(idx.search(spark, TERMS, k=20)) == want
+
+
+def test_unguarded_ingest_contract_is_documented(spark, docs, tmp_path):
+    """Default ingest is append-only by CONTRACT (no shuffle-per-batch
+    guard): re-ingesting a live id inflates statistics, which is why
+    the docstring forbids it — pin that the flag default is off so the
+    cost/semantics trade stays explicit."""
+    idx = InvertedTextIndex(str(tmp_path / "tng"), n_buckets=16)
+    assert idx.guard_duplicates is False
+
+
+def test_compact_with_everything_tombstoned_refuses_loudly(
+    spark, docs, tmp_path
+):
+    """ADVICE r10: compacting an index whose every doc is tombstoned
+    must raise the intended 'index is empty' error, not write empty
+    parquet that later fails schema inference — and the pre-compact
+    version must stay fully live (delete-then-compact is abortable)."""
+    idx = InvertedTextIndex(str(tmp_path / "tempty2"), n_buckets=16)
+    sub = docs.filter(F.col("doc_id") < 50)
+    idx.build(sub)
+    v_del = idx.delete(sub.select("doc_id"))
+    with pytest.raises(ValueError, match="empty after compaction"):
+        idx.compact(spark)
+    # aborted compact committed nothing: latest is still the delete
+    assert idx.latest_version() == v_del
+    with pytest.raises(ValueError, match="index is empty"):
+        idx.search(spark, TERMS, k=5)
