@@ -163,6 +163,8 @@ SIDE_EFFECTING = {
     "falcon_feed_http_demo",  # spins a fake HTTP feed + streaming query
     "falcon_feed_pipeline_timechart",  # fake feed + full streaming
     # parse/enrich pipeline into a memory sink
+    "rrf_index_hybrid_top10",  # builds BOTH persisted indexes (text +
+    # PQ) once; probe fetch + stats collects are bounded
 }
 
 

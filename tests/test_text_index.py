@@ -484,3 +484,62 @@ def test_compact_with_everything_tombstoned_refuses_loudly(
     assert idx.latest_version() == v_del
     with pytest.raises(ValueError, match="index is empty"):
         idx.search(spark, TERMS, k=5)
+
+
+def test_hybrid_index_plan_reads_neither_text_nor_raw_vectors(
+    spark, docs, tmp_path
+):
+    """Plan contract for rrf_index_hybrid_top10 (VERDICT r10 #2): the
+    fused hybrid plan's corpus-shaped inputs are the pruned posting
+    buckets, the narrow doc-length table, and the PQ codes — document
+    text is never scanned, and the only embeddings read is the single
+    pushed-filter probe fetch (vec_id = 0), never a corpus-wide vector
+    scan riding a distance shuffle."""
+    from cses2humio_spark.operators.ann_index import PQIndex
+    from cses2humio_spark.sources.catalog import load_table as _lt
+    from pyspark.sql.window import Window as _W
+
+    tidx = InvertedTextIndex(str(tmp_path / "thyb"), n_buckets=16)
+    tidx.build(docs)
+    emb = _lt(spark, SF_SMALL, "embeddings")
+    pidx = PQIndex(str(tmp_path / "phyb"), m=4, k_codes=16, dim=64)
+    pidx.build(emb)
+
+    lex60 = tidx.search(spark, TERMS, k=60)
+    w_lex = _W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    lex = (
+        lex60.withColumn("rl", F.row_number().over(w_lex))
+        .filter(F.col("rl") <= 50)
+        .select("doc_id", "rl")
+    )
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    vec = pidx.search(spark, probe, k=50).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").alias("rv")
+    )
+    fused = lex.join(vec, on="doc_id", how="full_outer")
+    rrf = F.coalesce(1.0 / (60 + F.col("rl")), F.lit(0.0)) + F.coalesce(
+        1.0 / (60 + F.col("rv")), F.lit(0.0)
+    )
+    out = (
+        fused.withColumn("__rrf", rrf)
+        .orderBy(F.col("__rrf").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # lexical arm: no document text, no corpus tokenize (the only
+    # explode in the plan is the PQ arm's 4-subvector probe-table
+    # build, which is bounded by the single probe)
+    assert "text" not in plan, plan[:3000]
+    # posting scan prunes on the tb partition column
+    assert "PartitionFilters: [tb" in plan, plan[:3000]
+    # ANN arm: every embeddings scan is the probe fetch with the
+    # vec_id filter pushed down — no corpus-wide raw-vector scan
+    emb_scan_lines = [
+        ln for ln in plan.splitlines() if "embeddings.parquet" in ln
+    ]
+    assert emb_scan_lines, plan[:3000]
+    assert all("vec_id" in ln for ln in emb_scan_lines), emb_scan_lines
+    # and the fused result is non-degenerate
+    assert out.count() == 10
