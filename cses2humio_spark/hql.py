@@ -590,24 +590,102 @@ def _now_column(now) -> Column:
     return F.lit(now).cast("timestamp")
 
 
-def _compile_filter(df: DataFrame, node, now=None) -> Column:
+class _FtxContext:
+    """Free-text index routing context: ``markers`` maps a lowercased
+    term to the boolean marker column its candidate semi-join produced;
+    ``text_col`` is the indexed column the markers replace."""
+
+    def __init__(self, text_col: str, markers: dict[str, str]):
+        self.text_col = text_col
+        self.markers = markers
+
+
+def _free_text_terms(node, out: set) -> None:
+    if isinstance(node, FreeText):
+        out.add(node.term.lower())
+    elif isinstance(node, (And, Or)):
+        for p in node.parts:
+            _free_text_terms(p, out)
+    elif isinstance(node, Not):
+        _free_text_terms(node.inner, out)
+
+
+def _route_free_text_stage(
+    df: DataFrame, node, index, now=None
+) -> DataFrame | None:
+    """Compile a filter stage with its free-text terms answered by the
+    standing ``InvertedTextIndex`` instead of a text-column scan.
+
+    Correctness is an identity, not a heuristic: the index tokenizes on
+    whitespace, so a substring occurrence of a WHITESPACE-FREE term lies
+    entirely inside one token (the occurrence contains no whitespace and
+    tokens are maximal non-whitespace runs) — hence ``lower(text)
+    contains term`` ⟺ some posting token of that doc contains the term.
+    Terms with embedded whitespace cannot use the identity; if any
+    appear, the whole stage falls back to the scan path (returns None).
+
+    Plan shape: per term, the postings are filtered on
+    ``lower(tok) contains term`` — token text is a few bytes/row versus
+    the document corpus, and the doc-text column is NEVER read — the
+    surviving doc_ids are distinct-ed and LEFT-joined onto the frame as
+    a boolean marker. The marker composes with and/or/not exactly like
+    the scan predicate (``coalesce(marker, false)``), other string
+    columns keep their substring scan (free-text searches EVERY string
+    column; the index only stands in for the indexed one), and the
+    markers are dropped before the stage returns, so downstream stages
+    and the output schema never see them."""
+    terms: set = set()
+    _free_text_terms(node, terms)
+    if not terms or any((not t) or re.search(r"\s", t) for t in terms):
+        return None
+    if index.id_col not in df.columns:
+        raise HqlSyntaxError(
+            f"text_index routing needs the frame to carry the index id "
+            f"column {index.id_col!r} (have: {', '.join(df.columns)})"
+        )
+    spark = df.sparkSession
+    post = index.read_postings(spark)
+    out = df
+    markers: dict[str, str] = {}
+    for i, t in enumerate(sorted(terms)):
+        mk = f"__hql_ftx{i}"
+        cand = (
+            post.filter(F.lower(F.col("tok")).contains(t))
+            .select(F.col("doc_id").alias(index.id_col))
+            .distinct()
+            .withColumn(mk, F.lit(True))
+        )
+        out = out.join(cand, on=index.id_col, how="left")
+        markers[t] = mk
+    ctx = _FtxContext(index.text_col, markers)
+    out = out.filter(_compile_filter(out, node, now, ftx=ctx))
+    return out.drop(*markers.values())
+
+
+def _compile_filter(df: DataFrame, node, now=None, ftx=None) -> Column:
     if isinstance(node, And):
-        col = _compile_filter(df, node.parts[0], now)
+        col = _compile_filter(df, node.parts[0], now, ftx)
         for p in node.parts[1:]:
-            col = col & _compile_filter(df, p, now)
+            col = col & _compile_filter(df, p, now, ftx)
         return col
     if isinstance(node, Or):
-        col = _compile_filter(df, node.parts[0], now)
+        col = _compile_filter(df, node.parts[0], now, ftx)
         for p in node.parts[1:]:
-            col = col | _compile_filter(df, p, now)
+            col = col | _compile_filter(df, p, now, ftx)
         return col
     if isinstance(node, Not):
-        return ~_compile_filter(df, node.inner, now)
+        return ~_compile_filter(df, node.inner, now, ftx)
     if isinstance(node, FreeText):
+        term = node.term.lower()
+        if ftx is not None and term in ftx.markers:
+            cond = F.coalesce(F.col(ftx.markers[term]), F.lit(False))
+            for c in _string_cols(df):
+                if c != ftx.text_col:
+                    cond = cond | F.lower(F.col(c)).contains(term)
+            return cond
         cols = _string_cols(df)
         if not cols:
             return F.lit(False)
-        term = node.term.lower()
         cond = F.lit(False)
         for c in cols:
             cond = cond | F.lower(F.col(c)).contains(term)
@@ -952,9 +1030,14 @@ def _compile_stage(
     tables: dict[str, DataFrame] | None = None,
     now=None,
     root: DataFrame | None = None,
+    text_index=None,
 ) -> DataFrame:
     tables = tables or {}
     if isinstance(node, (And, Or, Not, FreeText, Cmp)):
+        if text_index is not None:
+            routed = _route_free_text_stage(df, node, text_index, now)
+            if routed is not None:
+                return routed
         return df.filter(_compile_filter(df, node, now))
     if isinstance(node, Assign):
         return df.withColumn(node.name, _compile_arith(node.expr, df, now))
@@ -1823,6 +1906,7 @@ def hql(
     query: str,
     tables: dict[str, DataFrame] | None = None,
     now: str | None = None,
+    text_index: object | None = None,
 ) -> DataFrame:
     """Compile and apply an HQL pipe query to ``df``; returns the result
     DataFrame (lazily — nothing executes until an action). ``tables``
@@ -1837,7 +1921,17 @@ def hql(
     which would serialize the per-row fold on one core; at cluster
     scale the input already has enough splits and fan_out is a no-op.
     Filters still push — Catalyst moves predicates through the
-    round-robin repartition."""
+    round-robin repartition.
+
+    ``text_index`` (an ``operators.text_index.InvertedTextIndex`` whose
+    postings cover ``df``'s rows by the index's id column) routes bare
+    free-text terms through the STANDING index instead of substring-
+    scanning the text column — Humio's production promise that a search
+    hits an index, not the raw corpus (reference README.md:5-8). Output
+    is row-identical to the scan path by construction (see
+    ``_route_free_text_stage``); terms the index cannot answer
+    (whitespace inside the term) and free-text inside ``join({...})``
+    subqueries fall back to the scan transparently."""
     stages = parse(query)
     if _uses_expensive_eval(stages):
         from cses2humio_spark.sources.catalog import fan_out
@@ -1845,5 +1939,8 @@ def hql(
         df = fan_out(df)
     out = df
     for stage in stages:
-        out = _compile_stage(out, stage, tables or {}, now=now, root=df)
+        out = _compile_stage(
+            out, stage, tables or {}, now=now, root=df,
+            text_index=text_index,
+        )
     return out

@@ -1638,3 +1638,74 @@ def test_eval_geohash_function(spark):
     out = hql(df, "gh := geohash(lat, lng) | table([gh])").collect()
     assert out[0]["gh"] == "u4pruydq"
     assert out[1]["gh"] is None
+
+
+# --- index-routed free-text (text_index=) ---------------------------------
+
+
+class TestIndexedFreeText:
+    @pytest.fixture()
+    def idx_docs(self, spark, tmp_path_factory):
+        from cses2humio_spark.operators.text_index import InvertedTextIndex
+
+        docs = load_table(spark, SF_SMALL, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        d = tmp_path_factory.mktemp("hql_ftx")
+        idx = InvertedTextIndex(str(d), n_buckets=16)
+        idx.build(docs)
+        return idx, docs
+
+    @pytest.mark.parametrize(
+        "q",
+        [
+            "spark | groupBy(lang)",
+            "spark",
+            "not spark",
+            "spark and not join | groupBy(lang)",
+            "spark or window | groupBy(lang)",
+            # term that also hits the OTHER string column (lang='de'):
+            # the index answers the text arm, the scan keeps lang
+            "de | groupBy(lang)",
+            "spark lang = en | groupBy(lang)",  # implicit AND w/ Cmp
+        ],
+    )
+    def test_index_path_row_identical_to_scan_path(self, spark, idx_docs, q):
+        idx, docs = idx_docs
+        routed = sorted(map(tuple, hql(docs, q, text_index=idx).collect()))
+        scanned = sorted(map(tuple, hql(docs, q).collect()))
+        assert routed == scanned and routed
+
+    def test_routed_plan_never_reads_document_text(self, spark, idx_docs):
+        idx, docs = idx_docs
+        out = hql(docs, "spark | groupBy(lang)", text_index=idx)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        doc_scans = [
+            ln for ln in plan.splitlines() if "documents.parquet" in ln
+        ]
+        assert doc_scans
+        for ln in doc_scans:
+            assert "text" not in ln.split("ReadSchema:")[-1], ln
+        # markers never leak into the output schema
+        assert not [c for c in out.columns if c.startswith("__hql_ftx")]
+
+    def test_whitespace_term_falls_back_to_scan(self, spark, idx_docs):
+        idx, docs = idx_docs
+        # a quoted phrase cannot use the one-token identity: the stage
+        # must fall back to the scan path (and still be correct)
+        q = '"spark join" | groupBy(lang)'
+        routed = hql(docs, q, text_index=idx)
+        plan = routed._jdf.queryExecution().executedPlan().toString()
+        assert any(
+            "text" in ln.split("ReadSchema:")[-1]
+            for ln in plan.splitlines()
+            if "documents.parquet" in ln
+        ), plan[:2000]
+        assert sorted(map(tuple, routed.collect())) == sorted(
+            map(tuple, hql(docs, q).collect())
+        )
+
+    def test_missing_id_column_is_loud(self, spark, idx_docs):
+        idx, docs = idx_docs
+        with pytest.raises(HqlSyntaxError, match="id column"):
+            hql(docs.drop("doc_id"), "spark", text_index=idx).collect()

@@ -165,6 +165,7 @@ SIDE_EFFECTING = {
     # parse/enrich pipeline into a memory sink
     "rrf_index_hybrid_top10",  # builds BOTH persisted indexes (text +
     # PQ) once; probe fetch + stats collects are bounded
+    "hql_indexed_free_text",  # shares the persisted text-index build
 }
 
 
