@@ -513,7 +513,8 @@ _STAGE_FUNCS = {
     "default", "rename", "drop", "replace", "concat", "format",
     "splitString", "split", "stddev", "bucket", "join", "window", "tail",
     "collect", "parseTimestamp", "kvParse", "parseUrl", "parseCsv",
-    "parseXml", "cidr", "parseCef", "parseLeef",
+    "parseXml", "cidr", "parseCef", "parseLeef", "selfJoinFilter",
+    "series",
 }
 
 _SPANS = {"s": "second", "m": "minute", "h": "hour", "d": "day", "w": "week"}
@@ -1390,6 +1391,125 @@ def _compile_stage(
             raise HqlSyntaxError("session(...) requires by=<series key>")
         ts_col = node.kwargs.get("timefield", "ts")
         return sessionize(df, by, ts_col, gap)
+    if name == "selfJoinFilter":
+        # LogScale selfJoinFilter(): the two-pass same-field correlation
+        # filter — keep every event whose join-key value has at least
+        # one event matching EACH where clause ("emails with both a
+        # from=peter event and a to=anders event"). LogScale documents
+        # it as multiple passes over the data; the Spark shape is ONE
+        # aggregation pass computing per-key match flags (map-side
+        # partial aggs — a clause match collapses to one bit per key
+        # before the shuffle) plus a semi-join of the frame against the
+        # qualified keys: at 100 TB this shuffles (key, flags) rows
+        # once, never a second corpus scan per clause. Null keys never
+        # qualify (equi-semi-join semantics — same as LogScale's
+        # field-must-exist rule).
+        fields = _as_list(node.kwargs.get("field", []))
+        wheres = _as_list(node.kwargs.get("where", []))
+        if not fields or not wheres:
+            raise HqlSyntaxError(
+                "selfJoinFilter(field=[...], where=[{...}, ...]) "
+                "requires both field= and where="
+            )
+        conds = []
+        for sub in wheres:
+            if not isinstance(sub, Subquery):
+                raise HqlSyntaxError(
+                    "selfJoinFilter where= entries must be {filter} "
+                    "clauses"
+                )
+            c = None
+            for st in sub.stages:
+                if not isinstance(st, (And, Or, Not, FreeText, Cmp)):
+                    raise HqlSyntaxError(
+                        "selfJoinFilter where clauses must be pure "
+                        "filters (aggregating stages cannot define a "
+                        "per-event match)"
+                    )
+                cc = _compile_filter(df, st, now)
+                c = cc if c is None else c & cc
+            conds.append(c)
+        flags = [
+            F.max(F.when(c, F.lit(1)).otherwise(F.lit(0))).alias(
+                f"__sjf{i}"
+            )
+            for i, c in enumerate(conds)
+        ]
+        qualified = df.groupBy(*[F.col(f) for f in fields]).agg(*flags)
+        keep = F.lit(True)
+        for i in range(len(conds)):
+            keep = keep & (F.col(f"__sjf{i}") == 1)
+        qualified = qualified.filter(keep).select(*fields)
+        return df.join(qualified, on=fields, how="left_semi")
+    if name == "series":
+        # LogScale series(): the gap-tolerant per-key sequence builder —
+        # split each series key's events into runs wherever the gap to
+        # the previous event exceeds maxpause, then collect the selected
+        # fields' values in event-time order into ONE row per run
+        # (key, _run, _start, _end, _events, <field sequences>).
+        # Run assignment is the same lag+cumsum shape as session();
+        # sequences are sort_array(collect_list(struct(ts, value)))
+        # folded to a separator-joined string — pure codegen, one
+        # shuffle on the series key, and the shuffle carries only the
+        # selected fields, never whole events. Determinism under tied
+        # timestamps: the struct sort tie-breaks on the value itself,
+        # and tied rows always land in the same run (their gap is 0
+        # regardless of tie order). _start/_end are epoch seconds
+        # (bigint) — the engine-wide cross-engine timestamp contract.
+        fields = _as_list(node.args[0]) if node.args else []
+        by = _as_list(node.kwargs.get("by", []))
+        if not fields or not by:
+            raise HqlSyntaxError(
+                "series([fields], by=[keys], maxpause=...) requires "
+                "the collected fields and by="
+            )
+        gap = _span_to_seconds(node.kwargs.get("maxpause", "15m"))
+        ts_col = node.kwargs.get("timefield", "ts")
+        sep = str(node.kwargs.get("separator", ";"))
+        from pyspark.sql.window import Window as _W
+
+        w = _W.partitionBy(*[F.col(k) for k in by]).orderBy(
+            F.col(ts_col).asc()
+        )
+        tsec = F.col(ts_col).cast("timestamp").cast("long")
+        prev = F.lag(tsec).over(w)
+        newrun = F.when(
+            prev.isNull() | ((tsec - prev) > F.lit(gap)), F.lit(1)
+        ).otherwise(F.lit(0))
+        runs = df.withColumn("__sr_new", newrun).withColumn(
+            "__sr_id",
+            F.sum("__sr_new").over(
+                w.rowsBetween(_W.unboundedPreceding, 0)
+            ),
+        )
+        seqs = [
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(ts_col).alias("t"),
+                                F.col(f).cast("string").alias("v"),
+                            )
+                        )
+                    ),
+                    lambda x: x["v"],
+                ),
+                sep,
+            ).alias(f)
+            for f in fields
+        ]
+        return (
+            runs.groupBy(*[F.col(k) for k in by], F.col("__sr_id"))
+            .agg(
+                F.count(F.lit(1)).alias("_events"),
+                F.min(tsec).alias("_start"),
+                F.max(tsec).alias("_end"),
+                *seqs,
+            )
+            .withColumn("_run", F.col("__sr_id").cast("int"))
+            .drop("__sr_id")
+        )
     if name == "dedup":
         # LogScale-style dedup: keep one row per key combo, chosen by the
         # ``order`` columns (default: latest by ts) — row_number window,

@@ -1362,3 +1362,73 @@ def hql_indexed_free_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "lang"
     )
     return hql(docs, "spark | groupBy(lang)", text_index=idx)
+
+
+@query(
+    "hql_selfjoinfilter_error_purchasers",
+    oracle="""
+    SELECT event_type, COUNT(*) AS _count
+    FROM events
+    WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'error')
+      AND user_id IN (SELECT user_id FROM events
+                      WHERE event_type = 'purchase')
+    GROUP BY event_type
+    """,
+)
+def hql_selfjoinfilter_error_purchasers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``selfJoinFilter()`` (VERDICT r10 #8) — LogScale's two-pass
+    same-field correlation filter: keep every event whose user_id has
+    BOTH an error event and a purchase event somewhere in the frame,
+    then profile what those users' full event streams look like.
+    LogScale documents the operator as multiple passes; the compiled
+    plan is one flag-aggregation over the key (map-side partial
+    collapses each clause to a bit per key before the shuffle) plus a
+    semi-join — the oracle states the same correlation as two IN
+    subqueries."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(
+        ev,
+        "selfJoinFilter(field=[user_id], where=[{event_type = error}, "
+        "{event_type = purchase}]) | groupBy(event_type)",
+    )
+
+
+@query(
+    "hql_series_user_journeys",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, ts,
+                      CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsec
+               FROM events WHERE user_id < 30),
+    l AS (SELECT *, LAG(tsec) OVER (PARTITION BY user_id ORDER BY ts)
+                      AS prev FROM e),
+    f AS (SELECT *, CASE WHEN prev IS NULL OR tsec - prev > 1800
+                         THEN 1 ELSE 0 END AS nf FROM l),
+    r AS (SELECT *, SUM(nf) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS rid
+          FROM f)
+    SELECT user_id,
+           COUNT(*) AS _events,
+           MIN(tsec) AS _start,
+           MAX(tsec) AS _end,
+           STRING_AGG(event_type, ';' ORDER BY ts, event_type)
+             AS event_type,
+           CAST(rid AS INT) AS _run
+    FROM r GROUP BY user_id, rid
+    """,
+)
+def hql_series_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``series()`` (VERDICT r10 #8) — the gap-tolerant per-series
+    sequence builder: each user's events split into runs wherever the
+    inter-event gap exceeds 30 minutes, each run collapsed to one row
+    carrying the ordered event-type sequence (';'-joined), run bounds
+    as epoch seconds, and the event count. The oracle restates the
+    lag+cumsum run assignment and orders its STRING_AGG by (ts, value)
+    — exactly the engine's struct-sort tie-break, so sequences are
+    string-identical under tied timestamps."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(
+        ev,
+        "user_id < 30 | series([event_type], by=[user_id], maxpause=30m)",
+    )

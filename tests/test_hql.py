@@ -1709,3 +1709,85 @@ class TestIndexedFreeText:
         idx, docs = idx_docs
         with pytest.raises(HqlSyntaxError, match="id column"):
             hql(docs.drop("doc_id"), "spark", text_index=idx).collect()
+
+
+# --- selfJoinFilter / series ----------------------------------------------
+
+
+class TestSelfJoinFilterAndSeries:
+    def test_parse_selfjoinfilter(self):
+        [st] = parse(
+            "selfJoinFilter(field=[user_id], where=[{event_type = error}, "
+            "{event_type = purchase}])"
+        )
+        assert st.name == "selfJoinFilter"
+        assert st.kwargs["field"] == ["user_id"]
+        assert len(st.kwargs["where"]) == 2
+
+    def test_selfjoinfilter_matches_handwritten(self, spark):
+        ev = load_table(spark, SF_SMALL, "events")
+        got = hql(
+            ev,
+            "selfJoinFilter(field=[user_id], where=[{event_type = error},"
+            " {event_type = purchase}])",
+        )
+        err = ev.filter(F.col("event_type") == "error").select("user_id")
+        pur = ev.filter(F.col("event_type") == "purchase").select("user_id")
+        want = ev.join(err.distinct(), "user_id", "left_semi").join(
+            pur.distinct(), "user_id", "left_semi"
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        assert got.count() > 0
+
+    def test_selfjoinfilter_rejects_aggregating_clause(self, spark):
+        ev = load_table(spark, SF_SMALL, "events")
+        with pytest.raises(HqlSyntaxError, match="pure"):
+            hql(
+                ev,
+                "selfJoinFilter(field=[user_id], where=[{groupBy("
+                "event_type)}])",
+            )
+
+    def test_series_builds_gap_tolerant_runs(self, spark):
+        ev = load_table(spark, SF_SMALL, "events")
+        out = hql(
+            ev,
+            "user_id < 5 | series([event_type], by=[user_id], "
+            "maxpause=30m)",
+        )
+        rows = out.collect()
+        assert rows
+        assert set(out.columns) == {
+            "user_id", "_run", "_start", "_end", "_events", "event_type",
+        }
+        for r in rows:
+            # sequence length always equals the run's event count
+            assert len(r["event_type"].split(";")) == r["_events"]
+            assert r["_start"] <= r["_end"]
+        # runs tile each user's events exactly
+        total = sum(r["_events"] for r in rows)
+        assert total == ev.filter(F.col("user_id") < 5).count()
+        # maxpause honored: consecutive runs of one user are separated
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r["user_id"], []).append(r)
+        for runs in by_user.values():
+            runs.sort(key=lambda r: r["_run"])
+            for a, b in zip(runs, runs[1:]):
+                assert b["_start"] - a["_end"] > 1800
+
+    def test_selfjoinfilter_and_series_plans_are_udf_free(self, spark):
+        ev = load_table(spark, SF_SMALL, "events")
+        for q in [
+            "selfJoinFilter(field=[user_id], where=[{event_type = "
+            "error}, {event_type = purchase}])",
+            "user_id < 5 | series([event_type], by=[user_id], "
+            "maxpause=30m)",
+        ]:
+            plan = (
+                hql(ev, q)._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "BatchEvalPython" not in plan, (q, plan[:1500])
+            assert "PythonUDF" not in plan, (q, plan[:1500])
