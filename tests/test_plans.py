@@ -166,6 +166,8 @@ SIDE_EFFECTING = {
     "rrf_index_hybrid_top10",  # builds BOTH persisted indexes (text +
     # PQ) once; probe fetch + stats collects are bounded
     "hql_indexed_free_text",  # shares the persisted text-index build
+    "feed_admission_index_pipeline",  # fake feed + full streaming
+    # admission -> text-index ingest -> search composition
 }
 
 
