@@ -16,6 +16,12 @@ ENV PYTHONUNBUFFERED=1
 COPY pyproject.toml README.md ./
 COPY cses2humio_spark ./cses2humio_spark
 
+# Installs the pinned runtime deps INCLUDING protobuf — the
+# transformWithStateInPandas state-server protocol needs it, and the
+# build sandbox image lacks it (its two tests importorskip there; an
+# image built from THIS file runs them). No network in the sandbox and
+# pip installs are disallowed, so the pin lives here and in
+# pyproject.toml rather than being vendored into the tree.
 RUN pip3 install --no-cache-dir .
 
 ENTRYPOINT [ "cses2humio-spark" ]

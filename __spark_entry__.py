@@ -27,63 +27,88 @@ def entry(spark: SparkSession) -> DataFrame:
 # the window are covered at the judge-verified tail; the remaining
 # entries follow in module order.
 _PRIORITY = [
-    # log/event surface (SURVEY §2.2 Humio-analog rows) — r10: the
-    # never-driver-checked hql_* families rotate in
-    "hql_error_timechart",
-    "hql_top_purchasers",
-    "hql_session_stats",
-    "hql_match_lookup_revenue",
-    "hql_tail_latest_events",
-    "hql_parse_url",
-    "hql_parse_xml",
-    "hql_percentiles_by_priority",
-    "hql_dense_timechart_errors",
-    "hql_dedup_latest_event",
-    # LLM-pipeline operators
-    "crawl_admission_decisions",
-    "decontaminating_admission_decisions",
-    "vector_admission_decisions",
-    "minhash_index_candidates",
-    "eval_contamination_stats",
-    "source_overlap_matrix",
-    "udtf_token_stats",
-    "user_gap_stats_grouped_map",
-    "token_budget_selection",
-    "bpe_pack_assignments",
-    "embedding_quantization_error",
-    "weighted_sample_per_source",
-    "bm25_index_search",
-    "phrase_index_search",
-    "ivfpq_index_search",
-    # multimodal decoders (never-checked codec slots)
-    "wav_decode_stats",
-    "tga_decode_stats",
-    "bmp_decode_stats",
-    # connector semantics
-    "connector_enrich_envelope_variant",
-    "connector_static_metadata",
-    "falcon_feed_http_demo",
-    # relational core — one per operator family
-    "pricing_summary",
-    "revenue_by_nation",
-    "brand_revenue_broadcast",
-    "not_in_customers_outside_region",
-    "full_outer_nation_activity",
-    "events_range_self_join",
-    "asof_order_with_staleness_bound",
-    "distinct_users_per_type",
-    "lateral_top_orders_per_segment",
-    "rollup_returns",
-    "collect_statuses_per_priority",
-    "global_math_stats",
-    "order_timeline_analytics",
-    "customer_running_total",
-    "cdc_upsert_latest_state",
-    "top3_orders_per_customer",
-    "setop_intersect_all_priorities",
-    "sql_exists_and_scalar_subquery",
-    "holt_winters_hourly_baseline",
+    # round-11 additions — the five NEW queries land in the window the
+    # round they are registered (index-backed hybrid retrieval,
+    # index-routed HQL free-text, the selfJoinFilter/series stages, and
+    # the composed feed->admission->index->search pipeline)
+    "feed_admission_index_pipeline",
+    "rrf_index_hybrid_top10",
+    "hql_indexed_free_text",
+    "hql_selfjoinfilter_error_purchasers",
+    "hql_series_user_journeys",
+    # the r10-verdict-named never-checked pool: the nine TPC-H-shaped
+    # relational queries that are the core of any analytics engine's
+    # credibility (VERDICT r10 #1)
+    "market_share_by_year",
+    "top_revenue_supplier",
+    "promo_revenue_ratio",
+    "part_value_concentration",
+    "priority_line_counts",
+    "order_count_distribution",
+    "small_quantity_avg_yearly",
+    "disjunctive_brand_revenue",
+    "returned_item_losses",
+    # the r10 stragglers named in the same verdict item
+    "decontaminating_vector_admission",
+    "prefix_index_search",
+    "falcon_feed_pipeline_timechart",
+    "rollup_materialized_counts",
+    "hql_materialized_search_table",
+    "timechart_errors_partitioned",
+    # the round-4 hql_* wave (never driver-checked; every one exercises
+    # the filter-compile path the r11 index-routing change touched)
+    "hql_free_text_groupby",
+    "hql_eval_sort_select",
+    "hql_regex_extract_groupby",
+    "hql_parsejson_eval",
+    "hql_in_filter_groupby",
+    "hql_distinct_count_by_type",
+    "hql_timechart_avg_by_type",
+    "hql_case_severity_bands",
+    "hql_replace_redact_digits",
+    "hql_split_tokens_top10",
+    "hql_stddev_value_by_type",
+    "hql_bucket_value_histogram",
+    "hql_format_time_daily_users",
+    "hql_join_subquery_error_purchasers",
+    "hql_window_moving_avg",
+    "hql_collect_users_per_type",
+    "hql_anti_join_error_free_purchasers",
+    "hql_top_with_percent",
+    "hql_parse_csv",
+    "hql_cidr_filter",
+    # never-checked representatives from the remaining families
+    "funnel_conversion",
+    "weekly_retention",
+    "event_transition_matrix",
+    "cidr_subnet_traffic",
+    "doc_quality_scores",
+    "language_id_confusion",
+    "minhash_candidates",
+    "cosine_topk_lsh",
+    "ivf_topk",
+    "deterministic_split_counts",
 ]
+# Round-11 window refresh (VERDICT r10 #1 — 112 of 275 registered
+# queries had never been driver-checked): ALL FIFTY slots are
+# first-time entries. Rotated OUT: the entire r10 window (all fifty
+# r10-driver-green; their families stay covered at the judge-verified
+# tail, and the code paths this round CHANGED are all exercised by
+# in-window first-timers — the hql filter-compile change by the twenty
+# hql_* slots, the text-index changes by prefix_index_search +
+# rrf_index_hybrid_top10 + hql_indexed_free_text +
+# feed_admission_index_pipeline, the admission composition by
+# decontaminating_vector_admission + feed_admission_index_pipeline).
+# Rotated IN: the five new r11 queries, the nine TPC-H-shaped
+# relational queries the verdict front-loaded, the six named r10
+# stragglers, the full round-4 hql_* wave (20), and ten never-checked
+# representatives of the mining/LLM/set-split families. Every entry was
+# re-verified against its oracle in a fresh vanilla session at sf0.01
+# before this rotation landed. Remaining never-driver-checked pool for
+# the r12 rotation: ~67 queries (sessionize_users_bucketed,
+# hot_user_events_salted, the parse/url/xml/csv fused twins, the drift
+# family variants, the profiling family, the round-3 sketch family,
+# and the rest of the round-4 hql second half).
 # Round-10 second wave: the two NEW text-index queries
 # (bm25_index_search, phrase_index_search — never driver-checked;
 # verified vanilla at sf0.01 AND sf0.1 when added) take the slots of
