@@ -108,6 +108,15 @@ HEADLINE = [
     # reflects the pruned posting-list search path)
     "phrase_index_search",  # positional-index exact phrase adjacency
     "prefix_index_search",  # wildcard s* via StartsWith pushdown
+    # round 11: new families promoted to the timed surface (no standing
+    # baseline yet — their first accepted bench becomes it)
+    "rrf_index_hybrid_top10",  # hybrid fusion on BOTH persisted indexes
+    "hql_indexed_free_text",  # free-text routed through posting lists
+    "hql_selfjoinfilter_error_purchasers",  # flag-agg + semi-join correlation
+    "hql_series_user_journeys",  # gap-tolerant per-key sequence builder
+    "feed_admission_index_pipeline",  # feed -> admission -> index -> search
+    # (streaming job + fresh per-run indexes: the whole composition is
+    # ON the clock by design — it measures the end-to-end pipeline wall)
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
@@ -186,11 +195,13 @@ STANDING_BASELINE_SF01 = {
     "vector_admission_decisions": 5.56,
     "decontaminating_admission_decisions": 9.556,
     "decontaminating_vector_admission": 5.812,
-    # round-10 second wave: first accepted bench (closing battery @
-    # ac4ec5f, steal share 0.339 — small queries, noise-tolerant)
-    "bm25_index_search": 0.845,
-    "phrase_index_search": 0.518,
-    "prefix_index_search": 0.287,
+    # round-11 quiet-box refresh (ADVICE r10 #3): the r10 first
+    # standings came from a steal-share-0.339 battery; re-timed
+    # isolated, min-of-four, steal share 0.0004 — slightly higher and
+    # more trustworthy floors (BASELINE.md §Round-11)
+    "bm25_index_search": 0.895,
+    "phrase_index_search": 0.551,
+    "prefix_index_search": 0.325,
     "vocab_apply_oov_rate": 0.53,
     "weighted_sample_top100": 0.174,
 }
