@@ -53,16 +53,12 @@ def main() -> None:
         ("small", docs.filter(F.col("doc_id") < n - 500)),
         ("big", big),
     )
-    for name, corpus in corpora:
-        tag = f"{name}({corpus.count()})"  # measured, not claimed
-        d = os.path.join(scratch, tag.split("(")[0])
-        idx = MinHashIndex(d)
-        idx.build(corpus)
-        best = None
-        rows = None
+
+    def timed(idx, corpus, label, **kw):
+        best, rows = None, None
         for _ in range(2):  # min-of-two (suite standard)
             t0 = time.perf_counter()
-            dec = idx.admit_batch(batch, corpus)
+            dec = idx.admit_batch(batch, corpus, **kw)
             counts = {
                 r["reason"]: r["n"]
                 for r in dec.groupBy("reason")
@@ -73,11 +69,59 @@ def main() -> None:
             best = dt if best is None or dt < best else best
             rows = counts
             spark.catalog.clearCache()
-        print(
-            f"ADMIT| index={tag}: admit_batch(500 docs) min-wall={best:.2f}s "
-            f"decisions={rows}",
-            flush=True,
+        print(f"ADMIT| {label} min-wall={best:.2f}s decisions={rows}",
+              flush=True)
+
+    indexes: dict[str, MinHashIndex] = {}
+    for name, corpus in corpora:
+        tag = f"{name}({corpus.count()})"  # measured, not claimed
+        d = os.path.join(scratch, name)
+        idx = MinHashIndex(d)
+        idx.build(corpus)
+        indexes[name] = idx
+        timed(idx, corpus, f"index={tag}: admit_batch(500 docs)")
+
+    # --- round 11 (VERDICT r10 #6): the COMPOSED decision ------------
+    # decontaminating admission = admit_batch + the eval 8-gram gate.
+    # Two curves: (a) eval suite FIXED, corpus 10x — the eval broadcast
+    # is bounded by the eval side, so the composed decision must stay
+    # flat in corpus size like the plain decision; (b) corpus FIXED,
+    # eval suite ~10x — the new term's own scaling, expected to grow
+    # with eval fingerprint count (distinct-8gram build + broadcast)
+    # but never with the corpus.
+    eval_small = docs.filter(
+        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") < n - 500)
+    )
+    eval_big = big.filter(F.col("doc_id") % 7 == 0)
+    gate = dict(contamination_threshold=0.5, eval_n=8)
+    for name, corpus in corpora:
+        timed(
+            indexes[name], corpus,
+            f"composed: corpus={name}({corpus.count()}) "
+            f"eval=small({eval_small.count()})",
+            eval_docs=eval_small, **gate,
         )
+    small_corpus = corpora[0][1]
+    timed(
+        indexes["small"], small_corpus,
+        f"composed: corpus=small eval=big({eval_big.count()})",
+        eval_docs=eval_big, **gate,
+    )
+    # eval=big covers the batch texts (the x10 growth copies every
+    # original), so the run above demonstrates the contaminated
+    # SHORT-CIRCUIT (everything gated before signing). For the clean
+    # eval-size curve, exclude copies of the batch ids so the decision
+    # mix matches the eval=small run: shift = max(doc_id)+1 in grow().
+    shift = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    eval_big_clean = big.filter(
+        (F.col("doc_id") % 7 == 0)
+        & (F.pmod(F.col("doc_id"), F.lit(shift)) < n - 500)
+    )
+    timed(
+        indexes["small"], small_corpus,
+        f"composed: corpus=small eval=big_clean({eval_big_clean.count()})",
+        eval_docs=eval_big_clean, **gate,
+    )
 
 
 if __name__ == "__main__":
