@@ -1805,21 +1805,45 @@ def _compile_stage(
         from pyspark.sql.window import Window as _W
 
         funcs = _as_list(node.kwargs.get("function", []))
-        n_rows = int(node.kwargs.get("n", 10))
         by = _as_list(node.kwargs.get("by", []))
         if not funcs or not by:
             raise HqlSyntaxError(
-                "window(function=[agg(field)], n=N, by=key) requires "
-                "function= and by="
+                "window(function=[agg(field)], n=N | span=DUR, by=key) "
+                "requires function= and by="
             )
-        if n_rows < 1:
-            raise HqlSyntaxError(f"window n must be >= 1, got {n_rows}")
-        order = _as_list(node.kwargs.get("order", ["ts"]))
-        w = (
-            _W.partitionBy(*[F.col(k) for k in by])
-            .orderBy(*[F.col(o).asc() for o in order])
-            .rowsBetween(-(n_rows - 1), 0)
-        )
+        span = node.kwargs.get("span")
+        if span is not None and "n" in node.kwargs:
+            raise HqlSyntaxError(
+                "window(): pass n= (trailing rows) OR span= (trailing "
+                "time), not both"
+            )
+        if span is not None:
+            # LogScale's default window mode: the trailing time span per
+            # series. RANGE frame over epoch seconds [t-span+1, t] — a
+            # range frame includes EVERY row tied on the order value, so
+            # no tiebreak column is needed (strictly more deterministic
+            # than the rows frame); one shuffle on the series key.
+            secs = _span_to_seconds(str(span))
+            tfield = node.kwargs.get("timefield", "ts")
+            w = (
+                _W.partitionBy(*[F.col(k) for k in by])
+                .orderBy(
+                    F.col(tfield).cast("timestamp").cast("long").asc()
+                )
+                .rangeBetween(-(secs - 1), 0)
+            )
+        else:
+            n_rows = int(node.kwargs.get("n", 10))
+            if n_rows < 1:
+                raise HqlSyntaxError(
+                    f"window n must be >= 1, got {n_rows}"
+                )
+            order = _as_list(node.kwargs.get("order", ["ts"]))
+            w = (
+                _W.partitionBy(*[F.col(k) for k in by])
+                .orderBy(*[F.col(o).asc() for o in order])
+                .rowsBetween(-(n_rows - 1), 0)
+            )
         out = df
         for c in funcs:
             if not isinstance(c, Call):

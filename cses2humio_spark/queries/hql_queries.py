@@ -1432,3 +1432,37 @@ def hql_series_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         "user_id < 30 | series([event_type], by=[user_id], maxpause=30m)",
     )
+
+
+@query(
+    "hql_window_time_moving_avg",
+    oracle="""
+    WITH p AS (SELECT *, CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsec
+               FROM events WHERE event_type = 'purchase'),
+    w AS (SELECT event_id,
+            CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER win AS DOUBLE)
+            / COUNT(value) OVER win AS _avg,
+            COUNT(*) OVER win AS _count
+          FROM p
+          WINDOW win AS (PARTITION BY user_id ORDER BY tsec
+                         RANGE BETWEEN 1799 PRECEDING AND CURRENT ROW))
+    SELECT event_id, _avg, CAST(_count AS BIGINT) AS _count
+    FROM w ORDER BY event_id ASC LIMIT 100
+    """,
+)
+def hql_window_time_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``window(span=)`` — LogScale's DEFAULT window mode, the trailing
+    TIME span per series (here: each purchase's average value over the
+    user's last 30 minutes of purchases). A RANGE frame over epoch
+    seconds includes every row tied on the boundary regardless of
+    partition order, so unlike the rows frame no tiebreak column is
+    needed; exact decimal sums inside the frame keep the average
+    partition-order independent."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(
+        ev,
+        "event_type = purchase "
+        "| window(function=[avg(value), count()], span=30m, by=user_id) "
+        "| select([event_id, _avg, _count]) "
+        "| sort([event_id], order=asc, limit=100)",
+    )

@@ -1791,3 +1791,47 @@ class TestSelfJoinFilterAndSeries:
             )
             assert "BatchEvalPython" not in plan, (q, plan[:1500])
             assert "PythonUDF" not in plan, (q, plan[:1500])
+
+
+class TestWindowSpan:
+    def test_span_matches_handwritten_range_frame(self, spark):
+        from pyspark.sql.window import Window as W
+
+        ev = load_table(spark, SF_SMALL, "events").filter(
+            F.col("event_type") == "purchase"
+        )
+        got = hql(
+            ev,
+            "window(function=[avg(value), count()], span=30m, by=user_id)",
+        ).select("event_id", "_avg", "_count")
+        tsec = F.col("ts").cast("timestamp").cast("long")
+        w = (
+            W.partitionBy("user_id")
+            .orderBy(tsec.asc())
+            .rangeBetween(-1799, 0)
+        )
+        want = ev.select(
+            "event_id",
+            (
+                F.sum(F.col("value").cast("decimal(28,6)")).over(w)
+                .cast("double")
+                / F.count("value").over(w)
+            ).alias("_avg"),
+            F.count(F.lit(1)).over(w).alias("_count"),
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+    def test_span_and_n_are_exclusive(self, spark):
+        ev = load_table(spark, SF_SMALL, "events")
+        with pytest.raises(HqlSyntaxError, match="not both"):
+            hql(ev, "window(function=[count()], n=5, span=30m, by=user_id)")
+
+    def test_span_plan_is_udf_free(self, spark):
+        ev = load_table(spark, SF_SMALL, "events")
+        plan = (
+            hql(ev, "window(function=[count()], span=1h, by=user_id)")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
