@@ -114,6 +114,7 @@ HEADLINE = [
     "hql_indexed_free_text",  # free-text routed through posting lists
     "hql_selfjoinfilter_error_purchasers",  # flag-agg + semi-join correlation
     "hql_series_user_journeys",  # gap-tolerant per-key sequence builder
+    "hql_window_time_moving_avg",  # RANGE-frame trailing time span
     "feed_admission_index_pipeline",  # feed -> admission -> index -> search
     # (streaming job + fresh per-run indexes: the whole composition is
     # ON the clock by design — it measures the end-to-end pipeline wall)
@@ -204,6 +205,16 @@ STANDING_BASELINE_SF01 = {
     "prefix_index_search": 0.325,
     "vocab_apply_oov_rate": 0.53,
     "weighted_sample_top100": 0.174,
+    # round-11 first standings: isolated quiet-box run (steal share
+    # 0.018), min of four with System.gc() between, index builds and
+    # one sf0.1 warm pass off-clock; the same-round full battery
+    # reproduced each within noise (BASELINE.md §Round-11)
+    "rrf_index_hybrid_top10": 1.576,
+    "hql_indexed_free_text": 0.552,
+    "hql_selfjoinfilter_error_purchasers": 0.49,
+    "hql_series_user_journeys": 0.506,
+    "hql_window_time_moving_avg": 0.599,
+    "feed_admission_index_pipeline": 23.03,
 }
 
 
