@@ -116,7 +116,8 @@ HEADLINE = [
     "hql_series_user_journeys",  # gap-tolerant per-key sequence builder
     "hql_window_time_moving_avg",  # RANGE-frame trailing time span
     "feed_admission_index_pipeline",  # feed -> admission -> index -> search
-    # (streaming job + fresh per-run indexes: the whole composition is
+    "feed_vector_admission_ann_pipeline",  # the vector twin of the above
+    # (streaming jobs + fresh per-run indexes: the whole composition is
     # ON the clock by design — it measures the end-to-end pipeline wall)
 ]
 
@@ -215,6 +216,7 @@ STANDING_BASELINE_SF01 = {
     "hql_series_user_journeys": 0.506,
     "hql_window_time_moving_avg": 0.599,
     "feed_admission_index_pipeline": 23.03,
+    "feed_vector_admission_ann_pipeline": 15.244,
 }
 
 

@@ -914,3 +914,248 @@ def feed_admission_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         srv.stop()
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def _vec_pipeline_oracle() -> str:
+    from cses2humio_spark.queries.llm import (
+        _DOUBLE_VEC,
+        _cos_sql,
+        _dot_sql,
+        _l2sq_sql,
+        _planes_values_sql,
+    )
+
+    return f"""
+    WITH RECURSIVE
+    ev AS (SELECT vec_id, {_DOUBLE_VEC} AS v FROM embeddings
+           WHERE vec_id < 1000),
+    prm AS (SELECT w, GREATEST(1, 60 // w) AS b FROM (
+              SELECT LEAST(GREATEST(4,
+                       CAST(CEIL(LOG2(GREATEST(COUNT(*) / 128.0, 2.0))) AS BIGINT)),
+                     60) AS w
+              FROM ev WHERE vec_id % 5 != 3) t),
+    bplanes AS (SELECT pid, pv FROM (VALUES {_planes_values_sql(64, 60)}) AS t(pid, pv)),
+    idx AS (SELECT vec_id FROM ev WHERE vec_id % 5 != 3),
+    batch AS (SELECT vec_id FROM ev
+              WHERE vec_id % 5 = 3 OR vec_id % 10 = 0),
+    fresh AS (SELECT vec_id FROM batch
+              WHERE vec_id NOT IN (SELECT vec_id FROM idx)),
+    evset AS (SELECT v FROM ev WHERE vec_id % 7 = 0),
+    cont AS (SELECT DISTINCT f.vec_id
+             FROM fresh f
+             JOIN ev a ON a.vec_id = f.vec_id
+             JOIN evset e2 ON {_cos_sql('a.v', 'e2.v')} >= 0.8),
+    clean AS (SELECT vec_id FROM fresh
+              WHERE vec_id NOT IN (SELECT vec_id FROM cont)),
+    bsigs AS (SELECT e.vec_id, pid // prm.w AS band,
+                     CAST(SUM(CASE WHEN {_dot_sql('e.v', 'pv')} > 0
+                                   THEN (CAST(1 AS BIGINT) << (pid % prm.w))
+                                   ELSE 0 END) AS BIGINT) AS band_sig
+              FROM ev e CROSS JOIN bplanes CROSS JOIN prm
+              WHERE pid < prm.w * prm.b
+              GROUP BY e.vec_id, pid // prm.w),
+    psig AS (SELECT s.vec_id, s.band, s.band_sig
+             FROM bsigs s JOIN clean f ON f.vec_id = s.vec_id),
+    isig AS (SELECT s.vec_id, s.band, s.band_sig
+             FROM bsigs s JOIN idx i ON i.vec_id = s.vec_id),
+    cpair AS (SELECT DISTINCT p.vec_id AS id_a, i.vec_id AS id_b
+              FROM psig p JOIN isig i
+                ON i.band = p.band AND i.band_sig = p.band_sig
+              WHERE p.vec_id != i.vec_id),
+    cver AS (SELECT c.id_a AS vec_id, MIN(c.id_b) AS cp
+             FROM cpair c
+             JOIN ev a ON a.vec_id = c.id_a
+             JOIN ev b2 ON b2.vec_id = c.id_b
+             WHERE {_cos_sql('a.v', 'b2.v')} >= 0.3
+             GROUP BY 1),
+    bpair AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM psig a JOIN psig b
+                ON a.band = b.band AND a.band_sig = b.band_sig
+                   AND a.vec_id < b.vec_id),
+    bver AS (SELECT p.id_a, p.id_b
+             FROM bpair p
+             JOIN ev a ON a.vec_id = p.id_a
+             JOIN ev b2 ON b2.vec_id = p.id_b
+             WHERE {_cos_sql('a.v', 'b2.v')} >= 0.3),
+    bi AS (SELECT id_a AS src, id_b AS dst FROM bver
+           UNION ALL SELECT id_b, id_a FROM bver),
+    reach AS (SELECT vec_id AS id, vec_id AS label FROM clean
+              UNION
+              SELECT e2.src, r.label FROM reach r JOIN bi e2 ON e2.dst = r.id),
+    comp AS (SELECT id AS vec_id, MIN(label) AS rep FROM reach GROUP BY id),
+    admitted AS (
+      SELECT b.vec_id FROM batch b
+      LEFT JOIN idx ix ON ix.vec_id = b.vec_id
+      LEFT JOIN cont ct ON ct.vec_id = b.vec_id
+      LEFT JOIN cver cr ON cr.vec_id = b.vec_id
+      LEFT JOIN comp co ON co.vec_id = b.vec_id
+      WHERE ix.vec_id IS NULL AND ct.vec_id IS NULL
+        AND cr.cp IS NULL AND co.rep = b.vec_id),
+    live AS (SELECT vec_id FROM idx UNION SELECT vec_id FROM admitted),
+    subs AS (SELECT UNNEST(generate_series(0, 3)) AS sub_id),
+    cb AS (SELECT s.sub_id, e.vec_id AS code,
+                  e.v[s.sub_id*16+1 : s.sub_id*16+16] AS cvec
+           FROM ev e CROSS JOIN subs s
+           WHERE e.vec_id < 16 AND e.vec_id % 5 != 3),
+    slc AS (SELECT e.vec_id, s.sub_id,
+                   e.v[s.sub_id*16+1 : s.sub_id*16+16] AS svec
+            FROM ev e JOIN live l ON l.vec_id = e.vec_id
+            CROSS JOIN subs s),
+    enc0 AS (SELECT sl.vec_id, sl.sub_id, cb.code,
+                    ROUND({_l2sq_sql('sl.svec', 'cb.cvec')}, 8) AS d
+             FROM slc sl JOIN cb ON cb.sub_id = sl.sub_id),
+    enc AS (SELECT vec_id, sub_id, code FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                          ORDER BY d ASC, code ASC) AS rn FROM enc0) t
+            WHERE rn = 1),
+    pslc AS (SELECT e.vec_id, s.sub_id,
+                    e.v[s.sub_id*16+1 : s.sub_id*16+16] AS svec
+             FROM ev e CROSS JOIN subs s WHERE e.vec_id = 0),
+    pt AS (SELECT sl.vec_id AS probe_id, sl.sub_id, cb.code,
+                  ROUND({_l2sq_sql('sl.svec', 'cb.cvec')}, 8) AS d
+           FROM pslc sl JOIN cb ON cb.sub_id = sl.sub_id),
+    ad AS (SELECT pt.probe_id, enc.vec_id,
+                  CAST(SUM(CAST(pt.d AS DECIMAL(28,8))) AS DOUBLE) AS dd
+           FROM enc JOIN pt ON pt.sub_id = enc.sub_id
+                           AND pt.code = enc.code
+           GROUP BY 1, 2)
+    SELECT probe_id, vec_id, ROUND(dd, 6) AS adist, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                  ORDER BY dd ASC, vec_id ASC) AS INT) AS rank
+      FROM ad) t
+    WHERE rank <= 10
+    """
+
+
+@query("feed_vector_admission_ann_pipeline", oracle=_vec_pipeline_oracle())
+def feed_vector_admission_ann_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The VECTOR twin of ``feed_admission_index_pipeline`` — the
+    composed semantic-dedup production path in one streaming job:
+    chunked-HTTP feed streams embedding payloads -> JSON parse ->
+    decontaminating VECTOR admission (``EmbeddingLshIndex.
+    admit_and_ingest``: hyperplane-LSH dedup vs the standing signature
+    index + an exact-cosine eval-suite gate at 0.8) -> ``PQIndex``
+    ingest of the admitted vectors (encoded against the FROZEN corpus
+    codebook) -> ADC top-10 search of the final code table for probe
+    vec 0. Every arm of the engine's index surface now has the full
+    feed-to-search composition.
+
+    Oracle = the one-shot batch recomputation: the
+    ``decontaminating_vector_admission`` CTEs (adaptive band geometry
+    from the corpus count, signatures, exact-cosine verification,
+    recursive-CTE components) capped at vec_id < 1000, composed with
+    the PQ encode->ADC->rank replay over corpus ∪ admitted (codebook =
+    the id-prefix slices of the BUILD corpus, exactly the stored
+    artifact the streamed ingest encodes against). The preloaded feed
+    drains in one deterministic micro-batch under availableNow; the
+    kill/restart contract of this composition shape (availableNow +
+    checkpoint + two replay-guarded indexes in one foreachBatch) is
+    pinned by the text twin's restart test, which exercises the
+    identical machinery.
+
+    Scale: the feed fixture collect is bounded (vec_id < 1000 at every
+    scale factor); admission shuffles one bigint signature per vector,
+    PQ ingest writes m small ints per admitted vector, and the search's
+    only large input is the codes scan."""
+    import shutil
+
+    from cses2humio_spark.operators.ann_index import PQIndex
+    from cses2humio_spark.operators.dedup_index import EmbeddingLshIndex
+    from cses2humio_spark.operators.similarity import auto_band_params
+    from cses2humio_spark.sources import http_feed
+    from cses2humio_spark.sources.fake_feed import FakeFeedServer
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 1000
+    )
+    corpus = emb.filter(F.col("vec_id") % 5 != 3)
+    batch = emb.filter(
+        (F.col("vec_id") % 5 == 3) | (F.col("vec_id") % 10 == 0)
+    )
+    eval_vecs = emb.filter(F.col("vec_id") % 7 == 0)
+
+    tmpdir = tempfile.mkdtemp(prefix="sgraft_feed_vec_")
+    w, b = auto_band_params(corpus.count())
+    eidx = EmbeddingLshIndex(
+        os.path.join(tmpdir, "lsh"), dim=64, n_planes=w, n_bands=b
+    )
+    eidx.build(corpus)
+    pidx = PQIndex(os.path.join(tmpdir, "pq"), m=4, k_codes=16, dim=64)
+    pidx.build(corpus)
+
+    # feed fixture: bounded collect (<= 300 rows at every scale factor)
+    rows = batch.select("vec_id", "embedding").collect()
+    feed: dict[int, list[str]] = {0: [], 1: []}
+    for r in sorted(rows, key=lambda r: r.vec_id):
+        p = int(r.vec_id % 2)
+        feed[p].append(
+            json.dumps(
+                {
+                    "metadata": {"offset": len(feed[p])},
+                    "event": {
+                        "vec_id": int(r.vec_id),
+                        "embedding": [float(x) for x in r.embedding],
+                    },
+                }
+            )
+        )
+    srv = FakeFeedServer(feed, token="vec-token").start()
+    try:
+        http_feed.register(spark)
+        parsed = (
+            spark.readStream.format("falcon_feed")
+            .option("urls", srv.urls)
+            .option("token", "vec-token")
+            .option("quiet_ms", "800")
+            .load()
+            .select(
+                F.from_json(
+                    F.col("value"),
+                    "struct<event: struct<vec_id: bigint, "
+                    "embedding: array<float>>>",
+                ).alias("j")
+            )
+            .select("j.event.vec_id", "j.event.embedding")
+        )
+
+        def process(bdf, bid):
+            d = eidx.admit_and_ingest(
+                bdf,
+                bid,
+                corpus_vectors=emb,
+                threshold=0.3,
+                eval_vectors=eval_vecs,
+                eval_threshold=0.8,
+            )
+            if d is None:
+                return  # replayed micro-batch
+            admitted = bdf.join(
+                d.filter(F.col("reason") == "admitted").select("vec_id"),
+                on="vec_id",
+                how="left_semi",
+            )
+            pidx(admitted, bid)
+            d.unpersist()
+
+        q = (
+            parsed.writeStream.foreachBatch(process)
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(240):
+            q.stop()
+            raise TimeoutError(
+                "feed vector admission pipeline did not finish in 240s"
+            )
+        probe = emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("probe_id"), "embedding"
+        )
+        out = pidx.search(spark, probe, k=10)
+        final = out.collect()  # materialize before tmpdir vanishes
+        return spark.createDataFrame(final, out.schema)
+    finally:
+        srv.stop()
+        shutil.rmtree(tmpdir, ignore_errors=True)

@@ -168,6 +168,8 @@ SIDE_EFFECTING = {
     "hql_indexed_free_text",  # shares the persisted text-index build
     "feed_admission_index_pipeline",  # fake feed + full streaming
     # admission -> text-index ingest -> search composition
+    "feed_vector_admission_ann_pipeline",  # the vector twin: feed ->
+    # LSH admission -> PQ ingest -> ADC search
 }
 
 
