@@ -211,7 +211,7 @@ STANDING_BASELINE_SF01 = {
     # one sf0.1 warm pass off-clock; the same-round full battery
     # reproduced each within noise (BASELINE.md §Round-11)
     "rrf_index_hybrid_top10": 1.576,
-    "hql_indexed_free_text": 0.552,
+    "hql_indexed_free_text": 1.045,
     "hql_selfjoinfilter_error_purchasers": 0.49,
     "hql_series_user_journeys": 0.506,
     "hql_window_time_moving_avg": 0.599,

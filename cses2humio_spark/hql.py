@@ -625,16 +625,21 @@ def _route_free_text_stage(
     Terms with embedded whitespace cannot use the identity; if any
     appear, the whole stage falls back to the scan path (returns None).
 
-    Plan shape: per term, the postings are filtered on
-    ``lower(tok) contains term`` — token text is a few bytes/row versus
-    the document corpus, and the doc-text column is NEVER read — the
-    surviving doc_ids are distinct-ed and LEFT-joined onto the frame as
-    a boolean marker. The marker composes with and/or/not exactly like
-    the scan predicate (``coalesce(marker, false)``), other string
-    columns keep their substring scan (free-text searches EVERY string
-    column; the index only stands in for the indexed one), and the
-    markers are dropped before the stage returns, so downstream stages
-    and the output schema never see them."""
+    Plan shape — ONE postings scan, ONE aggregation, ONE join, however
+    many terms the stage carries: the postings are filtered on
+    ``lower(tok) contains ANY term`` (token text is a few bytes/row
+    versus the document corpus, and the doc-text column is NEVER read),
+    the surviving rows collapse to one boolean flag per (doc, term) via
+    a map-side-partial max aggregation, and that candidate frame —
+    |matching docs| rows, never corpus-sized — LEFT-joins onto the
+    frame once. A per-term join would shuffle the corpus-sized frame
+    once per term; this shape shuffles it once total. The markers
+    compose with and/or/not exactly like the scan predicate
+    (``coalesce(marker, false)``), other string columns keep their
+    substring scan (free-text searches EVERY string column; the index
+    only stands in for the indexed one), and the markers are dropped
+    before the stage returns, so downstream stages and the output
+    schema never see them."""
     terms: set = set()
     _free_text_terms(node, terms)
     if not terms or any((not t) or re.search(r"\s", t) for t in terms):
@@ -646,18 +651,23 @@ def _route_free_text_stage(
         )
     spark = df.sparkSession
     post = index.read_postings(spark)
-    out = df
+    ltk = F.lower(F.col("tok"))
+    any_hit = None
+    flags = []
     markers: dict[str, str] = {}
     for i, t in enumerate(sorted(terms)):
+        hit = ltk.contains(t)
+        any_hit = hit if any_hit is None else (any_hit | hit)
         mk = f"__hql_ftx{i}"
-        cand = (
-            post.filter(F.lower(F.col("tok")).contains(t))
-            .select(F.col("doc_id").alias(index.id_col))
-            .distinct()
-            .withColumn(mk, F.lit(True))
-        )
-        out = out.join(cand, on=index.id_col, how="left")
+        flags.append(F.max(F.when(hit, F.lit(True))).alias(mk))
         markers[t] = mk
+    cand = (
+        post.filter(any_hit)
+        .groupBy("doc_id")
+        .agg(*flags)
+        .withColumnRenamed("doc_id", index.id_col)
+    )
+    out = df.join(cand, on=index.id_col, how="left")
     ctx = _FtxContext(index.text_col, markers)
     out = out.filter(_compile_filter(out, node, now, ftx=ctx))
     return out.drop(*markers.values())

@@ -1354,7 +1354,19 @@ def hql_indexed_free_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     index-vs-scan engine-side identity is additionally pinned across
     and/or/not shapes in tests. This is the production shape the
     reference ships events into (reference README.md:5-8): searches hit
-    a standing index, not the corpus."""
+    a standing index, not the corpus.
+
+    Honest scale note: on THIS fixture the routed path times slower
+    than the naive scan (~1.0 s vs ~0.2 s at sf0.1) because the
+    synthetic documents are short — the posting table (116k rows at
+    sf0.1) is larger than the 5k-row corpus it indexes, so substring
+    matching over tokens reads more rows than matching over text. The
+    shape is chosen for real corpora, where documents are KBs and the
+    per-doc DISTINCT token bytes are a few percent of text bytes: there
+    the posting scan reads ~20-50x fewer bytes and the text column
+    (the dominant I/O) is never touched. The routing is also one
+    postings scan + one join TOTAL regardless of term count (pinned in
+    tests), where the scan pays the full text read per query."""
     from cses2humio_spark.queries.llm import _text_index_for
 
     idx = _text_index_for(spark, sf_dir)

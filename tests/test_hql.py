@@ -1710,6 +1710,21 @@ class TestIndexedFreeText:
         with pytest.raises(HqlSyntaxError, match="id column"):
             hql(docs.drop("doc_id"), "spark", text_index=idx).collect()
 
+    def test_multi_term_routing_scans_postings_once(self, spark, idx_docs):
+        """Scale contract: a 3-term routed filter must read the posting
+        table ONCE (one scan, one flag aggregation, one join) — never a
+        scan+join per term, which would shuffle the corpus-sized frame
+        once per term."""
+        idx, docs = idx_docs
+        out = hql(docs, "spark or join or window | groupBy(lang)",
+                  text_index=idx)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        post_scans = [
+            ln for ln in plan.splitlines()
+            if "Location: InMemoryFileIndex" in ln and "seg=" in ln
+        ]
+        assert len(post_scans) == 1, plan[:3000]
+
 
 # --- selfJoinFilter / series ----------------------------------------------
 
