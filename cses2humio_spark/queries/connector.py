@@ -1050,10 +1050,9 @@ def feed_vector_admission_ann_pipeline(
     the id-prefix slices of the BUILD corpus, exactly the stored
     artifact the streamed ingest encodes against). The preloaded feed
     drains in one deterministic micro-batch under availableNow; the
-    kill/restart contract of this composition shape (availableNow +
-    checkpoint + two replay-guarded indexes in one foreachBatch) is
-    pinned by the text twin's restart test, which exercises the
-    identical machinery.
+    mid-stream kill/restart converges to a batching-matched twin
+    (tests/test_http_feed.py::
+    test_feed_vector_admission_pipeline_kill_restart).
 
     Scale: the feed fixture collect is bounded (vec_id < 1000 at every
     scale factor); admission shuffles one bigint signature per vector,

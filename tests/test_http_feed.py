@@ -361,3 +361,145 @@ def test_feed_admission_pipeline_kill_restart(spark, tmp_path):
     got = sorted(map(tuple, tidx.search(spark, terms, k=20).collect()))
     want = sorted(map(tuple, tidx2.search(spark, terms, k=20).collect()))
     assert got == want
+
+
+def test_feed_vector_admission_pipeline_kill_restart(spark, tmp_path):
+    """Vector twin of the composed-pipeline restart contract: the feed ->
+    LSH admission -> PQ ingest job killed between micro-batches and
+    resumed from the checkpoint converges to a twin driven with exactly
+    the processed micro-batches — no duplicate codes, no missing
+    admitted vector, identical ADC search results."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cses2humio_spark.operators.ann_index import PQIndex
+    from cses2humio_spark.operators.dedup_index import EmbeddingLshIndex
+    from cses2humio_spark.operators.similarity import auto_band_params
+    from cses2humio_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings").filter(
+        F.col("vec_id") < 1000
+    )
+    corpus = emb.filter(F.col("vec_id") % 5 != 3)
+    batch = emb.filter(
+        (F.col("vec_id") % 5 == 3) | (F.col("vec_id") % 10 == 0)
+    )
+    w, b = auto_band_params(corpus.count())
+
+    def mk_pair(name):
+        e = EmbeddingLshIndex(
+            str(tmp_path / f"l_{name}"), dim=64, n_planes=w, n_bands=b
+        )
+        e.build(corpus)
+        p = PQIndex(str(tmp_path / f"p_{name}"), m=4, k_codes=16, dim=64)
+        p.build(corpus)
+        return e, p
+
+    eidx, pidx = mk_pair("live")
+    rows = sorted(
+        batch.select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    lines: dict[int, list[str]] = {0: [], 1: []}
+    for r in rows:
+        p = int(r.vec_id % 2)
+        lines[p].append(
+            json.dumps(
+                {
+                    "metadata": {"offset": len(lines[p])},
+                    "event": {
+                        "vec_id": int(r.vec_id),
+                        "embedding": [float(x) for x in r.embedding],
+                    },
+                }
+            )
+        )
+    half = {p: len(lines[p]) // 2 for p in lines}
+    srv = FakeFeedServer(
+        {p: lines[p][: half[p]] for p in lines}, token="vec"
+    ).start()
+    recorded: list[tuple[int, list[int]]] = []
+
+    def process(bdf, bid):
+        ids = sorted(r.vec_id for r in bdf.select("vec_id").collect())
+        recorded.append((int(bid), ids))
+        d = eidx.admit_and_ingest(bdf, bid, corpus_vectors=emb, threshold=0.3)
+        if d is None:
+            return
+        admitted = bdf.join(
+            d.filter(F.col("reason") == "admitted").select("vec_id"),
+            on="vec_id", how="left_semi",
+        )
+        pidx(admitted, bid)
+        d.unpersist()
+
+    ckpt = str(tmp_path / "vckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("falcon_feed")
+            .option("urls", srv.urls)
+            .option("token", "vec")
+            .option("quiet_ms", "600")
+            .load()
+            .select(
+                F.from_json(
+                    F.col("value"),
+                    "struct<event: struct<vec_id: bigint, "
+                    "embedding: array<float>>>",
+                ).alias("j")
+            )
+            .select("j.event.vec_id", "j.event.embedding")
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    try:
+        http_feed.register(spark)
+        run_once()
+        for p in lines:
+            srv.add_events(p, lines[p][half[p]:])
+        run_once()
+    finally:
+        srv.stop()
+
+    data_batches = [ids for _, ids in recorded if ids]
+    assert len(data_batches) >= 2, recorded
+    delivered = [i for ids in data_batches for i in ids]
+    assert sorted(delivered) == sorted(r.vec_id for r in rows)
+
+    eidx2, pidx2 = mk_pair("twin")
+    for bid, ids in recorded:
+        bdf = emb.filter(F.col("vec_id").isin(ids)).select(
+            "vec_id", "embedding"
+        )
+        d = eidx2.admit_and_ingest(bdf, bid, corpus_vectors=emb, threshold=0.3)
+        if d is None:
+            continue
+        admitted = bdf.join(
+            d.filter(F.col("reason") == "admitted").select("vec_id"),
+            on="vec_id", how="left_semi",
+        )
+        pidx2(admitted, bid)
+        d.unpersist()
+
+    live = sorted(
+        r.vec_id for r in pidx.read_codes(spark).select("vec_id")
+        .distinct().collect()
+    )
+    twin = sorted(
+        r.vec_id for r in pidx2.read_codes(spark).select("vec_id")
+        .distinct().collect()
+    )
+    assert live == twin
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    got = sorted(map(tuple, pidx.search(spark, probe, k=10).collect()))
+    want = sorted(map(tuple, pidx2.search(spark, probe, k=10).collect()))
+    assert got == want
