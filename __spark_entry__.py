@@ -105,7 +105,11 @@ _PRIORITY = [
 # representatives of the mining/LLM/set-split families. Every entry was
 # re-verified against its oracle in a fresh vanilla session at sf0.01
 # before this rotation landed. Remaining never-driver-checked pool for
-# the r12 rotation: ~67 queries (sessionize_users_bucketed,
+# the r12 rotation: 69 queries — the 67 pre-r11 debt entries not in
+# this window plus the two registered after the rotation
+# (hql_window_time_moving_avg, feed_vector_admission_ann_pipeline —
+# judge-verifiable at the tail; both verified vanilla + hostile at
+# sf0.001/0.01/0.1 when added) — e.g. (sessionize_users_bucketed,
 # hot_user_events_salted, the parse/url/xml/csv fused twins, the drift
 # family variants, the profiling family, the round-3 sketch family,
 # and the rest of the round-4 hql second half).
