@@ -194,3 +194,36 @@ def shannon_entropy(col: Column) -> Column:
             F.transform(alphabet, term), F.lit(0.0), lambda acc, x: acc + x
         )
     )
+
+
+def hashed_linear_score(col: Column, salt: str = "qw:") -> Column:
+    """fastText-style LINEAR text-classifier inference, pure codegen:
+    the document score is the mean over its whitespace tokens of a
+    per-token weight looked up in a HASHED weight space (the hashing
+    trick — no vocabulary table, fixed memory, out-of-vocabulary tokens
+    impossible by construction). Weight(tok) here is the md5-uniform of
+    the salted token mapped to (-1, 1) — a deterministic, oracle-exact
+    stand-in for trained weights: a real deployment replaces the hash
+    expression with its trained weight array indexed by the same hash
+    (still one in-row fold), or broadcast-joins an explicit (token,
+    weight) vocabulary; the plan shape — no explode, no shuffle, the
+    whole model application rides inside the row projection — is the
+    point, because at 100 TB a per-token explode would multiply the
+    shuffle volume by the corpus token count.
+
+    The fold is a left-to-right DOUBLE sum (the engine's cross-engine
+    float contract; DuckDB mirrors it with list_reduce over
+    list_prepend(0.0, ...)), so the raw score is bit-identical across
+    engines and the kept/rejected decision (score >= 0) is exact."""
+    toks = F.split(F.trim(col), r"\s+")
+    w = lambda t: (  # noqa: E731 — inline weight expression
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), t)), 1, 8), 16, 10
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+        * 2.0
+        - 1.0
+    )
+    return F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + w(t)
+    ) / F.size(toks)

@@ -1155,3 +1155,48 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_ngram_overlap(
         load_table(spark, sf_dir, "documents"), n=8
     )
+
+
+@query(
+    "model_quality_filter",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, len(toks) AS n_toks,
+            list_reduce(list_prepend(0.0, list_transform(toks,
+              tk -> ('0x' || substr(md5('qw:' || tk), 1, 8))::BIGINT
+                    / 4294967296.0 * 2.0 - 1.0)),
+              (a, b) -> a + b) / len(toks) AS raw
+          FROM t)
+    SELECT doc_id,
+           CAST(n_toks AS BIGINT) AS n_toks,
+           ROUND(raw, 6) AS score,
+           ROUND(1.0 / (1.0 + exp(-raw)), 6) AS prob,
+           CAST(CASE WHEN raw >= 0 THEN 1 ELSE 0 END AS INT) AS kept
+    FROM s
+    """,
+)
+def model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-BASED quality filtering — the fastText-classifier stage of
+    a training-data pipeline (CCNet-style), as inference at scale: each
+    document's score is the mean hashed-feature weight of its tokens
+    (``functions/text.hashed_linear_score`` — the hashing trick, no
+    vocabulary table), squashed to a probability, thresholded at 0.5.
+    The weights here are hash-derived stand-ins so the oracle can
+    recompute the model exactly; swapping in trained weights keeps the
+    identical plan. Scale shape: the entire model application is ONE
+    in-row fold inside the projection — no token explode, no join, no
+    shuffle beyond reading the rows — so scoring 100 TB costs one scan.
+    The kept/rejected decision is bit-exact cross-engine (left-to-right
+    double fold, sign test); score and prob round to 6."""
+    from cses2humio_spark.functions.text import hashed_linear_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = hashed_linear_score(F.col("text"))
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_toks"),
+        F.round(raw, 6).alias("score"),
+        F.round(1.0 / (1.0 + F.exp(-raw)), 6).alias("prob"),
+        (raw >= 0).cast("int").alias("kept"),
+    )

@@ -79,3 +79,42 @@ def test_geohash_matches_standard_test_vectors(spark):
     ).collect()[0][0] is None
     with pytest.raises(ValueError, match="precision"):
         geohash_encode(F.col("lat"), F.col("lng"), 0)
+
+
+class TestHashedLinearScore:
+    def test_score_is_mean_token_weight(self, spark):
+        from cses2humio_spark.functions.text import hashed_linear_score
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("a b a",), ("  x  ",), ("",)], "text string"
+        )
+        got = df.select(hashed_linear_score(F.col("text")).alias("s")).collect()
+        # manual recompute of the same md5-uniform weights
+        import hashlib
+
+        def w(tok):
+            h = hashlib.md5(f"qw:{tok}".encode()).hexdigest()[:8]
+            return int(h, 16) / 4294967296.0 * 2.0 - 1.0
+
+        exp = [
+            (w("a") + w("b") + w("a")) / 3.0,
+            w("x"),
+            w(""),  # empty text -> [''] single-token mean
+        ]
+        for g, e in zip(got, exp):
+            assert abs(g["s"] - e) < 1e-12
+
+    def test_model_application_is_one_scan_no_shuffle(self, spark):
+        """The point of the hashing trick at 100 TB: model inference is
+        an in-row fold — no Python UDF, no token explode, no Exchange."""
+        from cses2humio_spark.queries import QUERIES
+        from tests.conftest import SF_SMALL
+
+        plan = (
+            QUERIES["model_quality_filter"](spark, SF_SMALL)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+        assert "Generate" not in plan  # no explode
+        assert "Exchange" not in plan  # one scan, zero shuffles
