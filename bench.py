@@ -116,6 +116,7 @@ HEADLINE = [
     "hql_series_user_journeys",  # gap-tolerant per-key sequence builder
     "hql_window_time_moving_avg",  # RANGE-frame trailing time span
     "feed_admission_index_pipeline",  # feed -> admission -> index -> search
+    "model_quality_filter",  # hashed-linear classifier inference, one scan
     "feed_vector_admission_ann_pipeline",  # the vector twin of the above
     # (streaming jobs + fresh per-run indexes: the whole composition is
     # ON the clock by design — it measures the end-to-end pipeline wall)
@@ -217,6 +218,7 @@ STANDING_BASELINE_SF01 = {
     "hql_window_time_moving_avg": 0.599,
     "feed_admission_index_pipeline": 23.03,
     "feed_vector_admission_ann_pipeline": 15.244,
+    "model_quality_filter": 0.687,
 }
 
 
