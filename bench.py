@@ -415,8 +415,16 @@ def main() -> None:
         d_wall = wall10 - wall1
         steal1 = _cpu_steal_seconds()
         if steal0 is not None and steal1 is not None:
+            # /proc/stat steal ticks sum across ALL cores — normalize by
+            # wall * n_cpus so the share is a true [0, 1] fraction of
+            # machine capacity (the r11 bench printed 2.35 by dividing
+            # by wall alone; informational-only, no standing depends on
+            # it, but a share > 1 reads as a broken gauge)
             elapsed = max(time.perf_counter() - t_m0, 1e-9)
-            connector_steal = round((steal1 - steal0) / elapsed, 4)
+            n_cpus = os.cpu_count() or 1
+            connector_steal = round(
+                (steal1 - steal0) / (elapsed * n_cpus), 4
+            )
         if d_wall > 0.1:
             connector_marginal = round((n10 - connector_events) / d_wall)
             connector_fixed = round(
