@@ -120,6 +120,10 @@ HEADLINE = [
     "feed_vector_admission_ann_pipeline",  # the vector twin of the above
     # (streaming jobs + fresh per-run indexes: the whole composition is
     # ON the clock by design — it measures the end-to-end pipeline wall)
+    # round 12: new families promoted to the timed surface (no standing
+    # baseline yet — their first accepted bench becomes it)
+    "hql_indexed_phrase",  # quoted-phrase free-text via positional postings
+    "model_quality_filter_vocab",  # explicit-vocab (trained-weights) scoring
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
@@ -433,11 +437,31 @@ def main() -> None:
     except Exception:
         pass  # slope is informational; the gated wall stands regardless
 
+    # Per-stage split of the composed pipelines (VERDICT r11 #5) —
+    # INFORMATIONAL: their standings are end-to-end walls dominated by
+    # streaming fixed costs (feed drain ~10s of WAL/startup), so the 2x
+    # gate alone can't see a multiple-x regression in one scale-bearing
+    # stage. The scale-bearing terms are admission / index_ingest /
+    # search (they grow with corpus+batch); index_build grows with the
+    # corpus but is a one-time cost; feed_fixture and feed_drain are
+    # bounded-fixture and fixed-cost terms. Walls come from the LAST
+    # (second) timed pass of each pipeline query.
+    pipeline_stages = None
+    try:
+        from cses2humio_spark.queries.connector import PIPELINE_STAGE_WALLS
+
+        pipeline_stages = {
+            k: dict(v) for k, v in PIPELINE_STAGE_WALLS.items()
+        } or None
+    except Exception:
+        pass
+
     out = {
         "metric": "headline_query_wall_seconds",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "pipeline_stages": pipeline_stages,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "connector_events_per_sec": round(connector_events / connector_wall),
         # informational only — box-state dependent (see steal share);

@@ -57,6 +57,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field as dc_field
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -594,11 +595,20 @@ def _now_column(now) -> Column:
 class _FtxContext:
     """Free-text index routing context: ``markers`` maps a lowercased
     term to the boolean marker column its candidate semi-join produced;
-    ``text_col`` is the indexed column the markers replace."""
+    ``text_col`` is the indexed column the markers replace.
+    ``null_col`` (set only when the filter NEGATES a free-text term) is
+    a column that is non-null exactly for documents the index ingested —
+    i.e. documents whose text was non-null — so the marker can
+    reproduce the scan path's 3-valued logic: ``lower(NULL text)
+    contains term`` is NULL, and ``not term`` must DROP that row, not
+    keep it (ADVICE r11)."""
 
-    def __init__(self, text_col: str, markers: dict[str, str]):
+    def __init__(
+        self, text_col: str, markers: dict[str, str], null_col: str | None = None
+    ):
         self.text_col = text_col
         self.markers = markers
+        self.null_col = null_col
 
 
 def _free_text_terms(node, out: set) -> None:
@@ -611,66 +621,160 @@ def _free_text_terms(node, out: set) -> None:
         _free_text_terms(node.inner, out)
 
 
+def _has_negated_free_text(node, under_not: bool = False) -> bool:
+    """True iff some free-text term sits under a ``not`` — the one
+    filter shape where NULL and FALSE diverge (``~NULL`` drops the row,
+    ``~false`` keeps it), so the routed path must preserve NULL for
+    unindexed (NULL-text) documents instead of coalescing to FALSE."""
+    if isinstance(node, FreeText):
+        return under_not
+    if isinstance(node, (And, Or)):
+        return any(_has_negated_free_text(p, under_not) for p in node.parts)
+    if isinstance(node, Not):
+        return _has_negated_free_text(node.inner, True)
+    return False
+
+
+#: routable quoted phrase: words separated by SINGLE spaces, no other
+#: whitespace — the only shape the single-space-corpus identity covers
+_PHRASE_RE = re.compile(r"\S+( \S+)+\Z")
+
+
 def _route_free_text_stage(
     df: DataFrame, node, index, now=None
 ) -> DataFrame | None:
     """Compile a filter stage with its free-text terms answered by the
     standing ``InvertedTextIndex`` instead of a text-column scan.
 
-    Correctness is an identity, not a heuristic: the index tokenizes on
-    whitespace, so a substring occurrence of a WHITESPACE-FREE term lies
-    entirely inside one token (the occurrence contains no whitespace and
-    tokens are maximal non-whitespace runs) — hence ``lower(text)
-    contains term`` ⟺ some posting token of that doc contains the term.
-    Terms with embedded whitespace cannot use the identity; if any
-    appear, the whole stage falls back to the scan path (returns None).
+    Correctness is an identity, not a heuristic. BARE terms: the index
+    tokenizes on whitespace, so a substring occurrence of a
+    WHITESPACE-FREE term lies entirely inside one token (the occurrence
+    contains no whitespace and tokens are maximal non-whitespace runs)
+    — hence ``lower(text) contains term`` ⟺ some posting token of that
+    doc contains the term. QUOTED PHRASES (words separated by single
+    spaces): when every indexed document's internal separators are
+    single spaces (the per-doc ``ws1`` flag the build records, AND-ed
+    over the doc-length artifact) the trimmed text IS the tokens joined
+    by single spaces, so ``lower(text) contains "w0 w1 … wk"`` ⟺ some
+    token at position p ENDS with w0, tokens p+1..p+k-1 EQUAL the
+    middle words, and token p+k STARTS with wk — answerable from the
+    POSITIONAL postings alone. Phrases route only when the index is
+    positional and the corpus-wide ws1 flag holds; any term the
+    identity cannot cover (other whitespace shapes, flat index,
+    mixed-separator corpus) makes the whole stage fall back to the scan
+    path (returns None).
 
     Plan shape — ONE postings scan, ONE aggregation, ONE join, however
-    many terms the stage carries: the postings are filtered on
-    ``lower(tok) contains ANY term`` (token text is a few bytes/row
-    versus the document corpus, and the doc-text column is NEVER read),
-    the surviving rows collapse to one boolean flag per (doc, term) via
-    a map-side-partial max aggregation, and that candidate frame —
-    |matching docs| rows, never corpus-sized — LEFT-joins onto the
-    frame once. A per-term join would shuffle the corpus-sized frame
-    once per term; this shape shuffles it once total. The markers
-    compose with and/or/not exactly like the scan predicate
-    (``coalesce(marker, false)``), other string columns keep their
-    substring scan (free-text searches EVERY string column; the index
-    only stands in for the indexed one), and the markers are dropped
-    before the stage returns, so downstream stages and the output
-    schema never see them."""
+    many terms/phrases the stage carries: the postings are filtered on
+    the union of all term/word-slot predicates (token text is a few
+    bytes/row versus the document corpus, and the doc-text column is
+    NEVER read), the surviving rows collapse per doc — a boolean flag
+    per bare term (map-side-partial max), a position array per phrase
+    word-slot (the phrase marker is then a pure-codegen ``exists`` over
+    those arrays) — and that candidate frame, |matching docs| rows,
+    never corpus-sized, LEFT-joins onto the frame once. The markers
+    compose with and/or/not exactly like the scan predicate; other
+    string columns keep their substring scan (free-text searches EVERY
+    string column; the index only stands in for the indexed one); when
+    the filter NEGATES a free-text term, the narrow doc-length table
+    joins in so NULL-text documents keep the scan path's 3-valued
+    semantics (see ``_FtxContext.null_col``). The markers are restored
+    away via ``select(*df.columns)``, so downstream stages see the
+    original schema in the original column order."""
     terms: set = set()
     _free_text_terms(node, terms)
-    if not terms or any((not t) or re.search(r"\s", t) for t in terms):
+    if not terms or any(not t for t in terms):
         return None
+    bare = sorted(t for t in terms if not re.search(r"\s", t))
+    phrases = sorted(t for t in terms if re.search(r"\s", t))
+    if any(not _PHRASE_RE.fullmatch(p) for p in phrases):
+        return None  # tabs / doubled spaces / edge whitespace: scan path
+    if phrases and not getattr(index, "positional", False):
+        return None  # a flat index stores no positions: scan path
     if index.id_col not in df.columns:
         raise HqlSyntaxError(
             f"text_index routing needs the frame to carry the index id "
             f"column {index.id_col!r} (have: {', '.join(df.columns)})"
         )
     spark = df.sparkSession
+    if phrases and not index.ws_single_all(spark):
+        return None  # some doc has non-single-space separators: scan path
     post = index.read_postings(spark)
     ltk = F.lower(F.col("tok"))
     any_hit = None
     flags = []
     markers: dict[str, str] = {}
-    for i, t in enumerate(sorted(terms)):
+    for i, t in enumerate(bare):
         hit = ltk.contains(t)
         any_hit = hit if any_hit is None else (any_hit | hit)
         mk = f"__hql_ftx{i}"
         flags.append(F.max(F.when(hit, F.lit(True))).alias(mk))
         markers[t] = mk
-    cand = (
-        post.filter(any_hit)
-        .groupBy("doc_id")
-        .agg(*flags)
-        .withColumnRenamed("doc_id", index.id_col)
-    )
+    phrase_slots: list[tuple[str, list[str]]] = []
+    for j, p in enumerate(phrases):
+        words = p.split(" ")
+        slots = []
+        for i, w in enumerate(words):
+            if i == 0:
+                hit = ltk.endswith(w)
+            elif i == len(words) - 1:
+                hit = ltk.startswith(w)
+            else:
+                hit = ltk == w
+            any_hit = hit if any_hit is None else (any_hit | hit)
+            sc = f"__hql_ftxp{j}_{i}"
+            slots.append(sc)
+            flags.append(
+                F.flatten(
+                    F.coalesce(
+                        F.collect_list(F.when(hit, F.col("pos"))),
+                        F.array().cast("array<array<int>>"),
+                    )
+                ).alias(sc)
+            )
+        phrase_slots.append((p, slots))
+    cand = post.filter(any_hit).groupBy("doc_id").agg(*flags)
+
+    def _adjacency(slots: list[str]):
+        # factory, not an inline lambda with a default arg: PySpark's
+        # HOF bridge dispatches on the lambda's PARAMETER COUNT (a
+        # 2-arg lambda becomes (element, index)), so the slot list must
+        # ride a closure — the same arity trap text_index.py documents
+        def occ_at(pos):
+            return reduce(
+                lambda a, b: a & b,
+                [
+                    F.array_contains(F.col(s), pos + i)
+                    for i, s in enumerate(slots[1:], start=1)
+                ],
+            )
+
+        return occ_at
+
+    for j, (p, slots) in enumerate(phrase_slots):
+        mk = f"__hql_ftxP{j}"
+        occ = F.exists(F.col(slots[0]), _adjacency(slots))
+        cand = cand.withColumn(mk, occ).drop(*slots)
+        markers[p] = mk
+    cand = cand.withColumnRenamed("doc_id", index.id_col)
     out = df.join(cand, on=index.id_col, how="left")
-    ctx = _FtxContext(index.text_col, markers)
+    null_col = None
+    if _has_negated_free_text(node):
+        # narrow (doc_id, …) artifact: non-null after the left join ⟺
+        # the doc was ingested ⟺ its text was non-null (NULL text
+        # tokenizes to no postings and no doc-length row)
+        null_col = "__hql_ftx_indexed"
+        ingested = (
+            index.read_doclens(spark)
+            .select(
+                F.col("doc_id").alias(index.id_col),
+                F.lit(True).alias(null_col),
+            )
+        )
+        out = out.join(ingested, on=index.id_col, how="left")
+    ctx = _FtxContext(index.text_col, markers, null_col=null_col)
     out = out.filter(_compile_filter(out, node, now, ftx=ctx))
-    return out.drop(*markers.values())
+    return out.select(*df.columns)
 
 
 def _compile_filter(df: DataFrame, node, now=None, ftx=None) -> Column:
@@ -690,6 +794,13 @@ def _compile_filter(df: DataFrame, node, now=None, ftx=None) -> Column:
         term = node.term.lower()
         if ftx is not None and term in ftx.markers:
             cond = F.coalesce(F.col(ftx.markers[term]), F.lit(False))
+            if ftx.null_col is not None:
+                # scan semantics on NULL text is NULL (3-valued), not
+                # FALSE — ``not term`` must drop the row either way
+                cond = F.when(
+                    F.col(ftx.null_col).isNull(),
+                    F.lit(None).cast("boolean"),
+                ).otherwise(cond)
             for c in _string_cols(df):
                 if c != ftx.text_col:
                     cond = cond | F.lower(F.col(c)).contains(term)

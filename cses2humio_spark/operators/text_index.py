@@ -125,8 +125,22 @@ class InvertedTextIndex(VersionedSegmentStore):
         parquet (compact, text-free) instead of re-tokenizing."""
         from pyspark.sql import Window
 
+        # ws1: every INTERNAL separator of this doc is exactly one
+        # space (no tabs/newlines, no runs) — the per-doc flag behind
+        # the routed-phrase identity (hql.py::_route_free_text_stage):
+        # under ws1 the trimmed text IS the tokens joined by single
+        # spaces, so a quoted-phrase substring test is answerable from
+        # positional postings alone. Computed HERE because this is the
+        # one pass that reads the text; it rides each posting row (one
+        # RLE-compressed boolean) into the doc-length artifact so no
+        # second corpus scan ever recomputes it.
+        ws1 = ~F.coalesce(
+            F.trim(F.col(self.text_col)).rlike(r"\s\s|[^\S ]"),
+            F.lit(False),
+        )
         toks = docs.select(
             F.col(self.id_col).alias("doc_id"),
+            ws1.alias("ws1"),
             F.posexplode(
                 F.split(F.trim(F.col(self.text_col)), r"\s+")
             ).alias("pos", "tok"),
@@ -137,12 +151,14 @@ class InvertedTextIndex(VersionedSegmentStore):
             # phrase adjacency is answerable from postings alone.
             tf = toks.groupBy("doc_id", "tok").agg(
                 F.count(F.lit(1)).alias("tf"),
+                F.min("ws1").alias("ws1"),
                 F.sort_array(F.collect_list("pos")).alias("pos"),
             )
             extra = ["pos"]
         else:
             tf = toks.groupBy("doc_id", "tok").agg(
-                F.count(F.lit(1)).alias("tf")
+                F.count(F.lit(1)).alias("tf"),
+                F.min("ws1").alias("ws1"),
             )
             extra = []
         return tf.select(
@@ -151,6 +167,7 @@ class InvertedTextIndex(VersionedSegmentStore):
             "doc_id",
             "tf",
             F.sum("tf").over(Window.partitionBy("doc_id")).alias("dl"),
+            "ws1",
             *extra,
         )
 
@@ -166,7 +183,9 @@ class InvertedTextIndex(VersionedSegmentStore):
         written = spark.read.option("basePath", self.index_dir).parquet(
             self._seg_dir(version)
         )
-        dl = written.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+        dl = written.groupBy("doc_id").agg(
+            F.max("dl").alias("dl"), F.min("ws1").alias("ws1")
+        )
         self._write_dir(dl, self._dl_dir(version))
 
     # -- build ---------------------------------------------------------------
@@ -396,6 +415,25 @@ class InvertedTextIndex(VersionedSegmentStore):
             # lengths keep inflating every surviving score
             dl = dl.join(F.broadcast(tombs), on="doc_id", how="left_anti")
         return dl
+
+    def ws_single_all(
+        self, spark: SparkSession, version: int | None = None
+    ) -> bool:
+        """True iff EVERY live document's internal separators are single
+        spaces (the AND of the per-doc ``ws1`` flags the build recorded)
+        — the corpus-wide precondition for routing quoted-phrase
+        free-text through the positional postings
+        (hql.py::_route_free_text_stage). One boolean aggregate over the
+        narrow doc-length artifact — the same table every BM25 search
+        already scans for collection statistics. Indexes built before
+        the flag existed (no ``ws1`` column) and empty indexes answer
+        False: the caller falls back to the scan path, never to a wrong
+        answer."""
+        dl = self.read_doclens(spark, version)
+        if "ws1" not in dl.columns:
+            return False
+        row = dl.agg(F.min("ws1").alias("w")).collect()[0]
+        return bool(row["w"]) if row["w"] is not None else False
 
     def search(
         self,

@@ -377,20 +377,27 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY l_partkey
     HAVING CAST(SUM({_DEC1}) AS DOUBLE)
-         > (SELECT CAST(SUM({_DEC1}) AS DOUBLE) * 0.001 FROM lineitem)
+         > (SELECT CAST(SUM({_DEC1}) AS DOUBLE) * 1.5
+              / COUNT(DISTINCT l_partkey) FROM lineitem)
     ORDER BY part_value DESC, l_partkey
     """,
 )
 def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape (partsupp-free): parts whose revenue exceeds a
-    fixed fraction of TOTAL revenue — a grouped aggregate filtered
-    against an uncorrelated global-scalar subquery. Spark plans the
-    scalar as a one-row subquery whose result is injected into the
-    HAVING filter (no join operator at all) — the fact shuffles once for
-    the per-part aggregate, and the total re-reads the same pushed-down
-    scan. Both sides of the compare are the same exact-decimal sum cast
-    to double, one double multiply — bit-identical across engines, so
-    the threshold boundary can't flake."""
+    """TPC-H Q11 shape (partsupp-free): parts whose revenue exceeds
+    1.5× the MEAN part revenue — a grouped aggregate filtered against
+    an uncorrelated global-scalar subquery. The threshold is a multiple
+    of the mean rather than TPC-H's fixed fraction of the total
+    (VERDICT r11 #4): a fixed fraction shrinks per part as the corpus
+    grows, so at some scale factor the query silently returns ZERO rows
+    and its oracle pass proves nothing about the HAVING boundary; the
+    mean-relative threshold is scale-invariant (2/29/252 survivors at
+    sf0.001/0.01/0.1). Spark plans the scalar as a one-row subquery
+    whose result is injected into the HAVING filter (no join operator
+    at all) — the fact shuffles once for the per-part aggregate, and
+    the total re-reads the same pushed-down scan. Both sides of the
+    compare are the same exact-decimal sum cast to double with one
+    IEEE multiply and divide in the same order — bit-identical across
+    engines, so the threshold boundary can't flake."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__q11_lineitem")
     return spark.sql(
         f"""
@@ -398,7 +405,8 @@ def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __q11_lineitem
         GROUP BY l_partkey
         HAVING CAST(SUM({_DEC1}) AS DOUBLE)
-             > (SELECT CAST(SUM({_DEC1}) AS DOUBLE) * 0.001 FROM __q11_lineitem)
+             > (SELECT CAST(SUM({_DEC1}) AS DOUBLE) * 1.5
+                  / COUNT(DISTINCT l_partkey) FROM __q11_lineitem)
         ORDER BY part_value DESC, l_partkey
         """
     )

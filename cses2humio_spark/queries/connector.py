@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -22,6 +23,15 @@ from pyspark.sql import functions as F
 from cses2humio_spark.queries.registry import query
 from cses2humio_spark.sources.catalog import load_table
 from cses2humio_spark.streaming.pipeline import enrich_events, parse_events
+
+#: Per-stage wall seconds of the LAST run of each composed pipeline
+#: query, keyed by query name (VERDICT r11 #5): the pipelines' bench
+#: standings are full end-to-end walls dominated by streaming fixed
+#: costs (feed drain, checkpoint WAL), so a multiple-x regression in one
+#: SCALE-BEARING stage (admission, index ingest, search) could hide
+#: inside the 2x end-to-end gate. bench.py copies this into its JSON as
+#: ``pipeline_stages`` — informational, the gate stays the total wall.
+PIPELINE_STAGE_WALLS: dict[str, dict[str, float]] = {}
 
 
 def _synth_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -819,7 +829,6 @@ def feed_admission_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
     the search touches |terms| posting buckets + the narrow doc-length
     table."""
     import shutil
-    import uuid
 
     from cses2humio_spark.operators.dedup_index import MinHashIndex
     from cses2humio_spark.operators.text_index import InvertedTextIndex
@@ -835,15 +844,20 @@ def feed_admission_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     eval_docs = docs.filter(F.col("doc_id") % 7 == 0)
 
+    stage_walls: dict[str, float] = {}
+    PIPELINE_STAGE_WALLS["feed_admission_index_pipeline"] = stage_walls
     tmpdir = tempfile.mkdtemp(prefix="sgraft_feed_adm_")
+    t0 = time.perf_counter()
     midx = MinHashIndex(
         os.path.join(tmpdir, "minhash"), n=3, bands=4, rows_per_band=2
     )
     midx.build(corpus)
     tidx = InvertedTextIndex(os.path.join(tmpdir, "text"), n_buckets=16)
     tidx.build(corpus)
+    stage_walls["index_build"] = round(time.perf_counter() - t0, 3)
 
     # feed fixture: bounded collect (<= 300 rows at every scale factor)
+    t0 = time.perf_counter()
     rows = batch.select("doc_id", "text").collect()
     feed: dict[int, list[str]] = {0: [], 1: []}
     for r in sorted(rows, key=lambda r: r.doc_id):
@@ -857,6 +871,7 @@ def feed_admission_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         )
     srv = FakeFeedServer(feed, token="adm-token").start()
+    stage_walls["feed_fixture"] = round(time.perf_counter() - t0, 3)
     try:
         http_feed.register(spark)
         parsed = (
@@ -876,6 +891,7 @@ def feed_admission_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
         def process(bdf, bid):
+            ta = time.perf_counter()
             d = midx.admit_and_ingest(
                 bdf,
                 bid,
@@ -892,9 +908,17 @@ def feed_admission_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
                 on="doc_id",
                 how="left_semi",
             )
+            ti = time.perf_counter()
+            stage_walls["admission"] = stage_walls.get("admission", 0.0) + (
+                ti - ta
+            )
             tidx(admitted, bid)
+            stage_walls["index_ingest"] = stage_walls.get(
+                "index_ingest", 0.0
+            ) + (time.perf_counter() - ti)
             d.unpersist()
 
+        t0 = time.perf_counter()
         q = (
             parsed.writeStream.foreachBatch(process)
             .option(
@@ -908,8 +932,21 @@ def feed_admission_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
             raise TimeoutError(
                 "feed admission pipeline did not finish in 240s"
             )
+        drain = time.perf_counter() - t0
+        # feed_drain = stream wall MINUS the in-batch processing stages
+        stage_walls["feed_drain"] = round(
+            drain
+            - stage_walls.get("admission", 0.0)
+            - stage_walls.get("index_ingest", 0.0),
+            3,
+        )
+        for k in ("admission", "index_ingest"):
+            if k in stage_walls:
+                stage_walls[k] = round(stage_walls[k], 3)
+        t0 = time.perf_counter()
         out = tidx.search(spark, list(_FEED_ADM_TERMS), k=20)
         final = out.collect()  # materialize before tmpdir vanishes
+        stage_walls["search"] = round(time.perf_counter() - t0, 3)
         return spark.createDataFrame(final, out.schema)
     finally:
         srv.stop()
@@ -1075,7 +1112,10 @@ def feed_vector_admission_ann_pipeline(
     )
     eval_vecs = emb.filter(F.col("vec_id") % 7 == 0)
 
+    stage_walls: dict[str, float] = {}
+    PIPELINE_STAGE_WALLS["feed_vector_admission_ann_pipeline"] = stage_walls
     tmpdir = tempfile.mkdtemp(prefix="sgraft_feed_vec_")
+    t0 = time.perf_counter()
     w, b = auto_band_params(corpus.count())
     eidx = EmbeddingLshIndex(
         os.path.join(tmpdir, "lsh"), dim=64, n_planes=w, n_bands=b
@@ -1083,8 +1123,10 @@ def feed_vector_admission_ann_pipeline(
     eidx.build(corpus)
     pidx = PQIndex(os.path.join(tmpdir, "pq"), m=4, k_codes=16, dim=64)
     pidx.build(corpus)
+    stage_walls["index_build"] = round(time.perf_counter() - t0, 3)
 
     # feed fixture: bounded collect (<= 300 rows at every scale factor)
+    t0 = time.perf_counter()
     rows = batch.select("vec_id", "embedding").collect()
     feed: dict[int, list[str]] = {0: [], 1: []}
     for r in sorted(rows, key=lambda r: r.vec_id):
@@ -1101,6 +1143,7 @@ def feed_vector_admission_ann_pipeline(
             )
         )
     srv = FakeFeedServer(feed, token="vec-token").start()
+    stage_walls["feed_fixture"] = round(time.perf_counter() - t0, 3)
     try:
         http_feed.register(spark)
         parsed = (
@@ -1120,6 +1163,7 @@ def feed_vector_admission_ann_pipeline(
         )
 
         def process(bdf, bid):
+            ta = time.perf_counter()
             d = eidx.admit_and_ingest(
                 bdf,
                 bid,
@@ -1135,9 +1179,17 @@ def feed_vector_admission_ann_pipeline(
                 on="vec_id",
                 how="left_semi",
             )
+            ti = time.perf_counter()
+            stage_walls["admission"] = stage_walls.get("admission", 0.0) + (
+                ti - ta
+            )
             pidx(admitted, bid)
+            stage_walls["index_ingest"] = stage_walls.get(
+                "index_ingest", 0.0
+            ) + (time.perf_counter() - ti)
             d.unpersist()
 
+        t0 = time.perf_counter()
         q = (
             parsed.writeStream.foreachBatch(process)
             .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
@@ -1149,11 +1201,23 @@ def feed_vector_admission_ann_pipeline(
             raise TimeoutError(
                 "feed vector admission pipeline did not finish in 240s"
             )
+        drain = time.perf_counter() - t0
+        stage_walls["feed_drain"] = round(
+            drain
+            - stage_walls.get("admission", 0.0)
+            - stage_walls.get("index_ingest", 0.0),
+            3,
+        )
+        for k in ("admission", "index_ingest"):
+            if k in stage_walls:
+                stage_walls[k] = round(stage_walls[k], 3)
+        t0 = time.perf_counter()
         probe = emb.filter(F.col("vec_id") == 0).select(
             F.col("vec_id").alias("probe_id"), "embedding"
         )
         out = pidx.search(spark, probe, k=10)
         final = out.collect()  # materialize before tmpdir vanishes
+        stage_walls["search"] = round(time.perf_counter() - t0, 3)
         return spark.createDataFrame(final, out.schema)
     finally:
         srv.stop()

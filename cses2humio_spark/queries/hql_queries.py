@@ -819,7 +819,7 @@ def hql_ioc_hash_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events e
     WHERE e.event_type = 'purchase'
       AND NOT EXISTS (SELECT 1 FROM events x
-                      WHERE x.event_type = 'error'
+                      WHERE x.event_type = 'error' AND x.value >= 120
                         AND x.user_id = e.user_id)
     GROUP BY 1 ORDER BY _count DESC, e.user_id ASC LIMIT 15
     """,
@@ -828,13 +828,19 @@ def hql_anti_join_error_free_purchasers(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """``join(mode=anti)`` — LogScale's negated join (!join): purchases
-    by users with NO error events. Compiles to a left-anti equi-join;
-    only primary columns survive."""
+    by users with NO high-severity error event (value >= 120). Compiles
+    to a left-anti equi-join; only primary columns survive. The
+    severity cut is load-bearing for the EVIDENCE, not the operator
+    (VERDICT r11 #4): with bare ``event_type = error`` every purchaser
+    at sf0.01 had an error somewhere, so the query passed its oracle
+    with ZERO rows — a 0=0 hash match that never exercised which rows
+    an anti-join KEEPS. At value >= 120 the survivor set is non-empty
+    at every scale factor (7/38/475 users at sf0.001/0.01/0.1)."""
     ev = load_table(spark, sf_dir, "events")
     return hql(
         ev,
         "event_type = purchase "
-        "| join({event_type = error | select([user_id])}, "
+        "| join({event_type = error value >= 120 | select([user_id])}, "
         "field=user_id, key=user_id, mode=anti) "
         "| top(user_id, limit=15)",
     )
@@ -1374,6 +1380,45 @@ def hql_indexed_free_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "lang"
     )
     return hql(docs, "spark | groupBy(lang)", text_index=idx)
+
+
+@query(
+    "hql_indexed_phrase",
+    oracle="""
+    SELECT lang, COUNT(*) AS _count
+    FROM documents
+    WHERE lower(text) LIKE '%table scan%' OR lower(lang) LIKE '%table scan%'
+    GROUP BY lang
+    """,
+)
+def hql_indexed_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUOTED-PHRASE free-text served by the standing POSITIONAL index
+    (VERDICT r11 #3): the pipe ``"table scan" | groupBy(lang)`` keeps
+    Humio's @rawstring substring semantics — the oracle recomputes them
+    with a raw LIKE — but with ``text_index=`` the phrase is answered
+    from posting lists alone, document text never scanned (pinned in
+    tests/test_hql.py). The routing identity needs two recorded facts,
+    both checked before routing: the index is positional, and every
+    ingested document's internal separators are single spaces (the
+    per-doc ``ws1`` flag the build records, AND-ed over the doc-length
+    artifact) — under those, a substring occurrence of ``"w0 … wk"`` is
+    exactly a token ENDING with w0, middle tokens EQUAL to the middle
+    words, and a token STARTING with wk at consecutive positions, so
+    the marker is a pure-codegen ``exists`` over per-word-slot position
+    arrays aggregated from ONE postings scan (same shape as the
+    bare-term routing: one scan, one aggregation, one join, however
+    many phrases). Corpora that break the precondition (tabs, doubled
+    spaces) and flat indexes fall back to the scan path — pinned, never
+    silently wrong. Note the substring edges do real work: ``"table
+    scan"`` also matches a doc containing ``timetable scans``, and the
+    hash match proves the routed path reproduces that."""
+    from cses2humio_spark.queries.llm import _text_index_for
+
+    idx = _text_index_for(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    return hql(docs, '"table scan" | groupBy(lang)', text_index=idx)
 
 
 @query(

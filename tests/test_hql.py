@@ -1691,8 +1691,9 @@ class TestIndexedFreeText:
 
     def test_whitespace_term_falls_back_to_scan(self, spark, idx_docs):
         idx, docs = idx_docs
-        # a quoted phrase cannot use the one-token identity: the stage
-        # must fall back to the scan path (and still be correct)
+        # a quoted phrase against a FLAT index (no positions) cannot be
+        # routed: the stage must fall back to the scan path (and still
+        # be correct)
         q = '"spark join" | groupBy(lang)'
         routed = hql(docs, q, text_index=idx)
         plan = routed._jdf.queryExecution().executedPlan().toString()
@@ -1724,6 +1725,156 @@ class TestIndexedFreeText:
             if "Location: InMemoryFileIndex" in ln and "seg=" in ln
         ]
         assert len(post_scans) == 1, plan[:3000]
+
+    # -- quoted phrases through the positional index (VERDICT r11 #3) ----
+
+    @pytest.fixture()
+    def idx_docs_pos(self, spark, tmp_path_factory):
+        from cses2humio_spark.operators.text_index import InvertedTextIndex
+
+        docs = load_table(spark, SF_SMALL, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        d = tmp_path_factory.mktemp("hql_ftx_pos")
+        idx = InvertedTextIndex(str(d), n_buckets=16, positional=True)
+        idx.build(docs)
+        return idx, docs
+
+    @pytest.mark.parametrize(
+        "q",
+        [
+            '"table scan" | groupBy(lang)',
+            '"table scan"',
+            'not "table scan" | groupBy(lang)',
+            '"table scan" or spark | groupBy(lang)',
+            '"table scan" and not "fast merge" | groupBy(lang)',
+            # 3-word phrase: middle word must EQUAL a token exactly
+            'spark "key agg row" | groupBy(lang)',
+            # phrase + bare term + Cmp mixed in one stage
+            '"table scan" spark lang = en | groupBy(lang)',
+        ],
+    )
+    def test_phrase_row_identical_to_scan_path(self, spark, idx_docs_pos, q):
+        idx, docs = idx_docs_pos
+        routed = sorted(map(tuple, hql(docs, q, text_index=idx).collect()))
+        scanned = sorted(map(tuple, hql(docs, q).collect()))
+        assert routed == scanned and routed
+
+    def test_phrase_plan_never_reads_document_text(self, spark, idx_docs_pos):
+        idx, docs = idx_docs_pos
+        out = hql(docs, '"table scan" | groupBy(lang)', text_index=idx)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        doc_scans = [
+            ln for ln in plan.splitlines() if "documents.parquet" in ln
+        ]
+        assert doc_scans
+        for ln in doc_scans:
+            assert "text" not in ln.split("ReadSchema:")[-1], ln
+        # one postings scan even with a phrase + a bare term mixed in
+        out2 = hql(
+            docs, '"table scan" or spark | groupBy(lang)', text_index=idx
+        )
+        plan2 = out2._jdf.queryExecution().executedPlan().toString()
+        post_scans = [
+            ln for ln in plan2.splitlines()
+            if "Location: InMemoryFileIndex" in ln and "seg=" in ln
+        ]
+        assert len(post_scans) == 1, plan2[:3000]
+
+    @pytest.mark.parametrize(
+        "q",
+        [
+            '"table  scan" | groupBy(lang)',   # doubled space
+            '"table\tscan" | groupBy(lang)',    # tab separator
+            '" table scan" | groupBy(lang)',   # leading whitespace
+        ],
+    )
+    def test_phrase_edge_whitespace_falls_back(self, spark, idx_docs_pos, q):
+        """Phrases outside the single-space word shape fall back to the
+        scan path (text IS read) and stay correct — the identity only
+        covers ``\\S+( \\S+)+``."""
+        idx, docs = idx_docs_pos
+        routed = hql(docs, q, text_index=idx)
+        plan = routed._jdf.queryExecution().executedPlan().toString()
+        assert any(
+            "text" in ln.split("ReadSchema:")[-1]
+            for ln in plan.splitlines()
+            if "documents.parquet" in ln
+        ), plan[:2000]
+        assert sorted(map(tuple, routed.collect())) == sorted(
+            map(tuple, hql(docs, q).collect())
+        )
+
+    def test_phrase_mixed_separator_corpus_falls_back(
+        self, spark, tmp_path_factory
+    ):
+        """A corpus where ANY doc has a non-single-space separator
+        breaks the phrase identity (the tab doc's trimmed text is not
+        its tokens joined by spaces) — ``ws_single_all`` records that at
+        build time and the router falls back to the scan path."""
+        from cses2humio_spark.operators.text_index import InvertedTextIndex
+
+        docs = spark.createDataFrame(
+            [(1, "alpha\tbeta", "x"), (2, "alpha beta", "y")],
+            "doc_id int, text string, lang string",
+        )
+        d = tmp_path_factory.mktemp("hql_ftx_tab")
+        idx = InvertedTextIndex(str(d), n_buckets=4, positional=True)
+        idx.build(docs)
+        assert idx.ws_single_all(spark) is False
+        q = '"alpha beta"'
+        routed = sorted(map(tuple, hql(docs, q, text_index=idx).collect()))
+        scanned = sorted(map(tuple, hql(docs, q).collect()))
+        # the tab doc must NOT match: its text has no "alpha beta"
+        assert routed == scanned == [(2, "alpha beta", "y")]
+
+    def test_null_text_negation_matches_scan(self, spark, tmp_path_factory):
+        """ADVICE r11: ``lower(NULL).contains(term)`` is NULL, so ``not
+        term`` DROPS a NULL-text row on the scan path — the routed path
+        must not resurrect it by coalescing the missing marker to
+        FALSE. Pinned across not/or/nesting, for bare terms and
+        phrases."""
+        from cses2humio_spark.operators.text_index import InvertedTextIndex
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma", "x"),
+                (2, None, "y"),
+                (3, "delta beta", "z"),
+                (4, "", "w"),
+            ],
+            "doc_id int, text string, lang string",
+        )
+        d = tmp_path_factory.mktemp("hql_ftx_null")
+        idx = InvertedTextIndex(str(d), n_buckets=4, positional=True)
+        idx.build(docs)
+        for q in [
+            "not beta",
+            "beta",
+            'not "alpha beta"',
+            "not beta or lang = y",
+            "not (beta and not gamma)",
+        ]:
+            routed = sorted(
+                map(tuple, hql(docs, q, text_index=idx).collect())
+            )
+            scanned = sorted(map(tuple, hql(docs, q).collect()))
+            assert routed == scanned, (q, routed, scanned)
+        # the NULL-text row is genuinely load-bearing: it must be
+        # dropped by "not beta" even though it doesn't contain beta
+        kept = hql(docs, "not beta", text_index=idx).collect()
+        assert {r.doc_id for r in kept} == {4}
+
+    def test_routed_output_preserves_column_order(self, spark, idx_docs_pos):
+        """ADVICE r11: the candidate join must not move the id column to
+        the front — a select-less routed pipe emits the original column
+        order."""
+        idx, docs = idx_docs_pos
+        shuffled = docs.select("lang", "text", "doc_id")
+        out = hql(shuffled, "spark", text_index=idx)
+        assert out.columns == ["lang", "text", "doc_id"]
+        out2 = hql(shuffled, '"table scan"', text_index=idx)
+        assert out2.columns == ["lang", "text", "doc_id"]
 
 
 # --- selfJoinFilter / series ----------------------------------------------

@@ -118,3 +118,52 @@ class TestHashedLinearScore:
         assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
         assert "Generate" not in plan  # no explode
         assert "Exchange" not in plan  # one scan, zero shuffles
+
+
+class TestVocabLinearScore:
+    def test_score_is_mean_vocab_weight_with_oov(self, spark):
+        from pyspark.sql import functions as F
+
+        from cses2humio_spark.functions.text import vocab_linear_score
+
+        df = spark.createDataFrame(
+            [("a b a",), ("z",), ("a z",)], "text string"
+        )
+        got = df.select(
+            vocab_linear_score(
+                F.col("text"), ["a", "b"], [0.5, -0.25], oov_weight=-1.0
+            ).alias("s")
+        ).collect()
+        exp = [
+            (0.5 - 0.25 + 0.5) / 3.0,  # all in-vocab
+            -1.0,                       # pure OOV
+            (0.5 - 1.0) / 2.0,          # mixed
+        ]
+        for g, e in zip(got, exp):
+            assert abs(g["s"] - e) < 1e-12
+
+    def test_vocab_size_mismatch_is_loud(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from cses2humio_spark.functions.text import vocab_linear_score
+
+        with _pytest.raises(ValueError, match="vocab size mismatch"):
+            vocab_linear_score(F.col("text"), ["a", "b"], [0.5])
+
+    def test_trained_weights_keep_the_one_scan_plan(self, spark):
+        """VERDICT r11 #7: the explicit-vocabulary path must compile to
+        the SAME plan shape as the hashed path — the vocabulary rides
+        the projection as a map literal, so scoring stays one scan,
+        zero shuffles, no explode, no Python UDF."""
+        from cses2humio_spark.queries import QUERIES
+        from tests.conftest import SF_SMALL
+
+        plan = (
+            QUERIES["model_quality_filter_vocab"](spark, SF_SMALL)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+        assert "Generate" not in plan  # no explode in the scoring plan
+        assert "Exchange" not in plan  # one scan, zero shuffles
+        assert plan.count("Location: InMemoryFileIndex") == 1
