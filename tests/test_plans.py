@@ -166,10 +166,14 @@ SIDE_EFFECTING = {
     "rrf_index_hybrid_top10",  # builds BOTH persisted indexes (text +
     # PQ) once; probe fetch + stats collects are bounded
     "hql_indexed_free_text",  # shares the persisted text-index build
+    "hql_indexed_phrase",  # shares the persisted text-index build (plus
+    # the ws-single doclen aggregate at routing time)
     "feed_admission_index_pipeline",  # fake feed + full streaming
     # admission -> text-index ingest -> search composition
     "feed_vector_admission_ann_pipeline",  # the vector twin: feed ->
     # LSH admission -> PQ ingest -> ADC search
+    "model_quality_filter_vocab",  # bounded vocabulary-fit collect (16
+    # rows, model-sized) at construction
 }
 
 
