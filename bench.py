@@ -128,101 +128,103 @@ HEADLINE = [
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
-# Standing per-query baseline: re-accepted at ROUND 9 from a quiet-box
-# min of four full bench passes (three pre-optimization + one after the
-# r9 fan_out/merged-verify work; the three queries whose plans changed
-# in r9 — minhash_index_candidates, crawl_admission_decisions,
-# vector_admission_decisions — take only post-change measurements).
-# Protocol and history in BASELINE.md §"Standing per-query baseline".
-# The regression rule is ≤2x per query at sf0.1 on local[32],
-# min-of-two-passes: any headline query slower than 2x its standing
-# number is named in the output's "regressions" key. Update these
-# numbers only when a round's bench is accepted as the new standing
-# baseline. ALL 64 timed queries carry a standing number (the round-10
-# admission-family re-acceptance — four new/updated numbers — is
-# recorded in BASELINE.md §Round-10; everything else stands from the
-# round-9 full re-acceptance).
+# Standing per-query baseline: FULL table re-accepted at ROUND 12
+# (VERDICT r11 #2 — the prior full re-acceptance was r9) from three
+# back-to-back quiet-box bench passes at sf0.1 on local[32] (steal
+# share 0.0003-0.0006; each pass is itself min-of-two per query), the
+# standing number being the MIN across passes — except
+# hql_indexed_free_text, which takes the MAX of the three pass readings
+# (0.613 vs min 0.406) as a deliberate noise-tolerant floor for its
+# documented suite-context spread (docs/SCALING.md §Round 12; if a
+# future battery flags it, isolated re-time before believing). All
+# three passes reported zero >2x hits against the PREVIOUS table, so
+# this re-base mostly TIGHTENS the gate (37 of 72 standings dropped
+# >10%); the five that rose >1.1x — jaccard_near_dups 1.22x,
+# ivfpq_topk 1.20x, weighted_sample_top100 1.18x,
+# price_quantity_regression 1.18x, ivf_topk 1.14x — were consistent
+# across all three quiet passes (genuine new floors, not noise; the r11
+# bpe_subword_stats watch item closed at 1.05x instead). Protocol and
+# history in BASELINE.md §"Round-12 full re-acceptance". The regression
+# rule is unchanged: ≤2x per query at sf0.1, min-of-two-passes; any
+# headline query slower than 2x its standing number is named in the
+# output's "regressions" key. Update these numbers only when a round's
+# bench is accepted as the new standing baseline. ALL 74 timed entries
+# (73 queries + the connector gate) carry a standing number.
 STANDING_BASELINE_SF01 = {
-    "asof_latest_order": 1.124,
-    "avi_av_demux_stats": 0.933,
-    "bigram_lm_doc_quality": 1.498,
-    "bm25_search_top20": 0.914,
-    "bpe_subword_stats": 0.88,
-    "brand_revenue_broadcast": 0.709,
-    "connector_pipeline": 1.483,
-    "cosine_topk": 0.611,
-    "crawl_admission_decisions": 7.443,
-    "distinct_users_per_type": 0.305,
-    "doc_chunk_stats": 0.439,
-    "dup_span_coverage_stats": 3.348,
-    "embedding_near_dups": 2.75,
-    "eval_contamination_stats": 1.562,
-    "events_range_self_join": 0.706,
-    "ewma_user_baseline": 0.457,
-    "funnel_conversion": 0.667,
-    "heavy_hitter_users": 0.598,
-    "holt_trend_baseline": 0.563,
-    "hot_user_events_salted": 0.574,
-    "hql_case_severity_bands": 0.27,
-    "hql_entropy_extremes": 0.575,
-    "hql_error_timechart": 0.277,
-    "hql_join_subquery_error_purchasers": 0.407,
-    "hql_kv_parse": 0.546,
-    "hql_split_tokens_top10": 0.367,
-    "hql_window_moving_avg": 0.407,
-    "interpolated_hourly_value": 0.694,
-    "ivf_topk": 0.898,
-    "ivfpq_topk": 1.861,
-    "jaccard_near_dups": 3.009,
-    "jpeg_decode_stats": 0.652,
-    "large_order_customers": 1.278,
-    "market_share_by_year": 1.028,
-    "minhash_index_candidates": 1.342,
-    "mjpeg_avi_frame_stats": 0.84,
-    "nation_trade_volume": 0.889,
-    "png_decode_stats": 0.537,
-    "pq_adc_topk": 1.199,
-    "pq_index_search": 0.716,
-    "price_quantity_regression": 1.26,
-    "pricing_summary": 0.957,
-    "revenue_by_nation": 1.148,
-    "rrf_hybrid_top10": 1.175,
-    "scd2_user_status_history": 0.785,
-    "sequence_pack_assignments": 0.478,
-    "sessionize_users": 0.764,
-    "sessionize_users_bucketed": 0.715,
-    "sole_blame_suppliers": 0.893,
-    "source_overlap_matrix": 1.9,
-    "sq8_cosine_topk": 1.18,
-    "tga_decode_stats": 0.469,
-    "timechart_errors": 0.282,
-    "token_explode_top20": 0.266,
-    "top3_orders_per_customer": 0.525,
-    "top_shipping_priority": 0.742,
-    "vector_admission_decisions": 5.56,
-    "decontaminating_admission_decisions": 9.556,
-    "decontaminating_vector_admission": 5.812,
-    # round-11 quiet-box refresh (ADVICE r10 #3): the r10 first
-    # standings came from a steal-share-0.339 battery; re-timed
-    # isolated, min-of-four, steal share 0.0004 — slightly higher and
-    # more trustworthy floors (BASELINE.md §Round-11)
-    "bm25_index_search": 0.895,
-    "phrase_index_search": 0.551,
-    "prefix_index_search": 0.325,
-    "vocab_apply_oov_rate": 0.53,
-    "weighted_sample_top100": 0.174,
-    # round-11 first standings: isolated quiet-box run (steal share
-    # 0.018), min of four with System.gc() between, index builds and
-    # one sf0.1 warm pass off-clock; the same-round full battery
-    # reproduced each within noise (BASELINE.md §Round-11)
-    "rrf_index_hybrid_top10": 1.576,
-    "hql_indexed_free_text": 1.045,
-    "hql_selfjoinfilter_error_purchasers": 0.49,
-    "hql_series_user_journeys": 0.506,
-    "hql_window_time_moving_avg": 0.599,
-    "feed_admission_index_pipeline": 23.03,
-    "feed_vector_admission_ann_pipeline": 15.244,
-    "model_quality_filter": 0.687,
+    "asof_latest_order": 1.008,
+    "avi_av_demux_stats": 0.857,
+    "bigram_lm_doc_quality": 1.532,
+    "bm25_index_search": 0.924,
+    "bm25_search_top20": 0.83,
+    "bpe_subword_stats": 0.926,
+    "brand_revenue_broadcast": 0.657,
+    "connector_pipeline": 1.211,
+    "cosine_topk": 0.544,
+    "crawl_admission_decisions": 7.045,
+    "decontaminating_admission_decisions": 9.614,
+    "decontaminating_vector_admission": 5.847,
+    "distinct_users_per_type": 0.295,
+    "doc_chunk_stats": 0.353,
+    "dup_span_coverage_stats": 2.929,
+    "embedding_near_dups": 2.318,
+    "eval_contamination_stats": 1.526,
+    "events_range_self_join": 0.564,
+    "ewma_user_baseline": 0.436,
+    "feed_admission_index_pipeline": 20.281,
+    "feed_vector_admission_ann_pipeline": 11.675,
+    "funnel_conversion": 0.587,
+    "heavy_hitter_users": 0.595,
+    "holt_trend_baseline": 0.556,
+    "hot_user_events_salted": 0.478,
+    "hql_case_severity_bands": 0.249,
+    "hql_entropy_extremes": 0.555,
+    "hql_error_timechart": 0.281,
+    "hql_indexed_free_text": 0.613,
+    "hql_indexed_phrase": 0.576,
+    "hql_join_subquery_error_purchasers": 0.405,
+    "hql_kv_parse": 0.452,
+    "hql_selfjoinfilter_error_purchasers": 0.374,
+    "hql_series_user_journeys": 0.351,
+    "hql_split_tokens_top10": 0.353,
+    "hql_window_moving_avg": 0.411,
+    "hql_window_time_moving_avg": 0.392,
+    "interpolated_hourly_value": 0.571,
+    "ivf_topk": 1.021,
+    "ivfpq_topk": 2.238,
+    "jaccard_near_dups": 3.656,
+    "jpeg_decode_stats": 0.594,
+    "large_order_customers": 1.144,
+    "market_share_by_year": 1.021,
+    "minhash_index_candidates": 0.926,
+    "mjpeg_avi_frame_stats": 0.688,
+    "model_quality_filter": 0.445,
+    "model_quality_filter_vocab": 0.44,
+    "nation_trade_volume": 0.755,
+    "phrase_index_search": 0.526,
+    "png_decode_stats": 0.465,
+    "pq_adc_topk": 1.169,
+    "pq_index_search": 0.769,
+    "prefix_index_search": 0.302,
+    "price_quantity_regression": 1.488,
+    "pricing_summary": 0.797,
+    "revenue_by_nation": 0.996,
+    "rrf_hybrid_top10": 1.164,
+    "rrf_index_hybrid_top10": 1.244,
+    "scd2_user_status_history": 0.712,
+    "sequence_pack_assignments": 0.361,
+    "sessionize_users": 0.619,
+    "sessionize_users_bucketed": 0.63,
+    "sole_blame_suppliers": 0.793,
+    "source_overlap_matrix": 1.953,
+    "sq8_cosine_topk": 1.08,
+    "tga_decode_stats": 0.434,
+    "timechart_errors": 0.28,
+    "token_explode_top20": 0.258,
+    "top3_orders_per_customer": 0.484,
+    "top_shipping_priority": 0.658,
+    "vector_admission_decisions": 5.206,
+    "vocab_apply_oov_rate": 0.488,
+    "weighted_sample_top100": 0.206,
 }
 
 
