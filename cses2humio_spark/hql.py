@@ -697,9 +697,14 @@ def _route_free_text_stage(
             f"column {index.id_col!r} (have: {', '.join(df.columns)})"
         )
     spark = df.sparkSession
-    if phrases and not index.ws_single_all(spark):
+    # pin ONE index version for the whole stage: the ws-single check,
+    # the postings scan, and the doc-length join must see the same
+    # committed state, or a concurrent ingest landing between the reads
+    # could pair a new segment's postings with a stale doclen table
+    at = index.latest_version()
+    if phrases and not index.ws_single_all(spark, at):
         return None  # some doc has non-single-space separators: scan path
-    post = index.read_postings(spark)
+    post = index.read_postings(spark, at)
     ltk = F.lower(F.col("tok"))
     any_hit = None
     flags = []
@@ -765,7 +770,7 @@ def _route_free_text_stage(
         # tokenizes to no postings and no doc-length row)
         null_col = "__hql_ftx_indexed"
         ingested = (
-            index.read_doclens(spark)
+            index.read_doclens(spark, at)
             .select(
                 F.col("doc_id").alias(index.id_col),
                 F.lit(True).alias(null_col),

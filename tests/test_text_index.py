@@ -543,3 +543,63 @@ def test_hybrid_index_plan_reads_neither_text_nor_raw_vectors(
     assert all("vec_id" in ln for ln in emb_scan_lines), emb_scan_lines
     # and the fused result is non-degenerate
     assert out.count() == 10
+
+
+# --- ws1 (single-space separators) lifecycle -------------------------------
+
+
+def test_ws_single_all_lifecycle(spark, tmp_path):
+    """The per-doc ws1 flag behind routed-phrase free-text must track
+    the LIVE document set through every index transition: build, ingest
+    of a separator-breaking doc, tombstone delete, and compaction — a
+    stale True would silently route phrases over a corpus the identity
+    no longer covers, a stale False only costs the fallback."""
+    idx = InvertedTextIndex(str(tmp_path / "ws1"), n_buckets=4)
+    clean = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta beta")],
+        "doc_id long, text string",
+    )
+    idx.build(clean)
+    assert idx.ws_single_all(spark) is True
+
+    # streaming ingest of a tab-separated doc flips the corpus flag
+    tabby = spark.createDataFrame(
+        [(3, "alpha\tbeta")], "doc_id long, text string"
+    )
+    idx(tabby, batch_id=1)
+    assert idx.ws_single_all(spark) is False
+    # the pre-ingest version still answers True (version-pinned reads)
+    assert idx.ws_single_all(spark, version=-1) is True
+
+    # tombstoning the offender restores the flag (read_doclens filters
+    # tombstones, so the min is over LIVE docs only)
+    idx.delete(spark.createDataFrame([(3,)], "doc_id long"))
+    assert idx.ws_single_all(spark) is True
+
+    # compaction rewrites postings + doclens from the live set — the
+    # flag must survive the physical rewrite
+    idx.compact(spark)
+    assert idx.ws_single_all(spark) is True
+
+
+def test_ws_single_all_empty_and_legacy_safe(spark, tmp_path, docs):
+    """ws_single_all must answer False — never raise, never True — when
+    the evidence is missing: a doclen table without the ws1 column
+    (pre-r12 index layout) routes phrases to the scan path instead of
+    wrongly through the identity."""
+    idx = InvertedTextIndex(str(tmp_path / "legacy"), n_buckets=4)
+    idx.build(docs.limit(5))
+    # simulate a legacy artifact: drop ws1 from the doclen parquet
+    import glob as _glob
+
+    dl_dir = str(tmp_path / "legacy" / "dl=-1")
+    legacy = spark.read.parquet(dl_dir).select("doc_id", "dl")
+    legacy.write.mode("overwrite").parquet(str(tmp_path / "dl_tmp"))
+    for f in _glob.glob(dl_dir + "/*"):
+        import os as _os
+
+        _os.remove(f) if _os.path.isfile(f) else None
+    spark.read.parquet(str(tmp_path / "dl_tmp")).write.mode(
+        "overwrite"
+    ).parquet(dl_dir)
+    assert idx.ws_single_all(spark) is False
