@@ -641,7 +641,7 @@ _PHRASE_RE = re.compile(r"\S+( \S+)+\Z")
 
 
 def _route_free_text_stage(
-    df: DataFrame, node, index, now=None
+    df: DataFrame, node, index, now=None, strict: bool = True
 ) -> DataFrame | None:
     """Compile a filter stage with its free-text terms answered by the
     standing ``InvertedTextIndex`` instead of a text-column scan.
@@ -692,6 +692,10 @@ def _route_free_text_stage(
     if phrases and not getattr(index, "positional", False):
         return None  # a flat index stores no positions: scan path
     if index.id_col not in df.columns:
+        if not strict:
+            # subquery context: a stage downstream of an aggregation has
+            # legitimately lost the id column — scan path, not an error
+            return None
         raise HqlSyntaxError(
             f"text_index routing needs the frame to carry the index id "
             f"column {index.id_col!r} (have: {', '.join(df.columns)})"
@@ -1158,11 +1162,14 @@ def _compile_stage(
     now=None,
     root: DataFrame | None = None,
     text_index=None,
+    ftx_strict: bool = True,
 ) -> DataFrame:
     tables = tables or {}
     if isinstance(node, (And, Or, Not, FreeText, Cmp)):
         if text_index is not None:
-            routed = _route_free_text_stage(df, node, text_index, now)
+            routed = _route_free_text_stage(
+                df, node, text_index, now, strict=ftx_strict
+            )
             if routed is not None:
                 return routed
         return df.filter(_compile_filter(df, node, now))
@@ -1883,7 +1890,17 @@ def _compile_stage(
                 )
             sub_df = root
         for st in sub.stages:
-            sub_df = _compile_stage(sub_df, st, tables, now=now, root=root)
+            # the subquery over the ROOT frame is covered by the same
+            # standing index (same rows, same id column), so its
+            # free-text stages route too — non-strict, because a stage
+            # downstream of an aggregation loses the id column and must
+            # fall back to the scan rather than error. Named-table
+            # subqueries are NOT covered by the index: never route.
+            sub_df = _compile_stage(
+                sub_df, st, tables, now=now, root=root,
+                text_index=text_index if tname is None else None,
+                ftx_strict=False,
+            )
         # the subquery usually shares lineage with the primary side (both
         # derive from the root frame) — rename its key to a fresh
         # attribute so the equi-condition is never an ambiguous self-join
@@ -2199,9 +2216,14 @@ def hql(
     scanning the text column — Humio's production promise that a search
     hits an index, not the raw corpus (reference README.md:5-8). Output
     is row-identical to the scan path by construction (see
-    ``_route_free_text_stage``); terms the index cannot answer
-    (whitespace inside the term) and free-text inside ``join({...})``
-    subqueries fall back to the scan transparently."""
+    ``_route_free_text_stage``). Quoted phrases route too when the
+    index is positional and the corpus satisfies the single-space
+    separator precondition the build records. Free-text inside
+    ``join({...})`` subqueries over the ROOT frame routes through the
+    same index (non-strict: a subquery stage that has lost the id
+    column to an aggregation falls back to the scan instead of
+    erroring); named-table subqueries and terms the index cannot
+    answer fall back to the scan transparently."""
     stages = parse(query)
     if _uses_expensive_eval(stages):
         from cses2humio_spark.sources.catalog import fan_out

@@ -1876,6 +1876,45 @@ class TestIndexedFreeText:
         out2 = hql(shuffled, '"table scan"', text_index=idx)
         assert out2.columns == ["lang", "text", "doc_id"]
 
+    def test_join_subquery_free_text_routes(self, spark, idx_docs_pos):
+        """Free-text inside a join({...}) subquery over the ROOT frame
+        routes through the same index: row-identical to the scan path,
+        and no scan in the plan reads the text column."""
+        idx, docs = idx_docs_pos
+        q = (
+            'lang = en | join({spark | select([doc_id])}, '
+            "field=doc_id, key=doc_id, mode=semi) | groupBy(lang)"
+        )
+        routed = hql(docs, q, text_index=idx)
+        scanned = hql(docs, q)
+        assert sorted(map(tuple, routed.collect())) == sorted(
+            map(tuple, scanned.collect())
+        )
+        plan = routed._jdf.queryExecution().executedPlan().toString()
+        doc_scans = [
+            ln for ln in plan.splitlines() if "documents.parquet" in ln
+        ]
+        assert doc_scans
+        for ln in doc_scans:
+            assert "text" not in ln.split("ReadSchema:")[-1], ln
+
+    def test_subquery_without_id_column_falls_back(self, spark, idx_docs_pos):
+        """A subquery stage DOWNSTREAM of an aggregation has lost the id
+        column — the non-strict subquery routing must fall back to the
+        scan path there, not raise the top-level loud error."""
+        idx, docs = idx_docs_pos
+        # the groupBy collapses to (lang, _count); the free-text 'en'
+        # after it filters the aggregated frame's string columns
+        q = (
+            "lang = en | join({groupBy(lang) | en | select([lang])}, "
+            "field=lang, key=lang, mode=semi) | groupBy(lang)"
+        )
+        routed = hql(docs, q, text_index=idx)
+        scanned = hql(docs, q)
+        assert sorted(map(tuple, routed.collect())) == sorted(
+            map(tuple, scanned.collect())
+        )
+
 
 # --- selfJoinFilter / series ----------------------------------------------
 
