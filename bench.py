@@ -124,6 +124,7 @@ HEADLINE = [
     # baseline yet — their first accepted bench becomes it)
     "hql_indexed_phrase",  # quoted-phrase free-text via positional postings
     "model_quality_filter_vocab",  # explicit-vocab (trained-weights) scoring
+    "semdedup_decisions",  # cluster-bucketed semantic dedup (SemDeDup)
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
@@ -211,6 +212,7 @@ STANDING_BASELINE_SF01 = {
     "rrf_hybrid_top10": 1.164,
     "rrf_index_hybrid_top10": 1.244,
     "scd2_user_status_history": 0.712,
+    "semdedup_decisions": 2.651,
     "sequence_pack_assignments": 0.361,
     "sessionize_users": 0.619,
     "sessionize_users_bucketed": 0.63,

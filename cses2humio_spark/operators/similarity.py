@@ -618,6 +618,74 @@ def ivf_topk(
     )
 
 
+def semdedup_within_cluster(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+) -> DataFrame:
+    """SemDeDup-style CLUSTER-BUCKETED semantic deduplication (Abbas et
+    al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): assign every vector to its nearest
+    centroid (``ivf_assign`` — broadcast centroids, one narrow argmax
+    pass), then compare pairs WITHIN a cluster only, dropping any
+    vector that has a lower-id in-cluster neighbor with cosine ≥
+    ``threshold``. Returns one decision row per corpus vector:
+    ``(id, cid, kept, dup_of)`` with ``dup_of`` the smallest qualifying
+    lower id (NULL for kept rows).
+
+    This is the scale path BETWEEN exact dedup and all-pairs similarity:
+    the quadratic term is |cluster|² instead of |corpus|² — exactly the
+    paper's trade, where k is chosen so clusters fit a worker (at 100 TB
+    that is k in the tens of thousands; the biggest cluster bounds the
+    stage, so skewed corpora want more centroids or a balanced k-means).
+    The in-cluster self-join shuffles on the centroid id; vectors ride
+    the shuffle once per side. Against the LSH near-dup operator
+    (``embedding_near_dups``) the trade is recall shape: LSH recalls
+    across the whole corpus with banding probability, SemDeDup recalls
+    exactly 1.0 WITHIN a cluster and 0 across cluster boundaries — the
+    paper's argument is that semantic duplicates co-locate under a good
+    clustering.
+
+    Determinism contract: the keep/drop rule is "∃ lower id in-cluster
+    with cos ≥ threshold" — a total, order-free predicate (unlike
+    greedy variants whose output depends on scan order), so the oracle
+    can restate it as one EXISTS; cosine uses the engine-wide
+    left-to-right fold, so the threshold compare is bit-identical
+    cross-engine."""
+    assign = ivf_assign(corpus, centroids, id_col, vec_col, cid_col)
+    v = corpus.select(id_col, vec_col).join(assign, on=id_col)
+    a = v.select(
+        F.col(cid_col),
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = v.select(
+        F.col(cid_col),
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+    )
+    dropped = (
+        a.join(b, on=cid_col)
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(
+            cosine_similarity(F.col("__va"), F.col("__vb"))
+            >= F.lit(float(threshold))
+        )
+        .groupBy("__idb")
+        .agg(F.min("__ida").alias("dup_of"))
+        .withColumnRenamed("__idb", id_col)
+    )
+    return assign.join(dropped, on=id_col, how="left").select(
+        id_col,
+        cid_col,
+        F.col("dup_of").isNull().cast("int").alias("kept"),
+        "dup_of",
+    )
+
+
 def signed_random_projection(
     df,
     id_col: str,

@@ -941,6 +941,63 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "semdedup_decisions",
+    oracle=f"""
+    WITH ev AS (SELECT vec_id, {_DOUBLE_VEC} AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM ev WHERE vec_id < 16),
+    asn AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e.v', 'c.cv')} DESC, c.cid)
+                 AS rn
+        FROM ev e CROSS JOIN cent c) t WHERE rn = 1),
+    dup AS (SELECT b.vec_id AS vid, MIN(a.vec_id) AS dup_of
+            FROM asn a JOIN asn b
+              ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE {_cos_sql('a.v', 'b.v')} >= 0.4
+            GROUP BY b.vec_id)
+    SELECT asn.vec_id, CAST(asn.cid AS BIGINT) AS cid,
+           CAST(CASE WHEN d.vid IS NULL THEN 1 ELSE 0 END AS INT) AS kept,
+           d.dup_of
+    FROM asn LEFT JOIN dup d ON d.vid = asn.vec_id
+    """,
+)
+def semdedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup — CLUSTER-BUCKETED semantic dedup (Abbas et al. 2023),
+    the third recall shape in the embedding-dedup family: exact dedup
+    catches byte-equal rows, the LSH pair finder (`embedding_near_dups`)
+    recalls across the whole corpus with banding probability, and
+    SemDeDup compares pairs only WITHIN a coarse cluster — recall 1.0
+    inside a cluster, 0 across boundaries, quadratic cost bounded by
+    |cluster|² instead of |corpus|² (the paper's web-scale trade; its
+    claim is that semantic duplicates co-locate under the clustering).
+    One decision row per vector: (vec_id, cid, kept, dup_of), dropped ⟺
+    some lower-id in-cluster neighbor has cosine ≥ τ — a total,
+    scan-order-free rule the oracle restates as one EXISTS-shaped
+    aggregation over the identical assignment.
+
+    Fixture honesty: the synthetic embeddings are near-orthogonal (max
+    in-cluster cosine ≈ 0.47-0.53 across SFs), so τ=0.4 is used to make
+    the dropped set non-empty at every scale factor (19/11/174 dropped
+    at sf0.001/0.01/0.1) — a production corpus uses τ≈0.9+; τ is an
+    operator parameter, the plan is threshold-independent.
+
+    Scale shape: centroids broadcast (16 rows here; tens of thousands at
+    100 TB), the corpus shuffles once on the centroid id per join side,
+    and the biggest cluster bounds the quadratic stage — skewed corpora
+    buy more centroids (or the k-means-trained variant,
+    `ivf_centroids_kmeans`) rather than a different algorithm."""
+    from cses2humio_spark.operators.similarity import semdedup_within_cluster
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    return semdedup_within_cluster(emb, cent, threshold=0.4)
+
+
+@query(
     "ivf_topk",
     oracle=f"""
     WITH ev AS (SELECT vec_id, {_DOUBLE_VEC} AS v FROM embeddings),

@@ -787,3 +787,96 @@ def test_star_components_equal_propagation_and_survive_long_chains(spark):
         ("b", "Z"), ("Z", "Z"), ("é", "Z"),
         ("x", "x"), ("y", "x"), ("lone", "lone"),
     }
+
+
+def test_semdedup_decisions_semantics_and_plan(spark):
+    """SemDeDup decision semantics pinned from first principles on the
+    sf0.001 fixture: a vector is dropped iff SOME lower-id vector in
+    its own cluster has cosine >= tau, and dup_of is the SMALLEST such
+    id — recomputed here with brute-force in-cluster pairs. Plan pins:
+    the centroid assignment broadcasts (no shuffled centroid join), and
+    the in-cluster self-join is an equi-join on cid, never a cartesian."""
+    from pyspark.sql import functions as F
+
+    from cses2humio_spark.operators.similarity import (
+        cosine_similarity,
+        ivf_assign,
+        semdedup_within_cluster,
+    )
+    from cses2humio_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["semdedup_decisions"](spark, sf)
+    got = {r.vec_id: (r.cid, r.kept, r.dup_of) for r in out.collect()}
+
+    from cses2humio_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    asn = ivf_assign(emb, cent)
+    v = emb.select("vec_id", "embedding").join(asn, on="vec_id")
+    a = v.select(
+        F.col("cid"), F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("va"),
+    )
+    b = v.select(
+        F.col("cid"), F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("vb"),
+    )
+    brute = (
+        a.join(b, on="cid")
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(cosine_similarity(F.col("va"), F.col("vb")) >= 0.4)
+        .groupBy("ib").agg(F.min("ia").alias("dup_of"))
+        .collect()
+    )
+    want_dropped = {r.ib: r.dup_of for r in brute}
+    assert want_dropped, "fixture must exercise the dropped arm"
+    for vid, (cid, kept, dup_of) in got.items():
+        if vid in want_dropped:
+            assert kept == 0 and dup_of == want_dropped[vid], (vid, dup_of)
+        else:
+            assert kept == 1 and dup_of is None, (vid, dup_of)
+    # every vector gets exactly one decision row
+    assert len(got) == emb.count()
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # never a SHUFFLED cartesian. (BroadcastNestedLoopJoin appears: it is
+    # the 16-row centroid fan-out of the assignment — BNLJ_BY_DESIGN in
+    # the fleet lint, same as ivf_topk; the plan string prints the shared
+    # assignment subtree once per consumer, so its count is not pinned.)
+    # The quadratic in-cluster stage itself must be an EQUI-join on cid.
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan[:3000]
+
+
+def test_semdedup_mixed_threshold_monotonicity(spark):
+    """A higher tau can only KEEP more: dropped(tau=0.45) must be a
+    subset of dropped(tau=0.4) on the same assignment."""
+    from pyspark.sql import functions as F
+
+    from cses2humio_spark.operators.similarity import semdedup_within_cluster
+    from cses2humio_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    lo = {
+        r.vec_id
+        for r in semdedup_within_cluster(emb, cent, 0.4)
+        .filter(F.col("kept") == 0).collect()
+    }
+    hi = {
+        r.vec_id
+        for r in semdedup_within_cluster(emb, cent, 0.45)
+        .filter(F.col("kept") == 0).collect()
+    }
+    assert hi <= lo and len(hi) < len(lo)

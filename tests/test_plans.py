@@ -185,6 +185,7 @@ BNLJ_BY_DESIGN = {
         "cosine_topk",            # tiny probe set broadcast against corpus
         "sq8_cosine_topk",        # tiny probe set broadcast against int8 codes
         "ivf_topk",               # tiny centroid set broadcast
+        "semdedup_decisions",     # tiny centroid set broadcast (assignment)
         "ivfpq_topk",             # tiny centroid set broadcast (IVF-PQ)
         "ivfpq_index_search",     # same probes x centroids broadcast via
         # ivfpq_probe_tables; previously unchecked because SIDE_EFFECTING
