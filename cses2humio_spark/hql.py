@@ -640,6 +640,62 @@ def _has_negated_free_text(node, under_not: bool = False) -> bool:
 _PHRASE_RE = re.compile(r"\S+( \S+)+\Z")
 
 
+#: stages that can never create, reassign, or remove a column — routing
+#: stays armed across them (filters, ordering, row selection)
+_FTX_SAFE_CALLS = frozenset(
+    {"in", "sort", "head", "tail", "sample", "dedup", "watermark"}
+)
+
+
+def _stage_preserves_text_col(node, text_col: str) -> bool:
+    """True iff the stage provably leaves the indexed text column's
+    VALUES intact — the invariant free-text routing rests on. The index
+    markers reflect the INGESTED corpus text; a stage that reassigns or
+    derives the text column (``eval(text := lower(text))``) makes later
+    routed stages diverge from scan semantics, and one that DROPS it
+    changes which columns a free-text scan searches. Once a pipeline
+    stage fails this check, ``hql()`` disarms routing for every later
+    stage (passes ``text_index=None``) and the scan path — always
+    correct — takes over (ADVICE r12). Column-creating calls whose
+    output names are data-dependent (``kvParse``, ``parseJson``, …)
+    conservatively disarm: a shadowing write cannot be ruled out
+    statically, and the only cost of a false negative is a slower,
+    still-correct plan."""
+    if isinstance(node, (And, Or, Not, FreeText, Cmp)):
+        return True
+    if isinstance(node, Assign):
+        return node.name != text_col
+    if isinstance(node, CaseExpr):
+        return all(
+            a.name != text_col
+            for _sel, assigns in node.clauses
+            for a in assigns
+        )
+    if isinstance(node, Call):
+        if node.name in _FTX_SAFE_CALLS:
+            return True
+        if node.name in ("select", "table"):
+            fields = _as_list(node.args[0]) if node.args else []
+            return text_col in fields
+        if node.name == "drop":
+            fields = _as_list(node.args[0]) if node.args else []
+            return text_col not in fields
+        if node.name == "default":
+            return node.kwargs.get("field") != text_col
+        if node.name == "rename":
+            return text_col not in (
+                node.kwargs.get("field"),
+                node.kwargs.get("as"),
+            )
+        if node.name == "join":
+            # subquery-created columns never shadow primary-side names
+            # (the keep/include logic drops or rejects collisions), and
+            # semi/anti keep only primary columns
+            return True
+        return False
+    return False
+
+
 def _route_free_text_stage(
     df: DataFrame, node, index, now=None, strict: bool = True
 ) -> DataFrame | None:
@@ -706,6 +762,11 @@ def _route_free_text_stage(
     # committed state, or a concurrent ingest landing between the reads
     # could pair a new segment's postings with a stale doclen table
     at = index.latest_version()
+    if at is None:
+        # no committed version yet (a concurrent first build may land
+        # mid-stage): scan path — threading None through the reads would
+        # re-resolve 'latest' per read and break the one-version pin
+        return None
     if phrases and not index.ws_single_all(spark, at):
         return None  # some doc has non-single-space separators: scan path
     post = index.read_postings(spark, at)
@@ -1889,18 +1950,29 @@ def _compile_stage(
                     "join() subquery needs the pipeline root frame"
                 )
             sub_df = root
+        # the subquery over the ROOT frame is covered by the same
+        # standing index (same rows, same id column), so its free-text
+        # stages route too — non-strict, because a stage downstream of
+        # an aggregation loses the id column and must fall back to the
+        # scan rather than error. Named-table subqueries are NOT covered
+        # by the index: never route. The subquery tracks its OWN disarm
+        # flag (it runs over the pristine root frame): once one of its
+        # stages rewrites the text column, its later stages fall back to
+        # the scan path independently of the outer pipeline (ADVICE
+        # r12). An outer-stage rewrite BEFORE the join disarms the whole
+        # join stage including the subquery — conservative, since the
+        # subquery's root is untouched, but a slower-correct plan.
+        sub_idx = text_index if tname is None else None
         for st in sub.stages:
-            # the subquery over the ROOT frame is covered by the same
-            # standing index (same rows, same id column), so its
-            # free-text stages route too — non-strict, because a stage
-            # downstream of an aggregation loses the id column and must
-            # fall back to the scan rather than error. Named-table
-            # subqueries are NOT covered by the index: never route.
             sub_df = _compile_stage(
                 sub_df, st, tables, now=now, root=root,
-                text_index=text_index if tname is None else None,
+                text_index=sub_idx,
                 ftx_strict=False,
             )
+            if sub_idx is not None and not _stage_preserves_text_col(
+                st, sub_idx.text_col
+            ):
+                sub_idx = None
         # the subquery usually shares lineage with the primary side (both
         # derive from the root frame) — rename its key to a fresh
         # attribute so the equi-condition is never an ambiguous self-join
@@ -2223,16 +2295,29 @@ def hql(
     same index (non-strict: a subquery stage that has lost the id
     column to an aggregation falls back to the scan instead of
     erroring); named-table subqueries and terms the index cannot
-    answer fall back to the scan transparently."""
+    answer fall back to the scan transparently. Routing DISARMS for
+    every stage after one that reassigns, derives, or drops the indexed
+    text column (``text := …``, ``select`` without it): the markers
+    reflect the ingested corpus text, so a rewritten column must be
+    substring-scanned, not index-answered (ADVICE r12)."""
     stages = parse(query)
     if _uses_expensive_eval(stages):
         from cses2humio_spark.sources.catalog import fan_out
 
         df = fan_out(df)
     out = df
+    idx = text_index
     for stage in stages:
         out = _compile_stage(
             out, stage, tables or {}, now=now, root=df,
-            text_index=text_index,
+            text_index=idx,
         )
+        if idx is not None and not _stage_preserves_text_col(
+            stage, idx.text_col
+        ):
+            # the frame's text column no longer matches the ingested
+            # corpus text (reassigned/derived/dropped): the index's
+            # markers would diverge from scan semantics, so every later
+            # stage takes the always-correct scan path (ADVICE r12)
+            idx = None
     return out

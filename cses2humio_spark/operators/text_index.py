@@ -171,11 +171,16 @@ class InvertedTextIndex(VersionedSegmentStore):
             *extra,
         )
 
-    def _write_segment(self, docs: DataFrame, version: int) -> None:
+    def _write_segment(self, docs: DataFrame, version: int) -> bool:
         """Write the postings for ``docs`` as segment ``version``, then
         derive its doc-length artifact FROM the written postings (one
         (doc_id, dl) row per doc via max — dl is constant within a doc)
-        — corpus text is tokenized exactly once per segment."""
+        — corpus text is tokenized exactly once per segment. Returns the
+        segment's corpus-wide ``ws1`` AND (computed from the just-written
+        narrow doc-length artifact — 17 B/doc, one scalar aggregate) so
+        the writers can COMMIT it into the manifest: ``ws_single_all``
+        then answers from manifest metadata instead of re-aggregating a
+        corpus-sized table on every routed phrase query (ADVICE r12)."""
         self._write_dir(
             self._postings(docs), self._seg_dir(version), partition_by=["tb"]
         )
@@ -187,6 +192,12 @@ class InvertedTextIndex(VersionedSegmentStore):
             F.max("dl").alias("dl"), F.min("ws1").alias("ws1")
         )
         self._write_dir(dl, self._dl_dir(version))
+        row = (
+            spark.read.parquet(self._dl_dir(version))
+            .agg(F.min(F.coalesce(F.col("ws1"), F.lit(False))).alias("w"))
+            .collect()[0]
+        )
+        return bool(row["w"]) if row["w"] is not None else False
 
     # -- build ---------------------------------------------------------------
 
@@ -201,7 +212,7 @@ class InvertedTextIndex(VersionedSegmentStore):
         collection statistic."""
         latest = self.latest_version()
         version = -1 if latest is None else latest + 1
-        self._write_segment(docs, version)
+        seg_ws1 = self._write_segment(docs, version)
         prior_lb = (
             self._last_batch_id(self._load_manifest(latest), latest)
             if latest is not None
@@ -213,6 +224,7 @@ class InvertedTextIndex(VersionedSegmentStore):
                 "segments": [version],
                 "last_batch_id": prior_lb,
                 "tombstones": [],
+                "ws1": {str(version): seg_ws1},
             },
         )
         self._commit(version)
@@ -275,8 +287,12 @@ class InvertedTextIndex(VersionedSegmentStore):
             self._commit(version)
             self._prune(version)
             return
-        self._write_segment(batch_df, version)
+        seg_ws1 = self._write_segment(batch_df, version)
         manifest["segments"] = list(manifest["segments"]) + [version]
+        manifest["ws1"] = {
+            **manifest.get("ws1", {}),
+            str(version): seg_ws1,
+        }
         self._write_manifest(version, manifest)
         self._commit(version)
         self._prune(version)
@@ -349,8 +365,21 @@ class InvertedTextIndex(VersionedSegmentStore):
             partition_by=["tb"],
         )
         self._write_dir(survivors, self._dl_dir(version))
+        # re-derive the merged segment's ws1 AND from the SURVIVORS: a
+        # tombstoned mixed-separator doc no longer drags the flag False,
+        # so a compact can re-enable phrase routing. NULL ws1 (rows from
+        # pre-flag segments) coalesces to False — unknown separator
+        # shapes must force the scan path (ADVICE r12).
+        if "ws1" in survivors.columns:
+            row = survivors.agg(
+                F.min(F.coalesce(F.col("ws1"), F.lit(False))).alias("w")
+            ).collect()[0]
+            seg_ws1 = bool(row["w"]) if row["w"] is not None else False
+        else:
+            seg_ws1 = False
         manifest["segments"] = [version]
         manifest["tombstones"] = []
+        manifest["ws1"] = {str(version): seg_ws1}
         self._write_manifest(version, manifest)
         self._commit(version)
         self._prune(version)
@@ -423,16 +452,47 @@ class InvertedTextIndex(VersionedSegmentStore):
         spaces (the AND of the per-doc ``ws1`` flags the build recorded)
         — the corpus-wide precondition for routing quoted-phrase
         free-text through the positional postings
-        (hql.py::_route_free_text_stage). One boolean aggregate over the
-        narrow doc-length artifact — the same table every BM25 search
-        already scans for collection statistics. Indexes built before
-        the flag existed (no ``ws1`` column) and empty indexes answer
+        (hql.py::_route_free_text_stage).
+
+        Fast path: the per-segment AND is COMMITTED in the manifest at
+        write time, so when every live segment carries an entry this is
+        a metadata read — zero scans per routed phrase query (ADVICE
+        r12: the previous implementation re-aggregated the corpus-sized
+        doc-length table on every phrase stage). All-True over the
+        manifest is exact even under tombstones (the live docs are a
+        subset of the recorded ones, and an AND over a superset of True
+        stays True on any subset); an all-recorded False with NO
+        tombstones is exact for the same reason. The one case the
+        manifest cannot answer exactly — some segment recorded False
+        AND deletes exist (the offending doc may be tombstoned) — falls
+        through to the exact aggregate over the tombstone-filtered
+        doc-length artifact, as does any segment missing its entry
+        (written by pre-flag code).
+
+        The exact fallback coalesces NULL ws1 to False BEFORE the min:
+        a mixed-generation index (pre-flag segments appended to by new
+        code) reads NULL for the old docs, and ``min([True, NULL])`` is
+        True under SQL aggregate NULL-skipping — which would route
+        phrases over docs with unrecorded separator shapes (ADVICE r12,
+        medium). Unknown must mean False. Indexes built entirely before
+        the flag (no ``ws1`` column at all) and empty indexes answer
         False: the caller falls back to the scan path, never to a wrong
         answer."""
-        dl = self.read_doclens(spark, version)
+        at = self._resolve_version(version)
+        man = self._load_manifest(at)
+        recorded = man.get("ws1", {})
+        segs = man.get("segments", [])
+        if segs and all(str(s) in recorded for s in segs):
+            if all(bool(recorded[str(s)]) for s in segs):
+                return True
+            if not man.get("tombstones"):
+                return False
+        dl = self.read_doclens(spark, at)
         if "ws1" not in dl.columns:
             return False
-        row = dl.agg(F.min("ws1").alias("w")).collect()[0]
+        row = dl.agg(
+            F.min(F.coalesce(F.col("ws1"), F.lit(False))).alias("w")
+        ).collect()[0]
         return bool(row["w"]) if row["w"] is not None else False
 
     def search(

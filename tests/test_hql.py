@@ -1915,6 +1915,76 @@ class TestIndexedFreeText:
             map(tuple, scanned.collect())
         )
 
+    def test_text_rewrite_disarms_routing(self, spark, idx_docs):
+        """ADVICE r12: a stage that reassigns the indexed text column
+        makes the index markers stale (they reflect the INGESTED corpus
+        text) — later free-text stages must take the scan path over the
+        REWRITTEN text, not the index."""
+        idx, docs = idx_docs
+        # after text := lang, free-text 'en' matches docs whose LANG is
+        # en via the text column — the original text contents are gone
+        q = "text := lang | en | groupBy(lang)"
+        routed = sorted(map(tuple, hql(docs, q, text_index=idx).collect()))
+        scanned = sorted(map(tuple, hql(docs, q).collect()))
+        assert routed == scanned and routed
+        # and the plan proves the fallback: no posting-list scan (the
+        # original text never needs reading — Catalyst prunes it, since
+        # the rewrite derives from lang — but the INDEX must not appear)
+        out = hql(docs, q, text_index=idx)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "seg=" not in plan, plan[:2000]
+        # a free-text stage BEFORE the rewrite still routes (one armed
+        # stage, one disarmed) and stays row-identical
+        q2 = "spark | text := lang | en | groupBy(lang)"
+        assert sorted(
+            map(tuple, hql(docs, q2, text_index=idx).collect())
+        ) == sorted(map(tuple, hql(docs, q2).collect()))
+
+    def test_select_dropping_text_disarms_routing(self, spark, idx_docs):
+        """ADVICE r12: a projection that drops the text column (while
+        keeping the id column, so strict routing would not catch it)
+        changes which columns a free-text scan searches — the marker
+        path would keep answering for the dropped column."""
+        idx, docs = idx_docs
+        for q in [
+            "select([doc_id, lang]) | en | groupBy(lang)",
+            "drop([text]) | en | groupBy(lang)",
+        ]:
+            routed = sorted(
+                map(tuple, hql(docs, q, text_index=idx).collect())
+            )
+            scanned = sorted(map(tuple, hql(docs, q).collect()))
+            assert routed == scanned and routed, q
+
+    def test_subquery_text_rewrite_disarms_routing(self, spark, idx_docs):
+        """The subquery tracks its own disarm flag: a rewrite inside
+        join({...}) must not leave its later free-text stages on the
+        index."""
+        idx, docs = idx_docs
+        q = (
+            "lang = en | join({text := lang | en | select([doc_id])}, "
+            "field=doc_id, key=doc_id, mode=semi) | groupBy(lang)"
+        )
+        routed = sorted(map(tuple, hql(docs, q, text_index=idx).collect()))
+        scanned = sorted(map(tuple, hql(docs, q).collect()))
+        assert routed == scanned and routed
+
+    def test_unbuilt_index_falls_back_to_scan(self, spark, idx_docs, tmp_path):
+        """ADVICE r12: an index with no committed version (a concurrent
+        first build may land mid-query) takes the scan path instead of
+        raising or threading a floating 'latest' through the reads."""
+        from cses2humio_spark.operators.text_index import InvertedTextIndex
+
+        _, docs = idx_docs
+        empty = InvertedTextIndex(str(tmp_path / "unbuilt"), n_buckets=4)
+        assert empty.latest_version() is None
+        q = "spark | groupBy(lang)"
+        routed = sorted(
+            map(tuple, hql(docs, q, text_index=empty).collect())
+        )
+        scanned = sorted(map(tuple, hql(docs, q).collect()))
+        assert routed == scanned and routed
+
 
 # --- selfJoinFilter / series ----------------------------------------------
 

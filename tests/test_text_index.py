@@ -582,24 +582,108 @@ def test_ws_single_all_lifecycle(spark, tmp_path):
     assert idx.ws_single_all(spark) is True
 
 
+def _strip_manifest_ws1(index_dir: str, segs: list[int] | None = None):
+    """Doctor an index to look like a pre-flag writer produced it (or
+    part of it): remove the committed per-segment ws1 entries from every
+    retained manifest — legacy code recorded nothing there."""
+    import glob as _glob
+    import json as _json
+
+    for mp in _glob.glob(index_dir + "/manifest_v=*.json"):
+        with open(mp) as fh:
+            man = _json.load(fh)
+        if segs is None:
+            man.pop("ws1", None)
+        else:
+            for s in segs:
+                man.get("ws1", {}).pop(str(s), None)
+        with open(mp, "w") as fh:
+            _json.dump(man, fh)
+
+
+def _strip_dl_ws1(spark, dl_dir: str, tmp: str):
+    """Drop the ws1 column from a doclen artifact in place — the on-disk
+    shape a pre-flag writer produced."""
+    legacy = spark.read.parquet(dl_dir).select("doc_id", "dl")
+    legacy.write.mode("overwrite").parquet(tmp)
+    import glob as _glob
+    import os as _os
+
+    for f in _glob.glob(dl_dir + "/*"):
+        if _os.path.isfile(f):
+            _os.remove(f)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(dl_dir)
+
+
 def test_ws_single_all_empty_and_legacy_safe(spark, tmp_path, docs):
     """ws_single_all must answer False — never raise, never True — when
-    the evidence is missing: a doclen table without the ws1 column
-    (pre-r12 index layout) routes phrases to the scan path instead of
-    wrongly through the identity."""
+    the evidence is missing: a doclen table without the ws1 column AND
+    no manifest entries (the full pre-r12 index layout) routes phrases
+    to the scan path instead of wrongly through the identity."""
     idx = InvertedTextIndex(str(tmp_path / "legacy"), n_buckets=4)
     idx.build(docs.limit(5))
-    # simulate a legacy artifact: drop ws1 from the doclen parquet
-    import glob as _glob
-
-    dl_dir = str(tmp_path / "legacy" / "dl=-1")
-    legacy = spark.read.parquet(dl_dir).select("doc_id", "dl")
-    legacy.write.mode("overwrite").parquet(str(tmp_path / "dl_tmp"))
-    for f in _glob.glob(dl_dir + "/*"):
-        import os as _os
-
-        _os.remove(f) if _os.path.isfile(f) else None
-    spark.read.parquet(str(tmp_path / "dl_tmp")).write.mode(
-        "overwrite"
-    ).parquet(dl_dir)
+    _strip_manifest_ws1(str(tmp_path / "legacy"))
+    _strip_dl_ws1(
+        spark, str(tmp_path / "legacy" / "dl=-1"), str(tmp_path / "dl_tmp")
+    )
     assert idx.ws_single_all(spark) is False
+
+
+def test_ws_single_all_mixed_generation_null_is_false(spark, tmp_path):
+    """ADVICE r12 (medium): a mixed-generation index — a segment written
+    by pre-flag code, appended to by new code — reads NULL ws1 for the
+    legacy docs. SQL aggregates skip NULLs, so an uncoalesced
+    min([True, NULL]) would answer True and route phrases over docs
+    whose separator shapes were never recorded. Unknown must mean
+    False."""
+    d = str(tmp_path / "mixed")
+    idx = InvertedTextIndex(d, n_buckets=4)
+    idx.build(
+        spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma delta")],
+            "doc_id long, text string",
+        )
+    )
+    idx(
+        spark.createDataFrame([(3, "epsilon zeta")], "doc_id long, text string"),
+        batch_id=1,
+    )
+    # segment -1 becomes legacy: no parquet column, no manifest entry;
+    # segment 0 (new code) keeps its all-True evidence
+    _strip_manifest_ws1(d, segs=[-1])
+    _strip_dl_ws1(spark, d + "/dl=-1", str(tmp_path / "mixed_tmp"))
+    assert idx.ws_single_all(spark) is False
+
+
+def test_ws_single_all_answers_from_manifest_without_scanning(
+    spark, tmp_path
+):
+    """ADVICE r12: the corpus-wide AND is committed in the manifest at
+    write time, so the common cases are METADATA reads — proven by
+    physically removing the doclen artifacts: a scan would die, the
+    manifest answers. (The one inexact manifest case — a recorded False
+    with live tombstones — still scans; the lifecycle test covers it.)"""
+    import shutil as _shutil
+
+    d = str(tmp_path / "manifast")
+    idx = InvertedTextIndex(d, n_buckets=4)
+    idx.build(
+        spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma delta")],
+            "doc_id long, text string",
+        )
+    )
+    _shutil.rmtree(d + "/dl=-1")
+    assert idx.ws_single_all(spark) is True  # all-recorded-True: exact
+
+    d2 = str(tmp_path / "manifast_false")
+    idx2 = InvertedTextIndex(d2, n_buckets=4)
+    idx2.build(
+        spark.createDataFrame(
+            [(1, "alpha\tbeta"), (2, "gamma delta")],
+            "doc_id long, text string",
+        )
+    )
+    _shutil.rmtree(d2 + "/dl=-1")
+    # recorded False + zero tombstones: the superset IS the live set
+    assert idx2.ws_single_all(spark) is False
