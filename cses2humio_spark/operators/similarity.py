@@ -539,9 +539,13 @@ def ivf_assign(
 ) -> DataFrame:
     """IVF coarse quantization: assign every corpus vector to its nearest
     centroid by cosine (ties -> lowest centroid id). Centroids are broadcast
-    (tiny by construction); the argmax is a row_number over the per-vector
-    candidate list, so the shuffle carries one row per (vector, centroid)
-    pair and collapses to one row per vector."""
+    (tiny by construction); the argmax is a grouped MIN over a
+    ``(-cos, cid)`` struct — struct ordering is lexicographic, so the
+    minimum is exactly (highest cosine, ties -> lowest cid) — NOT a
+    row_number window: min is associative, so the map side collapses the
+    |corpus| x k scored rows to one partial per vector BEFORE the
+    shuffle (the window variant shuffled all k candidates per vector and
+    sorted them — k x the shuffle bytes for an argmax; ADVICE r12)."""
     from cses2humio_spark.sources.catalog import fan_out
 
     c = centroids.select(F.col(cid_col), F.col(vec_col).alias("__cvec"))
@@ -550,14 +554,14 @@ def ivf_assign(
         F.col(cid_col),
         cosine_similarity(F.col(vec_col), F.col("__cvec")).alias("__cos"),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__cos").desc(), F.col(cid_col).asc()
+    best = scored.groupBy(id_col).agg(
+        F.min(
+            F.struct(
+                (-F.col("__cos")).alias("nc"), F.col(cid_col).alias("c")
+            )
+        ).alias("__best")
     )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, cid_col)
-    )
+    return best.select(id_col, F.col("__best.c").alias(cid_col))
 
 
 def ivf_topk(
