@@ -76,8 +76,15 @@ _PRIORITY = [
     "decontaminating_vector_admission",
     "embedding_quantization_error",
     "feed_vector_admission_ann_pipeline",
+    # NEW r13 registrations — land in-window the round they ship: bare
+    # wildcard free-text (``spar*``) routed through the standing index,
+    # and SemDeDup on TRAINED k-means centroids with the per-cluster
+    # size profile that bounds the operator's quadratic term
+    "hql_indexed_glob",
+    "semdedup_kmeans_profile",
     # the routed free-text internals changed again this round (manifest-
-    # committed ws1, disarm-on-text-rewrite, version-pin None guard)
+    # committed ws1, disarm-on-text-rewrite, version-pin None guard,
+    # glob markers)
     "hql_indexed_phrase",
     "hql_indexed_free_text",
     # r12 first-time registrations kept one more round
@@ -93,15 +100,15 @@ _PRIORITY = [
     "minhash_band_signatures",
     "near_dup_cluster_reps",
     "profile_documents_columns",
-    "hql_window_time_moving_avg",
-    "top_users_with_other",
 ]
-# Round-13 window refresh (VERDICT r12 #1): TWENTY-FIVE first-time
-# slots — the complete window-eligible never-driver-checked pool, which
-# the r12 notes counted as 24 (semdedup_decisions, registered after the
-# r12 rotation landed, was missing from the list; the verdict corrected
-# the count). After this window the cumulative driver-checked set is
-# 285/286; the one remainder, kmeans_clusters_arrays, is PERMANENTLY
+# Round-13 window refresh (VERDICT r12 #1): TWENTY-SEVEN first-time
+# slots — the complete window-eligible never-driver-checked pool of 25
+# (which the r12 notes counted as 24: semdedup_decisions, registered
+# after the r12 rotation landed, was missing from the list; the verdict
+# corrected the count) plus the two NEW r13 registrations
+# (hql_indexed_glob, semdedup_kmeans_profile). After this window the
+# cumulative driver-checked set is 287 of 288 registered; the one
+# remainder, kmeans_clusters_arrays, is PERMANENTLY
 # window-ineligible (array-typed centroid column fails the driver's
 # pandas hasher — the window-hashability lint in test_oracle_parity.py
 # rejects it; its family is covered by the scalar, driver-green

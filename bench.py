@@ -125,6 +125,9 @@ HEADLINE = [
     "hql_indexed_phrase",  # quoted-phrase free-text via positional postings
     "model_quality_filter_vocab",  # explicit-vocab (trained-weights) scoring
     "semdedup_decisions",  # cluster-bucketed semantic dedup (SemDeDup)
+    # round 13 (no standing baseline yet — first accepted bench becomes it)
+    "hql_indexed_glob",  # bare wildcard free-text routed via posting lists
+    "semdedup_kmeans_profile",  # trained-centroid SemDeDup + cluster sizes
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
@@ -487,6 +490,19 @@ def main() -> None:
             and timings[n] > 2.0 * STANDING_BASELINE_SF01[n]
         )
     print(json.dumps(out))
+    # The driver records only the TAIL of stdout (Spark progress lines
+    # push the JSON line's head out of the captured window once the
+    # suite passed ~45 entries), so BENCH_r{N}.json can truncate the
+    # per-query map. Persist the COMPLETE result next to the script —
+    # the judge reads this file when the captured line is truncated.
+    try:
+        full = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        )
+        with open(full, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: stdout already carried the result
 
 
 if __name__ == "__main__":

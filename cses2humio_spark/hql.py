@@ -17,9 +17,11 @@ Surface:
 - Filters: ``field = value`` (with ``*`` globs), ``!=``, ``< <= > >=``
   (numeric when the literal is numeric), ``field = /regex/``, bare-word
   free-text (case-insensitive substring over all string columns — the
-  analog of Humio's @rawstring search), combined with ``and`` / ``or`` /
-  ``not`` / parentheses; adjacent terms are implicit AND (Humio rule).
-  ``#field`` / ``@field`` sugar strips to ``field``.
+  analog of Humio's @rawstring search) including WILDCARD free-text
+  (``err*`` / ``*err*`` / ``ab*cd`` — unanchored glob over each string
+  column's value; quoted strings keep a literal ``*``), combined with
+  ``and`` / ``or`` / ``not`` / parentheses; adjacent terms are implicit
+  AND (Humio rule). ``#field`` / ``@field`` sugar strips to ``field``.
 - Aggregates: ``count`` (plain/field/distinct), ``sum/avg/min/max``
   (exact-decimal accumulation), ``stddev`` (exact sufficient
   statistics), ``percentile``, ``collect`` (sorted array).
@@ -85,14 +87,24 @@ _BASE_TOKens = r"""
   | (?P<IDENT>[#@]?[A-Za-z_][A-Za-z0-9_.]*)
     """
 
-# ``/.../`` regex literals and ``err*`` glob values are only recognized
-# immediately after = or != (Humio's position for them) — everywhere else
-# ``/`` is division and ``*`` is multiplication. Two scanners avoid the
-# classic slash ambiguity.
+# ``/.../`` regex literals are only recognized immediately after = or !=
+# (Humio's position for them) — everywhere else ``/`` is division. Glob
+# tokens are recognized after = / != (comparison values) AND in filter
+# position (bare ``err*`` free-text — Humio's wildcard @rawstring
+# search), but never inside a ``:=`` arithmetic expression, where ``*``
+# is multiplication. Three scanners avoid the classic slash/star
+# ambiguity: the filter scanner's glob requires at least one word
+# character so the bare ``*`` stays ARITH (the case-clause wildcard
+# selector and ``:=``-free arithmetic both depend on that).
 _TOKEN_RE = re.compile(_BASE_TOKens, re.VERBOSE)
 _TOKEN_RE_REGEX = re.compile(
     r"(?P<REGEX>/(?:[^/\\]|\\.)+/)\s*"
     r"|(?P<GLOB>[A-Za-z0-9_.\-]*\*[A-Za-z0-9_.\-*]*)|" + _BASE_TOKens,
+    re.VERBOSE,
+)
+_TOKEN_RE_FILTER = re.compile(
+    r"(?P<GLOB>[A-Za-z0-9_.\-]+\*[A-Za-z0-9_.\-*]*"
+    r"|\*+[A-Za-z0-9_.\-][A-Za-z0-9_.\-*]*)|" + _BASE_TOKens,
     re.VERBOSE,
 )
 
@@ -107,14 +119,28 @@ class Tok:
 def tokenize(src: str) -> list[Tok]:
     out: list[Tok] = []
     pos = 0
+    # ``:=`` opens an arithmetic expression that runs to the next stage
+    # boundary (PIPE / SEMI / brace) — ``*`` is multiplication there, a
+    # word-adjacent glob everywhere else. COMMA does NOT reset: commas
+    # occur INSIDE arithmetic (``x := if(a=1, 2*3, 4)``).
+    in_assign = False
     while pos < len(src):
         after_eq = bool(out) and out[-1].kind == "OP" and out[-1].text in ("=", "!=")
-        m = (_TOKEN_RE_REGEX if after_eq else _TOKEN_RE).match(src, pos)
+        scanner = (
+            _TOKEN_RE_REGEX
+            if after_eq
+            else (_TOKEN_RE if in_assign else _TOKEN_RE_FILTER)
+        )
+        m = scanner.match(src, pos)
         if not m:
             raise HqlSyntaxError(f"unexpected character {src[pos]!r} at {pos}")
         kind = m.lastgroup or ""
         if kind != "WS":
             out.append(Tok(kind, m.group().strip() if kind == "REGEX" else m.group(), pos))
+            if kind == "ASSIGN":
+                in_assign = True
+            elif kind in ("PIPE", "SEMI", "LBRACE", "RBRACE"):
+                in_assign = False
         pos = m.end()
     return out
 
@@ -129,6 +155,10 @@ class HqlSyntaxError(ValueError):
 @dataclass
 class FreeText:
     term: str
+    #: unquoted term containing ``*``: a glob over every string column's
+    #: full value (Humio's wildcard @rawstring search). Quoted strings
+    #: stay literal — the escape hatch for matching a real ``*``.
+    glob: bool = False
 
 
 @dataclass
@@ -426,6 +456,11 @@ class _Parser:
                     )
                 raise HqlSyntaxError(f"bad comparison value {v.text!r} at {v.pos}")
             return FreeText(self.next().text)
+        if t.kind == "GLOB":
+            # bare wildcard free-text (``err*``): Humio's glob over
+            # @rawstring — here, over every string column's full value.
+            # Quoted strings remain the literal-`*` escape hatch.
+            return FreeText(self.next().text, glob=True)
         raise HqlSyntaxError(f"unexpected {t.kind} {t.text!r} at {t.pos}")
 
     # arithmetic for := --------------------------------------------------
@@ -612,8 +647,12 @@ class _FtxContext:
 
 
 def _free_text_terms(node, out: set) -> None:
+    """Collect ``(lowercased term, is_glob)`` pairs — the glob flag is
+    part of the marker key because the same spelling can be BOTH a
+    quoted literal (``"err*"`` — match a real star) and a bare glob
+    (``err*``) in one stage, with different semantics."""
     if isinstance(node, FreeText):
-        out.add(node.term.lower())
+        out.add((node.term.lower(), node.glob))
     elif isinstance(node, (And, Or)):
         for p in node.parts:
             _free_text_terms(p, out)
@@ -739,10 +778,28 @@ def _route_free_text_stage(
     original schema in the original column order."""
     terms: set = set()
     _free_text_terms(node, terms)
-    if not terms or any(not t for t in terms):
+    if not terms or any(not t for (t, _g) in terms):
         return None
-    bare = sorted(t for t in terms if not re.search(r"\s", t))
-    phrases = sorted(t for t in terms if re.search(r"\s", t))
+    bare: list = []
+    phrases: list = []
+    globs: list = []
+    for t, g in sorted(terms):
+        if g:
+            # EDGE-star globs reduce exactly to the bare-term identity:
+            # stars at the edges match anything including nothing, so
+            # ``err*`` / ``*err`` / ``*err*`` ⟺ lower(text) contains
+            # 'err' ⟺ some token contains 'err' (glob tokens never
+            # carry whitespace by construction). A middle star can span
+            # token boundaries (``ab*cd`` matches "ab cd"), which
+            # token-local postings cannot answer: scan path.
+            core = t.strip("*")
+            if not core or "*" in core:
+                return None
+            globs.append((t, core))
+        elif re.search(r"\s", t):
+            phrases.append(t)
+        else:
+            bare.append(t)
     if any(not _PHRASE_RE.fullmatch(p) for p in phrases):
         return None  # tabs / doubled spaces / edge whitespace: scan path
     if phrases and not getattr(index, "positional", False):
@@ -773,13 +830,19 @@ def _route_free_text_stage(
     ltk = F.lower(F.col("tok"))
     any_hit = None
     flags = []
-    markers: dict[str, str] = {}
+    markers: dict[tuple[str, bool], str] = {}
     for i, t in enumerate(bare):
         hit = ltk.contains(t)
         any_hit = hit if any_hit is None else (any_hit | hit)
         mk = f"__hql_ftx{i}"
         flags.append(F.max(F.when(hit, F.lit(True))).alias(mk))
-        markers[t] = mk
+        markers[(t, False)] = mk
+    for i, (t, core) in enumerate(globs):
+        hit = ltk.contains(core)
+        any_hit = hit if any_hit is None else (any_hit | hit)
+        mk = f"__hql_ftxg{i}"
+        flags.append(F.max(F.when(hit, F.lit(True))).alias(mk))
+        markers[(t, True)] = mk
     phrase_slots: list[tuple[str, list[str]]] = []
     for j, p in enumerate(phrases):
         words = p.split(" ")
@@ -825,7 +888,7 @@ def _route_free_text_stage(
         mk = f"__hql_ftxP{j}"
         occ = F.exists(F.col(slots[0]), _adjacency(slots))
         cand = cand.withColumn(mk, occ).drop(*slots)
-        markers[p] = mk
+        markers[(p, False)] = mk
     cand = cand.withColumnRenamed("doc_id", index.id_col)
     out = df.join(cand, on=index.id_col, how="left")
     null_col = None
@@ -862,8 +925,26 @@ def _compile_filter(df: DataFrame, node, now=None, ftx=None) -> Column:
         return ~_compile_filter(df, node.inner, now, ftx)
     if isinstance(node, FreeText):
         term = node.term.lower()
-        if ftx is not None and term in ftx.markers:
-            cond = F.coalesce(F.col(ftx.markers[term]), F.lit(False))
+        if node.glob:
+            # Humio's wildcard @rawstring search: ``*`` matches any run
+            # (including empty), the match is substring-anchored like
+            # plain free-text — an unanchored regex of the escaped
+            # literal parts joined by ``.*``. NULL stays NULL (3-valued),
+            # exactly as ``contains``.
+            pat = ".*".join(re.escape(p) for p in term.split("*"))
+
+            def _hit(c: Column) -> Column:
+                return F.lower(c).rlike(pat)
+
+        else:
+
+            def _hit(c: Column) -> Column:
+                return F.lower(c).contains(term)
+
+        if ftx is not None and (term, node.glob) in ftx.markers:
+            cond = F.coalesce(
+                F.col(ftx.markers[(term, node.glob)]), F.lit(False)
+            )
             if ftx.null_col is not None:
                 # scan semantics on NULL text is NULL (3-valued), not
                 # FALSE — ``not term`` must drop the row either way
@@ -873,14 +954,14 @@ def _compile_filter(df: DataFrame, node, now=None, ftx=None) -> Column:
                 ).otherwise(cond)
             for c in _string_cols(df):
                 if c != ftx.text_col:
-                    cond = cond | F.lower(F.col(c)).contains(term)
+                    cond = cond | _hit(F.col(c))
             return cond
         cols = _string_cols(df)
         if not cols:
             return F.lit(False)
         cond = F.lit(False)
         for c in cols:
-            cond = cond | F.lower(F.col(c)).contains(term)
+            cond = cond | _hit(F.col(c))
         return cond
     if isinstance(node, Cmp):
         c = F.col(node.field)

@@ -1155,6 +1155,67 @@ def kmeans_clusters_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_cluster_profile(emb, "vec_id", "embedding", k=8, n_iter=2)
 
 
+@query(
+    "semdedup_kmeans_profile",
+    oracle=f"""
+    {_KM_CTES},
+    sasn AS (SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e.v', 'c.cv')} DESC, c.cid)
+                 AS rn
+        FROM ev e CROSS JOIN c2 c) t WHERE rn = 1),
+    sdup AS (SELECT b.vec_id AS vid
+             FROM sasn a JOIN sasn b
+               ON a.cid = b.cid AND a.vec_id < b.vec_id
+             WHERE {_cos_sql('a.v', 'b.v')} >= 0.4
+             GROUP BY b.vec_id)
+    SELECT CAST(s.cid AS BIGINT) AS cid,
+           COUNT(*) AS n_members,
+           CAST(SUM(CASE WHEN d.vid IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_dropped
+    FROM sasn s LEFT JOIN sdup d ON d.vid = s.vec_id
+    GROUP BY s.cid
+    ORDER BY cid
+    """,
+)
+def semdedup_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup on TRAINED coarse centroids (the paper's actual recipe —
+    k-means cells, not an id-prefix convention) plus the cluster-size
+    profile that bounds its cost: one row per cluster with its member
+    count and how many members the dedup rule drops. The max of
+    ``n_members`` IS the operator's quadratic term — SemDeDup compares
+    |cluster|² pairs inside each cell, so this query is both the
+    trained-centroid twin of ``semdedup_decisions`` and the measurement
+    a capacity plan reads before running it at scale (a skewed max
+    cluster says "buy more centroids", the paper's own dial; at sf0.1
+    the trained k=8 cells hold ≤262 of the 2000 vectors vs 292 for the
+    k=8 id-prefix convention — measured, docs/SCALING.md round 13).
+    Decisions are
+    identical in shape to ``semdedup_decisions``: drop ⟺ ∃ lower-id
+    in-cluster neighbor with cosine ≥ τ (total, scan-order-free). The
+    oracle replays the exact-decimal Lloyd iterations (the
+    ``kmeans_clusters``-proven CTE chain), re-assigns by cosine (the
+    IVF rule the engine uses for cells), and restates the drop rule as
+    an EXISTS-shaped aggregation."""
+    from cses2humio_spark.operators.similarity import (
+        ivf_centroids_kmeans,
+        semdedup_within_cluster,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids_kmeans(emb, k=8, n_iter=2)
+    dec = semdedup_within_cluster(emb, cents, threshold=0.4)
+    return (
+        dec.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(1 - F.col("kept")).cast("bigint").alias("n_dropped"),
+        )
+        .orderBy("cid")
+    )
+
+
 _CLUSTER_CTES = f"""
     WITH RECURSIVE {_CAND_CTE},
     dsh AS (SELECT DISTINCT doc_id, sh FROM sh),

@@ -577,6 +577,131 @@ def test_quoted_star_is_literal_not_glob(spark):
     assert hql(df, "v = a*b").count() == 2  # unquoted still globs
 
 
+class TestGlobFreeText:
+    """Bare wildcard free-text (``err*`` with no field) — VERDICT r12 #2:
+    previously a loud HqlSyntaxError; now Humio's glob-over-@rawstring
+    semantics across every string column."""
+
+    def test_scan_semantics_first_principles(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "an error occurred", "x"),
+                (2, "errand boy", "x"),
+                (3, "clean run", "err"),
+                (4, None, "y"),
+                (5, "e then r", "z"),
+            ],
+            "id int, msg string, tag string",
+        )
+        # edge-star glob == contains of the core, across ALL string cols
+        assert {r.id for r in hql(df, "err*").collect()} == {1, 2, 3}
+        assert {r.id for r in hql(df, "*err*").collect()} == {1, 2, 3}
+        # middle star: ordered parts, the gap may span anything
+        assert {r.id for r in hql(df, "e*then*r").collect()} == {5}
+        # negation drops NULL rows (3-valued, like bare terms)
+        assert {r.id for r in hql(df, "not err*").collect()} == {5}
+        # quoted star stays literal — the escape hatch survives
+        df2 = spark.createDataFrame([(1, "a*b"), (2, "axxb")], "id int, v string")
+        assert {r.id for r in hql(df2, '"a*b"').collect()} == {1}
+        assert {r.id for r in hql(df2, "a*b").collect()} == {1, 2}
+
+    def test_glob_mixed_with_terms_and_case_wildcard_still_parse(self, spark):
+        df = spark.createDataFrame(
+            [(1, "spark shuffle", "en"), (2, "flink join", "de")],
+            "id int, text string, lang string",
+        )
+        assert {r.id for r in hql(df, "spar* and lang = en").collect()} == {1}
+        # the bare '*' stays the case-clause wildcard selector
+        out = hql(df, "case { spar* | k := 1 ; * | k := 0 }").collect()
+        assert {r.id: r.k for r in out} == {1: 1.0, 2: 0.0}
+
+    @pytest.mark.parametrize(
+        "q",
+        [
+            "spar* | groupBy(lang)",
+            "*ark* | groupBy(lang)",
+            "not spar* | groupBy(lang)",
+            "spar* or join | groupBy(lang)",
+            'spar* and "table scan" | groupBy(lang)',
+            "de* | groupBy(lang)",  # also hits the lang column
+        ],
+    )
+    def test_routed_glob_row_identical_to_scan(self, spark, q):
+        from cses2humio_spark.operators.text_index import InvertedTextIndex
+
+        docs = load_table(spark, SF_SMALL, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        idx = getattr(self, "_idx", None)
+        if idx is None or idx[0] is not spark:
+            import tempfile
+
+            d = tempfile.mkdtemp(prefix="hql_glob_idx")
+            ix = InvertedTextIndex(d, n_buckets=16, positional=True)
+            ix.build(docs)
+            type(self)._idx = (spark, ix)
+        ix = type(self)._idx[1]
+        routed = sorted(map(tuple, hql(docs, q, text_index=ix).collect()))
+        scanned = sorted(map(tuple, hql(docs, q).collect()))
+        assert routed == scanned and routed
+
+    def test_routed_glob_plan_never_reads_text(self, spark):
+        from cses2humio_spark.operators.text_index import InvertedTextIndex
+        import tempfile
+
+        docs = load_table(spark, SF_SMALL, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        d = tempfile.mkdtemp(prefix="hql_glob_plan")
+        ix = InvertedTextIndex(d, n_buckets=16)
+        ix.build(docs)
+        out = hql(docs, "spar* | groupBy(lang)", text_index=ix)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        doc_scans = [
+            ln for ln in plan.splitlines() if "documents.parquet" in ln
+        ]
+        assert doc_scans
+        for ln in doc_scans:
+            assert "text" not in ln.split("ReadSchema:")[-1], ln
+        # a MIDDLE-star glob can span token boundaries: scan path
+        out2 = hql(docs, "sp*rk | groupBy(lang)", text_index=ix)
+        plan2 = out2._jdf.queryExecution().executedPlan().toString()
+        assert any(
+            "text" in ln.split("ReadSchema:")[-1]
+            for ln in plan2.splitlines()
+            if "documents.parquet" in ln
+        ), plan2[:2000]
+        assert sorted(map(tuple, out2.collect())) == sorted(
+            map(tuple, hql(docs, "sp*rk | groupBy(lang)").collect())
+        )
+
+    def test_glob_and_quoted_literal_same_spelling_coexist(self, spark):
+        """The marker key carries the glob flag: ``a*b`` (glob) and
+        ``"a*b"`` (literal star) in ONE stage must compile to different
+        predicates."""
+        df = spark.createDataFrame(
+            [(1, "a*b"), (2, "axxb"), (3, "zzz")], "id int, v string"
+        )
+        assert {r.id for r in hql(df, 'a*b and "a*b"').collect()} == {1}
+        assert {r.id for r in hql(df, 'a*b or "a*b"').collect()} == {1, 2}
+
+    def test_glob_null_negation_routed_matches_scan(self, spark, tmp_path):
+        from cses2humio_spark.operators.text_index import InvertedTextIndex
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta", "x"), (2, None, "y"), (3, "gamma", "z")],
+            "doc_id int, text string, lang string",
+        )
+        ix = InvertedTextIndex(str(tmp_path / "gnull"), n_buckets=4)
+        ix.build(docs)
+        for q in ["not alph*", "alph*", "not (alph* or gam*)"]:
+            routed = sorted(map(tuple, hql(docs, q, text_index=ix).collect()))
+            scanned = sorted(map(tuple, hql(docs, q).collect()))
+            assert routed == scanned, (q, routed, scanned)
+        kept = hql(docs, "not alph*", text_index=ix).collect()
+        assert {r.doc_id for r in kept} == {3}
+
+
 def test_sample_fraction_below_resolution_is_loud(spark):
     ev = load_table(spark, SF_SMALL, "events")
     with pytest.raises(HqlSyntaxError):

@@ -168,6 +168,7 @@ SIDE_EFFECTING = {
     "hql_indexed_free_text",  # shares the persisted text-index build
     "hql_indexed_phrase",  # shares the persisted text-index build (plus
     # the ws-single doclen aggregate at routing time)
+    "hql_indexed_glob",  # shares the persisted text-index build
     "feed_admission_index_pipeline",  # fake feed + full streaming
     # admission -> text-index ingest -> search composition
     "feed_vector_admission_ann_pipeline",  # the vector twin: feed ->
@@ -186,6 +187,7 @@ BNLJ_BY_DESIGN = {
         "sq8_cosine_topk",        # tiny probe set broadcast against int8 codes
         "ivf_topk",               # tiny centroid set broadcast
         "semdedup_decisions",     # tiny centroid set broadcast (assignment)
+        "semdedup_kmeans_profile",  # same assignment broadcast, trained cells
         "ivfpq_topk",             # tiny centroid set broadcast (IVF-PQ)
         "ivfpq_index_search",     # same probes x centroids broadcast via
         # ivfpq_probe_tables; previously unchecked because SIDE_EFFECTING
