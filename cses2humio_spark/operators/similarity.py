@@ -542,10 +542,14 @@ def ivf_assign(
     (tiny by construction); the argmax is a grouped MIN over a
     ``(-cos, cid)`` struct — struct ordering is lexicographic, so the
     minimum is exactly (highest cosine, ties -> lowest cid) — NOT a
-    row_number window: min is associative, so the map side collapses the
-    |corpus| x k scored rows to one partial per vector BEFORE the
-    shuffle (the window variant shuffled all k candidates per vector and
-    sorted them — k x the shuffle bytes for an argmax; ADVICE r12)."""
+    row_number window (ADVICE r12). Measured honestly (docs/SCALING.md
+    round 13): on this Spark the window variant did NOT shuffle
+    |corpus| x k rows — the WindowGroupLimit rule already pushed the
+    rn==1 cap map-side, so both plans exchange ~one row per vector.
+    The aggregate form still wins: it drops the per-partition SORT the
+    window needs (hash partials replace sort+rank), reads slightly
+    faster walls, and does not depend on a rank-pushdown optimizer rule
+    holding — min is associative by construction, on any engine."""
     from cses2humio_spark.sources.catalog import fan_out
 
     c = centroids.select(F.col(cid_col), F.col(vec_col).alias("__cvec"))
