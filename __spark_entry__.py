@@ -79,9 +79,12 @@ _PRIORITY = [
     # NEW r13 registrations — land in-window the round they ship: bare
     # wildcard free-text (``spar*``) routed through the standing index,
     # and SemDeDup on TRAINED k-means centroids with the per-cluster
-    # size profile that bounds the operator's quadratic term
+    # size profile that bounds the operator's quadratic term — plus
+    # bare /regex/ free-text and wildcard in() values
     "hql_indexed_glob",
     "semdedup_kmeans_profile",
+    "hql_regex_free_text",
+    "hql_in_glob_values",
     # the routed free-text internals changed again this round (manifest-
     # committed ws1, disarm-on-text-rewrite, version-pin None guard,
     # glob markers)
@@ -98,16 +101,15 @@ _PRIORITY = [
     "timechart_dense_errors",
     "url_parse_breakdown",
     "minhash_band_signatures",
-    "near_dup_cluster_reps",
-    "profile_documents_columns",
 ]
-# Round-13 window refresh (VERDICT r12 #1): TWENTY-SEVEN first-time
+# Round-13 window refresh (VERDICT r12 #1): TWENTY-NINE first-time
 # slots — the complete window-eligible never-driver-checked pool of 25
 # (which the r12 notes counted as 24: semdedup_decisions, registered
 # after the r12 rotation landed, was missing from the list; the verdict
-# corrected the count) plus the two NEW r13 registrations
-# (hql_indexed_glob, semdedup_kmeans_profile). After this window the
-# cumulative driver-checked set is 287 of 288 registered; the one
+# corrected the count) plus the four NEW r13 registrations
+# (hql_indexed_glob, semdedup_kmeans_profile, hql_regex_free_text,
+# hql_in_glob_values). After this window the cumulative driver-checked
+# set is 289 of 290 registered; the one
 # remainder, kmeans_clusters_arrays, is PERMANENTLY
 # window-ineligible (array-typed centroid column fails the driver's
 # pandas hasher — the window-hashability lint in test_oracle_parity.py

@@ -19,9 +19,13 @@ Surface:
   free-text (case-insensitive substring over all string columns — the
   analog of Humio's @rawstring search) including WILDCARD free-text
   (``err*`` / ``*err*`` / ``ab*cd`` — unanchored glob over each string
-  column's value; quoted strings keep a literal ``*``), combined with
-  ``and`` / ``or`` / ``not`` / parentheses; adjacent terms are implicit
-  AND (Humio rule). ``#field`` / ``@field`` sugar strips to ``field``.
+  column's value; quoted strings keep a literal ``*``) and REGEX
+  free-text (bare ``/pattern/`` — case-sensitive unanchored find over
+  each string column), combined with ``and`` / ``or`` / ``not`` /
+  parentheses; adjacent terms are implicit AND (Humio rule).
+  ``in(field, values=[...])`` accepts wildcard values (unquoted
+  ``err*`` globs the whole value; quoted stays literal). ``#field`` /
+  ``@field`` sugar strips to ``field``.
 - Aggregates: ``count`` (plain/field/distinct), ``sum/avg/min/max``
   (exact-decimal accumulation), ``stddev`` (exact sufficient
   statistics), ``percentile``, ``collect`` (sorted array).
@@ -103,7 +107,8 @@ _TOKEN_RE_REGEX = re.compile(
     re.VERBOSE,
 )
 _TOKEN_RE_FILTER = re.compile(
-    r"(?P<GLOB>[A-Za-z0-9_.\-]+\*[A-Za-z0-9_.\-*]*"
+    r"(?P<REGEX>/(?:[^/\\]|\\.)+/)\s*"
+    r"|(?P<GLOB>[A-Za-z0-9_.\-]+\*[A-Za-z0-9_.\-*]*"
     r"|\*+[A-Za-z0-9_.\-][A-Za-z0-9_.\-*]*)|" + _BASE_TOKens,
     re.VERBOSE,
 )
@@ -159,6 +164,19 @@ class FreeText:
     #: full value (Humio's wildcard @rawstring search). Quoted strings
     #: stay literal — the escape hatch for matching a real ``*``.
     glob: bool = False
+    #: bare ``/pattern/`` in filter position: Humio's regex @rawstring
+    #: search — an unanchored, CASE-SENSITIVE regex find over every
+    #: string column (field regexes and free-text regexes share
+    #: case-sensitivity, unlike bare-word free-text which lowercases).
+    regex: bool = False
+
+
+class Glob(str):
+    """A list/kwarg value parsed from an unquoted glob token (``err*``)
+    — a ``str`` that remembers it came from wildcard syntax, so value
+    consumers (``in()``) can apply glob semantics while QUOTED values
+    with a literal ``*`` stay exact matches. Behaves as its raw text
+    everywhere else."""
 
 
 @dataclass
@@ -384,6 +402,11 @@ class _Parser:
             return _unquote(t.text)
         if t.kind == "IDENT":
             return _strip_sigil(t.text)
+        if t.kind == "GLOB":
+            # unquoted wildcard value (``values=[err*]``): tagged so
+            # consumers with glob semantics (in()) can tell it from a
+            # QUOTED literal star, which parses as a plain str above
+            return Glob(t.text)
         raise HqlSyntaxError(f"unexpected {t.kind} {t.text!r} at {t.pos}")
 
     # filters ------------------------------------------------------------
@@ -461,6 +484,11 @@ class _Parser:
             # @rawstring — here, over every string column's full value.
             # Quoted strings remain the literal-`*` escape hatch.
             return FreeText(self.next().text, glob=True)
+        if t.kind == "REGEX":
+            # bare ``/pattern/`` free-text: Humio's regex search over
+            # @rawstring — an unanchored case-sensitive find over every
+            # string column
+            return FreeText(self.next().text[1:-1], regex=True)
         raise HqlSyntaxError(f"unexpected {t.kind} {t.text!r} at {t.pos}")
 
     # arithmetic for := --------------------------------------------------
@@ -647,12 +675,17 @@ class _FtxContext:
 
 
 def _free_text_terms(node, out: set) -> None:
-    """Collect ``(lowercased term, is_glob)`` pairs — the glob flag is
-    part of the marker key because the same spelling can be BOTH a
-    quoted literal (``"err*"`` — match a real star) and a bare glob
-    (``err*``) in one stage, with different semantics."""
+    """Collect ``(lowercased term, is_glob, is_regex)`` triples — the
+    glob flag is part of the marker key because the same spelling can
+    be BOTH a quoted literal (``"err*"`` — match a real star) and a
+    bare glob (``err*``) in one stage, with different semantics. Regex
+    terms keep their ORIGINAL case (the pattern is case-sensitive);
+    they are collected only so the router can refuse the stage."""
     if isinstance(node, FreeText):
-        out.add((node.term.lower(), node.glob))
+        if node.regex:
+            out.add((node.term, False, True))
+        else:
+            out.add((node.term.lower(), node.glob, False))
     elif isinstance(node, (And, Or)):
         for p in node.parts:
             _free_text_terms(p, out)
@@ -778,12 +811,16 @@ def _route_free_text_stage(
     original schema in the original column order."""
     terms: set = set()
     _free_text_terms(node, terms)
-    if not terms or any(not t for (t, _g) in terms):
+    if not terms or any(not t for (t, _g, _r) in terms):
+        return None
+    if any(r for (_t, _g, r) in terms):
+        # an arbitrary regex can match across token boundaries and is
+        # case-sensitive — postings cannot answer it: scan path
         return None
     bare: list = []
     phrases: list = []
     globs: list = []
-    for t, g in sorted(terms):
+    for t, g, _r in sorted(terms):
         if g:
             # EDGE-star globs reduce exactly to the bare-term identity:
             # stars at the edges match anything including nothing, so
@@ -924,6 +961,16 @@ def _compile_filter(df: DataFrame, node, now=None, ftx=None) -> Column:
     if isinstance(node, Not):
         return ~_compile_filter(df, node.inner, now, ftx)
     if isinstance(node, FreeText):
+        if node.regex:
+            # case-sensitive unanchored find, matching the field-regex
+            # arm's semantics (rlike); NULL stays NULL (3-valued)
+            cols = _string_cols(df)
+            if not cols:
+                return F.lit(False)
+            cond = F.lit(False)
+            for c in cols:
+                cond = cond | F.col(c).rlike(node.term)
+            return cond
         term = node.term.lower()
         if node.glob:
             # Humio's wildcard @rawstring search: ``*`` matches any run
@@ -1329,17 +1376,37 @@ def _compile_stage(
     ):
         return df.agg(*_agg_columns(node))
     if name == "in":
+        # LogScale in(): exact membership, plus WILDCARD values — an
+        # UNQUOTED ``err*`` in the list (parsed as a tagged ``Glob``)
+        # matches the whole field value with ``*`` as any-run, exactly
+        # the ``field = err*`` comparison's anchored-glob semantics;
+        # QUOTED values keep a literal star. ignoreCase= applies to
+        # both arms (lowered value, lowered pattern parts).
         field = node.args[0] if node.args else node.kwargs.get("field")
         values = _as_list(node.kwargs.get("values", []))
         if field is None or not values:
             raise HqlSyntaxError("in(field, values=[...]) requires both")
-        if str(node.kwargs.get("ignoreCase", "false")).lower() == "true":
-            return df.filter(
-                F.lower(F.col(field).cast("string")).isin(
-                    *[str(v).lower() for v in values]
+        ic = str(node.kwargs.get("ignoreCase", "false")).lower() == "true"
+        globs = [str(v) for v in values if isinstance(v, Glob)]
+        exact = [v for v in values if not isinstance(v, Glob)]
+        col = F.col(field)
+        conds = []
+        if exact:
+            if ic:
+                conds.append(
+                    F.lower(col.cast("string")).isin(
+                        *[str(v).lower() for v in exact]
+                    )
                 )
+            else:
+                conds.append(col.isin(*exact))
+        for g in globs:
+            pat = _glob_to_regex(g.lower() if ic else g)
+            target = (
+                F.lower(col.cast("string")) if ic else col.cast("string")
             )
-        return df.filter(F.col(field).isin(*values))
+            conds.append(target.rlike(pat))
+        return df.filter(reduce(lambda a, b: a | b, conds))
     if name == "match":
         # Humio's match()/lookup enrichment: broadcast-join a named lookup
         # table on field=key; non-matching rows are DROPPED (strict

@@ -1457,6 +1457,60 @@ def hql_indexed_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hql_regex_free_text",
+    oracle="""
+    SELECT lang, COUNT(*) AS _count
+    FROM documents
+    WHERE regexp_matches(text, '[Tt]able scans?')
+       OR regexp_matches(lang, '[Tt]able scans?')
+    GROUP BY lang
+    """,
+)
+def hql_regex_free_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare ``/regex/`` free-text (Humio's regex @rawstring search,
+    VERDICT-r12-adjacent surface hole closed with the bare-glob one): a
+    regex literal in FILTER position — not as a ``field = /re/``
+    comparison value — matches events where ANY string column contains
+    a match. Case-SENSITIVE find, exactly the field-regex arm's rlike
+    semantics (bare-word free-text lowercases; regex free-text does
+    not — the pattern carries its own case classes). The tokenizer
+    recognizes ``/.../`` in filter context only, where ``/`` can never
+    be division (arithmetic lives behind ``:=``); an arbitrary regex
+    can cross token boundaries, so the standing index never answers it
+    — always the scan path, by construction. The oracle restates the
+    search with DuckDB's unanchored regexp_matches."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    return hql(docs, "/[Tt]able scans?/ | groupBy(lang)")
+
+
+@query(
+    "hql_in_glob_values",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    WHERE event_type LIKE 'pur%' OR event_type = 'error'
+    GROUP BY event_type
+    """,
+)
+def hql_in_glob_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LogScale's ``in()`` with WILDCARD values: an unquoted ``pur*``
+    in the value list matches the whole field value with ``*`` as
+    any-run — the same anchored-glob semantics as the ``field = pur*``
+    comparison — while quoted values keep a literal star (the parser
+    tags unquoted glob tokens as ``Glob`` strings, so the distinction
+    survives into compilation). Compiles to isin() for the exact arm
+    OR an anchored rlike per glob — all JVM-side, pushdown-friendly."""
+    ev = load_table(spark, sf_dir, "events")
+    return hql(
+        ev,
+        "in(event_type, values=[pur*, error]) "
+        "| groupBy(event_type, function=count(as=n))",
+    )
+
+
+@query(
     "hql_selfjoinfilter_error_purchasers",
     oracle="""
     SELECT event_type, COUNT(*) AS _count

@@ -702,6 +702,95 @@ class TestGlobFreeText:
         assert {r.doc_id for r in kept} == {3}
 
 
+class TestRegexFreeText:
+    """Bare ``/regex/`` in filter position — Humio's regex @rawstring
+    search over every string column, case-sensitive like the field-regex
+    arm (bare-word free-text lowercases; regex does not)."""
+
+    def test_scan_semantics_first_principles(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "an Error occurred", "x"),
+                (2, "error again", "x"),
+                (3, "clean run", "Err"),
+                (4, None, "y"),
+            ],
+            "id int, msg string, tag string",
+        )
+        # case-sensitive: only the capitalized occurrences match
+        assert {r.id for r in hql(df, "/Err/").collect()} == {1, 3}
+        assert {r.id for r in hql(df, "/[Ee]rror/").collect()} == {1, 2}
+        # negation drops NULL rows (3-valued)
+        assert {r.id for r in hql(df, "not /Err/").collect()} == {2}
+        # composes with terms and comparisons
+        assert {r.id for r in hql(df, "/rror/ and tag = x").collect()} == {1, 2}
+
+    def test_division_still_parses_in_assign(self, spark):
+        df = spark.createDataFrame([(1, 10.0)], "id int, value double")
+        out = hql(df, "half := value / 2").collect()
+        assert out[0]["half"] == 5.0
+
+    def test_regex_stage_never_routes_through_index(self, spark, tmp_path):
+        from cses2humio_spark.operators.text_index import InvertedTextIndex
+
+        docs = load_table(spark, SF_SMALL, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        ix = InvertedTextIndex(str(tmp_path / "rex"), n_buckets=4)
+        ix.build(docs)
+        q = "/spark/ | groupBy(lang)"
+        routed = hql(docs, q, text_index=ix)
+        plan = routed._jdf.queryExecution().executedPlan().toString()
+        assert "seg=" not in plan, plan[:2000]  # scan path, no postings
+        assert sorted(map(tuple, routed.collect())) == sorted(
+            map(tuple, hql(docs, q).collect())
+        )
+        # a stage MIXING a regex with an indexable bare term also falls
+        # back whole (markers must not partially answer the stage)
+        q2 = "/spark/ or join | groupBy(lang)"
+        routed2 = hql(docs, q2, text_index=ix)
+        plan2 = routed2._jdf.queryExecution().executedPlan().toString()
+        assert "seg=" not in plan2, plan2[:2000]
+        assert sorted(map(tuple, routed2.collect())) == sorted(
+            map(tuple, hql(docs, q2).collect())
+        )
+
+
+class TestInGlobValues:
+    def test_glob_value_vs_quoted_literal(self, spark):
+        df = spark.createDataFrame(
+            [(1, "error"), (2, "errand"), (3, "err*"), (4, "purchase")],
+            "id int, v string",
+        )
+        # unquoted err* globs (anchored, like field = err*)
+        assert {r.id for r in hql(df, "in(v, values=[err*])").collect()} == {
+            1, 2, 3
+        }
+        # quoted "err*" is the literal-star escape hatch
+        assert {
+            r.id for r in hql(df, 'in(v, values=["err*"])').collect()
+        } == {3}
+        # mixed exact + glob
+        assert {
+            r.id
+            for r in hql(df, "in(v, values=[err*, purchase])").collect()
+        } == {1, 2, 3, 4}
+
+    def test_ignore_case_applies_to_globs(self, spark):
+        df = spark.createDataFrame(
+            [(1, "ERROR"), (2, "Errand"), (3, "ok")], "id int, v string"
+        )
+        q = "in(v, values=[err*], ignoreCase=true)"
+        assert {r.id for r in hql(df, q).collect()} == {1, 2}
+        assert hql(df, "in(v, values=[err*])").count() == 0
+
+    def test_exact_only_unchanged(self, spark):
+        ev = load_table(spark, SF_SMALL, "events")
+        a = hql(ev, "in(event_type, values=[error, purchase])").count()
+        b = ev.filter("event_type IN ('error','purchase')").count()
+        assert a == b and a > 0
+
+
 def test_sample_fraction_below_resolution_is_loud(spark):
     ev = load_table(spark, SF_SMALL, "events")
     with pytest.raises(HqlSyntaxError):
