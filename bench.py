@@ -184,6 +184,7 @@ STANDING_BASELINE_SF01 = {
     "hql_entropy_extremes": 0.555,
     "hql_error_timechart": 0.281,
     "hql_indexed_free_text": 0.613,
+    "hql_indexed_glob": 0.413,
     "hql_indexed_phrase": 0.576,
     "hql_join_subquery_error_purchasers": 0.405,
     "hql_kv_parse": 0.452,
@@ -216,6 +217,7 @@ STANDING_BASELINE_SF01 = {
     "rrf_index_hybrid_top10": 1.244,
     "scd2_user_status_history": 0.712,
     "semdedup_decisions": 2.651,
+    "semdedup_kmeans_profile": 6.961,
     "sequence_pack_assignments": 0.361,
     "sessionize_users": 0.619,
     "sessionize_users_bucketed": 0.63,
