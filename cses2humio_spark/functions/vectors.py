@@ -68,6 +68,152 @@ def dequantize_error(a: Column, scale: Column, q: Column) -> Column:
     )
 
 
+def cosine_pairs_lookup(
+    pairs,
+    vectors,
+    id_col: str,
+    vec_col: str,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    out_col: str = "__cos",
+    max_vectors: int = 4_000_000,
+):
+    """Exact cosine for an (id_a, id_b) pair frame WITHOUT shipping the
+    vectors per pair: the (broadcast-bounded) vector table is collected
+    once, broadcast to the workers as one numpy matrix, and each Arrow
+    batch of pairs is scored by an indexed gather + blockwise math —
+    the pairs cross the Python boundary as two id columns (16 B/pair)
+    instead of two full vectors (~1 KB/pair at dim 64).
+
+    This is the §8-style "decide with small rows" shape for verify
+    stages whose vector side is ALREADY broadcast-sized by contract
+    (``embedding_near_dup_pairs(broadcast_vectors=True)``, the
+    admission loops' bounded micro-batch + candidate-partner set): the
+    previous formulation broadcast the same table into two hash joins
+    and then paid ~1 KB/pair of Arrow traffic to evaluate the cosine —
+    measured 85-670 s of task time for 1.25M pairs at sf0.1, vs a few
+    seconds for the id-indexed gather.
+
+    Semantics are identical to ``cosine_pairs`` over
+    ``pairs JOIN vectors ON id_a JOIN vectors ON id_b``:
+
+    - accumulation is dimension-by-dimension float64 (the engine-wide
+      left-to-right IEEE order), bit-identical to the fold and DuckDB;
+    - an id absent from ``vectors``, or one whose vector is NULL,
+      yields NULL (the inner-join formulation dropped the pair; a NULL
+      cosine fails every downstream threshold the same way);
+    - mismatched vector lengths yield NULL (the fold's zip_with pads
+      with NULL), zero-norm vectors yield NaN — both preserved;
+    - a duplicated id in ``vectors`` is an error (the join would have
+      fanned the pair out; refuse loudly instead of guessing).
+
+    ``max_vectors`` is the refuse-loudly bound on the collected table
+    (same contract as ``cosine_topk_bruteforce.max_probes``): callers
+    whose vector side can exceed it must keep the join formulation."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    rows = (
+        vectors.select(id_col, vec_col).limit(max_vectors + 1).collect()
+    )
+    if len(rows) > max_vectors:
+        raise ValueError(
+            f"cosine_pairs_lookup: vector side exceeds max_vectors="
+            f"{max_vectors} rows — it no longer fits the broadcast "
+            "contract; use the join + cosine_pairs formulation"
+        )
+    by_id: dict = {}
+    vecs: list = []
+    for r in rows:
+        rid = r[0]
+        if rid in by_id:
+            raise ValueError(
+                f"cosine_pairs_lookup: duplicate id {rid!r} in the "
+                "vector table — the join formulation would fan pairs "
+                "out; dedup the vector side first"
+            )
+        v = r[1]
+        if v is None:
+            by_id[rid] = -1  # NULL vector: cosine is NULL
+        else:
+            by_id[rid] = len(vecs)
+            vecs.append([float(x) for x in v])
+    # group by length so ragged tables still gather correctly; the
+    # common case is one uniform dim
+    sc = pairs.sparkSession.sparkContext
+    lens = sorted({len(v) for v in vecs})
+    mats = {
+        ln: np.asarray([v for v in vecs if len(v) == ln], dtype=np.float64)
+        for ln in lens
+    }
+    # remap: id -> length class and row within that class's matrix;
+    # length -1 marks a NULL vector (stays SQL NULL)
+    perlen_counter = {ln: 0 for ln in lens}
+    lenmap: dict = {}
+    rowmap: dict = {}
+    for r in rows:
+        rid = r[0]
+        ix = by_id[rid]
+        if ix < 0:
+            lenmap[rid] = -1
+            rowmap[rid] = -1
+        else:
+            ln = len(vecs[ix])
+            lenmap[rid] = ln
+            rowmap[rid] = perlen_counter[ln]
+            perlen_counter[ln] += 1
+    b_lenmap = sc.broadcast(lenmap)
+    b_rowmap = sc.broadcast(rowmap)
+    b_mats = sc.broadcast(mats)
+
+    @pandas_udf("double")
+    def _cos(ia: pd.Series, ib: pd.Series) -> pd.Series:
+        lenmap_ = b_lenmap.value
+        rowmap_ = b_rowmap.value
+        mats_ = b_mats.value
+        n = len(ia)
+        out = np.full(n, np.nan, dtype=np.float64)
+        valid = np.zeros(n, dtype=bool)
+        # vectorized dict gather; ids absent from the table map to -2
+        la = ia.map(lenmap_).fillna(-2).to_numpy(dtype=np.int64)
+        ra = ia.map(rowmap_).fillna(-2).to_numpy(dtype=np.int64)
+        lb = ib.map(lenmap_).fillna(-2).to_numpy(dtype=np.int64)
+        rb = ib.map(rowmap_).fillna(-2).to_numpy(dtype=np.int64)
+        for ln, M in mats_.items():
+            sel = (la == ln) & (lb == ln)
+            if not sel.any():
+                continue
+            A = M[ra[sel]]
+            B = M[rb[sel]]
+            d = np.zeros(A.shape[0], dtype=np.float64)
+            na = np.zeros(A.shape[0], dtype=np.float64)
+            nb = np.zeros(A.shape[0], dtype=np.float64)
+            for j in range(ln):
+                # same left-to-right IEEE order as the fold / DuckDB
+                d += A[:, j] * B[:, j]
+                na += A[:, j] * A[:, j]
+                nb += B[:, j] * B[:, j]
+            out[sel] = d / (np.sqrt(na) * np.sqrt(nb))
+            valid[sel] = True
+        # object series so missing/NULL-vector pairs stay SQL NULL while
+        # computed NaNs (zero-norm) stay NaN — Spark's NaN orders above
+        # every number, NULL fails every comparison; the two must not mix
+        res = pd.Series([None] * n, dtype=object)
+        if valid.any():
+            res[valid] = out[valid].tolist()
+        return res
+
+    # asNondeterministic: the function IS deterministic, but the marker
+    # stops the optimizer's pushed-down filter from DUPLICATING the
+    # evaluation (guide §4.4 shape — ``withColumn(c, udf).filter(c)``
+    # otherwise plans TWO ArrowEvalPython nodes over the full pair set;
+    # measured as 2x the dominant verify job at sf0.1)
+    return pairs.withColumn(
+        out_col, _cos.asNondeterministic()(F.col(a_col), F.col(b_col))
+    )
+
+
 def cosine_pairs(a: Column, b: Column) -> Column:
     """Arrow-vectorized cosine between two vector columns.
 
@@ -100,4 +246,7 @@ def cosine_pairs(a: Column, b: Column) -> Column:
         out[mask] = (d / (np.sqrt(na) * np.sqrt(nb))).tolist()
         return out
 
-    return _cos(a, b)
+    # asNondeterministic stops filter pushdown from duplicating the
+    # ArrowEvalPython node when the caller filters on the cosine column
+    # (guide §4.4); the function itself is pure
+    return _cos.asNondeterministic()(a, b)

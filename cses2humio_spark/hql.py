@@ -656,8 +656,10 @@ def _now_column(now) -> Column:
 
 
 class _FtxContext:
-    """Free-text index routing context: ``markers`` maps a lowercased
-    term to the boolean marker column its candidate semi-join produced;
+    """Free-text index routing context: ``markers`` maps a
+    ``(lowercased term, is_glob)`` key to the boolean marker column its
+    candidate semi-join produced (the glob flag is part of the key —
+    the same spelling can be both a quoted literal and a bare glob);
     ``text_col`` is the indexed column the markers replace.
     ``null_col`` (set only when the filter NEGATES a free-text term) is
     a column that is non-null exactly for documents the index ingested —
@@ -667,7 +669,10 @@ class _FtxContext:
     keep it (ADVICE r11)."""
 
     def __init__(
-        self, text_col: str, markers: dict[str, str], null_col: str | None = None
+        self,
+        text_col: str,
+        markers: dict[tuple[str, bool], str],
+        null_col: str | None = None,
     ):
         self.text_col = text_col
         self.markers = markers
@@ -719,27 +724,33 @@ _FTX_SAFE_CALLS = frozenset(
 )
 
 
-def _stage_preserves_text_col(node, text_col: str) -> bool:
-    """True iff the stage provably leaves the indexed text column's
-    VALUES intact — the invariant free-text routing rests on. The index
-    markers reflect the INGESTED corpus text; a stage that reassigns or
-    derives the text column (``eval(text := lower(text))``) makes later
-    routed stages diverge from scan semantics, and one that DROPS it
-    changes which columns a free-text scan searches. Once a pipeline
-    stage fails this check, ``hql()`` disarms routing for every later
-    stage (passes ``text_index=None``) and the scan path — always
-    correct — takes over (ADVICE r12). Column-creating calls whose
-    output names are data-dependent (``kvParse``, ``parseJson``, …)
-    conservatively disarm: a shadowing write cannot be ruled out
-    statically, and the only cost of a false negative is a slower,
-    still-correct plan."""
+def _stage_preserves_text_col(
+    node, text_col: str, id_col: str | None = None
+) -> bool:
+    """True iff the stage provably leaves the indexed text column's —
+    AND the index id column's — VALUES intact: the invariant free-text
+    routing rests on. The index markers reflect the INGESTED corpus
+    text; a stage that reassigns or derives the text column
+    (``eval(text := lower(text))``) makes later routed stages diverge
+    from scan semantics, one that DROPS it changes which columns a
+    free-text scan searches, and one that rewrites the ID column
+    (``doc_id := doc_id + 1``) makes the marker semi-join attach index
+    answers to the WRONG rows (ADVICE r13 — the r12 guard checked only
+    the text column). Once a pipeline stage fails this check, ``hql()``
+    disarms routing for every later stage (passes ``text_index=None``)
+    and the scan path — always correct — takes over. Column-creating
+    calls whose output names are data-dependent (``kvParse``,
+    ``parseJson``, …) conservatively disarm: a shadowing write cannot
+    be ruled out statically, and the only cost of a false negative is a
+    slower, still-correct plan."""
+    protected = {text_col} if id_col is None else {text_col, id_col}
     if isinstance(node, (And, Or, Not, FreeText, Cmp)):
         return True
     if isinstance(node, Assign):
-        return node.name != text_col
+        return node.name not in protected
     if isinstance(node, CaseExpr):
         return all(
-            a.name != text_col
+            a.name not in protected
             for _sel, assigns in node.clauses
             for a in assigns
         )
@@ -748,16 +759,16 @@ def _stage_preserves_text_col(node, text_col: str) -> bool:
             return True
         if node.name in ("select", "table"):
             fields = _as_list(node.args[0]) if node.args else []
-            return text_col in fields
+            return protected.issubset(set(fields))
         if node.name == "drop":
             fields = _as_list(node.args[0]) if node.args else []
-            return text_col not in fields
+            return not (protected & set(fields))
         if node.name == "default":
-            return node.kwargs.get("field") != text_col
+            return node.kwargs.get("field") not in protected
         if node.name == "rename":
-            return text_col not in (
-                node.kwargs.get("field"),
-                node.kwargs.get("as"),
+            return not (
+                protected
+                & {node.kwargs.get("field"), node.kwargs.get("as")}
             )
         if node.name == "join":
             # subquery-created columns never shadow primary-side names
@@ -2118,7 +2129,7 @@ def _compile_stage(
                 ftx_strict=False,
             )
             if sub_idx is not None and not _stage_preserves_text_col(
-                st, sub_idx.text_col
+                st, sub_idx.text_col, sub_idx.id_col
             ):
                 sub_idx = None
         # the subquery usually shares lineage with the primary side (both
@@ -2461,7 +2472,7 @@ def hql(
             text_index=idx,
         )
         if idx is not None and not _stage_preserves_text_col(
-            stage, idx.text_col
+            stage, idx.text_col, idx.id_col
         ):
             # the frame's text column no longer matches the ingested
             # corpus text (reassigned/derived/dropped): the index's

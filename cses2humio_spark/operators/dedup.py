@@ -263,6 +263,7 @@ def jaccard_pairs(
     n: int = 3,
     shingles_df: DataFrame | None = None,
     assume_overlap: bool = False,
+    distinct_shingles: bool = False,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (verification stage).
     Joins each side's distinct-shingle set sizes + intersection counts —
@@ -271,13 +272,24 @@ def jaccard_pairs(
     ``assume_overlap=True`` is the fast path for pairs that PROVABLY share
     at least one shingle (e.g. MinHash band candidates): inner joins, two
     fewer join stages. Leave False for arbitrary pairs so zero-overlap
-    pairs surface with jaccard=0 instead of vanishing."""
+    pairs surface with jaccard=0 instead of vanishing.
+
+    ``distinct_shingles=True`` declares that ``shingles_df`` is ALREADY
+    one row per (id, shingle) — the caller persisted the de-duplicated
+    table — so the internal ``.distinct()`` (a full shuffle of the
+    shingle set PER CONSUMER: sizes, both intersection sides — the r14
+    profiles showed the same ~MB exchange recomputed 4-7x per admission
+    decision) is skipped. Passing a non-distinct frame with this flag
+    set silently inflates sizes and intersections — it is a contract,
+    not a hint."""
     base = (
         shingles_df
         if shingles_df is not None
         else shingle_table(df, id_col, text_col, n)
     )
-    sh = base.select(F.col(id_col), F.col("__sh").alias("sh")).distinct()
+    sh = base.select(F.col(id_col), F.col("__sh").alias("sh"))
+    if not (distinct_shingles and shingles_df is not None):
+        sh = sh.distinct()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a_sh = sh.select(F.col(id_col).alias("id_a"), F.col("sh"))
     b_sh = sh.select(F.col(id_col).alias("id_b"), F.col("sh"))

@@ -499,7 +499,15 @@ class MinHashIndex(VersionedSegmentStore):
             how="left_semi",
         )
         both = clean.unionByName(corpus_pruned)
-        sh = shingle_table(both, idc, txt, n=self.n).persist()
+        # Persist the DISTINCT (id, shingle) table, not the raw explode:
+        # every consumer below (coverage guard, set sizes, both
+        # intersection sides) needs the de-duplicated set, and a raw
+        # cache made each of them re-shuffle the full shingle set for
+        # its own .distinct() — the r14 profile showed the same ~1.4 MB
+        # exchange recomputed 5x per decision. One distinct at
+        # materialization, zero per consumer (jaccard_pairs is told via
+        # distinct_shingles=True).
+        sh = shingle_table(both, idc, txt, n=self.n).distinct().persist()
         # Coverage guard: a candidate's index partner must have text in
         # corpus_docs (and hence rows in sh — it had shingles when its
         # signature was indexed). Probes with an uncovered partner raise
@@ -542,7 +550,7 @@ class MinHashIndex(VersionedSegmentStore):
         # over the shared shingle table instead of once per family.
         verified = jaccard_pairs(
             both, pairs.unionByName(bcand), idc, txt, n=self.n,
-            shingles_df=sh, assume_overlap=True,
+            shingles_df=sh, assume_overlap=True, distinct_shingles=True,
         )
         unrounded = F.col("n_inter") / (
             F.col("n_a") + F.col("n_b") - F.col("n_inter")

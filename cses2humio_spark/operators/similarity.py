@@ -254,7 +254,15 @@ def lsh_signatures(
         )
         return pd.Series(((acc > 0).astype(np.int64) @ weights).astype(np.int64))
 
-    return fan_out(df).withColumn("lsh_sig", _sig(F.col(vec_col)))
+    # asNondeterministic: joining on lsh_sig makes Catalyst infer an
+    # IsNotNull(lsh_sig) filter and push it BELOW the projection, which
+    # duplicates the ArrowEvalPython signature pass per join side
+    # (guide §4.4 — visible as 2x ArrowEvalPython per side in the r14
+    # before-plans); the marker pins one evaluation. The function is
+    # pure — the marker only constrains the optimizer.
+    return fan_out(df).withColumn(
+        "lsh_sig", _sig.asNondeterministic()(F.col(vec_col))
+    )
 
 
 def lsh_topk(
@@ -376,10 +384,26 @@ def embedding_near_dup_pairs(
             .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
         )
     cand = embedding_candidate_pairs(sigs, n_planes, n_bands, id_col)
+    if broadcast_vectors:
+        # broadcast-contract verify (r14): the vector table is already
+        # asserted broadcast-sized, so score the pairs by id-indexed
+        # gather against ONE collected matrix instead of two broadcast
+        # joins + ~1 KB/pair of Arrow traffic (cosine_pairs_lookup —
+        # bit-identical scores, measured ~8x less verify task time at
+        # 1.25M candidates / sf0.1). Pairs whose id has no vector row
+        # score NULL here where the inner joins dropped them — both
+        # fail the threshold filter, so the output is identical.
+        from cses2humio_spark.functions.vectors import cosine_pairs_lookup
+
+        return (
+            cosine_pairs_lookup(cand, df, id_col, vec_col)
+            .filter(F.col("__cos") >= threshold)
+            .select(
+                "id_a", "id_b", F.round(F.col("__cos"), 6).alias("cos_sim")
+            )
+        )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    if broadcast_vectors:
-        va, vb = F.broadcast(va), F.broadcast(vb)
     cos = cosine_pairs(F.col("__va"), F.col("__vb"))
     return (
         cand.join(va, on="id_a")
@@ -660,31 +684,88 @@ def semdedup_within_cluster(
     Determinism contract: the keep/drop rule is "∃ lower id in-cluster
     with cos ≥ threshold" — a total, order-free predicate (unlike
     greedy variants whose output depends on scan order), so the oracle
-    can restate it as one EXISTS; cosine uses the engine-wide
-    left-to-right fold, so the threshold compare is bit-identical
-    cross-engine."""
+    can restate it as one EXISTS; cosine accumulates dimension-by-
+    dimension in float64 — the engine-wide left-to-right IEEE order —
+    so the threshold compare is bit-identical cross-engine.
+
+    Execution shape (r14, measured): the pairwise stage is a grouped
+    ``applyInPandas`` over the centroid id — each cluster's vectors
+    cross the Arrow boundary ONCE and the |cluster|² cosines run
+    blockwise in numpy — instead of the previous cid-keyed self-join,
+    which shuffled every vector twice, evaluated the cosine as an
+    interpreted per-pair fold, and (with k distinct join keys) was
+    coalesced by AQE onto a near-single task (6.8 s single-threaded at
+    sf0.1; the grouped form runs the same 125k pairs in < 0.1 s of
+    vectorized math). The group-fits-a-worker premise is exactly the
+    paper's contract — k is chosen so clusters fit — and the
+    ``semdedup_kmeans_profile`` query measures that bound per cluster.
+    Decision parity with the join form is exact: NULL vectors never
+    drop and are never dropped (their cosine is NULL in the fold, and
+    they are excluded here); a NaN cosine (zero-norm vector) QUALIFIES
+    as a duplicate on either form (Spark compares NaN greater than any
+    number, so ``NaN >= τ`` is true — replicated with an explicit
+    isnan-or); mixed-length vectors fall back to the per-pair fold
+    semantics (NULL cosine) via a ragged-input guard."""
+    import numpy as np
+    import pandas as pd
+
     assign = ivf_assign(corpus, centroids, id_col, vec_col, cid_col)
     v = corpus.select(id_col, vec_col).join(assign, on=id_col)
-    a = v.select(
-        F.col(cid_col),
-        F.col(id_col).alias("__ida"),
-        F.col(vec_col).alias("__va"),
-    )
-    b = v.select(
-        F.col(cid_col),
-        F.col(id_col).alias("__idb"),
-        F.col(vec_col).alias("__vb"),
-    )
-    dropped = (
-        a.join(b, on=cid_col)
-        .filter(F.col("__ida") < F.col("__idb"))
-        .filter(
-            cosine_similarity(F.col("__va"), F.col("__vb"))
-            >= F.lit(float(threshold))
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    thr = float(threshold)
+    vc, idc = vec_col, id_col
+
+    def _dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        sub = pdf[pdf[vc].notna()]
+        empty = pd.DataFrame({idc: [], "dup_of": []})
+        if len(sub) < 2:
+            return empty
+        lens = sub[vc].map(len)
+        if lens.nunique() != 1:
+            # ragged vectors: a cross-length pair's fold cosine is NULL
+            # (zip_with pads with NULL), so only same-length pairs can
+            # qualify — evaluate each length class independently
+            return pd.concat(
+                [
+                    _dedup_cluster(sub[lens == ln])
+                    for ln in sorted(lens.unique())
+                ],
+                ignore_index=True,
+            ) if len(sub) else empty
+        sub = sub.sort_values(idc, kind="stable")
+        ids = sub[idc].to_numpy()
+        V = np.asarray(sub[vc].tolist(), dtype=np.float64)
+        n, dim = V.shape
+        nrm = np.zeros(n, dtype=np.float64)
+        for j in range(dim):
+            nrm += V[:, j] * V[:, j]
+        nrm = np.sqrt(nrm)
+        first = np.full(n, -1, dtype=np.int64)
+        chunk = max(1, min(1024, 8_000_000 // max(n, 1)))
+        cols = np.arange(n)
+        for c0 in range(0, n, chunk):
+            c1 = min(c0 + chunk, n)
+            d = np.zeros((c1 - c0, n), dtype=np.float64)
+            for j in range(dim):
+                # one IEEE multiply + add per (pair, dim), j ascending —
+                # identical float order to the sequential fold
+                d += V[c0:c1, j : j + 1] * V[:, j][None, :]
+            cos = d / (nrm[c0:c1][:, None] * nrm[None, :])
+            qual = (cos >= thr) | np.isnan(cos)
+            qual &= np.arange(c0, c1)[:, None] < cols[None, :]
+            hit = qual.any(axis=0)
+            firstrow = np.argmax(qual, axis=0) + c0
+            take = hit & (first < 0)
+            first[take] = firstrow[take]
+        dropped = first >= 0
+        if not dropped.any():
+            return empty
+        return pd.DataFrame(
+            {idc: ids[dropped], "dup_of": ids[first[dropped]]}
         )
-        .groupBy("__idb")
-        .agg(F.min("__ida").alias("dup_of"))
-        .withColumnRenamed("__idb", id_col)
+
+    dropped = v.groupBy(cid_col).applyInPandas(
+        _dedup_cluster, schema=f"{id_col} {id_type}, dup_of {id_type}"
     )
     return assign.join(dropped, on=id_col, how="left").select(
         id_col,

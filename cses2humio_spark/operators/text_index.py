@@ -181,6 +181,8 @@ class InvertedTextIndex(VersionedSegmentStore):
         the writers can COMMIT it into the manifest: ``ws_single_all``
         then answers from manifest metadata instead of re-aggregating a
         corpus-sized table on every routed phrase query (ADVICE r12)."""
+        from pyspark.sql import Observation
+
         self._write_dir(
             self._postings(docs), self._seg_dir(version), partition_by=["tb"]
         )
@@ -191,13 +193,19 @@ class InvertedTextIndex(VersionedSegmentStore):
         dl = written.groupBy("doc_id").agg(
             F.max("dl").alias("dl"), F.min("ws1").alias("ws1")
         )
-        self._write_dir(dl, self._dl_dir(version))
-        row = (
-            spark.read.parquet(self._dl_dir(version))
-            .agg(F.min(F.coalesce(F.col("ws1"), F.lit(False))).alias("w"))
-            .collect()[0]
+        # the segment-wide ws1 AND rides the dl WRITE as an Observation —
+        # the same min(coalesce(ws1, false)) the old read-back job
+        # computed, now collected during the action that already runs
+        # (one fewer job per segment commit; r14)
+        obs = Observation()
+        self._write_dir(
+            dl.observe(
+                obs, F.min(F.coalesce(F.col("ws1"), F.lit(False))).alias("w")
+            ),
+            self._dl_dir(version),
         )
-        return bool(row["w"]) if row["w"] is not None else False
+        w = obs.get["w"]
+        return bool(w) if w is not None else False
 
     # -- build ---------------------------------------------------------------
 

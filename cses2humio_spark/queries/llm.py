@@ -296,11 +296,15 @@ def jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cses2humio_spark.operators.dedup import shingle_table
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_table(docs, "doc_id", "text", n=3).persist()
+    # distinct BEFORE the persist: signatures take the same MIN over
+    # the de-duplicated set, and every Jaccard consumer (sizes, both
+    # intersection sides) needs distinct rows anyway - caching the raw
+    # explode made each consumer pay its own distinct shuffle (r14)
+    sh = shingle_table(docs, "doc_id", "text", n=3).distinct().persist()
     cands = minhash_candidate_pairs(
         docs, "doc_id", "text", n=3, bands=4, rows_per_band=2, shingles_df=sh
     )
-    j = jaccard_pairs(docs, cands, "doc_id", "text", n=3, shingles_df=sh, assume_overlap=True)
+    j = jaccard_pairs(docs, cands, "doc_id", "text", n=3, shingles_df=sh, assume_overlap=True, distinct_shingles=True)
     return j.filter(
         F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")) >= 0.5
     ).select("id_a", "id_b", "jaccard")
@@ -1260,11 +1264,15 @@ def near_dup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_table(docs, "doc_id", "text", n=3).persist()
+    # distinct BEFORE the persist: signatures take the same MIN over
+    # the de-duplicated set, and every Jaccard consumer (sizes, both
+    # intersection sides) needs distinct rows anyway - caching the raw
+    # explode made each consumer pay its own distinct shuffle (r14)
+    sh = shingle_table(docs, "doc_id", "text", n=3).distinct().persist()
     cands = minhash_candidate_pairs(
         docs, "doc_id", "text", n=3, bands=4, rows_per_band=2, shingles_df=sh
     )
-    j = jaccard_pairs(docs, cands, "doc_id", "text", n=3, shingles_df=sh, assume_overlap=True)
+    j = jaccard_pairs(docs, cands, "doc_id", "text", n=3, shingles_df=sh, assume_overlap=True, distinct_shingles=True)
     pairs = j.filter(
         F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")) >= 0.5
     ).select("id_a", "id_b")
@@ -1293,11 +1301,15 @@ def near_dup_cluster_reps_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_table(docs, "doc_id", "text", n=3).persist()
+    # distinct BEFORE the persist: signatures take the same MIN over
+    # the de-duplicated set, and every Jaccard consumer (sizes, both
+    # intersection sides) needs distinct rows anyway - caching the raw
+    # explode made each consumer pay its own distinct shuffle (r14)
+    sh = shingle_table(docs, "doc_id", "text", n=3).distinct().persist()
     cands = minhash_candidate_pairs(
         docs, "doc_id", "text", n=3, bands=4, rows_per_band=2, shingles_df=sh
     )
-    j = jaccard_pairs(docs, cands, "doc_id", "text", n=3, shingles_df=sh, assume_overlap=True)
+    j = jaccard_pairs(docs, cands, "doc_id", "text", n=3, shingles_df=sh, assume_overlap=True, distinct_shingles=True)
     pairs = j.filter(
         F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")) >= 0.5
     ).select("id_a", "id_b")
@@ -1333,11 +1345,15 @@ def fuzzy_dedup_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_table(docs, "doc_id", "text", n=3).persist()
+    # distinct BEFORE the persist: signatures take the same MIN over
+    # the de-duplicated set, and every Jaccard consumer (sizes, both
+    # intersection sides) needs distinct rows anyway - caching the raw
+    # explode made each consumer pay its own distinct shuffle (r14)
+    sh = shingle_table(docs, "doc_id", "text", n=3).distinct().persist()
     cands = minhash_candidate_pairs(
         docs, "doc_id", "text", n=3, bands=4, rows_per_band=2, shingles_df=sh
     )
-    j = jaccard_pairs(docs, cands, "doc_id", "text", n=3, shingles_df=sh, assume_overlap=True)
+    j = jaccard_pairs(docs, cands, "doc_id", "text", n=3, shingles_df=sh, assume_overlap=True, distinct_shingles=True)
     pairs = j.filter(
         F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")) >= 0.5
     ).select("id_a", "id_b")

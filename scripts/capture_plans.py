@@ -1,0 +1,43 @@
+"""Capture .explain("formatted") for named queries into plans/r14/.
+
+Usage: python scripts/capture_plans.py before q1 q2 ...
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    tag = sys.argv[1]
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    outdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        "r14",
+    )
+    os.makedirs(outdir, exist_ok=True)
+
+    from cses2humio_spark.queries import QUERIES
+    from cses2humio_spark.session import get_spark
+
+    spark = get_spark("capture_plans")
+    for name in names:
+        df = QUERIES[name](spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        path = os.path.join(outdir, f"{name}_{tag}.txt")
+        with open(path, "w") as f:
+            f.write(buf.getvalue())
+        print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

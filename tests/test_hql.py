@@ -2154,6 +2154,29 @@ class TestIndexedFreeText:
             map(tuple, hql(docs, q2, text_index=idx).collect())
         ) == sorted(map(tuple, hql(docs, q2).collect()))
 
+    def test_id_rewrite_disarms_routing(self, spark, idx_docs):
+        """ADVICE r13: a stage that reassigns the index ID column makes
+        the marker semi-join attach index answers to the WRONG rows —
+        routing must disarm on id_col rewrites exactly as it does on
+        text rewrites (the r12 guard checked only the text column;
+        verified repro: routed [('de',1)] vs scan [('en',1),('fr',1)]
+        under doc_id := doc_id + 1)."""
+        idx, docs = idx_docs
+        q = "doc_id := doc_id + 1 | spark | groupBy(lang)"
+        routed = sorted(map(tuple, hql(docs, q, text_index=idx).collect()))
+        scanned = sorted(map(tuple, hql(docs, q).collect()))
+        assert routed == scanned and routed
+        # the plan proves the fallback: no posting-list scan
+        out = hql(docs, q, text_index=idx)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "seg=" not in plan, plan[:2000]
+        # a free-text stage BEFORE the id rewrite still routes and stays
+        # row-identical (one armed stage, one disarmed)
+        q2 = "spark | doc_id := doc_id + 1 | spark | groupBy(lang)"
+        assert sorted(
+            map(tuple, hql(docs, q2, text_index=idx).collect())
+        ) == sorted(map(tuple, hql(docs, q2).collect()))
+
     def test_select_dropping_text_disarms_routing(self, spark, idx_docs):
         """ADVICE r12: a projection that drops the text column (while
         keeping the id column, so strict routing would not catch it)
