@@ -147,39 +147,48 @@ def cosine_pairs_lookup(
         ln: np.asarray([v for v in vecs if len(v) == ln], dtype=np.float64)
         for ln in lens
     }
-    # remap: id -> length class and row within that class's matrix;
-    # length -1 marks a NULL vector (stays SQL NULL)
+    # positional gather tables keyed by ONE pd.Index over the ids (the
+    # per-pair id -> row lookup runs through Index.get_indexer — a C
+    # hash probe per id — instead of a per-element Python dict map,
+    # which dominated the UDF at ~450k pairs/eval): len_arr[i] is id
+    # i's length class (-1 = NULL vector), row_arr[i] its row within
+    # that class's matrix
+    ids_index = pd.Index([r[0] for r in rows])
+    len_arr = np.empty(len(rows), dtype=np.int64)
+    row_arr = np.empty(len(rows), dtype=np.int64)
     perlen_counter = {ln: 0 for ln in lens}
-    lenmap: dict = {}
-    rowmap: dict = {}
-    for r in rows:
-        rid = r[0]
-        ix = by_id[rid]
+    for i, r in enumerate(rows):
+        ix = by_id[r[0]]
         if ix < 0:
-            lenmap[rid] = -1
-            rowmap[rid] = -1
+            len_arr[i] = -1
+            row_arr[i] = -1
         else:
             ln = len(vecs[ix])
-            lenmap[rid] = ln
-            rowmap[rid] = perlen_counter[ln]
+            len_arr[i] = ln
+            row_arr[i] = perlen_counter[ln]
             perlen_counter[ln] += 1
-    b_lenmap = sc.broadcast(lenmap)
-    b_rowmap = sc.broadcast(rowmap)
+    b_index = sc.broadcast(ids_index)
+    b_len = sc.broadcast(len_arr)
+    b_row = sc.broadcast(row_arr)
     b_mats = sc.broadcast(mats)
 
     @pandas_udf("double")
     def _cos(ia: pd.Series, ib: pd.Series) -> pd.Series:
-        lenmap_ = b_lenmap.value
-        rowmap_ = b_rowmap.value
+        index_ = b_index.value
+        len_ = b_len.value
+        row_ = b_row.value
         mats_ = b_mats.value
         n = len(ia)
         out = np.full(n, np.nan, dtype=np.float64)
         valid = np.zeros(n, dtype=bool)
-        # vectorized dict gather; ids absent from the table map to -2
-        la = ia.map(lenmap_).fillna(-2).to_numpy(dtype=np.int64)
-        ra = ia.map(rowmap_).fillna(-2).to_numpy(dtype=np.int64)
-        lb = ib.map(lenmap_).fillna(-2).to_numpy(dtype=np.int64)
-        rb = ib.map(rowmap_).fillna(-2).to_numpy(dtype=np.int64)
+        # vectorized positional gather; ids absent from the table (and
+        # NULL pair ids) resolve to -1 and stay length class -2
+        pa = index_.get_indexer(ia)
+        pb = index_.get_indexer(ib)
+        la = np.where(pa >= 0, len_[pa], -2)
+        lb = np.where(pb >= 0, len_[pb], -2)
+        ra = np.where(pa >= 0, row_[pa], -1)
+        rb = np.where(pb >= 0, row_[pb], -1)
         for ln, M in mats_.items():
             sel = (la == ln) & (lb == ln)
             if not sel.any():
@@ -196,6 +205,10 @@ def cosine_pairs_lookup(
                 nb += B[:, j] * B[:, j]
             out[sel] = d / (np.sqrt(na) * np.sqrt(nb))
             valid[sel] = True
+        if valid.all():
+            # fast path (every pair resolved): a plain float64 series —
+            # computed NaNs (zero-norm vectors) pass through as NaN
+            return pd.Series(out)
         # object series so missing/NULL-vector pairs stay SQL NULL while
         # computed NaNs (zero-norm) stay NaN — Spark's NaN orders above
         # every number, NULL fails every comparison; the two must not mix

@@ -814,10 +814,20 @@ def duplicate_span_coverage(
 
     Returns (id_col, n_tokens, n_dup_tokens, dup_ratio) for every input
     document (docs shorter than ``width`` tokens have coverage 0)."""
+    from cses2humio_spark.sources.catalog import fan_out
+
     if width < 2:
         raise ValueError(f"width must be >= 2, got {width}")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    base = df.select(F.col(id_col), toks.alias("toks"), F.size(toks).alias("n"))
+    # fan_out before the stride-1 window-fingerprint expansion: the
+    # per-window md5 is the CPU-heavy phase and ``win`` is consumed
+    # twice (duplicate detection + island compression) — on a
+    # single-split local scan both passes otherwise serialize onto one
+    # task (two ~1.2 s single-task jobs at sf0.1, r14 profile; a no-op
+    # on multi-split production inputs)
+    base = fan_out(df).select(
+        F.col(id_col), toks.alias("toks"), F.size(toks).alias("n")
+    )
     win = base.filter(F.col("n") >= width).select(
         id_col,
         F.explode(
@@ -886,10 +896,20 @@ def trim_duplicate_spans(
     join that brings the interval list back is id-keyed.
 
     Returns (id_col, n_tokens, kept_tokens, trimmed_text)."""
+    from cses2humio_spark.sources.catalog import fan_out
+
     if width < 2:
         raise ValueError(f"width must be >= 2, got {width}")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    base = df.select(F.col(id_col), toks.alias("toks"), F.size(toks).alias("n"))
+    # fan_out before the stride-1 window-fingerprint expansion: the
+    # per-window md5 is the CPU-heavy phase and ``win`` is consumed
+    # twice (duplicate detection + island compression) — on a
+    # single-split local scan both passes otherwise serialize onto one
+    # task (two ~1.2 s single-task jobs at sf0.1, r14 profile; a no-op
+    # on multi-split production inputs)
+    base = fan_out(df).select(
+        F.col(id_col), toks.alias("toks"), F.size(toks).alias("n")
+    )
     win = base.filter(F.col("n") >= width).select(
         id_col,
         F.explode(

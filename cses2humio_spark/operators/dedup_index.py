@@ -555,7 +555,11 @@ class MinHashIndex(VersionedSegmentStore):
         unrounded = F.col("n_inter") / (
             F.col("n_a") + F.col("n_b") - F.col("n_inter")
         )
-        accepted = verified.filter(unrounded >= threshold)
+        # two consumers (corpus_rej anti-join, bpairs semi-join) — the
+        # Jaccard verify's join scaffolding over the shared shingle
+        # table must run once, not twice (r14; accepted is id pairs
+        # only, micro-batch-bounded)
+        accepted = verified.filter(unrounded >= threshold).persist()
         fresh_b = clean.select(F.col(idc).alias("id_b"))
         corpus_rej = (
             accepted.join(fresh_b, on="id_b", how="left_anti")
@@ -619,7 +623,7 @@ class MinHashIndex(VersionedSegmentStore):
                 .alias("partner"),
             )
         )
-        cached = [sh, psigs, fresh, cand]
+        cached = [sh, psigs, fresh, cand, accepted]
         if cont is not None:
             cached += [cont, clean]
         return evict_on_gc(decisions, *cached)
@@ -1163,12 +1167,25 @@ class EmbeddingLshIndex(VersionedSegmentStore):
         pairs_all = cand.select(
             F.col("probe_id").alias("id_a"), F.col("index_id").alias("id_b")
         ).unionByName(bcand)
+        partner_ids = cand.select(
+            F.col("index_id").alias(idc)
+        ).distinct()
         corpus_pruned = corpus_vectors.select(F.col(idc), F.col(vc)).join(
-            cand.select(F.col("index_id").alias(idc)).distinct(),
+            partner_ids,
             on=idc,
             how="left_semi",
         )
         vb_src = clean.unionByName(corpus_pruned)
+        # Verify formulation note (r14, A/B-measured): an id-indexed
+        # gather against one collected matrix (``cosine_pairs_lookup``,
+        # the embedding_near_dups shape) was tried here and REJECTED —
+        # interleaved same-session A/B at sf0.1 read min 8.4 s (join)
+        # vs 10.7 s (lookup): the per-decision construction actions the
+        # lookup needs (bound counts + the vector collect + four
+        # broadcasts) serialize on the driver and cost more than the
+        # pair-side Arrow traffic they save at micro-batch candidate
+        # density. The join formulation keeps zero construction-time
+        # actions and pipelines inside the decision's own jobs.
         va = clean.select(F.col(idc).alias("id_a"), F.col(vc).alias("__va"))
         vb = vb_src.select(F.col(idc).alias("id_b"), F.col(vc).alias("__vb"))
         cos = cosine_pairs(F.col("__va"), F.col("__vb"))
@@ -1177,6 +1194,10 @@ class EmbeddingLshIndex(VersionedSegmentStore):
             .join(vb, on="id_b")
             .filter(cos >= threshold)
             .select("id_a", "id_b")
+            # two consumers (corpus_rej anti-join, bpairs semi-join) —
+            # the cosine verify over the dense candidate set must run
+            # once, not twice (r14; the accepted table is id pairs only)
+            .persist()
         )
         fresh_b = clean.select(F.col(idc).alias("id_b"))
         corpus_rej = (
@@ -1205,7 +1226,7 @@ class EmbeddingLshIndex(VersionedSegmentStore):
             assembled = assembled.withColumn(
                 "__cont", F.lit(None).cast("int")
             )
-        cached = [full_sigs, fresh, cand]
+        cached = [full_sigs, fresh, cand, accepted]
         if cont is not None:
             cached += [cont, clean]
         return evict_on_gc(

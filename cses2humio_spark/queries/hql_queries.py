@@ -395,18 +395,36 @@ def hql_streaming_timechart_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         def sink(batch_df, batch_id) -> None:
             rows.extend(batch_df.collect())
 
-        q = (
-            out.writeStream.foreachBatch(sink)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(120):
-            q.stop()
-            raise TimeoutError(
-                "hql_streaming_timechart_demo stream did not finish in 120s"
+        # Stateful streaming pins the state-store partition count from
+        # the session's shuffle partitions at checkpoint creation and
+        # AQE cannot coalesce it — under a vanilla 200-partition session
+        # this two-file demo paid 200 state tasks per trigger (~27 s
+        # standalone, and 120 s+ under suite memory pressure; r14).
+        # The demo owns its checkpoint, so clamp the partition count for
+        # the stream's lifetime and restore the session conf after —
+        # aggregation results are partition-independent, so the output
+        # is unchanged.
+        sess_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(min(int(sess_sp), 32)),
             )
+            q = (
+                out.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(120):
+                q.stop()
+                raise TimeoutError(
+                    "hql_streaming_timechart_demo stream did not finish "
+                    "in 120s"
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", sess_sp)
         return spark.createDataFrame(
             [(r["bucket_start"], r["_count"]) for r in rows],
             "bucket_start long, _count long",

@@ -1015,9 +1015,15 @@ def bigram_lm_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts shuffle, token text rides only within its own doc's rows;
     the vocabulary size is a single broadcast scalar."""
     from cses2humio_spark.session import evict_on_gc
+    from cses2humio_spark.sources.catalog import fan_out
 
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out before the bigram expansion: ``bg`` is consumed twice
+    # (model counts + the scoring join) and the vocabulary pass is a
+    # third token explode — on a single-split local scan each pass
+    # otherwise serializes onto one task (r14 profile; a no-op on
+    # multi-split production inputs)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     bg = (
         docs.select("doc_id", toks.alias("__toks"))
         .filter(F.size("__toks") >= 2)

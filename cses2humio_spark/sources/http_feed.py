@@ -227,16 +227,52 @@ class FalconFeedSimpleStreamReader(SimpleDataSourceStreamReader):
 
     # -- micro-batch construction -------------------------------------------
 
+    def _tail_all(
+        self, jobs: list[tuple[int, int, int | None]]
+    ) -> dict[int, list[tuple]]:
+        """Tail several partitions CONCURRENTLY (one thread each — the
+        reference runs a thread per stream the same way, app.py:305) so
+        their quiet-period socket timeouts overlap instead of adding
+        up: a P-partition feed pays one quiet window per read, not P
+        (r14 — the sequential loop made every micro-batch of the
+        composed feed pipelines idle ~0.8 s per partition). Output is
+        combined per partition, so row order is identical to the
+        sequential loop's."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(jobs) <= 1:
+            return {
+                part: self._tail_partition(
+                    part, start, stop_before=stop, cap=self._cap
+                )
+                for part, start, stop in jobs
+            }
+        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+            futs = {
+                part: pool.submit(
+                    self._tail_partition,
+                    part,
+                    start,
+                    stop_before=stop,
+                    cap=self._cap,
+                )
+                for part, start, stop in jobs
+            }
+            return {part: fut.result() for part, fut in futs.items()}
+
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
         """Tail every partition from its committed offset; the new
         offset is last-seen + 1 per partition (``app.py:146-149``)."""
         rows: list[tuple] = []
         end = dict(start)
+        got_all = self._tail_all(
+            [
+                (part, int(start.get(str(part), 0)), None)
+                for part in sorted(self._urls)
+            ]
+        )
         for part in sorted(self._urls):
-            got = self._tail_partition(
-                part, int(start.get(str(part), 0)), stop_before=None,
-                cap=self._cap,
-            )
+            got = got_all[part]
             rows.extend(got)
             if got:
                 end[str(part)] = got[-1][1] + 1
@@ -246,14 +282,14 @@ class FalconFeedSimpleStreamReader(SimpleDataSourceStreamReader):
         """Exact replay of a committed window — deterministic because
         the feed replays by offset (the same property the reference's
         crash-recovery leans on, ``app.py:77-79``)."""
-        rows: list[tuple] = []
+        jobs = []
         for part in sorted(self._urls):
             s = int(start.get(str(part), 0))
             e = int(end.get(str(part), s))
             if e > s:
-                rows.extend(
-                    self._tail_partition(
-                        part, s, stop_before=e, cap=self._cap
-                    )
-                )
+                jobs.append((part, s, e))
+        got_all = self._tail_all(jobs)
+        rows: list[tuple] = []
+        for part, _s, _e in jobs:
+            rows.extend(got_all[part])
         return iter(rows)
