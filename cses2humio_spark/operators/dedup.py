@@ -611,13 +611,16 @@ def alternating_star_components(
     4-field distributed signature (count + id sums + order-insensitive
     hash sum), one tiny action per round — never a label collect.
 
-    Size-adaptive (VERDICT r9 #2): the first convergence signature
-    measures the edge count for free; at or below ``driver_max_edges``
-    the components are resolved in ONE pass by a driver union-find over
-    the collected (bounded) edge list and broadcast back — a streaming
-    admission micro-batch must not pay N rounds of eager checkpoint +
-    action (~1 s each) to cluster a few hundred within-batch edges.
-    Above the threshold the distributed star alternation runs unchanged.
+    Size-adaptive (VERDICT r9 #2; single-action probe r14): ONE
+    ``limit(driver_max_edges + 1).collect()`` over the distinct edge set
+    both measures boundedness and, in the common bounded case, already
+    delivers the edges — the components resolve in a driver union-find
+    and broadcast back, so a streaming admission micro-batch pays ONE
+    driver action instead of the previous three (eager checkpoint +
+    convergence signature + collect) to cluster a few hundred
+    within-batch edges. Above the threshold the distributed star
+    alternation runs unchanged (re-deriving its checkpointed edge set —
+    one extra pass over ``pairs`` only in that rare large-graph case).
     Both paths return identical output (pinned in tests/test_approx.py).
 
     Returns (id_col, cluster_rep): every id in ``ids``, mapped to its
@@ -632,30 +635,23 @@ def alternating_star_components(
         # a billion-edge graph still spreads over the full parallelism
         return max(1, min(n_part, int(n_edges // 50_000) + 1))
 
-    e = (
-        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .repartition(n_part, "u")
-        .localCheckpoint(eager=True)
-    )
+    edges_df = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct()
 
-    def _signature(df: DataFrame) -> tuple:
-        # decimal sums: an int64 SUM of xxhash64 values overflows (ANSI
-        # sessions raise; non-ANSI would wrap silently). Per-endpoint
-        # sums go through xxhash64 rather than casting the id itself so
-        # non-numeric id columns (string doc ids) work — an ANSI cast of
-        # 'a' to decimal raises mid-round.
-        row = df.agg(
-            F.count(F.lit(1)),
-            F.sum(F.xxhash64("u").cast("decimal(38,0)")),
-            F.sum(F.xxhash64("v").cast("decimal(38,0)")),
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
-        ).collect()[0]
-        return tuple(row)
-
-    sig = _signature(e)
-    if sig[0] == 0:
+    # Bounded-graph probe in ONE action (r14, guide §2.4/§5): collect up
+    # to driver_max_edges+1 distinct edges directly — a CollectLimit over
+    # the distinct exchange. The previous shape paid THREE driver actions
+    # before any small graph could resolve (eager localCheckpoint of the
+    # edge set, the 4-field convergence signature, then the edge collect),
+    # i.e. three scheduled jobs per admission micro-batch whose graph is
+    # a few hundred edges. If the limit row count comes back above the
+    # threshold the graph is genuinely large: fall back to the distributed
+    # star alternation below, which re-derives its checkpointed edge set
+    # from the caller's (typically persisted) pair table — one extra pass
+    # over `pairs` only in the rare large-graph case.
+    probe = edges_df.limit(driver_max_edges + 1).collect()
+    if not probe:
         # no edges at all: every id is its own component — skip the
         # contraction loop (and its per-round checkpoint/action fixed
         # cost) entirely. This is the COMMON case for streaming
@@ -663,19 +659,15 @@ def alternating_star_components(
         return ids.select(
             F.col(id_col), F.col(id_col).alias("cluster_rep")
         )
-    if sig[0] <= driver_max_edges:
-        # Small MEASURED edge set (the count is free — the convergence
-        # signature already ran): resolve components in ONE pass with a
+    if len(probe) <= driver_max_edges:
+        # Small MEASURED edge set: resolve components in ONE pass with a
         # driver union-find instead of N checkpointed star rounds. The
-        # collect is bounded by driver_max_edges id pairs and e is
-        # already localCheckpointed, so this reads a materialized RDD.
-        # Output is bit-identical to the star fixpoint (pinned in
-        # tests/test_dedup.py) — same min-id representative per
-        # component; singletons fall out of the left join below.
+        # collect is bounded by driver_max_edges id pairs. Output is
+        # bit-identical to the star fixpoint (pinned in tests/
+        # test_dedup.py) — same min-id representative per component;
+        # singletons fall out of the left join below.
         spark = ids.sparkSession
-        mapping = _driver_union_find_reps(
-            [(r[0], r[1]) for r in e.collect()]
-        )
+        mapping = _driver_union_find_reps([(r[0], r[1]) for r in probe])
         id_type = ids.schema[id_col].dataType
         rep_schema = T.StructType(
             [
@@ -694,6 +686,24 @@ def alternating_star_components(
                 ),
             )
         )
+
+    e = edges_df.repartition(n_part, "u").localCheckpoint(eager=True)
+
+    def _signature(df: DataFrame) -> tuple:
+        # decimal sums: an int64 SUM of xxhash64 values overflows (ANSI
+        # sessions raise; non-ANSI would wrap silently). Per-endpoint
+        # sums go through xxhash64 rather than casting the id itself so
+        # non-numeric id columns (string doc ids) work — an ANSI cast of
+        # 'a' to decimal raises mid-round.
+        row = df.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64("u").cast("decimal(38,0)")),
+            F.sum(F.xxhash64("v").cast("decimal(38,0)")),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+        ).collect()[0]
+        return tuple(row)
+
+    sig = _signature(e)
     prev = e
     for _ in range(max_rounds):
         # large-star: v > u re-attached to min(N(u) + {u})

@@ -675,21 +675,38 @@ class MinHashIndex(VersionedSegmentStore):
             contamination_threshold=contamination_threshold,
             eval_n=eval_n,
             eval_fingerprints=eval_fingerprints,
-        ).persist()
+        )
+        # LINEAGE TRUNCATION (r14, guide §3.3): the admission DAG is by
+        # far the largest plan in the engine; before this, every
+        # downstream action of a micro-batch (the admitted semi-join,
+        # the signature-segment write, a caller's own index ingest)
+        # re-planned — and, under AQE's plan-update events, re-PRINTED —
+        # that whole tree per action; in a debris-laden default-heap
+        # session building the explain string alone could OOM the
+        # driver. The eager localCheckpoint materializes the
+        # micro-batch-bounded decision rows ONCE (the persist this
+        # replaces materialized the same rows at first use anyway);
+        # every consumer then plans against the frozen rows, and the
+        # version-pinning contract ("the returned frame reports the
+        # decisions that were acted on, even read after the commit")
+        # holds by construction. Dropping the pre-checkpoint frame lets
+        # its finalizer evict admit_batch's internal helper caches at
+        # once — they are dead weight once the rows are frozen — instead
+        # of leaking them until the caller drops the decision frame
+        # (pinned by test_admit_and_ingest_cache_evicted_on_gc); the
+        # checkpoint's own RDD storage is reclaimed by the
+        # ContextCleaner when the caller drops the frame.
+        frozen = decisions.localCheckpoint(eager=True)
+        del decisions  # internal admission caches evict on the next GC
         admitted = batch_df.join(
-            decisions.filter(F.col("reason") == "admitted").select(
+            frozen.filter(F.col("reason") == "admitted").select(
                 self.id_col
             ),
             on=self.id_col,
             how="left_semi",
         )
         self(admitted, batch_id)
-        from cses2humio_spark.session import evict_on_gc
-
-        # Self-referencing eviction is safe: evict_on_gc captures only the
-        # JVM handle, so the finalizer does not pin its own referent
-        # (VERDICT r8 #1; pinned by test_admit_and_ingest_cache_evicted_on_gc).
-        return evict_on_gc(decisions, decisions)
+        return frozen
 
 
 class EmbeddingLshIndex(VersionedSegmentStore):
@@ -1281,9 +1298,12 @@ class EmbeddingLshIndex(VersionedSegmentStore):
         (same contract as ``MinHashIndex.admit_and_ingest``): decide
         against the CURRENT index state, ingest only the admitted
         vectors' signatures, return the decision frame; replayed batch
-        ids return None. The persisted decision frame's cache is tied to
-        the returned frame's lifetime (evict_on_gc holds only the JVM
-        handle — the r8 self-reference trap does not apply)."""
+        ids return None. The decision frame is lineage-truncated with an
+        eager localCheckpoint (r14, guide §3.3 — see
+        ``MinHashIndex.admit_and_ingest`` for the full rationale): every
+        downstream action plans against the frozen micro-batch-bounded
+        rows instead of re-planning the admission DAG, and admit_batch's
+        internal caches evict as soon as the rows are frozen."""
         latest = self.latest_version()
         if latest is None:
             raise ValueError(
@@ -1301,15 +1321,15 @@ class EmbeddingLshIndex(VersionedSegmentStore):
             max_bucket_size=max_bucket_size,
             eval_vectors=eval_vectors,
             eval_threshold=eval_threshold,
-        ).persist()
+        )
+        frozen = decisions.localCheckpoint(eager=True)
+        del decisions  # internal admission caches evict on the next GC
         admitted = batch_df.join(
-            decisions.filter(F.col("reason") == "admitted").select(
+            frozen.filter(F.col("reason") == "admitted").select(
                 self.id_col
             ),
             on=self.id_col,
             how="left_semi",
         )
         self(admitted, batch_id)
-        from cses2humio_spark.session import evict_on_gc
-
-        return evict_on_gc(decisions, decisions)
+        return frozen

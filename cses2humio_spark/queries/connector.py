@@ -916,7 +916,9 @@ def feed_admission_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
             stage_walls["index_ingest"] = stage_walls.get(
                 "index_ingest", 0.0
             ) + (time.perf_counter() - ti)
-            d.unpersist()
+            # d is an eager localCheckpoint (r14): its RDD storage is
+            # reclaimed by the ContextCleaner once this scope drops the
+            # reference — Dataset-level unpersist would be a no-op
 
         t0 = time.perf_counter()
         q = (
@@ -1187,7 +1189,9 @@ def feed_vector_admission_ann_pipeline(
             stage_walls["index_ingest"] = stage_walls.get(
                 "index_ingest", 0.0
             ) + (time.perf_counter() - ti)
-            d.unpersist()
+            # d is an eager localCheckpoint (r14): its RDD storage is
+            # reclaimed by the ContextCleaner once this scope drops the
+            # reference — Dataset-level unpersist would be a no-op
 
         t0 = time.perf_counter()
         q = (
