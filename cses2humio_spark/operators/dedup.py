@@ -1208,11 +1208,23 @@ def source_ngram_overlap(
     is an equi-join on the fingerprint whose fan-out per fingerprint is
     bounded by the SOURCE count squared (sources are a curated dimension
     of dozens-to-hundreds, not a data-scale axis), and set sizes
-    broadcast."""
+    broadcast.
+
+    The distinct fingerprint table is PERSISTED (r14, guide §5): it has
+    three consumers (set sizes + both join sides) and exchange reuse
+    does not collapse them — the r14 profile showed the explode+md5 map
+    stage (the expensive pass over every token) materialized twice, ~80%
+    of the query's task time. One compute, evicted when the caller drops
+    the result (the bigram_lm ``c2`` pattern); storage is the narrow
+    (source, 16-byte digest) distinct set, MEMORY_AND_DISK so a
+    100 TB-corpus audit spills instead of evicting mid-plan."""
+    from cses2humio_spark.session import evict_on_gc
+
     fps = (
         shingle_table(df, group_col, text_col, n=n)
         .select(F.col(group_col), F.md5("__sh").alias("__fp"))
         .distinct()
+        .persist()
     )
     sizes = fps.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
     a = fps.select(F.col(group_col).alias("src_a"), "__fp")
@@ -1223,7 +1235,7 @@ def source_ngram_overlap(
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return (
+    out = (
         inter.join(
             F.broadcast(
                 sizes.select(
@@ -1253,3 +1265,4 @@ def source_ngram_overlap(
             ).alias("jaccard"),
         )
     )
+    return evict_on_gc(out, fps)

@@ -573,7 +573,17 @@ def ivf_assign(
     The aggregate form still wins: it drops the per-partition SORT the
     window needs (hash partials replace sort+rank), reads slightly
     faster walls, and does not depend on a rank-pushdown optimizer rule
-    holding — min is associative by construction, on any engine."""
+    holding — min is associative by construction, on any engine.
+
+    CONTRACT (ADVICE r13): corpus vectors must be well-formed — no NULL
+    vectors and no zero-norm vectors. Degenerate cosines order
+    differently between the min-struct and the old desc-nulls-last
+    window (NaN = 0/0 sorts first under ``__cos DESC`` but last after
+    negation; a NULL cosine struct wins a MIN but lost the window), so
+    such vectors could be assigned to a different centroid than the
+    pre-r13 form. Every registered corpus satisfies the contract (the
+    oracle hash-matches pin it); callers feeding user vectors should
+    drop/normalize degenerate rows first."""
     from cses2humio_spark.sources.catalog import fan_out
 
     c = centroids.select(F.col(cid_col), F.col(vec_col).alias("__cvec"))
