@@ -151,14 +151,21 @@ class MinHashIndex(VersionedSegmentStore):
             return  # replayed micro-batch: segment already committed
         version = latest + 1
         manifest["last_batch_id"] = batch_id
-        if batch_df.isEmpty():
-            # empty batch: advance the replay guard without a segment
-            self._write_manifest(version, manifest)
-            self._commit(version)
-            self._prune(version)
-            return
-        self._write_dir(self._signatures(batch_df), self._seg_dir(version))
-        manifest["segments"] = list(manifest["segments"]) + [version]
+        # emptiness rides the segment write's row-count Observation
+        # (r14): the standalone isEmpty pre-check cost one extra job per
+        # micro-batch; a no-signature segment is left out of the
+        # manifest and its orphan dir removed by _prune below
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        self._write_dir(
+            self._signatures(batch_df).observe(
+                obs, F.count(F.lit(1)).alias("n")
+            ),
+            self._seg_dir(version),
+        )
+        if int(obs.get["n"] or 0) > 0:
+            manifest["segments"] = list(manifest["segments"]) + [version]
         self._write_manifest(version, manifest)
         self._commit(version)
         self._prune(version)
@@ -853,13 +860,19 @@ class EmbeddingLshIndex(VersionedSegmentStore):
             return
         version = latest + 1
         manifest["last_batch_id"] = batch_id
-        if batch_df.isEmpty():
-            self._write_manifest(version, manifest)
-            self._commit(version)
-            self._prune(version)
-            return
-        self._write_dir(self._signatures(batch_df), self._seg_dir(version))
-        manifest["segments"] = list(manifest["segments"]) + [version]
+        # emptiness rides the segment write's row-count Observation (r14)
+        # — see MinHashIndex.__call__; one fewer job per micro-batch
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        self._write_dir(
+            self._signatures(batch_df).observe(
+                obs, F.count(F.lit(1)).alias("n")
+            ),
+            self._seg_dir(version),
+        )
+        if int(obs.get["n"] or 0) > 0:
+            manifest["segments"] = list(manifest["segments"]) + [version]
         self._write_manifest(version, manifest)
         self._commit(version)
         self._prune(version)

@@ -171,21 +171,35 @@ class InvertedTextIndex(VersionedSegmentStore):
             *extra,
         )
 
-    def _write_segment(self, docs: DataFrame, version: int) -> bool:
+    def _write_segment(self, docs: DataFrame, version: int) -> tuple[bool, int]:
         """Write the postings for ``docs`` as segment ``version``, then
         derive its doc-length artifact FROM the written postings (one
         (doc_id, dl) row per doc via max — dl is constant within a doc)
-        — corpus text is tokenized exactly once per segment. Returns the
-        segment's corpus-wide ``ws1`` AND (computed from the just-written
-        narrow doc-length artifact — 17 B/doc, one scalar aggregate) so
-        the writers can COMMIT it into the manifest: ``ws_single_all``
-        then answers from manifest metadata instead of re-aggregating a
-        corpus-sized table on every routed phrase query (ADVICE r12)."""
+        — corpus text is tokenized exactly once per segment. Returns
+        ``(seg_ws1, n_posting_rows)``: the segment's corpus-wide ``ws1``
+        AND (computed from the just-written narrow doc-length artifact —
+        17 B/doc, one scalar aggregate) so the writers can COMMIT it
+        into the manifest (``ws_single_all`` then answers from manifest
+        metadata instead of re-aggregating a corpus-sized table on every
+        routed phrase query; ADVICE r12), and the posting row count,
+        which rides the postings WRITE as an Observation so the ingest
+        path can detect an empty micro-batch without the standalone
+        ``isEmpty`` job it used to launch (r14). An empty segment skips
+        the doc-length derivation outright — reading back an empty
+        partitioned parquet dir would fail schema inference."""
         from pyspark.sql import Observation
 
+        obs_n = Observation()
         self._write_dir(
-            self._postings(docs), self._seg_dir(version), partition_by=["tb"]
+            self._postings(docs).observe(
+                obs_n, F.count(F.lit(1)).alias("n")
+            ),
+            self._seg_dir(version),
+            partition_by=["tb"],
         )
+        n_rows = int(obs_n.get["n"] or 0)
+        if n_rows == 0:
+            return False, 0
         spark = docs.sparkSession
         written = spark.read.option("basePath", self.index_dir).parquet(
             self._seg_dir(version)
@@ -205,7 +219,7 @@ class InvertedTextIndex(VersionedSegmentStore):
             self._dl_dir(version),
         )
         w = obs.get["w"]
-        return bool(w) if w is not None else False
+        return (bool(w) if w is not None else False), n_rows
 
     # -- build ---------------------------------------------------------------
 
@@ -220,7 +234,7 @@ class InvertedTextIndex(VersionedSegmentStore):
         collection statistic."""
         latest = self.latest_version()
         version = -1 if latest is None else latest + 1
-        seg_ws1 = self._write_segment(docs, version)
+        seg_ws1, _n = self._write_segment(docs, version)
         prior_lb = (
             self._last_batch_id(self._load_manifest(latest), latest)
             if latest is not None
@@ -289,18 +303,19 @@ class InvertedTextIndex(VersionedSegmentStore):
                 batch_df[self.id_col] == existing["doc_id"],
                 "left_anti",
             )
-        if batch_df.isEmpty():
-            # empty batch: advance the replay guard without a segment
-            self._write_manifest(version, manifest)
-            self._commit(version)
-            self._prune(version)
-            return
-        seg_ws1 = self._write_segment(batch_df, version)
-        manifest["segments"] = list(manifest["segments"]) + [version]
-        manifest["ws1"] = {
-            **manifest.get("ws1", {}),
-            str(version): seg_ws1,
-        }
+        # Emptiness is detected from the segment write's own row-count
+        # Observation (r14) — the standalone ``isEmpty`` pre-check cost
+        # one extra job per micro-batch; an empty batch's postings write
+        # is no dearer than the scan isEmpty ran, and its orphan staging
+        # dirs are removed by the ``_prune`` below since the manifest
+        # never lists the segment.
+        seg_ws1, n_rows = self._write_segment(batch_df, version)
+        if n_rows > 0:
+            manifest["segments"] = list(manifest["segments"]) + [version]
+            manifest["ws1"] = {
+                **manifest.get("ws1", {}),
+                str(version): seg_ws1,
+            }
         self._write_manifest(version, manifest)
         self._commit(version)
         self._prune(version)
