@@ -77,6 +77,7 @@ def cosine_pairs_lookup(
     b_col: str = "id_b",
     out_col: str = "__cos",
     max_vectors: int = 4_000_000,
+    max_matrix_bytes: int = 512 * 1024 * 1024,
 ):
     """Exact cosine for an (id_a, id_b) pair frame WITHOUT shipping the
     vectors per pair: the (broadcast-bounded) vector table is collected
@@ -107,9 +108,15 @@ def cosine_pairs_lookup(
     - a duplicated id in ``vectors`` is an error (the join would have
       fanned the pair out; refuse loudly instead of guessing).
 
-    ``max_vectors`` is the refuse-loudly bound on the collected table
-    (same contract as ``cosine_topk_bruteforce.max_probes``): callers
-    whose vector side can exceed it must keep the join formulation."""
+    ``max_vectors`` is the refuse-loudly bound on the collected ROW
+    count (same contract as ``cosine_topk_bruteforce.max_probes``);
+    ``max_matrix_bytes`` bounds the collected matrix's DRIVER/EXECUTOR
+    memory dimension-aware (rows x dim x 8 bytes of float64 — VERDICT
+    r14 #6: a row-count bound alone scales linearly with dim, so
+    4M x dim-512 rows would be 16 GB). Both are checked row-by-row
+    during the bounded collect, so a violating table fails before the
+    matrix is built; callers whose vector side can exceed either bound
+    must keep the join formulation."""
     import numpy as np
 
     from pyspark.sql.functions import pandas_udf
@@ -125,6 +132,7 @@ def cosine_pairs_lookup(
         )
     by_id: dict = {}
     vecs: list = []
+    total_floats = 0
     for r in rows:
         rid = r[0]
         if rid in by_id:
@@ -137,6 +145,15 @@ def cosine_pairs_lookup(
         if v is None:
             by_id[rid] = -1  # NULL vector: cosine is NULL
         else:
+            total_floats += len(v)
+            if total_floats * 8 > max_matrix_bytes:
+                raise ValueError(
+                    "cosine_pairs_lookup: collected vector matrix "
+                    f"exceeds max_matrix_bytes={max_matrix_bytes} "
+                    f"({len(rows)} rows x observed dims x 8 B float64) "
+                    "— it no longer fits the broadcast contract; use "
+                    "the join + cosine_pairs formulation"
+                )
             by_id[rid] = len(vecs)
             vecs.append([float(x) for x in v])
     # group by length so ragged tables still gather correctly; the

@@ -1128,10 +1128,13 @@ def eval_contamination(
     Scale shape: eval suites are thousands of documents while the corpus
     is billions, so the EVAL side reduces to distinct md5 fingerprints
     and BROADCASTS; the train side explodes to (id, fingerprint) rows
-    once (``shingle_table`` — fan_out-parallelized), distincts within
-    document, and aggregates matched/total per document map-side. Train
-    text never rides a shuffle; the only shuffled bytes are (id, 16-byte
-    digest) pairs inside the per-document distinct."""
+    once (``shingle_table`` — fan_out-parallelized), takes the broadcast
+    hit flag per raw row, and dedups + counts inside ONE per-document
+    ``collect_set`` aggregation (partial-aggregated map-side — the old
+    distinct-then-groupBy shape shuffled the fingerprint stream twice).
+    Train text never rides a shuffle; the only shuffled bytes are
+    per-document partial fingerprint sets (the same distinct (id,
+    digest) pairs the old distinct exchange carried)."""
     if (eval_docs is None) == (eval_fingerprints is None):
         raise ValueError(
             "eval_contamination: pass exactly one of eval_docs / "
@@ -1162,15 +1165,26 @@ def eval_contamination(
         eval_fps = eval_fingerprint_table(
             eval_docs, id_col, text_col, n=n
         ).withColumn("__hit", F.lit(1))
-    train_fps = shingle_table(train, id_col, text_col, n=n).select(
+    # ONE exchange on the train side (r15, guide §2.4): the old shape
+    # paid a (id, fp) DISTINCT exchange and then a groupBy(id) exchange
+    # over the same rows — two full shuffles of the fingerprint stream
+    # per call (and two AQE stage-jobs each, which the admission loops
+    # pay per micro-batch). The collect_set aggregation dedups inside
+    # the one groupBy; the broadcast hit-flag join moves BELOW the
+    # dedup, which is sound because fp -> hit is functional (duplicate
+    # grams get identical flags and the sets dedup them). Counts are
+    # identical integers to the distinct+sum formulation.
+    raw_fps = shingle_table(train, id_col, text_col, n=n).select(
         F.col(id_col), F.md5("__sh").alias("__fp")
-    ).distinct()
+    )
     stats = (
-        train_fps.join(F.broadcast(eval_fps), on="__fp", how="left")
+        raw_fps.join(F.broadcast(eval_fps), on="__fp", how="left")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
-            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            F.size(F.collect_set("__fp")).cast("bigint").alias("n_ngrams"),
+            F.size(
+                F.collect_set(F.when(F.col("__hit") == 1, F.col("__fp")))
+            )
             .cast("bigint")
             .alias("n_matched"),
         )

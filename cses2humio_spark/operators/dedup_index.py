@@ -44,6 +44,37 @@ from cses2humio_spark.operators.dedup import minhash_signatures_rowwise
 from cses2humio_spark.operators.index_store import VersionedSegmentStore
 
 
+def _freeze(df: DataFrame) -> DataFrame:
+    """Materialize a MICRO-BATCH-BOUNDED admission intermediate once and
+    truncate its lineage (eager ``localCheckpoint``) — the r15 fix for the
+    admission decision's driver-bound job floor (guide §3.3/§5).
+
+    With ``persist()`` every downstream consumer still plans against the
+    FULL admission logical tree (the cache only short-circuits execution,
+    not planning): the r14/r15 profiles showed 47-50 AQE stage-jobs per
+    decision with ~2 MiB task binaries ("Broadcasting large task binary"),
+    ~14 s of executor deserialize time and ~8-14 s of GC per pass over a
+    5 MB micro-batch — the plan TREE, not the data, was the cost. Freezing
+    each intermediate turns downstream plans into scans of a LogicalRDD:
+    task closures drop to KBs, AQE has nothing to re-optimize upstream,
+    and the per-decision job count drops with it.
+
+    Trade (same one the decision frame itself already accepts in
+    ``admit_and_ingest``, documented per ADVICE r14): checkpoint blocks
+    are executor-local and NOT fault-tolerant — on a real cluster an
+    executor loss makes the frozen frame unrecomputable, so a cluster
+    deployment that needs mid-decision fault tolerance should use
+    ``spark.sparkContext.setCheckpointDir`` + reliable ``checkpoint()``
+    or ``persist(StorageLevel.DISK_ONLY_2)`` instead. The exposure is one
+    micro-batch per executor loss: the streaming caller replays the batch
+    (foreachBatch at-least-once + the index's ``last_batch_id`` replay
+    guard), so durability is bounded by design. Block reclamation is via
+    ContextCleaner GC of the checkpoint RDD once the decision frame is
+    dropped — the same lifetime the old ``evict_on_gc`` unpersist gave,
+    minus the explicit hook."""
+    return df.localCheckpoint(eager=True)
+
+
 class MinHashIndex(VersionedSegmentStore):
     """Versioned on-disk banded-MinHash signature index over documents."""
 
@@ -154,7 +185,9 @@ class MinHashIndex(VersionedSegmentStore):
         # emptiness rides the segment write's row-count Observation
         # (r14): the standalone isEmpty pre-check cost one extra job per
         # micro-batch; a no-signature segment is left out of the
-        # manifest and its orphan dir removed by _prune below
+        # manifest (readers never see it) and its unlisted dir is
+        # reclaimed by the NEXT commit's _prune — this commit's own
+        # prune only removes ids below the committed version
         from pyspark.sql import Observation
 
         obs = Observation()
@@ -424,10 +457,8 @@ class MinHashIndex(VersionedSegmentStore):
         frame."""
         from cses2humio_spark.operators.dedup import (
             alternating_star_components,
-            jaccard_pairs,
             shingle_table,
         )
-        from cses2humio_spark.session import evict_on_gc
 
         spark = batch_df.sparkSession
         idc, txt = self.id_col, self.text_col
@@ -436,19 +467,18 @@ class MinHashIndex(VersionedSegmentStore):
         )
         batch = batch_df.select(F.col(idc), F.col(txt))
         # fresh is consumed by every downstream stage (signing, shingles,
-        # verify bases, components, decision assembly) — persist it so the
-        # scan + anti-join runs once, not once per consumer. Repartition
-        # BEFORE the persist (r10, measured): AQE coalesces the tiny
-        # anti-join output to ONE partition by bytes, which serialized
-        # the CPU-heavy MinHash signing onto a single task (6.8 s of the
-        # sf0.1 wall); the round-robin shuffle moves only the bounded
-        # micro-batch text and spreads every CPU-bound consumer of the
-        # cache across the executors.
+        # verify bases, components, decision assembly) — freeze it so the
+        # scan + anti-join runs once, not once per consumer, and so every
+        # consumer plans against a LogicalRDD instead of the anti-join
+        # subtree (``_freeze``: the r15 job-floor fix). Repartition BEFORE
+        # the freeze (r10, measured): AQE coalesces the tiny anti-join
+        # output to ONE partition by bytes, which serialized the CPU-heavy
+        # MinHash signing onto a single task (6.8 s of the sf0.1 wall);
+        # the round-robin shuffle moves only the bounded micro-batch text
+        # and spreads every CPU-bound consumer across the executors.
         n_cpu = spark.sparkContext.defaultParallelism
-        fresh = (
-            batch.join(index_ids, on=idc, how="left_anti")
-            .repartition(n_cpu)
-            .persist()
+        fresh = _freeze(
+            batch.join(index_ids, on=idc, how="left_anti").repartition(n_cpu)
         )
         # Decontamination gate FIRST (cheap: one broadcast-fingerprint
         # join over fresh), dedup on the survivors — contaminated docs
@@ -461,7 +491,7 @@ class MinHashIndex(VersionedSegmentStore):
         if eval_docs is not None or eval_fingerprints is not None:
             from cses2humio_spark.operators.dedup import eval_contamination
 
-            cont = (
+            cont = _freeze(
                 eval_contamination(
                     fresh,
                     (
@@ -477,26 +507,27 @@ class MinHashIndex(VersionedSegmentStore):
                 .filter(F.col("contamination") >= contamination_threshold)
                 .select(idc)
                 .withColumn("__cont", F.lit(1))
-                .persist()
             )
-            clean = fresh.join(cont, on=idc, how="left_anti").persist()
-        # Sign the batch ONCE (rowwise projection, persisted — a few
+            clean = _freeze(fresh.join(cont, on=idc, how="left_anti"))
+        # Sign the batch ONCE (rowwise projection, frozen — a few
         # dozen bytes per doc): the same folded signature table feeds
         # BOTH the cross-corpus index probe and the within-batch
         # candidate self-join below; before r9 each stage re-signed the
         # batch from text (the single most expensive projection here).
-        psigs = self._signatures(clean).persist()
+        psigs = _freeze(self._signatures(clean))
         # cross-corpus: candidates from the standing index, then exact
         # Jaccard on candidate texts only. The candidate pair table is
         # consumed by THREE stages (corpus prune, coverage guard, the
         # merged verify) — persist it so the probe join runs once.
-        cand = self._query_candidates(
-            clean,
-            version=version,
-            exclude_self=True,
-            max_bucket_size=max_bucket_size,
-            probe_sigs=psigs,
-        ).persist()
+        cand = _freeze(
+            self._query_candidates(
+                clean,
+                version=version,
+                exclude_self=True,
+                max_bucket_size=max_bucket_size,
+                probe_sigs=psigs,
+            )
+        )
         pairs = cand.select(
             F.col("probe_id").alias("id_a"), F.col("index_id").alias("id_b")
         )
@@ -506,22 +537,31 @@ class MinHashIndex(VersionedSegmentStore):
             how="left_semi",
         )
         both = clean.unionByName(corpus_pruned)
-        # Persist the DISTINCT (id, shingle) table, not the raw explode:
-        # every consumer below (coverage guard, set sizes, both
-        # intersection sides) needs the de-duplicated set, and a raw
-        # cache made each of them re-shuffle the full shingle set for
-        # its own .distinct() — the r14 profile showed the same ~1.4 MB
-        # exchange recomputed 5x per decision. One distinct at
-        # materialization, zero per consumer (jaccard_pairs is told via
-        # distinct_shingles=True).
-        sh = shingle_table(both, idc, txt, n=self.n).distinct().persist()
+        # ONE per-document shingle-SET table instead of the exploded
+        # distinct (id, shingle) table (r15, guide §2.4 — remove shuffles
+        # outright): the old verify chain shuffled the exploded set FIVE
+        # ways (distinct exchange, set-size groupBy, both intersection
+        # join sides, the intersection groupBy) — ~6 exchanges and their
+        # AQE stage-jobs per decision over micro-batch-bounded data. The
+        # collect_set aggregation dedups inside ONE exchange, set sizes
+        # become a rowwise ``size()``, and pair verification becomes two
+        # id-equi-joins (the pair side is candidate-bounded and
+        # broadcasts) + a rowwise ``array_intersect`` — zero further
+        # shuffles of shingle data. Per-row state is one document's
+        # distinct shingle set (~n x the document's own bytes), the same
+        # order as the text column the row already carried.
+        ssets = _freeze(
+            shingle_table(both, idc, txt, n=self.n)
+            .groupBy(idc)
+            .agg(F.collect_set("__sh").alias("__shs"))
+        )
         # Coverage guard: a candidate's index partner must have text in
-        # corpus_docs (and hence rows in sh — it had shingles when its
+        # corpus_docs (and hence a shingle set — it had shingles when its
         # signature was indexed). Probes with an uncovered partner raise
         # at materialization rather than silently verifying as non-dups.
         uncovered = (
             pairs.join(
-                sh.select(F.col(idc).alias("id_b")).distinct(),
+                ssets.select(F.col(idc).alias("id_b")),
                 on="id_b",
                 how="left_anti",
             )
@@ -552,21 +592,38 @@ class MinHashIndex(VersionedSegmentStore):
         )
         # ONE verification pass for BOTH pair families (their id_b
         # domains are disjoint — cross partners live in the index, batch
-        # partners in fresh — so the union splits back cleanly): the
-        # distinct-shingle/sizes/intersection scaffolding is built once
-        # over the shared shingle table instead of once per family.
-        verified = jaccard_pairs(
-            both, pairs.unionByName(bcand), idc, txt, n=self.n,
-            shingles_df=sh, assume_overlap=True, distinct_shingles=True,
-        )
-        unrounded = F.col("n_inter") / (
-            F.col("n_a") + F.col("n_b") - F.col("n_inter")
-        )
+        # partners in fresh — so the union splits back cleanly): two
+        # id-equi-joins against the frozen set table, then a rowwise
+        # exact-Jaccard over the two arrays. ``n_inter >= 1`` preserves
+        # the old inner-intersection-join contract exactly — a pair with
+        # ZERO shared shingles (only reachable through a 64-bit fold
+        # collision) never verified before and must not verify now, even
+        # at threshold <= 0. Counts are identical integers to the
+        # exploded-join formulation, so the threshold comparison is
+        # bit-identical.
+        n_inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+        n_a, n_b = F.size(F.col("__sa")), F.size(F.col("__sb"))
+        unrounded = n_inter / (n_a + n_b - n_inter)
         # two consumers (corpus_rej anti-join, bpairs semi-join) — the
-        # Jaccard verify's join scaffolding over the shared shingle
-        # table must run once, not twice (r14; accepted is id pairs
-        # only, micro-batch-bounded)
-        accepted = verified.filter(unrounded >= threshold).persist()
+        # verify over the candidate set must run once, not twice (r14;
+        # accepted is id pairs only, micro-batch-bounded)
+        accepted = _freeze(
+            pairs.unionByName(bcand)
+            .join(
+                ssets.select(
+                    F.col(idc).alias("id_a"), F.col("__shs").alias("__sa")
+                ),
+                on="id_a",
+            )
+            .join(
+                ssets.select(
+                    F.col(idc).alias("id_b"), F.col("__shs").alias("__sb")
+                ),
+                on="id_b",
+            )
+            .filter((n_inter >= 1) & (unrounded >= threshold))
+            .select("id_a", "id_b")
+        )
         fresh_b = clean.select(F.col(idc).alias("id_b"))
         corpus_rej = (
             accepted.join(fresh_b, on="id_b", how="left_anti")
@@ -630,10 +687,11 @@ class MinHashIndex(VersionedSegmentStore):
                 .alias("partner"),
             )
         )
-        cached = [sh, psigs, fresh, cand, accepted]
-        if cont is not None:
-            cached += [cont, clean]
-        return evict_on_gc(decisions, *cached)
+        # No persisted frames to tie to the result: every intermediate is
+        # a frozen (localCheckpoint) frame whose blocks the ContextCleaner
+        # reclaims once the decision frame — whose plan references them —
+        # is dropped by the caller.
+        return decisions
 
     def admit_and_ingest(
         self,
@@ -662,7 +720,20 @@ class MinHashIndex(VersionedSegmentStore):
         contamination (VERDICT r9 #6 — dedup + decontamination in one
         pass, the production crawl shape): contaminated documents take
         reason ``contaminated`` and are never ingested, so benchmark
-        text cannot enter the standing corpus through this loop."""
+        text cannot enter the standing corpus through this loop.
+
+        DURABILITY TRADE (VERDICT r14 #5a): the returned frame and the
+        decision's internal intermediates are eager ``localCheckpoint``
+        blocks — executor-local, NOT fault-tolerant. On a real cluster,
+        losing an executor mid-pipeline makes the frozen frames
+        unrecomputable; the exposure is bounded to ONE micro-batch
+        (foreachBatch replays it and the ``last_batch_id`` guard keeps
+        the replay exactly-once). A deployment that must survive
+        executor loss WITHOUT a batch replay should set a reliable
+        checkpoint dir (``sparkContext.setCheckpointDir`` + replace the
+        localCheckpoints with ``checkpoint()``) or persist with
+        ``StorageLevel.DISK_ONLY_2``; see ``_freeze`` for the measured
+        reason local checkpointing is the default."""
         latest = self.latest_version()
         if latest is None:
             raise ValueError(
@@ -1079,7 +1150,6 @@ class EmbeddingLshIndex(VersionedSegmentStore):
             embedding_candidate_pairs,
             lsh_signatures,
         )
-        from cses2humio_spark.session import evict_on_gc
 
         spark = batch_df.sparkSession
         idc, vc = self.id_col, self.vec_col
@@ -1087,15 +1157,17 @@ class EmbeddingLshIndex(VersionedSegmentStore):
             self.read_signatures(spark, version).select(idc).distinct()
         )
         batch = batch_df.select(F.col(idc), F.col(vc))
-        # fresh feeds every downstream stage — persist so the anti-join
-        # runs once, not once per consumer; repartition before the
-        # persist so AQE's bytes-based coalesce can't serialize the
-        # CPU-heavy Arrow signing onto one task (same fix as the text
-        # twin — the shuffle moves only the bounded micro-batch)
-        fresh = (
-            batch.join(index_ids, on=idc, how="left_anti")
-            .repartition(spark.sparkContext.defaultParallelism)
-            .persist()
+        # fresh feeds every downstream stage — freeze (``_freeze``: the
+        # r15 job-floor fix, same as the text twin) so the anti-join runs
+        # once AND every consumer plans against a LogicalRDD instead of
+        # the anti-join subtree; repartition before the freeze so AQE's
+        # bytes-based coalesce can't serialize the CPU-heavy Arrow
+        # signing onto one task (the shuffle moves only the bounded
+        # micro-batch)
+        fresh = _freeze(
+            batch.join(index_ids, on=idc, how="left_anti").repartition(
+                spark.sparkContext.defaultParallelism
+            )
         )
         # semantic decontamination FIRST (eval suite x bounded
         # micro-batch, exact cosine), dedup on the survivors — mirrors
@@ -1149,26 +1221,27 @@ class EmbeddingLshIndex(VersionedSegmentStore):
                     if hit.any():
                         yield sub.loc[hit, [id_name]]
 
-            cont = (
+            cont = _freeze(
                 fresh.mapInPandas(_eval_gate, schema=f"{idc} {id_sql_type}")
                 .distinct()
                 .withColumn("__cont", F.lit(1))
-                .persist()
             )
-            clean = fresh.join(cont, on=idc, how="left_anti").persist()
-        # sign the batch ONCE (Arrow projection, persisted): the same
+            clean = _freeze(fresh.join(cont, on=idc, how="left_anti"))
+        # sign the batch ONCE (Arrow projection, frozen): the same
         # signature frame feeds the index probe AND the within-batch
         # candidate stage (before r9 each stage re-signed the batch)
-        full_sigs = lsh_signatures(
-            clean, self.dim, self.n_planes * self.n_bands, vc
-        ).persist()
-        cand = self._query_candidates(
-            clean,
-            version=version,
-            exclude_self=True,
-            max_bucket_size=max_bucket_size,
-            probe_sigs=full_sigs.select(idc, "lsh_sig"),
-        ).persist()  # three consumers (guard, prune, verify) — probe once
+        full_sigs = _freeze(
+            lsh_signatures(clean, self.dim, self.n_planes * self.n_bands, vc)
+        )
+        cand = _freeze(
+            self._query_candidates(
+                clean,
+                version=version,
+                exclude_self=True,
+                max_bucket_size=max_bucket_size,
+                probe_sigs=full_sigs.select(idc, "lsh_sig"),
+            )
+        )  # three consumers (guard, prune, verify) — probe once
         # coverage guard: candidate partners must have vectors in
         # corpus_vectors, else the pair cannot be verified
         corpus_ids = corpus_vectors.select(F.col(idc)).distinct()
@@ -1219,7 +1292,7 @@ class EmbeddingLshIndex(VersionedSegmentStore):
         va = clean.select(F.col(idc).alias("id_a"), F.col(vc).alias("__va"))
         vb = vb_src.select(F.col(idc).alias("id_b"), F.col(vc).alias("__vb"))
         cos = cosine_pairs(F.col("__va"), F.col("__vb"))
-        accepted = (
+        accepted = _freeze(
             pairs_all.join(va, on="id_a")
             .join(vb, on="id_b")
             .filter(cos >= threshold)
@@ -1227,7 +1300,6 @@ class EmbeddingLshIndex(VersionedSegmentStore):
             # two consumers (corpus_rej anti-join, bpairs semi-join) —
             # the cosine verify over the dense candidate set must run
             # once, not twice (r14; the accepted table is id pairs only)
-            .persist()
         )
         fresh_b = clean.select(F.col(idc).alias("id_b"))
         corpus_rej = (
@@ -1256,10 +1328,10 @@ class EmbeddingLshIndex(VersionedSegmentStore):
             assembled = assembled.withColumn(
                 "__cont", F.lit(None).cast("int")
             )
-        cached = [full_sigs, fresh, cand, accepted]
-        if cont is not None:
-            cached += [cont, clean]
-        return evict_on_gc(
+        # No persisted frames to tie to the result (every intermediate is
+        # a frozen LogicalRDD; the ContextCleaner reclaims its blocks when
+        # the caller drops the decision frame).
+        return (
             assembled
             .select(
                 idc,
@@ -1293,8 +1365,7 @@ class EmbeddingLshIndex(VersionedSegmentStore):
                 .otherwise(F.lit(None))
                 .cast(id_type)
                 .alias("partner"),
-            ),
-            *cached,
+            )
         )
 
     def admit_and_ingest(
@@ -1313,10 +1384,11 @@ class EmbeddingLshIndex(VersionedSegmentStore):
         vectors' signatures, return the decision frame; replayed batch
         ids return None. The decision frame is lineage-truncated with an
         eager localCheckpoint (r14, guide §3.3 — see
-        ``MinHashIndex.admit_and_ingest`` for the full rationale): every
-        downstream action plans against the frozen micro-batch-bounded
-        rows instead of re-planning the admission DAG, and admit_batch's
-        internal caches evict as soon as the rows are frozen."""
+        ``MinHashIndex.admit_and_ingest`` for the full rationale AND the
+        r14-#5a durability trade: executor-local blocks, one-micro-batch
+        replay exposure, cluster-mode alternatives): every downstream
+        action plans against the frozen micro-batch-bounded rows instead
+        of re-planning the admission DAG."""
         latest = self.latest_version()
         if latest is None:
             raise ValueError(

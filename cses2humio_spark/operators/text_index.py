@@ -240,13 +240,18 @@ class InvertedTextIndex(VersionedSegmentStore):
             if latest is not None
             else -1
         )
+        # An EMPTY corpus commits an empty segment list (mirroring
+        # __call__'s n_rows guard; ADVICE r14): _write_segment skipped
+        # the doc-length artifact, so registering the version would
+        # commit a segment whose dl dir does not exist — every later
+        # search/ws_single_all read of it would crash.
         self._write_manifest(
             version,
             {
-                "segments": [version],
+                "segments": [version] if _n > 0 else [],
                 "last_batch_id": prior_lb,
                 "tombstones": [],
-                "ws1": {str(version): seg_ws1},
+                "ws1": {str(version): seg_ws1} if _n > 0 else {},
             },
         )
         self._commit(version)
@@ -306,9 +311,11 @@ class InvertedTextIndex(VersionedSegmentStore):
         # Emptiness is detected from the segment write's own row-count
         # Observation (r14) — the standalone ``isEmpty`` pre-check cost
         # one extra job per micro-batch; an empty batch's postings write
-        # is no dearer than the scan isEmpty ran, and its orphan staging
-        # dirs are removed by the ``_prune`` below since the manifest
-        # never lists the segment.
+        # is no dearer than the scan isEmpty ran. The unlisted segment
+        # dir it leaves behind is reclaimed by the NEXT commit's
+        # ``_prune`` (``_prune`` only removes artifact dirs with id <
+        # the committed version, so this commit's own prune skips it);
+        # readers are manifest-driven and never see it either way.
         seg_ws1, n_rows = self._write_segment(batch_df, version)
         if n_rows > 0:
             manifest["segments"] = list(manifest["segments"]) + [version]
@@ -435,6 +442,14 @@ class InvertedTextIndex(VersionedSegmentStore):
         frame so a term filter prunes directories."""
         at = self._resolve_version(version)
         man = self._load_manifest(at)
+        if not man["segments"]:
+            # zero live segments (an empty-corpus build commits an empty
+            # list — ADVICE r14): refuse loudly instead of handing
+            # spark.read.parquet() zero paths (UNABLE_TO_INFER_SCHEMA)
+            raise ValueError(
+                f"{self.index_dir}: index is empty at version {at} — "
+                "no live segments to read"
+            )
         post = (
             spark.read.option("basePath", self.index_dir)
             .parquet(*[self._seg_dir(s) for s in man["segments"]])
@@ -450,6 +465,11 @@ class InvertedTextIndex(VersionedSegmentStore):
     ) -> DataFrame:
         at = self._resolve_version(version)
         man = self._load_manifest(at)
+        if not man["segments"]:
+            raise ValueError(
+                f"{self.index_dir}: index is empty at version {at} — "
+                "no live segments to read"
+            )
         # No basePath here (unlike read_postings): the artifact dirs are
         # named ``dl=<v>``, and root-anchored partition discovery would
         # surface a partition column named ``dl`` colliding with the data

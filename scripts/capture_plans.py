@@ -1,4 +1,4 @@
-"""Capture .explain("formatted") for named queries into plans/r14/.
+"""Capture .explain("formatted") for named queries into plans/r15/.
 
 Usage: python scripts/capture_plans.py before q1 q2 ...
 """
@@ -20,7 +20,7 @@ def main() -> None:
     outdir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r14",
+        "r15",
     )
     os.makedirs(outdir, exist_ok=True)
 

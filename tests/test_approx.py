@@ -880,3 +880,60 @@ def test_semdedup_mixed_threshold_monotonicity(spark):
         .filter(F.col("kept") == 0).collect()
     }
     assert hi <= lo and len(hi) < len(lo)
+
+
+def test_cosine_pairs_lookup_dim_aware_byte_bound(spark):
+    """VERDICT r14 #6: ``max_vectors`` alone scales linearly with dim —
+    the collected float64 matrix is rows x dim x 8 bytes, so the lookup
+    now ALSO refuses on ``max_matrix_bytes``. Pins: (a) a table within
+    the row bound but over the byte bound refuses loudly BEFORE building
+    the matrix; (b) within both bounds the scores match the join +
+    cosine_pairs formulation bit-for-bit, including the NULL-vector and
+    zero-norm edges (Spark's x/0 is NULL; both formulations agree)."""
+    import pytest
+
+    from cses2humio_spark.functions.vectors import cosine_pairs_lookup
+    from cses2humio_spark.operators.similarity import cosine_pairs
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0]),
+            (2, [1.0, 2.0, 3.0]),
+            (3, [0.0, 0.0, 0.0]),  # zero norm -> NaN
+            (4, None),  # NULL vector -> NULL cosine
+        ],
+        "vid long, v array<double>",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 99)], "id_a long, id_b long"
+    )
+    # (a) dim-aware refusal: 4 rows x 3 dims x 8 B = 96 B > 64 B budget
+    with pytest.raises(ValueError, match="max_matrix_bytes"):
+        cosine_pairs_lookup(
+            pairs, vecs, "vid", "v", max_matrix_bytes=64
+        )
+    # (b) parity with the join formulation inside the bounds
+    looked = {
+        (r.id_a, r.id_b): r["__cos"]
+        for r in cosine_pairs_lookup(pairs, vecs, "vid", "v").collect()
+    }
+    va = vecs.select(F.col("vid").alias("id_a"), F.col("v").alias("__va"))
+    vb = vecs.select(F.col("vid").alias("id_b"), F.col("v").alias("__vb"))
+    joined = {
+        (r.id_a, r.id_b): r.c
+        for r in pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine_pairs(F.col("__va"), F.col("__vb")).alias("c"),
+        )
+        .collect()
+    }
+    assert looked[(1, 2)] == joined[(1, 2)] == 1.0
+    # zero-norm: x/0 is NULL in Spark — both formulations agree
+    assert looked[(1, 3)] is None and joined[(1, 3)] is None
+    # the join drops (1,99) (missing id) and folds (1,4)'s NULL vector
+    # to NULL — the lookup surfaces both as NULL, failing thresholds
+    # the same way
+    assert looked[(1, 4)] is None and looked[(1, 99)] is None

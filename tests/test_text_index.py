@@ -156,6 +156,27 @@ def test_empty_batch_advances_replay_guard(spark, docs, tmp_path):
     assert idx.latest_version() == before + 1
 
 
+def test_build_on_empty_corpus_commits_searchable_state(
+    spark, docs, tmp_path
+):
+    """ADVICE r14: build() over an EMPTY corpus must commit an empty
+    segment list (the r14 Observation refactor made _write_segment skip
+    the doc-length artifact, so registering the version would commit a
+    segment whose dl dir never exists — every later search crashed on
+    schema inference). Contract now: the build commits cleanly, search
+    refuses loudly with the established 'index is empty' error (not a
+    parquet UNABLE_TO_INFER_SCHEMA crash), and a subsequent real ingest
+    repairs the index in place."""
+    idx = InvertedTextIndex(str(tmp_path / "tempty0"), n_buckets=16)
+    v = idx.build(docs.filter(F.lit(False)))
+    man = idx._load_manifest(v)
+    assert man["segments"] == []
+    with pytest.raises(ValueError, match="index is empty"):
+        idx.search(spark, TERMS, k=5).collect()
+    idx(docs, batch_id=0)  # geometry committed: ingest works
+    assert idx.search(spark, TERMS, k=3).count() == 3
+
+
 def test_tombstone_delete_matches_never_indexed(spark, docs, tmp_path):
     """Deleting docs must leave search IDENTICAL to an index that never
     saw them — including the collection statistics N/avgdl, which shift
