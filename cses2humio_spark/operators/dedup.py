@@ -90,6 +90,30 @@ def shingle_table(
     )
 
 
+def shingle_set_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """One row per document: its DISTINCT shingle set as an array column
+    ``__shs`` (r15, guide §2.4). This is the fused near-dup pipeline's
+    shared corpus-scale artifact in SET form: the dedup happens INSIDE
+    one ``collect_set`` aggregation (partial-aggregated map-side), where
+    the exploded formulation paid a distinct exchange and then re-shuffled
+    the exploded rows once per consumer (set sizes, both intersection
+    join sides). Signatures derive from the array rowwise
+    (``minhash_signatures(shingle_sets_df=...)``) and pair verification
+    becomes two id-equi-joins + a rowwise ``array_intersect``
+    (``jaccard_pairs(shingle_sets_df=...)``) — ONE shuffle of shingle
+    data total. Per-row state is one document's distinct shingle set
+    (~n x the document's own bytes, the same order as the text column
+    the row already carries). Callers feeding several consumers should
+    ``.persist()`` the result, exactly like ``shingle_table``."""
+    return (
+        shingle_table(df, id_col, text_col, n=n)
+        .groupBy(id_col)
+        .agg(F.collect_set("__sh").alias("__shs"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -98,6 +122,7 @@ def minhash_signatures(
     bands: int = 4,
     rows_per_band: int = 2,
     shingles_df: DataFrame | None = None,
+    shingle_sets_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document banded MinHash signature. A band's signature is the
     CONCATENATION of ``rows_per_band`` independent min-hashes — the classic
@@ -109,7 +134,35 @@ def minhash_signatures(
     Returns (id, band, sig); sig is a hex string (md5-based, min over
     strings — identical lexicographic order in any engine, so the oracle
     reproduces it exactly).
+
+    ``shingle_sets_df`` (r15): a per-document shingle-SET table
+    (``shingle_set_table`` output, typically persisted) — the signatures
+    become a PURE PROJECTION (``array_min`` over per-band hashed copies
+    of the set array, the ``minhash_signatures_rowwise`` formulation),
+    no aggregation at all: MIN over the distinct set equals MIN over the
+    multiset, so the output is bit-identical to the groupBy path (which
+    the rowwise-parity test already pins).
     """
+    if shingle_sets_df is not None:
+        def _hash_fn(prefix: str):
+            return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+        band_sigs = F.array(
+            *[
+                F.concat(
+                    *[
+                        F.array_min(
+                            F.transform(F.col("__shs"), _hash_fn(f"b{b}h{j}:"))
+                        )
+                        for j in range(rows_per_band)
+                    ]
+                )
+                for b in range(bands)
+            ]
+        )
+        return shingle_sets_df.select(
+            F.col(id_col), F.posexplode(band_sigs).alias("band", "sig")
+        ).filter(F.col("sig").isNotNull())
     sh = shingles_df if shingles_df is not None else shingle_table(df, id_col, text_col, n)
     # One pass, no band explode: all bands*rows_per_band min-hashes are
     # independent aggregates over the SAME shingle rows, so compute them as
@@ -144,6 +197,7 @@ def minhash_candidate_pairs(
     rows_per_band: int = 2,
     shingles_df: DataFrame | None = None,
     max_bucket_size: int | None = 2_000,
+    shingle_sets_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: documents sharing any (band, sig) bucket.
     Equi self-join on the bucket — linear shuffle, no cross join.
@@ -170,6 +224,7 @@ def minhash_candidate_pairs(
         bands=bands,
         rows_per_band=rows_per_band,
         shingles_df=shingles_df,
+        shingle_sets_df=shingle_sets_df,
     )
     a = sigs.select(F.col(id_col).alias("id_a"), "band", "sig")
     b = sigs.select(F.col(id_col).alias("id_b"), "band", "sig")
@@ -264,6 +319,7 @@ def jaccard_pairs(
     shingles_df: DataFrame | None = None,
     assume_overlap: bool = False,
     distinct_shingles: bool = False,
+    shingle_sets_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (verification stage).
     Joins each side's distinct-shingle set sizes + intersection counts —
@@ -281,7 +337,58 @@ def jaccard_pairs(
     profiles showed the same ~MB exchange recomputed 4-7x per admission
     decision) is skipped. Passing a non-distinct frame with this flag
     set silently inflates sizes and intersections — it is a contract,
-    not a hint."""
+    not a hint.
+
+    ``shingle_sets_df`` (r15, guide §2.4, requires ``assume_overlap``):
+    a per-document shingle-SET table (``shingle_set_table`` output) —
+    verification becomes two id-equi-joins against it plus a rowwise
+    ``array_intersect``, ZERO shuffles of shingle data (the exploded
+    path re-exchanged the shingle table for each intersection side and
+    the sizes aggregate). An explicit ``n_inter >= 1`` filter preserves
+    the exploded path's inner-intersection-join contract — a pair with
+    no shared shingle never surfaced there and does not surface here.
+    Counts are identical integers, so jaccard values are bit-identical."""
+    if shingle_sets_df is not None:
+        if not assume_overlap:
+            raise ValueError(
+                "jaccard_pairs: shingle_sets_df requires assume_overlap="
+                "True (the zero-overlap-surfacing path is exploded-only)"
+            )
+        n_inter_c = F.size(
+            F.array_intersect(F.col("__sa"), F.col("__sb"))
+        )
+        out = (
+            pairs.select("id_a", "id_b")
+            .join(
+                shingle_sets_df.select(
+                    F.col(id_col).alias("id_a"), F.col("__shs").alias("__sa")
+                ),
+                on="id_a",
+            )
+            .join(
+                shingle_sets_df.select(
+                    F.col(id_col).alias("id_b"), F.col("__shs").alias("__sb")
+                ),
+                on="id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                n_inter_c.cast("bigint").alias("n_inter"),
+                F.size(F.col("__sa")).cast("bigint").alias("n_a"),
+                F.size(F.col("__sb")).cast("bigint").alias("n_b"),
+            )
+            .filter(F.col("n_inter") >= 1)
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_inter")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                    6,
+                ),
+            )
+        )
+        return out.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
     base = (
         shingles_df
         if shingles_df is not None

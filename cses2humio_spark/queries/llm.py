@@ -290,24 +290,33 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup pipeline: MinHash candidates -> exact shingle Jaccard
     verification -> threshold. Verification cost is O(candidates), not
-    O(n^2). The shingle table is computed ONCE and persisted — signatures,
-    set sizes, and intersections all read the cached copy instead of
-    re-exploding the corpus (the dominant cost at scale)."""
-    from cses2humio_spark.operators.dedup import shingle_table
+    O(n^2). The corpus-scale artifact is ONE persisted per-document
+    shingle-SET table (r15, guide §2.4): the set build is the single
+    shuffle of shingle data (dedup inside the collect_set aggregation),
+    signatures derive from the set arrays as a pure projection (no
+    groupBy exchange), and verification is two id-joins + a rowwise
+    array_intersect — where the exploded formulation re-exchanged the
+    distinct shingle table for the signature aggregate, the set sizes
+    and both intersection join sides (r15 profile: the verify chain was
+    ~60% of the query's task time and its 8->32-core scaling ratio sat
+    at 1.04)."""
+    from cses2humio_spark.operators.dedup import shingle_set_table
+    from cses2humio_spark.session import evict_on_gc
 
     docs = load_table(spark, sf_dir, "documents")
-    # distinct BEFORE the persist: signatures take the same MIN over
-    # the de-duplicated set, and every Jaccard consumer (sizes, both
-    # intersection sides) needs distinct rows anyway - caching the raw
-    # explode made each consumer pay its own distinct shuffle (r14)
-    sh = shingle_table(docs, "doc_id", "text", n=3).distinct().persist()
+    sets = shingle_set_table(docs, "doc_id", "text", n=3).persist()
     cands = minhash_candidate_pairs(
-        docs, "doc_id", "text", n=3, bands=4, rows_per_band=2, shingles_df=sh
+        docs, "doc_id", "text", n=3, bands=4, rows_per_band=2,
+        shingle_sets_df=sets,
     )
-    j = jaccard_pairs(docs, cands, "doc_id", "text", n=3, shingles_df=sh, assume_overlap=True, distinct_shingles=True)
-    return j.filter(
+    j = jaccard_pairs(
+        docs, cands, "doc_id", "text", n=3,
+        assume_overlap=True, shingle_sets_df=sets,
+    )
+    out = j.filter(
         F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")) >= 0.5
     ).select("id_a", "id_b", "jaccard")
+    return evict_on_gc(out, sets)
 
 
 @query(
@@ -1260,23 +1269,30 @@ def near_dup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_pairs,
         minhash_candidate_pairs,
         near_dup_clusters,
-        shingle_table,
+        shingle_set_table,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    # distinct BEFORE the persist: signatures take the same MIN over
-    # the de-duplicated set, and every Jaccard consumer (sizes, both
-    # intersection sides) needs distinct rows anyway - caching the raw
-    # explode made each consumer pay its own distinct shuffle (r14)
-    sh = shingle_table(docs, "doc_id", "text", n=3).distinct().persist()
+    # ONE persisted per-document shingle-SET table (r15, guide §2.4):
+    # dedup happens inside the collect_set aggregation, signatures
+    # derive from the set arrays as a pure projection, verification is
+    # two id-joins + rowwise array_intersect — a single shuffle of
+    # shingle data instead of one per consumer
+    sets = shingle_set_table(docs, "doc_id", "text", n=3).persist()
     cands = minhash_candidate_pairs(
-        docs, "doc_id", "text", n=3, bands=4, rows_per_band=2, shingles_df=sh
+        docs, "doc_id", "text", n=3, bands=4, rows_per_band=2,
+        shingle_sets_df=sets,
     )
-    j = jaccard_pairs(docs, cands, "doc_id", "text", n=3, shingles_df=sh, assume_overlap=True, distinct_shingles=True)
+    j = jaccard_pairs(
+        docs, cands, "doc_id", "text", n=3,
+        assume_overlap=True, shingle_sets_df=sets,
+    )
     pairs = j.filter(
         F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")) >= 0.5
     ).select("id_a", "id_b")
-    return near_dup_clusters(docs.select("doc_id"), pairs)
+    from cses2humio_spark.session import evict_on_gc
+
+    return evict_on_gc(near_dup_clusters(docs.select("doc_id"), pairs), sets)
 
 
 @query("near_dup_cluster_reps_star", oracle=_CLUSTER_REPS_ORACLE)
@@ -1297,23 +1313,32 @@ def near_dup_cluster_reps_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         alternating_star_components,
         jaccard_pairs,
         minhash_candidate_pairs,
-        shingle_table,
+        shingle_set_table,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    # distinct BEFORE the persist: signatures take the same MIN over
-    # the de-duplicated set, and every Jaccard consumer (sizes, both
-    # intersection sides) needs distinct rows anyway - caching the raw
-    # explode made each consumer pay its own distinct shuffle (r14)
-    sh = shingle_table(docs, "doc_id", "text", n=3).distinct().persist()
+    # ONE persisted per-document shingle-SET table (r15, guide §2.4):
+    # dedup happens inside the collect_set aggregation, signatures
+    # derive from the set arrays as a pure projection, verification is
+    # two id-joins + rowwise array_intersect — a single shuffle of
+    # shingle data instead of one per consumer
+    sets = shingle_set_table(docs, "doc_id", "text", n=3).persist()
     cands = minhash_candidate_pairs(
-        docs, "doc_id", "text", n=3, bands=4, rows_per_band=2, shingles_df=sh
+        docs, "doc_id", "text", n=3, bands=4, rows_per_band=2,
+        shingle_sets_df=sets,
     )
-    j = jaccard_pairs(docs, cands, "doc_id", "text", n=3, shingles_df=sh, assume_overlap=True, distinct_shingles=True)
+    j = jaccard_pairs(
+        docs, cands, "doc_id", "text", n=3,
+        assume_overlap=True, shingle_sets_df=sets,
+    )
     pairs = j.filter(
         F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")) >= 0.5
     ).select("id_a", "id_b")
-    return alternating_star_components(docs.select("doc_id"), pairs)
+    from cses2humio_spark.session import evict_on_gc
+
+    return evict_on_gc(
+        alternating_star_components(docs.select("doc_id"), pairs), sets
+    )
 
 
 @query(
@@ -1341,24 +1366,31 @@ def fuzzy_dedup_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_pairs,
         minhash_candidate_pairs,
         near_dup_clusters,
-        shingle_table,
+        shingle_set_table,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    # distinct BEFORE the persist: signatures take the same MIN over
-    # the de-duplicated set, and every Jaccard consumer (sizes, both
-    # intersection sides) needs distinct rows anyway - caching the raw
-    # explode made each consumer pay its own distinct shuffle (r14)
-    sh = shingle_table(docs, "doc_id", "text", n=3).distinct().persist()
+    # ONE persisted per-document shingle-SET table (r15, guide §2.4):
+    # dedup happens inside the collect_set aggregation, signatures
+    # derive from the set arrays as a pure projection, verification is
+    # two id-joins + rowwise array_intersect — a single shuffle of
+    # shingle data instead of one per consumer
+    sets = shingle_set_table(docs, "doc_id", "text", n=3).persist()
     cands = minhash_candidate_pairs(
-        docs, "doc_id", "text", n=3, bands=4, rows_per_band=2, shingles_df=sh
+        docs, "doc_id", "text", n=3, bands=4, rows_per_band=2,
+        shingle_sets_df=sets,
     )
-    j = jaccard_pairs(docs, cands, "doc_id", "text", n=3, shingles_df=sh, assume_overlap=True, distinct_shingles=True)
+    j = jaccard_pairs(
+        docs, cands, "doc_id", "text", n=3,
+        assume_overlap=True, shingle_sets_df=sets,
+    )
     pairs = j.filter(
         F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")) >= 0.5
     ).select("id_a", "id_b")
     reps = near_dup_clusters(docs.select("doc_id"), pairs)
-    return (
+    from cses2humio_spark.session import evict_on_gc
+
+    return evict_on_gc(
         docs.select("doc_id", "lang")
         .join(reps, "doc_id")
         .groupBy("lang")
@@ -1370,7 +1402,8 @@ def fuzzy_dedup_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("cluster_rep") != F.col("doc_id")).cast("int"))
             .cast("bigint")
             .alias("n_dropped"),
-        )
+        ),
+        sets,
     )
 
 
